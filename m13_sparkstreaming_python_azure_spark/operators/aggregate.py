@@ -1,0 +1,99 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A6).
+
+The reference's signature aggregate is
+``groupBy(city, wthr_date).agg(approx_count_distinct(id), avg/max/min(avg_tmpr_c))``
+(``stream.ipynb:117-121``). Here it is generalized to any (keys, distinct
+column, value column) and works identically on batch and streaming
+DataFrames — Structured Streaming reuses the same logical plan with state
+stores inserted by IncrementalExecution.
+
+Scale notes:
+- Hash aggregation is partial→final (map-side combine) automatically; the
+  shuffle is on the group keys only.
+- ``approx_count_distinct`` (HLL++, default rsd 0.05 — visible in the
+  reference's captured plan, stream.ipynb:105) keeps state O(1) per group
+  vs O(distinct) for exact count-distinct; at 100 TB always prefer it
+  unless exactness is a hard requirement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    value_col: str,
+    distinct_alias: str = "distinct_count",
+    approx: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group distinct-count + avg/max/min — the reference aggregate.
+
+    ``approx=True`` reproduces the reference exactly (HLL++ rsd 0.05);
+    ``approx=False`` is the exact-oracle flavor used for correctness checks.
+    """
+    distinct_expr: Column = (
+        F.approx_count_distinct(distinct_col, rsd)
+        if approx
+        else F.countDistinct(distinct_col)
+    )
+    return df.groupBy(*keys).agg(
+        distinct_expr.alias(distinct_alias),
+        F.avg(value_col).alias(f"avg_{value_col}"),
+        F.max(value_col).alias(f"max_{value_col}"),
+        F.min(value_col).alias(f"min_{value_col}"),
+    )
+
+
+def weather_daily_aggregate(
+    df: DataFrame,
+    city_col: str = "city",
+    date_col: str = "wthr_date",
+    id_col: str = "id",
+    tmpr_col: str = "avg_tmpr_c",
+    approx: bool = True,
+) -> DataFrame:
+    """Verbatim semantics of the reference aggregate (stream.ipynb:117-121):
+    distinct hotels and temperature stats per (city, day)."""
+    return df.groupBy(city_col, date_col).agg(
+        (
+            F.approx_count_distinct(id_col)
+            if approx
+            else F.countDistinct(id_col)
+        ).alias("distinct_hotels"),
+        F.avg(tmpr_col).alias("avg_temperature"),
+        F.max(tmpr_col).alias("max_temperature"),
+        F.min(tmpr_col).alias("min_temperature"),
+    )
+
+
+def distinct_values(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A6: ``select(cols).distinct()`` (stream.ipynb:255,514) — a group-by-
+    all-columns aggregate; partial aggregation dedups map-side before the
+    shuffle, so wire cost is O(distinct), not O(rows)."""
+    return df.select(*cols).distinct()
+
+
+def rollup_stats(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Hierarchical subtotals (SURVEY §2.4 GAP row): built-in ``rollup`` —
+    one shuffle produces all grouping levels (Expand + single hash agg)."""
+    return df.rollup(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias(f"sum_{value_col}"),
+    )
+
+
+def cube_stats(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """Cross-dimensional subtotals (SURVEY §2.4 GAP row)."""
+    return df.cube(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias(f"sum_{value_col}"),
+    )

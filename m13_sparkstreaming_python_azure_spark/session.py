@@ -1,0 +1,92 @@
+"""SparkSession factory (SURVEY.md §7.2 Phase 0).
+
+Replaces the reference's hand-rolled session + Azure OAuth conf blocks
+(``upload.py:30-57``, ``stream.ipynb:55-75``) with a single parameterized
+factory. Azure ABFSS credentials become an optional, pluggable profile
+(``azure_oauth_conf``) instead of hard-coded notebook cells; tests run on
+local FS.
+
+Scale defaults: AQE on (runtime coalesce + skew-join handling), Arrow on
+(fast toPandas / pandas_udf), session timezone pinned to UTC so timestamp
+group keys are deterministic across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "m13-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    On a real cluster, callers pass ``master=None`` and let spark-submit /
+    the cluster manager decide; locally we default to ``local[N]`` with N
+    from ``$SPARK_GRAFT_CPUS``.
+    """
+    cpus = _default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", max(cpus, 8))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Shuffle width: the reference ran the Spark default 200 even on a toy
+        # dataset (plan at stream.ipynb:105). We size it to the machine and let
+        # AQE coalesce down / split skew at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parity with the reference's timestamp parquet writes (upload.py:33).
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+        # Driver fixtures store events.ts as TIMESTAMP(NANOS); Spark reads it
+        # as long-nanos and the catalog converts back (catalog.load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def azure_oauth_conf(
+    storage_account: str,
+    client_id: str,
+    client_secret: str,
+    tenant_id: str,
+) -> dict[str, str]:
+    """ADLS Gen2 OAuth conf block (SURVEY.md §2.1 S6; upload.py:37-56).
+
+    Returned as a dict for ``get_spark(extra_conf=...)`` so credentials are
+    injected by the caller's secret manager, never hard-coded.
+    """
+    prefix = f"fs.azure.account"
+    suffix = f"{storage_account}.dfs.core.windows.net"
+    return {
+        f"{prefix}.auth.type.{suffix}": "OAuth",
+        f"{prefix}.oauth.provider.type.{suffix}": (
+            "org.apache.hadoop.fs.azurebfs.oauth2.ClientCredsTokenProvider"
+        ),
+        f"{prefix}.oauth2.client.id.{suffix}": client_id,
+        f"{prefix}.oauth2.client.secret.{suffix}": client_secret,
+        f"{prefix}.oauth2.client.endpoint.{suffix}": (
+            f"https://login.microsoftonline.com/{tenant_id}/oauth2/token"
+        ),
+    }

@@ -1,0 +1,143 @@
+"""Streaming aggregation pipeline (SURVEY.md §2.9, §3.2).
+
+Reproduces the reference's consumer — file stream → groupBy aggregate →
+complete-mode memory sink queryable by name (``stream.ipynb:111-148``) —
+as a reusable class, plus the scale-ready variant the reference lacks
+(watermarked event-time windows, update mode, durable sink + checkpoint;
+SURVEY.md §7.2 Phase 4).
+
+Determinism: the reference's notebook raced SQL snapshots against a live
+stream (SURVEY.md §3.3); ``run_available_now()`` quiesces (processes all
+available input, then stops) so results are reproducible — the parity
+invariant (streaming result == one-shot batch aggregate) becomes testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from m13_sparkstreaming_python_azure_spark.sources.filestream import parquet_file_stream
+
+
+class StreamingAggPipeline:
+    """File-arrival stream → aggregation → queryable sink.
+
+    ``transform`` maps the raw streaming DataFrame to the aggregate —
+    identical code runs on a batch DataFrame (streaming/batch parity is the
+    core invariant of the reference workload, SURVEY.md §5.3).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        schema: StructType,
+        transform: Callable[[DataFrame], DataFrame],
+        query_name: str = "result_df_query",
+        output_mode: str = "complete",
+        max_files_per_trigger: int | None = None,
+        checkpoint_location: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.source_path = source_path
+        self.schema = schema
+        self.transform = transform
+        self.query_name = query_name
+        self.output_mode = output_mode
+        self.max_files_per_trigger = max_files_per_trigger
+        self.checkpoint_location = checkpoint_location
+        self.query: StreamingQuery | None = None
+
+    def streaming_aggregate(self) -> DataFrame:
+        stream = parquet_file_stream(
+            self.spark,
+            self.source_path,
+            self.schema,
+            max_files_per_trigger=self.max_files_per_trigger,
+        )
+        return self.transform(stream)
+
+    def _writer(self, agg: DataFrame):
+        writer = (
+            agg.writeStream.outputMode(self.output_mode)
+            .format("memory")
+            .queryName(self.query_name)
+        )
+        if self.checkpoint_location:
+            writer = writer.option("checkpointLocation", self.checkpoint_location)
+        return writer
+
+    def start(self) -> StreamingQuery:
+        """Continuous micro-batch mode — the reference's deployment shape
+        (default trigger; memory sink registered as a SQL temp table)."""
+        self.query = self._writer(self.streaming_aggregate()).start()
+        return self.query
+
+    def run_available_now(self, timeout: int = 300) -> DataFrame:
+        """Process everything currently in the source dir, then stop
+        (deterministic quiesce for tests/goldens). Returns the sink table."""
+        q = (
+            self._writer(self.streaming_aggregate())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        self.query = q
+        return self.table()
+
+    def table(self) -> DataFrame:
+        """The live sink as a DataFrame (stream-as-table SQL, §2.9 T6)."""
+        return self.spark.table(self.query_name)
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+
+def windowed_event_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Scale-ready replacement for the reference's unbounded complete-mode
+    aggregate (§2.9 T2/T3): event-time tumbling window + watermark so state
+    is bounded and late data beyond the delay is dropped. Use with
+    ``outputMode('update')`` (or 'append' after watermark expiry) and a
+    durable sink — at 100 TB, complete-mode re-emission is not viable."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("time_window"), key_col)
+        .agg(
+            F.approx_count_distinct("user_id").alias("distinct_users"),
+            F.avg(value_col).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+            F.min(value_col).alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def write_foreach_batch_parquet(
+    agg: DataFrame, target_path: str, checkpoint_location: str
+):
+    """Durable sink variant (§2.9 T5 GAP): ``foreachBatch`` writing each
+    micro-batch to parquet with a checkpoint — exactly-once via the
+    checkpoint's batch-id dedup; replaces the debug-grade memory sink in
+    production."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(target_path)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )

@@ -1,0 +1,96 @@
+"""t1 smoke (SURVEY.md §5.1): batch operator inventory on sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
+    grouped_stats,
+    weather_daily_aggregate,
+)
+from m13_sparkstreaming_python_azure_spark.operators.window import (
+    best_day_per_city_top10,
+    top1_per_group,
+    topk,
+)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "distinct_users" in df.columns
+
+
+def test_all_queries_run_sf0001(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(entrymod.queries())
+    assert set(entrymod.oracle_sql()) <= qs
+
+
+def test_grouped_stats_exact_vs_approx_tolerance(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = grouped_stats(
+        events, ["event_type"], "user_id", "value", approx=False
+    ).collect()
+    approx = {
+        r["event_type"]: r["distinct_count"]
+        for r in grouped_stats(
+            events, ["event_type"], "user_id", "value", approx=True
+        ).collect()
+    }
+    for r in exact:
+        e, a = r["distinct_count"], approx[r["event_type"]]
+        # HLL++ rsd 0.05 → allow generous 4-sigma band
+        assert abs(a - e) <= max(5, 0.2 * e), (r["event_type"], e, a)
+
+
+def test_topk_deterministic(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = topk(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()
+    b = topk(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()
+    assert [r.o_orderkey for r in a] == [r.o_orderkey for r in b]
+    prices = [r.o_totalprice for r in a]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_top1_per_group_unique(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    best = top1_per_group(
+        orders, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    )
+    dup = best.groupBy("o_custkey").count().filter(F.col("count") > 1).count()
+    assert dup == 0
+
+
+def test_weather_aggregate_shape(spark, sf_dir):
+    """Reference-schema parity: build a hotel-weather-shaped frame from
+    events and run the verbatim reference aggregate + flagship query."""
+    ev = load_table(spark, sf_dir, "events")
+    hw = ev.select(
+        F.col("event_type").alias("city"),
+        F.date_format("ts", "yyyy-MM-dd").alias("wthr_date"),
+        F.col("user_id").cast("string").alias("id"),
+        F.col("value").alias("avg_tmpr_c"),
+    )
+    agg = weather_daily_aggregate(hw)
+    assert set(agg.columns) == {
+        "city",
+        "wthr_date",
+        "distinct_hotels",
+        "avg_temperature",
+        "max_temperature",
+        "min_temperature",
+    }
+    top10 = best_day_per_city_top10(agg)
+    rows = top10.collect()
+    assert len(rows) <= 10
+    # one row per city, sorted by peak distinct hotels
+    assert len({r.city for r in rows}) == len(rows)

@@ -1,0 +1,153 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary columns.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake features or NotImplementedError), but everything
+Spark-side is real and tested: the typed schema, Arrow-batched
+``mapInPandas`` pipelines, batch shapes, and partitioning behavior — the
+parts that matter at 100 TB.
+
+Scale design:
+- media payloads stay opaque ``binary``; metadata (format, dims, duration)
+  is typed columns so filters on them are pushed to parquet and never
+  deserialize a payload;
+- per-item work runs in ``mapInPandas`` (Arrow batches, pandas in, pandas
+  out) — the only legitimate Python hot path; batch size is controlled by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- feature extraction emits fixed-width ``array<float>`` ready for the
+  similarity operators (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), True),  # png | wav | mp4 | ...
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_bytes", LongType(), True),
+        StructField("payload_sha256", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decode→embed step: sha256 bytes scaled
+    to [0,1). Replace with a real decoder + model when codecs exist."""
+    digest = hashlib.sha256(payload or b"").digest()
+    return [digest[i % len(digest)] / 255.0 for i in range(dim)]
+
+
+def decode_media(payload: bytes, fmt: str) -> bytes:
+    """Real decode entry point — stubbed in this environment."""
+    raise NotImplementedError(
+        "media codecs are not installed in this container; "
+        "extract_features uses the deterministic fake featurizer"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """media table → per-item feature rows via Arrow-batched mapInPandas.
+
+    The pandas function receives column-pruned batches (only the columns it
+    returns are needed upstream of the scan when combined with a select),
+    and emits FEATURE_SCHEMA rows 1:1.
+    """
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else 0
+                    ).astype("int64"),
+                    "payload_sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": payloads.map(_fake_features),
+                }
+            )
+
+    return df.mapInPandas(_featurize, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame timestamp.
+
+    The timestamp fan-out is pure Spark (``sequence`` + ``explode`` —
+    JVM-side, no UDF); only the per-frame pixel decode would need a codec,
+    so ``frame_payload`` is null in this environment.
+    """
+    frames = df.filter(F.col("kind") == "video").select(
+        "media_id",
+        "format",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    return frames.withColumn("frame_payload", F.lit(None).cast(BinaryType()))
+
+
+def synthetic_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
+    """Deterministic fake media table for tests: payload bytes derived from
+    the id (sha256 stream), metadata typed per MEDIA_SCHEMA."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    fmts = {"image": "png", "audio": "wav", "video": "mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (1 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                fmts[kind],
+                payload,
+                64 + i % 128 if kind == "image" else None,
+                48 + i % 96 if kind == "image" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,180 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (north_star in BASELINE.json): language
+ID, quality scoring, token counting, document fingerprinting — all over the
+``documents`` fixture table.
+
+Everything here is built-in `pyspark.sql.functions` (JVM-side, whole-stage
+codegen); no Python UDFs. Per-row work is O(tokens) inside codegen, the
+plan stays embarrassingly parallel (no shuffle), so it scales linearly to
+100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deliberately small: the operator's contract is "deterministic
+# heuristic", not a trained model (those libs aren't in this container).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es", "que", "por"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"],
+}
+
+# "BPE-ish" word/punct splitter: a token is a run of word chars OR a single
+# non-word non-space char (so punctuation counts, like byte-level BPE does).
+BPE_ISH_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization, lowercased, empty-safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex token count approximating a byte-level BPE pre-tokenizer
+    (word runs + individual punctuation marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_TOKEN_RE))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, ratios, lexical diversity.
+
+    Ratios are null-safe (empty docs → null, not divide-by-zero — ANSI mode
+    is on in Spark 4).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    return (
+        df.withColumn("n_chars_computed", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_bpe_tokens", bpe_ish_token_count(text_col))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                n_tok > 0,
+                F.round(
+                    F.aggregate(
+                        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                    )
+                    / n_tok,
+                    4,
+                ),
+            ),
+        )
+        .withColumn(
+            "uniq_token_ratio",
+            F.when(n_tok > 0, F.round(F.size(F.array_distinct(toks)) / n_tok, 4)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                n_chars > 0,
+                F.round(
+                    F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")) / n_chars, 4
+                ),
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_tok > 0,
+                F.round(
+                    F.size(
+                        F.filter(
+                            toks,
+                            lambda t: F.array_contains(
+                                F.lit(STOPWORDS["en"]), t
+                            ),
+                        )
+                    )
+                    / n_tok,
+                    4,
+                ),
+            ),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style heuristic quality filter: a [0,1] score from length,
+    mean word length, lexical diversity and stopword presence, plus a
+    boolean ``quality_keep`` gate. Deterministic, documented rule — callers
+    tune the weights per corpus."""
+    stats = with_text_stats(df, text_col)
+    in_range = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("avg_token_len") >= 2.0)
+        & (F.col("avg_token_len") <= 12.0)
+    ).cast("int")
+    diversity = F.least(F.coalesce(F.col("uniq_token_ratio"), F.lit(0.0)) * 2, F.lit(1.0))
+    stop_presence = F.least(
+        F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) * 10, F.lit(1.0)
+    )
+    score = F.round(0.4 * in_range + 0.3 * diversity + 0.3 * stop_presence, 4)
+    return stats.withColumn("quality_score", score).withColumn(
+        "quality_keep", score >= F.lit(0.5)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: fraction of tokens in each language's marker
+    stopword set; argmax with deterministic alphabetical tie-break; 'und'
+    (undetermined) when no marker hits."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    out = df
+    score_cols = []
+    def _in_set(words: list[str]):
+        arr = F.lit(words)
+        # single-param lambda: pyspark treats 2-param HOF lambdas as
+        # (element, index), so the word set must bind via closure
+        return lambda t: F.array_contains(arr, t)
+
+    for lang, words in sorted(STOPWORDS.items()):
+        sc = F.when(
+            n_tok > 0,
+            F.size(F.filter(toks, _in_set(words))) / n_tok,
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"__score_{lang}", sc)
+        score_cols.append(f"__score_{lang}")
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    lang_expr = F.lit("und")
+    # reversed so the FIRST alphabetical language wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        lang_expr = F.when(
+            (best > 0) & (F.col(f"__score_{lang}") == best), F.lit(lang)
+        ).otherwise(lang_expr)
+    return out.withColumn("lang_pred", lang_expr).drop(*score_cols)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    - ``fp_exact``: xxhash64 of whitespace-normalized lowercased text
+      (exact-dup key);
+    - ``fp_rolling``: min of rolling 8-token-window hashes (winnowing-style
+      — stable under small edits far from the minimizing window).
+    """
+    toks = tokens(text_col)
+    normalized = F.concat_ws(" ", toks)
+    k = 8
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return df.withColumn("fp_exact", F.xxhash64(normalized)).withColumn(
+        "fp_rolling", F.array_min(win_hashes)
+    )

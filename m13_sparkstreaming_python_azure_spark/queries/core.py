@@ -1,0 +1,384 @@
+"""Core relational queries — SURVEY.md §2 parity surface on the driver
+star-schema fixtures (scans, filters, aggregates, windows, joins, sorts,
+set ops, scalar functions).
+
+Float-hash rule (see .claude/skills/verify/SKILL.md): never hash-compare a
+raw avg()/sum() double — round sums to 2 decimals on both sides; derive
+averages as round(sum,2)/count so the division inputs are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
+    distinct_values,
+    rollup_stats,
+)
+from m13_sparkstreaming_python_azure_spark.operators.join import (
+    anti_join,
+    enrich_join,
+    semi_join,
+)
+from m13_sparkstreaming_python_azure_spark.operators.window import (
+    top1_per_group,
+    topk,
+)
+
+
+def events_daily(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
+    """The reference's signature aggregate (stream.ipynb:117-121) mapped onto
+    the events fixture: (event_type, day) ← (city, wthr_date), user_id ← id,
+    value ← avg_tmpr_c."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    distinct_expr = (
+        F.approx_count_distinct("user_id")
+        if approx
+        else F.countDistinct("user_id")
+    )
+    return events.groupBy("event_type", "event_date").agg(
+        distinct_expr.alias("distinct_users"),
+        F.round(F.round(F.sum("value"), 2) / F.count("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3-A5 + P1/P4 batch flavor: TPC-H Q1-style grouped stats with a
+    pushed-down date filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference aggregate (A1-A5), exact-distinct flavor for the oracle."""
+    return events_daily(spark, sf_dir, approx=False)
+
+
+def q_daily_event_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity flavor: approx_count_distinct (HLL++ rsd 0.05,
+    stream.ipynb:118). No SQL oracle (approximation is engine-specific);
+    tests assert rsd tolerance vs exact."""
+    return events_daily(spark, sf_dir, approx=True)
+
+
+def q_best_day_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P5+O1: the flagship window query (stream.ipynb:178-187) on events:
+    per event_type the day with most distinct users (ties → latest day),
+    top-10 types by that peak. Deterministic full-key tie-break."""
+    agg = events_daily(spark, sf_dir, approx=False)
+    best = top1_per_group(
+        agg, ["event_type"], [F.desc("distinct_users"), F.desc("event_date")]
+    )
+    return topk(best, [F.desc("distinct_users"), F.asc("event_type")], 10)
+
+
+def q_semi_join_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 idiomatic: orders of BUILDING-segment customers via left-semi join
+    (replaces the reference's collect()+isin, stream.ipynb:255-258)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return semi_join(
+        orders, cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+    ).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q_anti_join_no_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order after a cutoff date
+    (non-vacuous, unlike no-orders-ever — every customer has orders)."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-06-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, recent, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style enrichment chain (fact ⋈ broadcast dims): revenue per nation,
+    lineitem⋈orders⋈customer⋈nation⋈region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    joined = enrich_join(joined, nation, on=[joined.c_nationkey == nation.n_nationkey])
+    joined = enrich_join(joined, region, on=[nation.n_regionkey == region.r_regionkey])
+    return joined.groupBy("r_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global top-k via TakeOrderedAndProject, full-key tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    return topk(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct set projection."""
+    return distinct_values(load_table(spark, sf_dir, "customer"), ["c_mktsegment"])
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup subtotals (§2.4 GAP coverage): order counts/totals by
+    (orderstatus, orderpriority) hierarchy."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = rollup_stats(orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_rows",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+    )
+
+
+def q_in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 verbatim: IN-list predicate (Column.isin — compiles to the same
+    semi-join semantics as the reference's stream.ipynb:258)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar surface: string/date/math/conditional functions in one
+    projection over orders (Catalyst folds these into the scan stage)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("priority_upper"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_1"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_priority"
+        ),
+        F.length(F.col("o_orderpriority")).alias("priority_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .when(F.col("o_totalprice") > 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: union / intersect / except of the customer and
+    supplier nation-key sets, tagged by operation."""
+    cust_nations = distinct_values(
+        load_table(spark, sf_dir, "customer"), ["c_nationkey"]
+    ).select(F.col("c_nationkey").alias("nationkey"))
+    supp_nations = distinct_values(
+        load_table(spark, sf_dir, "supplier"), ["s_nationkey"]
+    ).select(F.col("s_nationkey").alias("nationkey"))
+    u = cust_nations.union(supp_nations).distinct().withColumn("op", F.lit("union"))
+    i = cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect"))
+    e = cust_nations.exceptAll(supp_nations).withColumn("op", F.lit("except"))
+    return u.unionByName(i).unionByName(e).select("op", "nationkey")
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 GAP analytics: lag/lead + 3-row moving average per user over
+    event time (full-key ordering for determinism)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wavg = w.rowsBetween(-2, 0)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+        F.round(F.round(F.sum("value").over(wavg), 2) / F.count("value").over(wavg), 4).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+CORE_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "daily_event_stats": q_daily_event_stats,
+    "daily_event_stats_approx": q_daily_event_stats_approx,
+    "best_day_top10": q_best_day_top10,
+    "semi_join_building": q_semi_join_building,
+    "anti_join_no_recent_orders": q_anti_join_no_recent_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "topk_orders": q_topk_orders,
+    "distinct_segments": q_distinct_segments,
+    "rollup_orders": q_rollup_orders,
+    "in_list_filter": q_in_list_filter,
+    "scalar_functions": q_scalar_functions,
+    "set_ops": q_set_ops,
+    "window_lag_lead": q_window_lag_lead,
+}
+
+_EVENTS_DAILY_SQL = """
+            SELECT event_type,
+                   strftime(ts, '%Y-%m-%d') AS event_date,
+                   count(DISTINCT user_id) AS distinct_users,
+                   round(round(sum(value), 2) / count(value), 4) AS avg_value,
+                   round(max(value), 4) AS max_value,
+                   round(min(value), 4) AS min_value
+            FROM events
+            GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+CORE_ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "daily_event_stats": _EVENTS_DAILY_SQL,
+    "best_day_top10": f"""
+        WITH agg AS ({_EVENTS_DAILY_SQL}),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY distinct_users DESC, event_date DESC
+            ) AS row_num
+            FROM agg
+        )
+        SELECT event_type, event_date, distinct_users,
+               avg_value, max_value, min_value
+        FROM ranked WHERE row_num = 1
+        ORDER BY distinct_users DESC, event_type ASC
+        LIMIT 10
+    """,
+    "semi_join_building": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    "anti_join_no_recent_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-06-01'
+        )
+    """,
+    "revenue_by_nation": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "in_list_filter": """
+        SELECT event_type, count(*) AS n_events
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+        GROUP BY event_type
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(o_orderpriority) AS priority_upper,
+               substr(o_orderstatus, 1, 1) AS status_1,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_priority,
+               length(o_orderpriority) AS priority_len,
+               year(o_orderdate) AS order_year,
+               month(o_orderdate) AS order_month,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+               round(sqrt(o_totalprice), 4) AS sqrt_price,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               o_orderkey % 7 AS key_mod7
+        FROM orders
+    """,
+    "set_ops": """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        UNION ALL
+        SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        UNION ALL
+        SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               round(value, 2) AS value,
+               round(lag(value, 1) OVER w, 2) AS prev_value,
+               round(lead(value, 1) OVER w, 2) AS next_value,
+               round(round(sum(value) OVER w3, 2) / count(value) OVER w3, 4) AS moving_avg3
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+}

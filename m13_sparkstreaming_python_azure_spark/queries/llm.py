@@ -1,0 +1,305 @@
+"""LLM-training-data pipeline queries (north_star in BASELINE.json):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+text analysis — over the documents & embeddings fixtures.
+
+Oracle policy: operators whose semantics are ANSI-SQL-expressible get a
+DuckDB twin (text stats, lang-id heuristic, quality score, exact dedup,
+n-gram Jaccard, brute-force ANN). Sketch-based operators (MinHash, SimHash,
+LSH ANN) depend on Spark's xxhash64 and have no SQL equivalent — the
+driver records rows-only checks and tests/ assert their quality properties
+(recall vs the exact operators) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators import similarity as sim
+from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from m13_sparkstreaming_python_azure_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_text_stats,
+)
+
+# DuckDB equivalent of operators.text.tokens(): lowercase, split on
+# whitespace, drop empties.
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ documents(id+100000): a corpus with known exact
+    duplicates so dedup queries are non-vacuous (fixture texts are unique)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+_DOCS_WITH_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_chars_computed",
+        "n_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "uniq_token_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_score(docs).select("doc_id", "quality_score", "quality_keep")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64-based — Spark-specific values, rows-only driver check;
+    tests assert the dedup-key property (equal text ⇔ equal fp_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fp_exact", "fp_rolling")
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = exact_dedup_groups(_docs_with_dups(spark, sf_dir), "doc_id")
+    return out.select("n_copies", "keep_id")
+
+
+def q_exact_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "doc_id").select("doc_id")
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified ≥ 0.2.
+    Sketch-based (xxhash64) → rows-only driver check; tests assert recall
+    vs the exact n-gram Jaccard operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", shingle_k=3, threshold=0.2)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 64). Rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", n=3, threshold=0.2, max_doc_freq=50
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 10 vectors as probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.brute_force_topk(emb, probes, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (scale path). Rows-only driver
+    check; tests measure recall vs q_ann_bruteforce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # bits=4/tables=16: the synthetic embeddings are near-uniform (top
+    # neighbors at cosine ~0.3 → ~72°), the hardest case for hyperplane
+    # LSH; short codes + more tables keep recall ~0.9. Clustered real
+    # embeddings support longer codes (fewer candidates) at same recall.
+    return sim.lsh_ann_topk(emb, probes, k=10, dim=64, bits=4, tables=16)
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH + exact verify. Threshold
+    0.25 — the synthetic fixture has no true near-dups (max non-self cosine
+    ≈0.33), so a high threshold would be vacuous. Rows-only driver check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(emb, threshold=0.25, dim=64)
+
+
+LLM_QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprints": q_fingerprints,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "exact_dedup_survivors": q_exact_dedup_survivors,
+    "minhash_dedup_pairs": q_minhash_dedup_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+}
+
+_STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_STOP_FR = "['le','la','les','de','et','un','une','est','que','pour']"
+_STOP_ES = "['el','la','los','de','y','un','una','es','que','por']"
+_STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
+
+LLM_ORACLES = {
+    "text_stats": f"""
+        WITH toks AS (
+            SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents
+        )
+        SELECT doc_id,
+               length(text) AS n_chars_computed,
+               len(t) AS n_tokens,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+               round(list_sum(list_transform(t, x -> length(x))) / len(t), 4)
+                   AS avg_token_len,
+               round(len(list_distinct(t)) / len(t), 4) AS uniq_token_ratio,
+               round(len(regexp_extract_all(text, '[^\\w\\s]')) / length(text), 4)
+                   AS punct_ratio,
+               round(len(list_filter(t, x -> list_contains({_STOP_EN}, x))) / len(t), 4)
+                   AS stopword_ratio
+        FROM toks
+    """,
+    "lang_id": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), sc AS (
+            SELECT doc_id,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_DE}, x))) / len(t) ELSE 0 END AS s_de,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_EN}, x))) / len(t) ELSE 0 END AS s_en,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_ES}, x))) / len(t) ELSE 0 END AS s_es,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_FR}, x))) / len(t) ELSE 0 END AS s_fr
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM sc
+    """,
+    "quality_score": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), stats AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   round(list_sum(list_transform(t, x -> length(x))) / len(t), 4)
+                       AS avg_token_len,
+                   round(len(list_distinct(t)) / len(t), 4) AS uniq_token_ratio,
+                   round(len(list_filter(t, x -> list_contains({_STOP_EN}, x))) / len(t), 4)
+                       AS stopword_ratio
+            FROM toks
+        )
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                                  AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                                 THEN 1 ELSE 0 END)
+                   + 0.3 * least(coalesce(uniq_token_ratio, 0.0) * 2, 1.0)
+                   + 0.3 * least(coalesce(stopword_ratio, 0.0) * 10, 1.0), 4)
+                   AS quality_score,
+               (round(0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                                   AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                                  THEN 1 ELSE 0 END)
+                   + 0.3 * least(coalesce(uniq_token_ratio, 0.0) * 2, 1.0)
+                   + 0.3 * least(coalesce(stopword_ratio, 0.0) * 10, 1.0), 4) >= 0.5)
+                   AS quality_keep
+        FROM stats
+    """,
+    "exact_dedup_groups": f"""
+        WITH all_docs AS ({_DOCS_WITH_DUPS_SQL}),
+        norm AS (
+            SELECT doc_id,
+                   array_to_string({_TOKS_SQL}, ' ') AS nt
+            FROM all_docs
+        )
+        SELECT count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM norm GROUP BY nt
+    """,
+    "exact_dedup_survivors": f"""
+        WITH all_docs AS ({_DOCS_WITH_DUPS_SQL}),
+        norm AS (
+            SELECT doc_id,
+                   array_to_string({_TOKS_SQL}, ' ') AS nt
+            FROM all_docs
+        )
+        SELECT doc_id FROM norm
+        WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' ')
+                       )) AS gram
+                FROM toks
+            )
+        ), rare AS (
+            SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 50
+        ), g2 AS (
+            SELECT doc_id, gram FROM grams
+            WHERE gram IN (SELECT gram FROM rare)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM g2 GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+            FROM g2 a JOIN g2 b USING (gram)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(ni / (sa.n + sb.n - ni), 4) AS jaccard_sim
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.2
+    """,
+    "ann_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(b.embedding::DOUBLE[], q.qv), 6)
+                       AS cosine_sim
+            FROM embeddings b CROSS JOIN q
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10
+    """,
+}

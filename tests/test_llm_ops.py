@@ -1,0 +1,107 @@
+"""Quality-property tests for sketch-based operators (no SQL oracle):
+MinHash recall vs exact Jaccard, LSH ANN recall vs brute force, fingerprint
+dedup-key property, simhash sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators import similarity as sim
+from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from m13_sparkstreaming_python_azure_spark.operators.text import with_fingerprint
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", n=3, threshold=0.35, max_doc_freq=50
+        ).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", shingle_k=3, threshold=0.2
+        ).collect()
+    }
+    if exact:
+        recall = len(exact & mh) / len(exact)
+        # b=16,r=4 → collision prob at s=0.35 is ~0.85; require most found
+        assert recall >= 0.6, (recall, exact - mh)
+    # verification step guarantees no false positives below threshold
+    for r in minhash_lsh_pairs(docs, "doc_id", threshold=0.2).collect():
+        assert r.jaccard_sim >= 0.2
+
+
+def test_exact_dedup_removes_injected_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    survivors = exact_dedup(dup, "doc_id")
+    assert survivors.count() == docs.count()
+    # canonical survivor = min id → all original ids
+    assert survivors.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_fingerprint_is_dedup_key(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    fp = with_fingerprint(dup)
+    # equal text ⇒ equal fingerprint: every hash appears exactly twice
+    counts = fp.groupBy("fp_exact").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [2]
+
+
+def test_simhash_identical_docs_zero_distance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    dup = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    pairs = simhash_pairs(dup, "doc_id", max_hamming=0).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    assert expected <= found
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, probes, k=10).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_ann_topk(emb, probes, k=10, dim=64, bits=4, tables=16).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.5, recall
+    # self-match must always survive LSH (identical vector, identical buckets)
+    assert all((q, q) in lsh for q in range(10))
+
+
+def test_bruteforce_self_similarity_is_one(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = (
+        sim.brute_force_topk(emb, probes, k=1)
+        .select("query_id", "neighbor_id", "cosine_sim")
+        .collect()
+    )
+    for r in top1:
+        assert r.query_id == r.neighbor_id
+        assert abs(r.cosine_sim - 1.0) < 1e-5

@@ -1,0 +1,137 @@
+"""Streaming semantics tests (SURVEY.md §5.3): complete-mode monotonicity,
+streaming↔batch parity, windowed+watermark variant, replay harness."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.aggregate import grouped_stats
+from m13_sparkstreaming_python_azure_spark.sources.replay import (
+    discover_day_partitions,
+    replay_dataframe_by_key,
+    replay_partitions,
+)
+from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+    StreamingAggPipeline,
+    windowed_event_aggregate,
+)
+
+
+def _events_with_date(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+
+
+def _agg(stream):
+    return grouped_stats(
+        stream,
+        ["event_type", "event_date"],
+        "user_id",
+        "value",
+        distinct_alias="distinct_users",
+        approx=True,
+    )
+
+
+def test_streaming_batch_parity(spark, sf_dir, tmp_path):
+    """THE core invariant of the reference workload: quiesced complete-mode
+    streaming aggregate == one-shot batch aggregate over the same files."""
+    ev = _events_with_date(spark, sf_dir)
+    days = sorted(r.event_date for r in ev.select("event_date").distinct().collect())
+    src = str(tmp_path / "arrivals")
+    for _ in replay_dataframe_by_key(ev, days, "event_date", src):
+        pass
+    pipe = StreamingAggPipeline(
+        spark, src, ev.schema, _agg, query_name="parity_sink", max_files_per_trigger=4
+    )
+    sink = pipe.run_available_now()
+    stream_rows = sorted(tuple(r) for r in sink.collect())
+    batch_rows = sorted(tuple(r) for r in _agg(ev).collect())
+    assert stream_rows == batch_rows
+
+
+def test_complete_mode_monotonicity(spark, sf_dir, tmp_path):
+    """Aggregate after N+1 arrival batches ⊇ (group-keys of) after N: the
+    complete-mode table only folds data in, never drops it (§2.9 T2/T3)."""
+    ev = _events_with_date(spark, sf_dir)
+    days = sorted(r.event_date for r in ev.select("event_date").distinct().collect())[:6]
+    src = str(tmp_path / "inc")
+    seen_keys: set = set()
+    arrivals = replay_dataframe_by_key(ev, days, "event_date", src)
+    for i, _ in enumerate(arrivals):
+        pipe = StreamingAggPipeline(
+            spark, src, ev.schema, _agg, query_name=f"mono_{i}"
+        )
+        sink = pipe.run_available_now()
+        keys = {
+            (r.event_type, r.event_date)
+            for r in sink.select("event_type", "event_date").collect()
+        }
+        assert seen_keys <= keys, f"batch {i} lost keys"
+        seen_keys = keys
+    assert len(seen_keys) > 0
+
+
+def test_windowed_watermark_aggregate(spark, sf_dir, tmp_path):
+    """Scale-path variant: event-time tumbling window + watermark, update
+    mode — runs and produces per-window rows bounded by the event span."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "win")
+    ev.write.mode("overwrite").parquet(src)
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    stream = parquet_file_stream(spark, src, ev.schema)
+    agg = windowed_event_aggregate(
+        stream, window_duration="1 day", watermark_delay="2 days"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("win_sink")
+    n_days = ev.select(F.date_format("ts", "yyyy-MM-dd")).distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert 0 < out.count() <= n_days * n_types
+    assert {"time_window", "event_type", "distinct_users", "n_events"} <= set(
+        out.columns
+    )
+
+
+def test_replay_partitions_harness(spark, sf_dir, tmp_path):
+    """The upload.py:80-106 pattern: write a day-partitioned dataset, replay
+    it day-by-day with processed_date stamping, verify discovery order."""
+    ev = _events_with_date(spark, sf_dir)
+    source_root = str(tmp_path / "hive_src")
+    (
+        ev.withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(source_root)
+    )
+    days = discover_day_partitions(source_root)
+    assert days == sorted(days)
+    assert len(days) > 0
+
+    target = str(tmp_path / "replayed")
+    replayed = list(replay_partitions(spark, source_root, target, limit=3))
+    assert len(replayed) == 3
+    out = spark.read.parquet(target)
+    assert "processed_date" in out.columns
+    first_day = replayed[0][0]
+    stamped = out.select("processed_date").distinct().collect()
+    assert dt.datetime(first_day.year, first_day.month, first_day.day) in {
+        r.processed_date for r in stamped
+    }

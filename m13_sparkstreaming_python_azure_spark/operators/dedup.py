@@ -9,14 +9,29 @@ hazard under Spark 4's default ANSI mode.
 Scale design:
 - exact dedup: one hash-partitioned groupBy on a 64-bit content hash —
   map-side partial aggregation collapses copies before the shuffle.
-- MinHash+LSH: O(n) signature computation (no shuffle), then candidate
-  generation via an equi-join on (band, band_hash) — only colliding docs
-  meet, never the O(n²) cross product. Band count tunes the similarity
+- MinHash+LSH: signatures via explode → 64 flat hash columns → groupBy(id)
+  with 64 ``min`` aggregates. Flat columns keep the whole map side in
+  whole-stage codegen and the partial aggregation collapses each document
+  to one row before the single keyed shuffle. Candidate generation is an
+  equi-join on (band, band_hash) carrying ONLY ids — only colliding docs
+  meet, never the O(n²) cross product — with the shingle sets joined back
+  afterwards for exact verification. Band count tunes the similarity
   threshold: P(collide) = 1-(1-s^r)^b.
-- SimHash: 64-bit signature, near-dup candidates via 16-bit chunk buckets
-  (pigeonhole: hamming ≤ 3 ⇒ one of 4 chunks equal).
+- SimHash: same explode → flat-column → groupBy shape (64 signed-bit sums);
+  near-dup candidates via 16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒
+  one of 4 chunks equal).
 - n-gram Jaccard: exact verification join on shared n-grams with a
   document-frequency cutoff so stop-n-grams don't quadratically explode.
+
+⚠️ HOF-inlining hazard (why the pair ops avoid nested higher-order
+functions over derived array columns): Catalyst's CollapseProject counts an
+alias referenced once inside a ``transform`` lambda as cheap to inline, but
+the lambda re-evaluates the inlined expression once per array element — a
+``transform(sequence(0,63), i -> ... shingles ...)`` over an aliased
+shingle computation silently recomputes the shingling 64× per row. The
+column-level helpers (`minhash_signature`, `simhash_bits`) keep the HOF
+form for ad-hoc use on *materialized* array columns; the pair operators use
+the explode/agg form, whose aggregate boundary makes inlining impossible.
 """
 
 from __future__ import annotations
@@ -25,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+from m13_sparkstreaming_python_azure_spark.operators.util import bind, spread
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -61,27 +77,40 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of a document (the MinHash item set).
 
     Zero-token documents (empty/whitespace/null text) yield an EMPTY set —
-    not a [""] artifact — so they generate no LSH bands and never pair."""
-    toks = tokens(col)
-    return F.when(
-        F.size(toks) > 0,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    not a [""] artifact — so they generate no LSH bands and never pair.
+
+    The token array is let-bound (``bind``) so tokenization runs once per
+    row — referencing ``tokens(col)`` directly inside the per-position
+    lambda would re-tokenize once per shingle position."""
+    return bind(
+        tokens(col),
+        lambda toks: F.when(
+            F.size(toks) > 0,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for hash function i, min over shingles of
-    xxhash64(i, shingle). One nested HOF expression — O(num_hashes ×
-    shingles) inside codegen, zero shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(i, s))
+    """MinHash signature of a *materialized* shingle-array column: for hash
+    function i, min over shingles of xxhash64(i, shingle).
+
+    The shingle array is let-bound so a derived-expression input is
+    evaluated once per row, not once per hash function. The pair operator
+    below uses the explode/agg equivalent, which produces identical
+    signatures with full codegen."""
+    return bind(
+        shingles,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
         ),
     )
 
@@ -90,6 +119,58 @@ def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b))
     return inter / (F.size(a) + F.size(b) - inter)
+
+
+def _minhash_signatures_agg(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """(id, h_0 … h_{num_hashes-1}) via explode + groupBy.
+
+    Same hash family as `minhash_signature` (xxhash64 seeded by function
+    index over the shingle string), but evaluated as flat columns under
+    whole-stage codegen with map-side partial ``min`` aggregation — one
+    keyed shuffle of (id, 64 longs) per document, independent of document
+    length."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("__sh"),
+    )
+    hashed = exploded.select(
+        "__id",
+        *[
+            F.xxhash64(F.lit(i), F.col("__sh")).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("__id").agg(
+        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+    )
+
+
+def _band_buckets(sig_cols: list[str], bands: int, rows_per_band: int) -> Column:
+    """array<struct<band, bucket>> from flat signature columns; bucket is a
+    seeded hash of the band's signature slice (same values as hashing the
+    sliced array form)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(c).cast("string")
+                            for c in sig_cols[
+                                b * rows_per_band : (b + 1) * rows_per_band
+                            ]
+                        ],
+                    ),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -106,65 +187,55 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and exact shingle
     Jaccard ≥ threshold. With the defaults (b=16, r=4) the LSH collision
     curve's 50%-recall point sits near s≈0.5.
+
+    Plan shape (scale-critical):
+      scan → explode shingles → 64 flat hashes → partial min agg
+      → Exchange(id) → final agg (signatures)
+      → explode 16 band buckets → self-join on (band, bucket), ids only
+      → distinct pairs → join shingle sets back → exact Jaccard filter.
+    The band self-join and pair-distinct shuffle narrow (id, id) rows; the
+    full shingle arrays cross the wire only for verified candidates.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    docs = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            word_shingles(text_col, shingle_k).alias("__shingles"),
-        )
-        # zero-token docs have no shingles: drop them here or their NULL
-        # signatures all share buckets and jaccard() divides 0/0
-        .filter(F.size("__shingles") > 0)
-        .withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
-    )
+    docs = spread(df)
+    sig_cols = [f"__h{i}" for i in range(num_hashes)]
+    sigs = _minhash_signatures_agg(docs, id_col, text_col, num_hashes, shingle_k)
 
-    banded = docs.select(
+    banded = sigs.select(
         "__id",
-        "__shingles",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b,
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                        ),
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("__bb"),
-    ).select("__id", "__shingles", "__bb.band", "__bb.bucket")
+        F.explode(_band_buckets(sig_cols, bands, rows_per_band)).alias("__bb"),
+    ).select("__id", "__bb.band", "__bb.bucket")
 
-    left = banded.select(
-        F.col("__id").alias("id_a"),
-        F.col("__shingles").alias("__sh_a"),
-        "band",
-        "bucket",
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"),
-        F.col("__shingles").alias("__sh_b"),
-        "band",
-        "bucket",
-    )
+    left = banded.select(F.col("__id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("__id").alias("id_b"), "band", "bucket")
     candidates = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+
+    shingle_sets = docs.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__shingles"),
+    ).filter(F.size("__shingles") > 0)
     return (
-        candidates.withColumn(
+        candidates.join(
+            shingle_sets.select(
+                F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a")
+            ),
+            on="id_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b")
+            ),
+            on="id_b",
+        )
+        .withColumn(
             "jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 4)
         )
         .filter(F.col("jaccard_sim") >= threshold)
@@ -175,30 +246,67 @@ def minhash_lsh_pairs(
 def simhash_bits(col: Column | str, bits: int = 64) -> Column:
     """SimHash bit vector: bit b is 1 iff the sum over tokens of
     (2·bit_b(xxhash64(token)) − 1) is positive. Returned as array<int> to
-    stay sign-safe under ANSI mode (no int64 assembling)."""
-    tok_hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                tok_hashes,
-                F.lit(0).cast("long"),
-                # F.shiftright only takes a literal int shift; the SQL
-                # function accepts a column expression for the bit index
-                lambda acc, h: acc
-                + (
-                    F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) * 2
-                    - 1
-                ),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    stay sign-safe under ANSI mode (no int64 assembling).
+
+    The token-hash array is let-bound so tokenization+hashing runs once per
+    row, not once per bit. `simhash_pairs` uses the explode/agg equivalent
+    (identical bits) with full codegen."""
+    return bind(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)),
+        lambda tok_hashes: F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.aggregate(
+                    tok_hashes,
+                    F.lit(0).cast("long"),
+                    # F.shiftright only takes a literal int shift; the SQL
+                    # function accepts a column expression for the bit index
+                    lambda acc, h: acc
+                    + (
+                        F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) * 2
+                        - 1
+                    ),
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
     )
 
 
 def hamming(a: Column, b: Column) -> Column:
     return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda v: v))
+
+
+def _simhash_bits_agg(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, __bits array<int>) via explode + flat signed-bit sums + groupBy.
+    Same bit definition as `simhash_bits`; zero-token docs produce no rows
+    (explode of an empty token array), matching the pair op's filter."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select("__id", F.xxhash64("__tok").alias("__h"))
+    signed = tok.select(
+        "__id",
+        *[
+            (F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__s{b}")
+            for b in range(bits)
+        ],
+    )
+    sums = signed.groupBy("__id").agg(
+        *[F.sum(f"__s{b}").alias(f"__s{b}") for b in range(bits)]
+    )
+    return sums.select(
+        "__id",
+        F.array(
+            *[
+                F.when(F.col(f"__s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+                for b in range(bits)
+            ]
+        ).alias("__bits"),
+    )
 
 
 def simhash_pairs(
@@ -211,45 +319,51 @@ def simhash_pairs(
 
     Candidates via 4 × 16-bit chunk buckets (pigeonhole: hamming ≤ 3 over
     64 bits ⇒ at least one 16-bit chunk is identical), then exact hamming
-    verification — never a cross join.
+    verification — never a cross join. Candidates carry ids only; bit
+    vectors join back after the pair-distinct (narrow shuffles).
     """
-    docs = df.filter(F.size(tokens(text_col)) > 0).select(
-        F.col(id_col).alias("__id"), simhash_bits(text_col).alias("__bits")
-    )
+    docs = _simhash_bits_agg(spread(df), id_col, text_col)
     chunked = docs.select(
         "__id",
-        "__bits",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.xxhash64(
-                        c,
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("__bits"), c * 16 + 1, 16),
-                                lambda v: v.cast("string"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.xxhash64(
+                            F.lit(c),
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col("__bits"), c * 16 + 1, 16),
+                                    lambda v: v.cast("string"),
+                                ),
                             ),
-                        ),
-                    ).alias("bucket"),
-                ),
+                        ).alias("bucket"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("__cb"),
-    ).select("__id", "__bits", "__cb.chunk", "__cb.bucket")
+    ).select("__id", "__cb.chunk", "__cb.bucket")
 
-    left = chunked.select(
-        F.col("__id").alias("id_a"), F.col("__bits").alias("__bits_a"), "chunk", "bucket"
-    )
-    right = chunked.select(
-        F.col("__id").alias("id_b"), F.col("__bits").alias("__bits_b"), "chunk", "bucket"
-    )
-    return (
+    left = chunked.select(F.col("__id").alias("id_a"), "chunk", "bucket")
+    right = chunked.select(F.col("__id").alias("id_b"), "chunk", "bucket")
+    candidates = (
         left.join(right, on=["chunk", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__bits_a", "__bits_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    return (
+        candidates.join(
+            docs.select(F.col("__id").alias("id_a"), F.col("__bits").alias("__bits_a")),
+            on="id_a",
+        )
+        .join(
+            docs.select(F.col("__id").alias("id_b"), F.col("__bits").alias("__bits_b")),
+            on="id_b",
+        )
         .withColumn("hamming_dist", hamming(F.col("__bits_a"), F.col("__bits_b")))
         .filter(F.col("hamming_dist") <= max_hamming)
         .select("id_a", "id_b", "hamming_dist")
@@ -271,10 +385,10 @@ def ngram_jaccard_pairs(
     posting lists would blow up the join (at corpus scale this cutoff is
     what keeps the operator near-linear).
     """
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, n)).alias("gram"),
-    ).distinct()
+    )
     if max_doc_freq is not None:
         rare = (
             grams.groupBy("gram")

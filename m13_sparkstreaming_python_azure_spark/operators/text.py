@@ -168,13 +168,18 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``fp_rolling``: min of rolling 8-token-window hashes (winnowing-style
       — stable under small edits far from the minimizing window).
     """
-    toks = tokens(text_col)
-    normalized = F.concat_ws(" ", toks)
+    from m13_sparkstreaming_python_azure_spark.operators.util import bind
+
     k = 8
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    # let-bind the token array: referencing tokens() inside the window
+    # lambda would re-tokenize once per window position
+    win_hashes = bind(
+        tokens(text_col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
     )
-    return df.withColumn("fp_exact", F.xxhash64(normalized)).withColumn(
-        "fp_rolling", F.array_min(win_hashes)
-    )
+    return df.withColumn(
+        "fp_exact", F.xxhash64(F.concat_ws(" ", tokens(text_col)))
+    ).withColumn("fp_rolling", F.array_min(win_hashes))

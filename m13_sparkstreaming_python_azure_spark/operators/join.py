@@ -138,14 +138,18 @@ def range_join(
     right_lo: str,
     right_hi: str,
     bucket_width: float,
+    on: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Interval/range join (SURVEY §2.3 GAP): left.point ∈ [right.lo, right.hi].
+    """Interval/range join (SURVEY §2.3 GAP): left.point ∈ [right.lo, right.hi],
+    optionally also matching equi-keys ``on`` (e.g. per-user time windows).
 
     Naive theta-join is O(N×M); instead both sides are bucketed by
     ``floor(value / bucket_width)`` (intervals explode to the buckets they
-    overlap via ``sequence``) and the join runs as an equi-join on bucket +
-    a residual predicate — the standard bucketed-range-join trick, all
-    built-ins. Choose ``bucket_width`` ≈ median interval length.
+    overlap via ``sequence``) and the join runs as an equi-join on bucket
+    (+ keys) + a residual predicate — the standard bucketed-range-join
+    trick, all built-ins. Choose ``bucket_width`` ≈ median interval length.
+    Equi-keys go INTO the hash-join condition (not a post-filter) so the
+    shuffle co-locates by (key, bucket) and skewed buckets split by key.
     """
     lb = left.withColumn(
         "__bucket", F.floor(F.col(left_point) / F.lit(bucket_width))
@@ -159,8 +163,9 @@ def range_join(
             )
         ),
     )
+    join_keys = ["__bucket", *(on or [])]
     return (
-        lb.join(rb, on="__bucket", how="inner")
+        lb.join(rb, on=join_keys, how="inner")
         .filter(
             (F.col(left_point) >= F.col(right_lo))
             & (F.col(left_point) <= F.col(right_hi))

@@ -237,6 +237,95 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 GAP row): for each purchase event, the user's
+    latest non-purchase event at-or-before the purchase time. Non-purchase
+    events are pre-deduplicated to one row per (user_id, ts) — max event_id
+    wins — so both the engine and the oracle's ASOF JOIN are deterministic
+    under timestamp ties. (Orders and events deliberately live in disjoint
+    epochs in the fixtures, so the as-of anchors come from events itself.)"""
+    from m13_sparkstreaming_python_azure_spark.operators.join import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    others = (
+        events.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("event_type", "event_id").alias("event_type"),
+        )
+    )
+    joined = asof_join(
+        purchases, others, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        # string cast: with NULLs, pandas renders int64 as float ("123.0")
+        # on one side and not the other — stringify before the value hash
+        F.col("event_id").cast("string").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (SURVEY §2.3 GAP row): per purchase event, how
+    many same-user events landed in the hour up to and including it."""
+    from m13_sparkstreaming_python_azure_spark.operators.join import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("double")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (ts_s - 3600.0).alias("lo"),
+        ts_s.alias("hi"),
+    )
+    ev = events.select("user_id", ts_s.alias("ev_s"))
+    joined = range_join(
+        ev, purchases, "ev_s", "lo", "hi", bucket_width=3600.0, on=["user_id"]
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_events_prev_hour")
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimensional subtotals (SURVEY §2.4 GAP row): CUBE over
+    (status, priority) — Expand + one hash aggregate, single shuffle."""
+    from m13_sparkstreaming_python_azure_spark.operators.aggregate import cube_stats
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.round("o_totalprice", 2)
+    )
+    out = cube_stats(orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+    return out.withColumn("sum_o_totalprice", F.round("sum_o_totalprice", 2))
+
+
+def q_tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (SURVEY §2.5/§2.9 GAP rows), batch flavor
+    of the streaming windowed aggregate: 1-hour buckets via ``F.window``
+    (epoch-aligned, equivalent to date_trunc('hour') for whole-hour
+    windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 CORE_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_event_stats": q_daily_event_stats,
@@ -252,6 +341,10 @@ CORE_QUERIES = {
     "scalar_functions": q_scalar_functions,
     "set_ops": q_set_ops,
     "window_lag_lead": q_window_lag_lead,
+    "asof_last_event": q_asof_last_event,
+    "range_join_events": q_range_join_events,
+    "cube_orders": q_cube_orders,
+    "tumbling_event_windows": q_tumbling_event_windows,
 }
 
 _EVENTS_DAILY_SQL = """
@@ -380,5 +473,45 @@ CORE_ORACLES = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "asof_last_event": """
+        WITH ev AS (
+            SELECT user_id, ts,
+                   max(event_id) AS event_id,
+                   arg_max(event_type, event_id) AS event_type
+            FROM events WHERE event_type <> 'purchase'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               CAST(e.event_id AS VARCHAR) AS last_event_id,
+               e.event_type AS last_event_type
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN ev e
+          ON p.user_id = e.user_id AND e.ts <= p.ts
+    """,
+    "range_join_events": """
+        SELECT p.event_id AS purchase_id, count(*) AS n_events_prev_hour
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND epoch(e.ts) >= epoch(p.ts) - 3600.0
+         AND epoch(e.ts) <= epoch(p.ts)
+        GROUP BY p.event_id
+    """,
+    "cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_rows,
+               round(sum(round(o_totalprice, 2)), 2) AS sum_o_totalprice
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "tumbling_event_windows": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
 }

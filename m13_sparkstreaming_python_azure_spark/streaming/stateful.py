@@ -1,0 +1,158 @@
+"""Stateful / advanced streaming operators (SURVEY.md §2.9 GAP rows).
+
+The reference exercises exactly one stateful shape — an unbounded
+complete-mode aggregation (stream.ipynb:117-121). This module adds the
+rest of the Structured Streaming surface a production pipeline needs:
+streaming dedup, stream-static joins, session windows, an
+``applyInPandasWithState`` custom stateful operator, and the RocksDB state
+store configuration that keeps state off the JVM heap at scale.
+
+Scale notes:
+- ``streaming_dedup`` without a watermark keeps every key seen forever —
+  only viable for bounded key spaces. The watermarked variant
+  (``dropDuplicatesWithinWatermark``) bounds state to the delay window and
+  is the 100 TB-safe default for event streams.
+- Stream-static joins re-read the static side per micro-batch; broadcast
+  it (dimension tables) so the stream side never shuffles.
+- Session windows grow state per active session; the watermark closes
+  sessions and evicts them.
+- RocksDB state store: HDFS-backed in-memory state (the default) caps at
+  executor heap; RocksDB spills to local disk with incremental checkpoints
+  — required once keyed state exceeds a few GB per executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication (§2.9 GAP: ``dropDuplicates``).
+
+    With ``watermark_delay``, uses ``dropDuplicatesWithinWatermark`` so the
+    seen-keys state is evicted once the watermark passes — bounded state,
+    the only scale-safe mode for unbounded key spaces."""
+    if watermark_delay is not None:
+        if ts_col is None:
+            raise ValueError("watermarked dedup needs ts_col")
+        return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return stream.dropDuplicates(list(keys))
+
+
+def stream_static_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join (§2.9 GAP): the batch ``dim`` side is
+    re-evaluated per micro-batch (picks up dimension updates); broadcast it
+    so the stream side joins map-side with no shuffle."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
+def session_window_aggregate(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+    watermark_delay: str | None = "1 day",
+) -> DataFrame:
+    """Session windows (§2.5/§2.9 GAP): per key, windows that extend while
+    events keep arriving within ``gap`` and close after a quiet period.
+    Works identically on batch DataFrames (parity-testable). Streaming use
+    needs the watermark to finalize + evict sessions."""
+    src = (
+        stream.withWatermark(ts_col, watermark_delay)
+        if watermark_delay is not None and stream.isStreaming
+        else stream
+    )
+    return src.groupBy(
+        F.session_window(ts_col, gap).alias("session"), key_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("sum_value"),
+    )
+
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("batch_rows", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("count", LongType())])
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key running event count carried across micro-batches in
+    GroupState — the minimal custom stateful operator shape."""
+    batch_rows = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+    (prev,) = state.get if state.exists else (0,)
+    total = prev + batch_rows
+    state.update((total,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [total],
+            "batch_rows": [batch_rows],
+        }
+    )
+
+
+def running_totals_with_state(
+    stream: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Custom stateful operator (§2.9 GAP: ``applyInPandasWithState``):
+    per-key running totals that survive across micro-batches. Arrow-batched
+    per group; state is a single counter row per key, stored in the state
+    store (RocksDB-compatible)."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session conf enabling the RocksDB state store provider (§2.9 T4
+    scale redesign; the reference ran the default HDFS-backed heap store).
+    Pass to ``get_spark(extra_conf=...)`` or set via ``spark.conf.set``
+    before starting the query."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }

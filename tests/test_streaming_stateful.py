@@ -1,0 +1,151 @@
+"""Tests for the stateful/advanced streaming surface (SURVEY §2.9 GAP rows):
+streaming dedup, stream-static join, session windows,
+applyInPandasWithState, RocksDB state store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+    parquet_file_stream,
+)
+from m13_sparkstreaming_python_azure_spark.sources.replay import (
+    replay_dataframe_by_key,
+)
+from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+    rocksdb_state_conf,
+    running_totals_with_state,
+    session_window_aggregate,
+    stream_static_join,
+    streaming_dedup,
+)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _replayed_stream(spark, sf_dir, tmp_path, n_batches=3, max_files=None):
+    """Events split into date files on disk + a file stream over them."""
+    ev = _events(spark, sf_dir).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    dates = sorted(
+        r[0] for r in ev.select("event_date").distinct().collect()
+    )[:n_batches]
+    ev = ev.filter(F.col("event_date").isin(dates))
+    root = str(tmp_path / "stream_src")
+    for _ in replay_dataframe_by_key(ev, dates, "event_date", root):
+        pass
+    batch = spark.read.parquet(root)
+    stream = parquet_file_stream(
+        spark, root, batch.schema, max_files_per_trigger=max_files
+    )
+    return ev, batch, stream
+
+
+def _run_to_memory(query_name, stream_df, output_mode="append", timeout=120):
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path)
+    # duplicate the input by unioning it with itself → dedup must collapse
+    dup_stream = streaming_dedup(stream.unionByName(stream), ["event_id"])
+    _run_to_memory("dedup_sink", dup_stream.select("event_id"))
+    got = spark.table("dedup_sink").count()
+    assert got == batch.select("event_id").distinct().count()
+
+
+def test_stream_static_join_parity(spark, sf_dir, tmp_path):
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        ["event_type", "category"],
+    )
+    joined = stream_static_join(stream, dim, on="event_type")
+    _run_to_memory("ssjoin_sink", joined.select("event_id", "category"))
+    got = sorted(tuple(r) for r in spark.table("ssjoin_sink").collect())
+    want = sorted(
+        tuple(r) for r in batch.join(dim, "event_type").select("event_id", "category").collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_window_streaming_batch_parity(spark, sf_dir, tmp_path):
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path)
+    agg_stream = session_window_aggregate(
+        stream, gap="30 minutes", watermark_delay="10 days"
+    )
+    _run_to_memory("session_sink", agg_stream, output_mode="complete")
+    got = sorted(
+        (r["session"]["start"], r["session"]["end"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.table("session_sink").collect()
+    )
+    agg_batch = session_window_aggregate(batch, gap="30 minutes")
+    want = sorted(
+        (r["session"]["start"], r["session"]["end"], r["user_id"], r["n_events"], r["sum_value"])
+        for r in agg_batch.collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, sf_dir, tmp_path):
+    """Force multiple micro-batches (one file per trigger) and check the
+    per-key counter accumulates across them to the batch total."""
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    totals = running_totals_with_state(stream)
+    _run_to_memory("state_sink", totals, output_mode="update")
+    sink = spark.table("state_sink")
+    # multiple batches → at least one user has more than one update row
+    multi = sink.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+        .collect()
+    )
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {r["user_id"]: r["n_events_total"] for r in final}
+    assert got == want
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
+    """Streaming agg runs (and matches batch) with the RocksDB state store
+    provider — the at-scale state backend (§2.9 T4)."""
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    before = {
+        k: spark.conf.get(k, None) for k in rocksdb_state_conf()
+    }
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        _run_to_memory("rocksdb_sink", agg, output_mode="complete")
+        got = sorted(tuple(r) for r in spark.table("rocksdb_sink").collect())
+        want = sorted(
+            tuple(r)
+            for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        assert got == want
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,18 +1,29 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
-bucketing as the scale path (the same signature→band→bucket-join shape as
-MinHash dedup). Dot products run as JVM HOF expressions
-(``aggregate(zip_with(...))``) — no Python in the loop.
+bucketing and IVF (inverted-file, sampled-kmeans centroids) as the scale
+paths.
+
+Vectorization strategy: the exact baseline keeps JVM HOF expressions
+(``aggregate(zip_with(...))``) — deterministic fold order, matches the SQL
+oracle bit-for-bit. The *bulk* linear algebra (sign-pattern bucketing,
+candidate cosine scoring, centroid assignment) runs as Arrow-batched
+pandas UDFs over numpy — matmul is the one workload where a vectorized
+Python UDF beats interpreted Catalyst expressions by 10-100× and there is
+no built-in equivalent.
 
 Scale notes:
 - Brute force is O(N·Q·d) — fine when the query side is small enough to
   broadcast (the common "probe set vs corpus" case); the corpus side
-  streams through codegen with no shuffle except the final per-query top-k.
+  streams through with no shuffle except the final per-query top-k.
 - LSH: P(same bucket) = (1 − θ/π)^bits per table; more tables trade
   compute for recall. All tables' buckets are produced in ONE pass over
-  the data (the plane tensor is a literal array constant in the plan, the
-  table index an ``explode``) — not one scan per table.
+  the data (one numpy matmul per Arrow batch) — not one scan per table.
+- IVF: centroids trained driver-side on a bounded sample (standard IVF
+  practice — the codebook is tiny and broadcast into the plan); assignment
+  is a per-batch matmul; queries probe ``nprobe`` cells so the candidate
+  join touches ~nprobe/n_cells of the corpus. Cell ids are a natural
+  partitioning/bucketing key for a stored index.
 - Candidate pairs travel as (query_id, neighbor_id) only; vectors re-join
   after the distinct so the pair shuffle stays narrow.
 - embedding-cosine near-dup for dedup is the same candidate generator with
@@ -23,8 +34,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from m13_sparkstreaming_python_azure_spark.operators.util import spread
 
@@ -109,35 +123,33 @@ def _bucketed(
     out_id: str,
     planes: list[list[list[float]]],
 ) -> DataFrame:
-    """One row per (vector, table) with the table's sign-pattern bucket —
-    a single scan; the plane tensor is a plan literal indexed per table."""
-    planes_lit = F.lit(planes).cast("array<array<array<double>>>")
-    tables = len(planes)
-    d = df.select(F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v"))
+    """One row per (vector, table) with the table's sign-pattern bucket.
+
+    All tables' sign patterns come from ONE numpy matmul per Arrow batch
+    (vectors × all planes stacked), packed into an int64 bucket label per
+    table (bit b = sign of plane b's dot product). The bucket value is just
+    a label — grouping semantics are identical to hashing the sign string,
+    at a fraction of the compute."""
+    tables, bits = len(planes), len(planes[0])
+    all_planes = np.asarray(planes, dtype=np.float64).reshape(tables * bits, -1)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (mat @ all_planes.T) > 0  # (batch, tables*bits)
+        signs = signs.reshape(len(mat), tables, bits)
+        packed = (signs * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(packed))
+
+    d = df.select(
+        F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v")
+    )
     return d.select(
-        out_id,
-        "__v",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(tables - 1)),
-                lambda t: F.struct(
-                    t.alias("table"),
-                    F.xxhash64(
-                        t,
-                        F.array_join(
-                            F.transform(
-                                F.element_at(planes_lit, t + 1),
-                                lambda plane: F.when(
-                                    dot(F.col("__v"), plane) > 0, F.lit("1")
-                                ).otherwise(F.lit("0")),
-                            ),
-                            "",
-                        ),
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("__tb"),
-    ).select(out_id, "__tb.table", "__tb.bucket")
+        out_id, F.posexplode(_buckets(F.col("__v"))).alias("table", "bucket")
+    )
 
 
 def lsh_candidates(
@@ -193,11 +205,24 @@ def _score_candidates(
         .withColumn(
             "cosine_sim",
             F.round(
-                dot(F.col("__bv"), F.col("__qv")) / (F.col("__bn") * F.col("__qn")),
+                _pairwise_dot(F.col("__bv"), F.col("__qv"))
+                / (F.col("__bn") * F.col("__qn")),
                 6,
             ),
         )
     )
+
+
+@F.pandas_udf(DoubleType())
+def _pairwise_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise dot product, one numpy einsum per Arrow batch — the
+    candidate-scoring hot path (candidate counts can rival the corpus
+    size for near-dup workloads)."""
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    am = np.stack(a.to_numpy())
+    bm = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", am, bm))
 
 
 def lsh_ann_topk(
@@ -218,6 +243,108 @@ def lsh_ann_topk(
     cand = lsh_candidates(
         base, queries, base_id, base_vec, query_id, query_vec, dim, bits, tables, seed
     )
+    scored = _score_candidates(
+        cand, base, queries, base_id, base_vec, query_id, query_vec
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def train_ivf_centroids(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means codebook from a bounded driver-side sample —
+    standard IVF practice: the codebook is tiny (n_cells × dim) and gets
+    broadcast into the plan; training cost is independent of corpus size.
+
+    Deterministic: seeded sample (``DataFrame.limit`` over a repeatable
+    scan), seeded init, fixed iteration count."""
+    sample = np.stack(
+        base.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_size)
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.clip(norms, 1e-12, None)
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.clip(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12, None
+        )
+    return centroids
+
+
+def _cell_assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: per vector, the ``nprobe`` nearest centroid ids (by
+    cosine ≈ dot on the normalized codebook) — one matmul per Arrow batch."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(vecs.to_numpy())
+        sims = mat @ cent.T  # norms don't change the argsort order per row
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _cells
+
+
+def ivf_ann_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``nprobe`` nearest cells and exact-scores
+    only those candidates (~nprobe/n_cells of the corpus).
+
+    At scale the cell id doubles as a storage partitioning key (write the
+    index ``partitionBy("cell")``) so a probe prunes file scans, not just
+    the join."""
+    centroids = train_ivf_centroids(
+        base, base_vec, n_cells=n_cells, sample_size=sample_size, seed=seed
+    )
+    base = spread(base)
+    assign1 = _cell_assign_udf(centroids, 1)
+    assignp = _cell_assign_udf(centroids, nprobe)
+
+    b = base.select(
+        F.col(base_id).alias("neighbor_id"),
+        F.element_at(assign1(_as_double(F.col(base_vec))), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.explode(assignp(_as_double(F.col(query_vec)))).alias("cell"),
+    )
+    cand = b.join(F.broadcast(q), on="cell").select("query_id", "neighbor_id")
     scored = _score_candidates(
         cand, base, queries, base_id, base_vec, query_id, query_vec
     )

@@ -92,6 +92,36 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all((q, q) in lsh for q in range(10))
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, probes, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_ann_topk(emb, probes, k=10, n_cells=16, nprobe=8).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, recall
+    # a probe vector always lands in its own assigned cell → self-match kept
+    assert all((q, q) in ivf for q in range(10))
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = sim.train_ivf_centroids(emb, n_cells=8, sample_size=500, seed=7)
+    c2 = sim.train_ivf_centroids(emb, n_cells=8, sample_size=500, seed=7)
+    assert np.allclose(c1, c2)
+    # unit-norm codebook
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 def test_bruteforce_self_similarity_is_one(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5).select(

@@ -1,0 +1,89 @@
+"""Tests for skew mitigation (salted join/aggregate) and the CSV/JSON/ORC
+format wrappers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from m13_sparkstreaming_python_azure_spark.sources import formats
+
+
+def _skewed(spark):
+    """90% of rows share one key — the straggler shape."""
+    rows = [(0, float(i)) for i in range(900)] + [
+        (k, float(k)) for k in range(1, 101)
+    ]
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = _skewed(spark)
+    dim = spark.createDataFrame(
+        [(k, f"name_{k}") for k in range(0, 101)], ["k", "name"]
+    )
+    plain = sorted(
+        tuple(r) for r in left.join(dim, "k").select("k", "v", "name").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(left, dim, "k", salt=8).select("k", "v", "name").collect()
+    )
+    assert salted == plain
+    assert len(salted) == 1000
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "x")], ["k", "name"])
+    out = salted_join(left, dim, "k", salt=4, how="left").collect()
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k == {1: "x", 99: None}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = _skewed(spark)
+    plain = sorted(
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {"n": ("count", "*"), "total": ("sum", "v"), "vmax": ("max", "v")},
+            salt=8,
+        )
+        .select("k", "n", "total", "vmax")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_format_roundtrips(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    want = sorted(tuple(r) for r in nation.collect())
+    for name, writer, reader in [
+        ("csv", formats.write_csv, formats.read_csv),
+        ("jsonl", formats.write_jsonl, formats.read_jsonl),
+        ("orc", formats.write_orc, formats.read_orc),
+    ]:
+        path = str(tmp_path / name)
+        writer(nation, path)
+        if name == "orc":
+            back = reader(spark, path)
+        else:
+            back = reader(spark, path, nation.schema)
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == want, name

@@ -326,6 +326,30 @@ def q_tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) in batch mode — the same
+    ``session_window_aggregate`` code path the streaming tests run, here
+    oracle-checked against an independent SQL gaps-and-islands
+    formulation (new session when the gap to the previous event is
+    ≥ the session gap; Spark session windows are [start, start+gap))."""
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        session_window_aggregate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = session_window_aggregate(
+        ev, gap="30 minutes", watermark_delay=None
+    )
+    return agg.select(
+        F.date_format(F.col("session.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
 CORE_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_event_stats": q_daily_event_stats,
@@ -345,6 +369,7 @@ CORE_QUERIES = {
     "range_join_events": q_range_join_events,
     "cube_orders": q_cube_orders,
     "tumbling_event_windows": q_tumbling_event_windows,
+    "session_windows": q_session_windows,
 }
 
 _EVENTS_DAILY_SQL = """
@@ -513,5 +538,28 @@ CORE_ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "session_windows": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING
+            ) AS session_no
+            FROM marked
+        )
+        SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM numbered
+        GROUP BY user_id, session_no
     """,
 }

@@ -159,6 +159,29 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, threshold=0.25, dim=64)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a driver-visible query: deterministic
+    synthetic media (seeded, independent of sf) → Arrow-batched
+    mapInPandas featurization. The decode step is stubbed (no codecs in
+    this container) behind a deterministic featurizer, so output is
+    stable. Rows-only driver check (binary pipeline — not
+    SQL-expressible); tests pin schema + determinism."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=300, seed=7)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        "payload_sha256",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -173,6 +196,7 @@ LLM_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "multimodal_features": q_multimodal_features,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"

@@ -97,3 +97,40 @@ def cube_stats(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(value_col).alias(f"sum_{value_col}"),
     )
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-key HLL sketches (Datasketches binary) for distinct counting.
+
+    The 100 TB pattern behind the reference's ``approx_count_distinct``:
+    materialize a (keys → sketch) table once per ingest slice, then answer
+    any coarser distinct-count rollup by UNIONING sketches — no rescan of
+    the raw data, and sketch union is exact w.r.t. the sketches (unlike
+    averaging approximate counts, which is simply wrong). ``lgk=12`` ≈
+    1.6% relative error at 4 KB per sketch."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("distinct_sketch")
+    )
+
+
+def rollup_distinct_from_sketches(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "distinct_sketch",
+) -> DataFrame:
+    """Re-aggregate a sketch table to coarser keys: union the sketches,
+    then estimate. Input is the output of ``build_distinct_sketches`` (or a
+    stored sketch table partitioned by ingest day)."""
+    return (
+        sketches.groupBy(*keys)
+        .agg(F.hll_union_agg(sketch_col).alias("merged"))
+        .select(
+            *keys,
+            F.hll_sketch_estimate("merged").alias("distinct_estimate"),
+        )
+    )

@@ -350,6 +350,24 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch rollup (the scale path for the reference's
+    approx_count_distinct): build per-(event_type, day) sketches, then
+    answer per-event_type distinct users by sketch UNION — no raw rescan.
+    Estimates are engine-specific (Datasketches HLL) → rows-only driver
+    check; tests assert tolerance vs exact countDistinct."""
+    from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
+        build_distinct_sketches,
+        rollup_distinct_from_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = build_distinct_sketches(ev, ["event_type", "event_date"], "user_id")
+    return rollup_distinct_from_sketches(daily, ["event_type"])
+
+
 CORE_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_event_stats": q_daily_event_stats,
@@ -370,6 +388,7 @@ CORE_QUERIES = {
     "cube_orders": q_cube_orders,
     "tumbling_event_windows": q_tumbling_event_windows,
     "session_windows": q_session_windows,
+    "distinct_users_sketch_rollup": q_distinct_users_sketch_rollup,
 }
 
 _EVENTS_DAILY_SQL = """

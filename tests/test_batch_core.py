@@ -52,6 +52,44 @@ def test_grouped_stats_exact_vs_approx_tolerance(spark, sf_dir):
         assert abs(a - e) <= max(5, 0.2 * e), (r["event_type"], e, a)
 
 
+def test_sketch_rollup_tolerance_and_mergeability(spark, sf_dir):
+    """Unioned per-day sketches estimate per-type distincts within HLL
+    tolerance of exact, and match a directly-built per-type sketch."""
+    from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
+        build_distinct_sketches,
+        rollup_distinct_from_sketches,
+    )
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = build_distinct_sketches(ev, ["event_type", "event_date"], "user_id")
+    rolled = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in rollup_distinct_from_sketches(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in rollup_distinct_from_sketches(
+            build_distinct_sketches(ev, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(exact)
+    for t, n in exact.items():
+        assert abs(rolled[t] - n) <= max(3, 0.05 * n), (t, rolled[t], n)
+        # sketch union must equal building the sketch at the coarse key
+        assert rolled[t] == direct[t], t
+
+
 def test_topk_deterministic(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     a = topk(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 5).collect()

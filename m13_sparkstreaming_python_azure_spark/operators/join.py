@@ -89,6 +89,11 @@ def asof_join(
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     on = list(on)
+    # join-on-null must not match (equi-join semantics; the union-window
+    # trick would otherwise pool all null-key rows into one partition and
+    # cross-carry them)
+    for k in on + [right_ts]:
+        right = right.filter(F.col(k).isNotNull())
     lcols = [c for c in left.columns if c not in on]
     rcols = [c for c in right.columns if c not in on and c != right_ts]
 

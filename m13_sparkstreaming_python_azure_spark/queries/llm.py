@@ -182,6 +182,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed from the individually
+    oracled stages: quality gate → exact dedup of survivors → language ID
+    → per-language corpus stats (doc count + total tokens). The whole
+    pipeline is one Catalyst plan — stages fuse, nothing materializes
+    between them."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import exact_dedup
+
+    docs = _docs_with_dups(spark, sf_dir)
+    scored = with_quality_score(docs)
+    kept = scored.filter(F.col("quality_keep"))
+    survivors = exact_dedup(kept, "doc_id")
+    labeled = with_lang_id(survivors)
+    return labeled.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -197,6 +216,7 @@ LLM_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "multimodal_features": q_multimodal_features,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -339,5 +359,50 @@ LLM_ORACLES = {
         )
         SELECT query_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10
+    """,
+    "curation_pipeline": f"""
+        WITH all_docs AS ({_DOCS_WITH_DUPS_SQL}),
+        toks AS (
+            SELECT doc_id, text, {_TOKS_SQL} AS t FROM all_docs
+        ), stats AS (
+            SELECT doc_id, t,
+                   len(t) AS n_tokens,
+                   round(list_sum(list_transform(t, x -> length(x))) / len(t), 4)
+                       AS avg_token_len,
+                   round(len(list_distinct(t)) / len(t), 4) AS uniq_token_ratio,
+                   round(len(list_filter(t, x -> list_contains({_STOP_EN}, x))) / len(t), 4)
+                       AS stopword_ratio
+            FROM toks
+        ), kept AS (
+            SELECT doc_id, t, n_tokens FROM stats
+            WHERE round(0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                                     AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+                                    THEN 1 ELSE 0 END)
+                  + 0.3 * least(coalesce(uniq_token_ratio, 0.0) * 2, 1.0)
+                  + 0.3 * least(coalesce(stopword_ratio, 0.0) * 10, 1.0), 4) >= 0.5
+        ), norm AS (
+            SELECT doc_id, t, n_tokens, array_to_string(t, ' ') AS nt FROM kept
+        ), surv AS (
+            SELECT doc_id, t, n_tokens FROM norm
+            WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+        ), sc AS (
+            SELECT doc_id, n_tokens,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_DE}, x))) / len(t) ELSE 0 END AS s_de,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_EN}, x))) / len(t) ELSE 0 END AS s_en,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_ES}, x))) / len(t) ELSE 0 END AS s_es,
+                CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_STOP_FR}, x))) / len(t) ELSE 0 END AS s_fr
+            FROM surv
+        ), lang AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM sc
+        )
+        SELECT lang_pred, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM lang GROUP BY lang_pred
     """,
 }

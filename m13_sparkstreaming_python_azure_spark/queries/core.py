@@ -368,6 +368,31 @@ def q_distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     return rollup_distinct_from_sketches(daily, ["event_type"])
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median/p90/p99) — the
+    order-statistics aggregate class. At 100 TB prefer
+    ``percentile_approx`` (mergeable sketch, one pass); the exact variant
+    here is the oracle-checkable anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance + min/max spread per group (moment
+    aggregates; single shuffle, partial-merge like sum/avg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.max("value") - F.min("value"), 4).alias("value_range"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 CORE_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_event_stats": q_daily_event_stats,
@@ -389,6 +414,8 @@ CORE_QUERIES = {
     "tumbling_event_windows": q_tumbling_event_windows,
     "session_windows": q_session_windows,
     "distinct_users_sketch_rollup": q_distinct_users_sketch_rollup,
+    "value_percentiles": q_value_percentiles,
+    "stats_moments": q_stats_moments,
 }
 
 _EVENTS_DAILY_SQL = """
@@ -580,5 +607,22 @@ CORE_ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM numbered
         GROUP BY user_id, session_no
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "stats_moments": """
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS stddev_value,
+               round(var_samp(value), 4) AS var_value,
+               round(max(value) - min(value), 4) AS value_range,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
     """,
 }

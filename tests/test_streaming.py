@@ -108,6 +108,60 @@ def test_windowed_watermark_aggregate(spark, sf_dir, tmp_path):
     )
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """Durable-sink variant (§2.9 T5): foreachBatch writes the complete-mode
+    aggregate to parquet with a checkpoint; the final files equal the
+    one-shot batch aggregate."""
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        write_foreach_batch_parquet,
+    )
+
+    ev = _events_with_date(spark, sf_dir)
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())[:3]
+    ev = ev.filter(F.col("event_date").isin(dates))
+    src = str(tmp_path / "src")
+    for _ in replay_dataframe_by_key(ev, dates, "event_date", src):
+        pass
+    batch = spark.read.parquet(src)
+    stream = parquet_file_stream(spark, src, batch.schema)
+    sink = str(tmp_path / "sink")
+    q = (
+        write_foreach_batch_parquet(
+            _agg(stream), sink, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(tuple(r) for r in _agg(batch).collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_asof_join_ignores_null_keys(spark):
+    """Null join keys must not match (equi-join semantics) — the
+    union-window implementation filters them from the right side."""
+    from m13_sparkstreaming_python_azure_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "l1"), (None, 10.0, "l2")],
+        "k int, ts double, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "r1"), (None, 5.0, "r_null"), (1, None, "r_null_ts")],
+        "k int, ts double, rv string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")
+    by_lv = {r["lv"]: r["rv"] for r in out.collect()}
+    # l1 matches r1; the null-key left row matches nothing (not r_null)
+    assert by_lv == {"l1": "r1", "l2": None}
+
+
 def test_replay_partitions_harness(spark, sf_dir, tmp_path):
     """The upload.py:80-106 pattern: write a day-partitioned dataset, replay
     it day-by-day with processed_date stamping, verify discovery order."""

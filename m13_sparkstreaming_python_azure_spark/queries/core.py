@@ -393,6 +393,54 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFERENCE'S ACTUAL SHAPE under the oracle gate: events replayed
+    as a file-arrival stream (upload.py:80-106 pattern), consumed by the
+    Structured Streaming pipeline (stream.ipynb:111-148) in complete mode,
+    quiesced with availableNow — the returned sink table must hash-match
+    the plain batch SQL over the same rows (streaming↔batch parity as a
+    driver-checked invariant, not just a unit test).
+
+    Aggregates are the mergeable subset (count/sum/min/max — streaming
+    forbids exact DISTINCT; the approx flavor is covered rows-only by
+    daily_event_stats_approx)."""
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        StreamingAggPipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    # one hive-partitioned write (single job) — a day-partitioned landing
+    # dir like the reference's, without the per-day driver loop (that
+    # arrival cadence is exercised by the replay-harness tests)
+    root = tempfile.mkdtemp(prefix="stream-daily-")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(root)
+    schema = spark.read.parquet(root).schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("event_type", "event_date").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+
+    pipe = StreamingAggPipeline(
+        spark,
+        root,
+        schema,
+        transform,
+        query_name=f"stream_daily_{uuid.uuid4().hex[:8]}",
+    )
+    out = pipe.run_available_now()
+    pipe.stop()
+    return out
+
+
 CORE_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "daily_event_stats": q_daily_event_stats,
@@ -416,6 +464,7 @@ CORE_QUERIES = {
     "distinct_users_sketch_rollup": q_distinct_users_sketch_rollup,
     "value_percentiles": q_value_percentiles,
     "stats_moments": q_stats_moments,
+    "streaming_daily_stats": q_streaming_daily_stats,
 }
 
 _EVENTS_DAILY_SQL = """
@@ -624,5 +673,15 @@ CORE_ORACLES = {
                count(*) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "streaming_daily_stats": """
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value
+        FROM events
+        GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
 }

@@ -10,8 +10,12 @@ from m13_sparkstreaming_python_azure_spark.queries.llm import (
     LLM_ORACLES,
     LLM_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
+    EXT_ORACLES,
+    EXT_QUERIES,
+)
 
-QUERIES = {**CORE_QUERIES, **LLM_QUERIES}
-ORACLES = {**CORE_ORACLES, **LLM_ORACLES}
+QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **LLM_QUERIES}
+ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **LLM_ORACLES}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query"

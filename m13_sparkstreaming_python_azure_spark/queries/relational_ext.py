@@ -1,0 +1,349 @@
+"""Extended relational surface — SURVEY.md §2 GAP rows beyond core.py:
+pivot, grouping sets, the rank-family window functions, correlated/scalar
+subqueries, and the string / datetime / array / JSON scalar-function
+classes (§2.8 lists them as out-of-reference-scope; a user switching from
+the reference still expects them from any Spark engine).
+
+Same float-hash rule as core.py: round sums to 2 decimals on both sides,
+derive averages from rounded sums, round unit-scale floats to 4-6 decimals.
+All queries are pure Catalyst expression plans (no UDFs) — they fold into
+the scan stage or a single shuffle, so they scale with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table, register_views
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["n_urgent", "n_high", "n_medium", "n_not_specified", "n_low"]
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): order counts per status × priority.
+    Explicit pivot value list — with it Catalyst plans ONE pass (pivot
+    compiles to a single aggregate over `count(CASE WHEN ...)` columns);
+    without it Spark must first scan for distinct values (two jobs), which
+    at 100 TB doubles the read."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{val}`"), F.lit(0)).alias(alias)
+        for val, alias in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    ]
+    return wide.select(*cols)
+
+
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form of rollup/cube): per-status and
+    per-priority subtotals plus the grand total in one Expand + single
+    hash aggregate — one shuffle instead of three separate groupBys.
+    grouping() flags disambiguate subtotal NULLs from data NULLs."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window functions (rank / dense_rank / ntile /
+    percent_rank / cume_dist / first_value) in one Window spec — one sort
+    per partition serves all six. Deterministic total order
+    (o_totalprice DESC, o_orderkey) so ranks and quartiles are stable."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_orderkey"),
+    )
+
+
+def q_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS: above-average-balance customers
+    holding at least one 300k+ order. Catalyst decorrelates the EXISTS into
+    a left-semi join and broadcasts the single-row scalar aggregate — no
+    per-row re-execution at any scale."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*) FROM customer)
+          AND EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+          )
+        """
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string-function class over part: case, pad, split, replace,
+    regexp, edit distance — all JVM expressions that fold into the scan
+    projection (no shuffle, no Python)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.lpad("p_type", 12, "_").alias("type_padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+        F.reverse(F.col("p_type")).alias("type_reversed"),
+        F.repeat(F.substring("p_type", 1, 1), 3).alias("type_initial_x3"),
+        F.instr(F.col("p_name"), "e").alias("first_e_pos"),
+        F.levenshtein(F.col("p_name"), F.col("p_type")).alias("name_type_dist"),
+        F.startswith(F.col("p_name"), F.lit("red")).cast("int").alias("is_red"),
+        F.contains(F.col("p_name"), F.lit("bolt")).cast("int").alias("has_bolt"),
+    )
+
+
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 datetime-function class over orders: truncation, field
+    extraction, date arithmetic — the building blocks of every
+    time-partitioned pipeline (e.g. the reference's year/month/day layout)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.dayofyear("o_orderdate").alias("order_doy"),
+        F.weekofyear("o_orderdate").alias("order_isoweek"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-01-01"), F.col("o_orderdate")).alias("days_to_1998"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array + higher-order-function class over the embedding column:
+    size / element access / transform / filter / exists / aggregate — the
+    JVM-side lambda surface that keeps vector math out of Python when a
+    full matmul isn't needed."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sum_all = F.aggregate("e", F.lit(0.0), lambda acc, v: acc + v)
+    sum_abs = F.aggregate("e", F.lit(0.0), lambda acc, v: acc + F.abs(v))
+    return emb.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round(F.element_at("e", 1), 6).alias("first_elem"),
+        F.round(sum_all, 4).alias("sum_all"),
+        F.round(sum_abs / F.size("e"), 4).alias("mean_abs"),
+        F.round(F.array_max("e"), 6).alias("max_elem"),
+        F.round(F.array_min("e"), 6).alias("min_elem"),
+        F.size(F.filter("e", lambda v: v > 0)).alias("n_positive"),
+        F.exists("e", lambda v: v > 2.0).cast("int").alias("has_gt2"),
+    )
+
+
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON class over events.props: typed extraction with from_json
+    (schema'd, vectorizable — the scale path; get_json_object re-parses per
+    call, from_json parses once per row), then a grouped aggregate over the
+    extracted field."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+    )
+
+
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-label cosine pairs — the oracle-checkable anchor for
+    embedding near-dup detection (embedding_similar_pairs is its
+    LSH-approximate scale path). `label` acts as the blocking key, the
+    realistic pattern at 100 TB: an all-pairs cross join is quadratic and
+    unshippable, an equi-join on a blocking key shuffles both sides once
+    and is quadratic only within blocks."""
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("n", l2_norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cosine_sim") >= 0.1)
+        .select("label", "id_a", "id_b", "cosine_sim")
+    )
+
+
+EXT_QUERIES = {
+    "pivot_status_priority": q_pivot_status_priority,
+    "grouping_sets_orders": q_grouping_sets_orders,
+    "window_ranks": q_window_ranks,
+    "subquery_big_spenders": q_subquery_big_spenders,
+    "string_functions": q_string_functions,
+    "datetime_functions": q_datetime_functions,
+    "array_functions": q_array_functions,
+    "json_functions": q_json_functions,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
+}
+
+EXT_ORACLES = {
+    "pivot_status_priority": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                   AS n_not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "window_ranks": """
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice, 2) AS price,
+               rank() OVER w AS price_rank,
+               dense_rank() OVER w AS price_dense_rank,
+               ntile(4) OVER w AS price_quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist,
+               first_value(o_orderkey) OVER w AS top_orderkey
+        FROM orders
+        WHERE o_orderkey < 3000
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    "subquery_big_spenders": """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*) FROM customer)
+          AND EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+          )
+    """,
+    "string_functions": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               length(p_name) AS name_len,
+               lpad(p_type, 12, '_') AS type_padded,
+               split_part(p_name, ' ', 1) AS first_word,
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+               CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
+               reverse(p_type) AS type_reversed,
+               repeat(substr(p_type, 1, 1), 3) AS type_initial_x3,
+               CAST(coalesce(position('e' IN p_name), 0) AS INTEGER) AS first_e_pos,
+               levenshtein(p_name, p_type) AS name_type_dist,
+               CAST(starts_with(p_name, 'red') AS INTEGER) AS is_red,
+               CAST(contains(p_name, 'bolt') AS INTEGER) AS has_bolt
+        FROM part
+    """,
+    "datetime_functions": """
+        SELECT o_orderkey,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               quarter(o_orderdate) AS order_quarter,
+               dayofmonth(o_orderdate) AS order_dom,
+               dayofweek(o_orderdate) + 1 AS order_dow,
+               dayofyear(o_orderdate) AS order_doy,
+               weekofyear(o_orderdate) AS order_isoweek,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_1998
+        FROM orders
+    """,
+    "array_functions": """
+        SELECT vec_id,
+               len(e) AS dim,
+               round(e[1], 6) AS first_elem,
+               round(list_sum(e), 4) AS sum_all,
+               round(list_sum(list_transform(e, x -> abs(x))) / len(e), 4)
+                   AS mean_abs,
+               round(list_max(e), 6) AS max_elem,
+               round(list_min(e), 6) AS min_elem,
+               len(list_filter(e, x -> x > 0)) AS n_positive,
+               CAST(len(list_filter(e, x -> x > 2.0)) > 0 AS INTEGER) AS has_gt2
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    """,
+    "json_functions": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+               max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+               count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "embedding_pairs_exact": """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.1
+    """,
+}

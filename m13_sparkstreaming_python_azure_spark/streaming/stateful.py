@@ -71,6 +71,40 @@ def stream_static_join(
     return stream.join(d, on=on, how=how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_lag: str = "1 hour",
+    watermark_delay: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join (§2.9 GAP): left rows matched to right rows with
+    the same ``key`` whose ``right_ts`` falls in
+    ``[left_ts - max_lag, left_ts]``.
+
+    Both sides MUST be watermarked and the join MUST carry a time-range
+    condition — that pair is what lets Spark evict buffered rows once
+    ``watermark - max_lag`` passes them; an unconstrained stream-stream
+    equi-join buffers both streams forever. State per side is bounded by
+    ``rate × (watermark_delay + max_lag)`` regardless of total volume.
+
+    Output columns are qualified ``l.*`` / ``r.*`` — select through the
+    aliases. Inner joins emit eagerly; outer flavors hold unmatched rows
+    until the watermark closes their interval."""
+    l = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {max_lag}"))
+        & (rts <= lts)
+    )
+    return l.join(r, cond, how)
+
+
 def session_window_aggregate(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -19,6 +19,7 @@ from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
     running_totals_with_state,
     session_window_aggregate,
     stream_static_join,
+    stream_stream_interval_join,
     streaming_dedup,
 )
 
@@ -97,6 +98,62 @@ def test_session_window_streaming_batch_parity(spark, sf_dir, tmp_path):
     want = sorted(
         (r["session"]["start"], r["session"]["end"], r["user_id"], r["n_events"], r["sum_value"])
         for r in agg_batch.collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Watermarked dedup (dropDuplicatesWithinWatermark) — the bounded-state
+    scale mode. With a delay larger than the replayed span, nothing is
+    evicted early, so the result must equal batch distinct."""
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path)
+    dup = streaming_dedup(
+        stream.unionByName(stream),
+        ["event_id"],
+        ts_col="ts",
+        watermark_delay="30 days",
+    )
+    _run_to_memory("wm_dedup_sink", dup.select("event_id"))
+    got = spark.table("wm_dedup_sink").count()
+    assert got == batch.select("event_id").distinct().count()
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, tmp_path):
+    """Two file streams over the same replayed events joined stream-stream:
+    each purchase matched to same-user clicks in the preceding 24 h (the sf0.001 slice is sparse); the
+    watermarked interval join must equal the batch interval join."""
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path)
+    root = str(tmp_path / "stream_src")
+    stream2 = parquet_file_stream(spark, root, batch.schema)
+
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream2.filter(F.col("event_type") == "click")
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", max_lag="24 hours",
+        watermark_delay="30 days",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    _run_to_memory("ssj_sink", joined)
+    got = sorted(tuple(r) for r in spark.table("ssj_sink").collect())
+
+    bp = batch.filter(F.col("event_type") == "purchase").alias("l")
+    bc = batch.filter(F.col("event_type") == "click").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+    )
+    want = sorted(
+        tuple(r)
+        for r in bp.join(bc, cond)
+        .select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
     )
     assert got == want
     assert len(got) > 0

@@ -115,6 +115,29 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: 50-token chunks every 40 tokens (10-token
+    overlap), pure sequence/slice/explode — no shuffle, no Python."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=50, stride=40)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split from an md5 prefix —
+    engine-independent (any md5 agrees), so the oracle reproduces it
+    exactly."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs).select("doc_id", "lang", "hash_prefix", "split")
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 10 vectors as probes."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -211,6 +234,8 @@ LLM_QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "chunk_documents": q_chunk_documents,
+    "hash_split": q_hash_split,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -340,6 +365,34 @@ LLM_ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.2
+    """,
+    "chunk_documents": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), ex AS (
+            SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS start
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // 40 AS INTEGER) AS chunk_id,
+               array_to_string(t[start:least(start + 49, len(t))], ' ')
+                   AS chunk_text,
+               CAST(least(start + 49, len(t)) - start + 1 AS INTEGER)
+                   AS n_chunk_tokens
+        FROM ex
+    """,
+    "hash_split": """
+        WITH h AS (
+            SELECT doc_id, lang,
+                   substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       AS hash_prefix
+            FROM documents
+        )
+        SELECT doc_id, lang, hash_prefix,
+               CASE WHEN hash_prefix < 'e666' THEN 'train'
+                    WHEN hash_prefix < 'f333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
     """,
     "ann_bruteforce": """
         WITH q AS (

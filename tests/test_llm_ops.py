@@ -135,3 +135,37 @@ def test_bruteforce_self_similarity_is_one(spark, sf_dir):
     for r in top1:
         assert r.query_id == r.neighbor_id
         assert abs(r.cosine_sim - 1.0) < 1e-5
+
+
+def test_chunk_udtf_matches_expression_chunker(spark, sf_dir):
+    """The Python-UDTF chunker (the escape hatch for real tokenizers) must
+    produce exactly the expression chunker's output."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    want = sorted(tuple(r) for r in chunk_documents(docs).collect())
+    got = sorted(tuple(r) for r in chunk_documents_udtf(docs).collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_hash_split_proportions_and_stability(spark, sf_dir):
+    """Hash split: ~90/5/5 proportions, and membership is a pure function
+    of (salt, id) — re-running or re-partitioning never moves a document."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        hash_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert s1 == s2
+    n = len(s1)
+    frac_train = sum(v == "train" for v in s1.values()) / n
+    assert 0.8 < frac_train < 0.97

@@ -336,17 +336,32 @@ def ivf_ann_topk(
     assign1 = _cell_assign_udf(centroids, 1)
     assignp = _cell_assign_udf(centroids, nprobe)
 
+    # Each base vector lives in exactly ONE cell and a query's probed cells
+    # are distinct, so the cell join yields each (query, neighbor) pair at
+    # most once — no dedup needed. That lets the base side carry its vector
+    # + norm through the broadcast join and score inline: one scan of the
+    # corpus, no shuffle until the per-query top-k ranking. (The LSH paths
+    # can't do this: multi-table bucketing duplicates pairs, so they dedup
+    # id-only candidates first and re-join vectors after.)
     b = base.select(
         F.col(base_id).alias("neighbor_id"),
-        F.element_at(assign1(_as_double(F.col(base_vec))), 1).alias("cell"),
+        _as_double(F.col(base_vec)).alias("__bv"),
+    ).withColumn("__bn", l2_norm(F.col("__bv"))).withColumn(
+        "cell", F.element_at(assign1(F.col("__bv")), 1)
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
-        F.explode(assignp(_as_double(F.col(query_vec)))).alias("cell"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv"))).withColumn(
+        "cell", F.explode(assignp(F.col("__qv")))
     )
-    cand = b.join(F.broadcast(q), on="cell").select("query_id", "neighbor_id")
-    scored = _score_candidates(
-        cand, base, queries, base_id, base_vec, query_id, query_vec
+    scored = b.join(F.broadcast(q), on="cell").withColumn(
+        "cosine_sim",
+        F.round(
+            _pairwise_dot(F.col("__bv"), F.col("__qv"))
+            / (F.col("__bn") * F.col("__qn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

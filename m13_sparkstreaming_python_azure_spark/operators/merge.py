@@ -1,0 +1,64 @@
+"""MERGE / upsert semantics on plain DataFrames.
+
+Spark SQL only ships ``MERGE INTO`` for catalogs with row-level-operation
+support (Delta/Iceberg); on raw parquet the idiomatic equivalent is a
+keyed full-outer join that prefers the source side. This module provides
+that as a reusable operator.
+
+Scale notes: the join shuffles both sides on the merge keys — at 100 TB
+bucket the target table by the keys (sources/bucketing.py) so only the
+(usually small) source side shuffles. For persisting the result, pair
+with dynamic partition overwrite (``spark.sql.sources.partitionOverwriteMode
+=dynamic``) so only partitions containing touched keys are rewritten,
+not the whole table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    with_action: bool = False,
+) -> DataFrame:
+    """MERGE: source rows update key-matched target rows (all non-key
+    columns taken from source), unmatched source rows are inserted,
+    untouched target rows pass through. Both sides must share a schema.
+
+    ``with_action`` appends an ``action`` column (update/insert/keep) —
+    the audit trail a CDC pipeline wants."""
+    if sorted(target.columns) != sorted(source.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(target.columns)} vs {sorted(source.columns)}"
+        )
+    # explicit presence markers: NULL-key rows must not masquerade as
+    # "absent" (the join is null-safe on keys)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+    s_present = F.col("s.__s_present").isNotNull()
+    matched = s_present & F.col("t.__t_present").isNotNull()
+    # row-presence test, not per-column coalesce: a source row whose
+    # non-key column is legitimately NULL must still overwrite the target
+    cols = [
+        F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    if with_action:
+        cols.append(
+            F.when(matched, F.lit("update"))
+            .when(F.col("t.__t_present").isNull(), F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias("action")
+        )
+    return joined.select(*cols)

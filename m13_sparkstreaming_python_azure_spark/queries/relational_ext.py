@@ -228,6 +228,32 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (CDC apply step): a simulated change feed — price
+    corrections for keys ≡ 0-4 (mod 100), brand-new orders for keys ≡ 5 —
+    merged into orders. Updates replace the full row, inserts append,
+    untouched rows pass through, tagged with the action taken."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 100 < 5).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 100 == 5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = merge_upsert(
+        orders, updates.unionByName(inserts), ["o_orderkey"], with_action=True
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "action")
+
+
 EXT_QUERIES = {
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
@@ -238,6 +264,7 @@ EXT_QUERIES = {
     "array_functions": q_array_functions,
     "json_functions": q_json_functions,
     "embedding_pairs_exact": q_embedding_pairs_exact,
+    "merge_orders_upsert": q_merge_orders_upsert,
 }
 
 EXT_ORACLES = {
@@ -336,6 +363,30 @@ EXT_ORACLES = {
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
         FROM events
         GROUP BY event_type
+    """,
+    "merge_orders_upsert": """
+        WITH t AS (
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+        ), src AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   round(o_totalprice * 1.1, 2) AS o_totalprice
+            FROM t WHERE o_orderkey % 100 < 5
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'N', o_totalprice
+            FROM t WHERE o_orderkey % 100 = 5
+        )
+        SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                    ELSE t.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                         THEN 'update'
+                    WHEN t.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'keep' END AS action
+        FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
     """,
     "embedding_pairs_exact": """
         WITH e AS (

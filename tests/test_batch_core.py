@@ -132,3 +132,27 @@ def test_weather_aggregate_shape(spark, sf_dir):
     assert len(rows) <= 10
     # one row per city, sorted by peak distinct hotels
     assert len({r.city for r in rows}) == len(rows)
+
+
+def test_merge_upsert_null_semantics(spark):
+    """A source row with a NULL non-key column must still overwrite the
+    matched target row; NULL-key rows merge null-safely instead of being
+    treated as unmatched."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nullkey-t")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, None), (3, "new"), (None, "nullkey-s")], "k int, v string"
+    )
+    out = {
+        (r["k"], r["v"], r["action"])
+        for r in merge_upsert(target, source, ["k"], with_action=True).collect()
+    }
+    assert out == {
+        (1, None, "update"),      # NULL v from source wins
+        (2, "b", "keep"),
+        (3, "new", "insert"),
+        (None, "nullkey-s", "update"),  # null-safe key match
+    }

@@ -177,6 +177,52 @@ def running_totals_with_state(
     )
 
 
+def running_totals_transform_with_state(
+    stream: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Same running-totals contract as ``running_totals_with_state`` on the
+    Spark 4 ``transformWithStateInPandas`` API — the successor to
+    ``applyInPandasWithState``: named state variables (value/list/map) on a
+    handle instead of one state tuple, plus timers and TTL. New pipelines
+    should prefer this; the older operator stays for parity.
+
+    Runtime dependency: the transformWithState protocol speaks protobuf
+    between the JVM and the Python state server — environments without
+    ``google.protobuf`` fail at stream start (tests skip there and the
+    applyInPandasWithState twin is the covered path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            batch_rows = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + batch_rows
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [total],
+                    "batch_rows": [batch_rows],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def rocksdb_state_conf() -> dict[str, str]:
     """Session conf enabling the RocksDB state store provider (§2.9 T4
     scale redesign; the reference ran the default HDFS-backed heap store).

@@ -206,3 +206,32 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_transform_with_state_accumulates(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (the Spark 4 stateful API) accumulates
+    per-key totals across micro-batches to the batch ground truth, same
+    contract as the applyInPandasWithState operator."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf for its state protocol",
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        running_totals_transform_with_state,
+    )
+
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    totals = running_totals_transform_with_state(stream)
+    _run_to_memory("tws_sink", totals, output_mode="update")
+    sink = spark.table("tws_sink")
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+        .collect()
+    )
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = {r["user_id"]: r["n_events_total"] for r in final}
+    assert got == want

@@ -122,6 +122,7 @@ def _bucketed(
     vec_col: str,
     out_id: str,
     planes: list[list[list[float]]],
+    keep_vec: bool = False,
 ) -> DataFrame:
     """One row per (vector, table) with the table's sign-pattern bucket.
 
@@ -147,6 +148,16 @@ def _bucketed(
     d = df.select(
         F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias("__v")
     )
+    if keep_vec:
+        # ``keep_vec`` is for sides that stay map-side (broadcast joins):
+        # carrying the vector through a shuffle would multiply shuffle
+        # bytes by the table count — use id-only + re-join there instead.
+        return d.select(
+            out_id,
+            "__v",
+            l2_norm(F.col("__v")).alias("__norm"),
+            F.posexplode(_buckets(F.col("__v"))).alias("table", "bucket"),
+        )
     return d.select(
         out_id, F.posexplode(_buckets(F.col("__v"))).alias("table", "bucket")
     )
@@ -239,12 +250,41 @@ def lsh_ann_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: LSH candidate generation + exact cosine
-    re-rank within candidates."""
-    cand = lsh_candidates(
-        base, queries, base_id, base_vec, query_id, query_vec, dim, bits, tables, seed
+    re-rank within candidates.
+
+    The query side is small and broadcast, so the base side stays map-side
+    end-to-end: both sides carry their vectors through the bucket join and
+    score inline, and only (query_id, neighbor_id, score) triples — not
+    vectors — reach a shuffle (the multi-table duplicate dedup, which is
+    exact because duplicates share one rounded score). Compare
+    ``embedding_near_dup_pairs``: its corpus-sized "query" side must
+    shuffle, so carrying vectors would multiply shuffle bytes by the table
+    count — it dedups id-only candidates and re-joins vectors instead."""
+    planes = random_hyperplanes(dim, bits, tables, seed)
+    b = _bucketed(
+        spread(base), base_id, base_vec, "neighbor_id", planes, keep_vec=True
     )
-    scored = _score_candidates(
-        cand, base, queries, base_id, base_vec, query_id, query_vec
+    q = _bucketed(
+        queries, query_id, query_vec, "query_id", planes, keep_vec=True
+    ).select(
+        "query_id",
+        F.col("__v").alias("__qv"),
+        F.col("__norm").alias("__qn"),
+        "table",
+        "bucket",
+    )
+    scored = (
+        b.join(F.broadcast(q), on=["table", "bucket"])
+        .withColumn(
+            "__sim",
+            F.round(
+                _pairwise_dot(F.col("__v"), F.col("__qv"))
+                / (F.col("__norm") * F.col("__qn")),
+                6,
+            ),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("__sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -136,3 +136,37 @@ def test_geohash_rejoin_reproduces_sample_pairs(sample_df):
     missing = orig.exceptAll(rejoined).count()
     assert missing == 0
     assert rejoined.count() >= orig.count()
+
+
+def test_geohash_encode_reproduces_sample_column(sample_df):
+    """geohash_encode(latitude, longitude, 4) must reproduce the sample's
+    shipped geoHash column on every one of its 13,330 rows — i.e. our
+    encoder IS the function that produced the reference's join key."""
+    from m13_sparkstreaming_python_azure_spark.operators.geo import with_geohash
+
+    enc = with_geohash(
+        sample_df.select("latitude", "longitude", "geoHash"),
+        out_col="gh_computed",
+    )
+    mismatches = enc.filter(F.col("gh_computed") != F.col("geoHash")).count()
+    assert mismatches == 0
+
+
+def test_geohash_known_values(spark):
+    """Spot-check the encoder against publicly known geohash values."""
+    from m13_sparkstreaming_python_azure_spark.operators.geo import geohash_encode
+
+    df = spark.createDataFrame(
+        [
+            (48.8583, 2.2945, "u09tunq"),   # Eiffel Tower
+            (40.689247, -74.044502, "dr5r7p"),  # Statue of Liberty
+            (-33.856784, 151.215297, "r3gx2ux"),  # Sydney Opera House
+            (0.0, 0.0, "s0000"),
+        ],
+        "lat double, lon double, expected string",
+    )
+    rows = df.withColumn(
+        "gh", geohash_encode("lat", "lon", 5)
+    ).collect()
+    for r in rows:
+        assert r["gh"] == r["expected"][:5], (r["expected"], r["gh"])

@@ -40,9 +40,19 @@ def events_daily(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
         if approx
         else F.countDistinct("user_id")
     )
+    # Cross-engine float discipline, two layers:
+    # 1. sum as decimal(18,6) — exact and fold-order independent, where a
+    #    double sum can land either side of a rounding boundary depending
+    #    on partial-sum order;
+    # 2. round the avg as floor(x*1e4 + 0.5)/1e4 instead of engine round()
+    #    — the quotient routinely hits exact 4-decimal halves (decimal sum
+    #    ÷ count), where Spark (BigDecimal HALF_UP) and C-library rounding
+    #    disagree; floor over identical IEEE doubles cannot.
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)"))
+    quotient = F.round(dec_sum, 2).cast("double") / F.count("value")
     return events.groupBy("event_type", "event_date").agg(
         distinct_expr.alias("distinct_users"),
-        F.round(F.round(F.sum("value"), 2) / F.count("value"), 4).alias("avg_value"),
+        (F.floor(quotient * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.min("value"), 4).alias("min_value"),
     )
@@ -471,7 +481,9 @@ _EVENTS_DAILY_SQL = """
             SELECT event_type,
                    strftime(ts, '%Y-%m-%d') AS event_date,
                    count(DISTINCT user_id) AS distinct_users,
-                   round(round(sum(value), 2) / count(value), 4) AS avg_value,
+                   floor(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+                              AS DOUBLE) / count(value) * 10000 + 0.5)
+                       / 10000 AS avg_value,
                    round(max(value), 4) AS max_value,
                    round(min(value), 4) AS min_value
             FROM events

@@ -391,6 +391,20 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the one-pass mergeable-sketch percentile path
+    (KLL-style) that replaces exact percentiles at 100 TB: partials merge
+    map-side like any aggregate instead of sorting each group. Estimates
+    are engine-specific → rows-only driver check; tests bound the error
+    vs q_value_percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+
+
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev/variance + min/max spread per group (moment
     aggregates; single shuffle, partial-merge like sum/avg)."""
@@ -473,6 +487,7 @@ CORE_QUERIES = {
     "session_windows": q_session_windows,
     "distinct_users_sketch_rollup": q_distinct_users_sketch_rollup,
     "value_percentiles": q_value_percentiles,
+    "value_percentiles_approx": q_value_percentiles_approx,
     "stats_moments": q_stats_moments,
     "streaming_daily_stats": q_streaming_daily_stats,
 }

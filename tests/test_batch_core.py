@@ -156,3 +156,26 @@ def test_merge_upsert_null_semantics(spark):
         (3, "new", "insert"),
         (None, "nullkey-s", "update"),  # null-safe key match
     }
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """percentile_approx guarantees RANK error (<= 1/accuracy), not value
+    error — in a distribution's tail, tiny rank errors can be large value
+    gaps. Assert the rank of each approximate answer."""
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.queries.core import (
+        q_value_percentiles_approx,
+    )
+
+    approx = {
+        r["event_type"]: r for r in q_value_percentiles_approx(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    for et, a in approx.items():
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == et).collect()
+        )
+        n = len(vals)
+        for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = sum(v <= a[q] for v in vals) / n
+            assert abs(rank - target) < 0.02, (et, q, a[q], rank)

@@ -4,6 +4,8 @@ dedup-key property, simhash sanity."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -169,3 +171,31 @@ def test_hash_split_proportions_and_stability(spark, sf_dir):
     n = len(s1)
     frac_train = sum(v == "train" for v in s1.values()) / n
     assert 0.8 < frac_train < 0.97
+
+
+def test_training_data_pipeline_example(spark, sf_dir, tmp_path):
+    """The end-to-end curation example runs and each stage only shrinks
+    the corpus; output is hive-partitioned by split with all three splits
+    readable."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "training_data_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "training_data_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "train_out")
+    stats = mod.run(spark, sf_dir, out)
+    assert stats["quality_kept"] <= stats["raw_docs"]
+    assert stats["after_exact_dedup"] <= stats["quality_kept"]
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"]
+    assert stats["chunks_written"] > 0
+    assert 0 < stats["train_chunks"] < stats["chunks_written"]
+    splits = {
+        r["split"]
+        for r in spark.read.parquet(out).select("split").distinct().collect()
+    }
+    assert splits == {"train", "val", "test"}

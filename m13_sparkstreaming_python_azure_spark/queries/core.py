@@ -417,6 +417,18 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (hypertable-rollup class): dense hourly
+    spine per event_type with zero-filled empty buckets and forward-filled
+    last bucket sum."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev, "event_type", "ts", "value")
+
+
 def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REFERENCE'S ACTUAL SHAPE under the oracle gate: events replayed
     as a file-arrival stream (upload.py:80-106 pattern), consumed by the
@@ -489,6 +501,7 @@ CORE_QUERIES = {
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
     "stats_moments": q_stats_moments,
+    "hourly_gap_fill": q_hourly_gap_fill,
     "streaming_daily_stats": q_streaming_daily_stats,
 }
 
@@ -700,6 +713,32 @@ CORE_ORACLES = {
                count(*) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "hourly_gap_fill": """
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(min(bucket_start), max(bucket_start),
+                                          INTERVAL 1 HOUR)) AS bucket_start
+            FROM b GROUP BY event_type
+        )
+        SELECT s.event_type,
+               strftime(s.bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               coalesce(b.n_events, 0) AS n_events,
+               coalesce(b.sum_value, 0.0) AS sum_value,
+               last_value(b.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket_start
+                   ROWS UNBOUNDED PRECEDING
+               ) AS ffill_sum
+        FROM spine s
+        LEFT JOIN b ON b.event_type = s.event_type
+                   AND b.bucket_start = s.bucket_start
     """,
     "streaming_daily_stats": """
         SELECT event_type,

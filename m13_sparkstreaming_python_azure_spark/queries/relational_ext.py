@@ -228,6 +228,39 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map-type class: construct, probe, and measure map columns.
+    Only extracted scalars are emitted — raw map columns don't hash
+    portably across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.size(m).alias("m_size"),
+        F.element_at(m, F.lit("status")).alias("status_from_map"),
+        F.element_at(m, F.lit("priority")).alias("priority_from_map"),
+        F.map_contains_key(m, F.lit("status")).cast("int").alias("has_status"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
+    a fixed seed — the downsampling/rebalancing step of corpus curation.
+    Sampling is engine-specific → rows-only driver check; tests assert
+    determinism and per-stratum proportions."""
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.sampleBy(
+        "event_type",
+        {"click": 0.1, "view": 0.2, "purchase": 1.0, "error": 1.0, "signup": 0.5},
+        seed=42,
+    )
+    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 def q_merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert (CDC apply step): a simulated change feed — price
     corrections for keys ≡ 0-4 (mod 100), brand-new orders for keys ≡ 5 —
@@ -265,6 +298,8 @@ EXT_QUERIES = {
     "json_functions": q_json_functions,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "merge_orders_upsert": q_merge_orders_upsert,
+    "map_functions": q_map_functions,
+    "stratified_sample": q_stratified_sample,
 }
 
 EXT_ORACLES = {
@@ -363,6 +398,21 @@ EXT_ORACLES = {
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
         FROM events
         GROUP BY event_type
+    """,
+    "map_functions": """
+        SELECT o_orderkey,
+               CAST(cardinality(m) AS INTEGER) AS m_size,
+               m['status'][1] AS status_from_map,
+               m['priority'][1] AS priority_from_map,
+               CAST(list_contains(map_keys(m), 'status') AS INTEGER)
+                   AS has_status,
+               array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+        FROM (
+            SELECT o_orderkey,
+                   map(['status', 'priority'],
+                       [o_orderstatus, o_orderpriority]) AS m
+            FROM orders
+        )
     """,
     "merge_orders_upsert": """
         WITH t AS (

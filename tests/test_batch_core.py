@@ -179,3 +179,29 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             rank = sum(v <= a[q] for v in vals) / n
             assert abs(rank - target) < 0.02, (et, q, a[q], rank)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    """sampleBy with a fixed seed: identical across runs, and per-stratum
+    counts near the requested fractions."""
+    from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
+        q_stratified_sample,
+    )
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    a = {r["event_type"]: r["n_sampled"] for r in q_stratified_sample(spark, sf_dir).collect()}
+    b = {r["event_type"]: r["n_sampled"] for r in q_stratified_sample(spark, sf_dir).collect()}
+    assert a == b
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fracs = {"click": 0.1, "view": 0.2, "purchase": 1.0, "error": 1.0, "signup": 0.5}
+    for et, frac in fracs.items():
+        got = a.get(et, 0) / totals[et]
+        # sf0.001 strata are ~200 rows; 3-sigma binomial noise at
+        # p=0.5 is ~0.11 — the bound checks stratum targeting, not variance
+        assert abs(got - frac) < 0.15, (et, got, frac)

@@ -141,3 +141,47 @@ def write_foreach_batch_parquet(
         .foreachBatch(_write)
         .option("checkpointLocation", checkpoint_location)
     )
+
+
+def write_foreach_batch_merge(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_location: str,
+    keys: list[str],
+):
+    """Streaming CDC apply: each micro-batch MERGEs into a keyed parquet
+    target (update matched keys, insert new ones) via
+    ``operators.merge.merge_upsert`` — the upsert sink Spark reserves for
+    Delta/Iceberg, on plain parquet.
+
+    The target is read+rewritten per batch (write to a tmp dir, then swap
+    — a parquet reader can't overwrite its own input in place). At scale,
+    partition the target by a key prefix and use dynamic partition
+    overwrite so each batch rewrites only touched partitions; checkpoint
+    batch-id dedup makes replays idempotent (merging a batch twice is a
+    no-op)."""
+    import shutil
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.operators.merge import merge_upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # noqa: BLE001 — first batch: no target yet
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        merged = merge_upsert(
+            target, batch_df.select(*target.columns), keys
+        )
+        tmp = tempfile.mkdtemp(prefix="merge-batch-")
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_location)
+    )

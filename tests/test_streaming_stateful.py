@@ -235,3 +235,40 @@ def test_transform_with_state_accumulates(spark, sf_dir, tmp_path):
     }
     got = {r["user_id"]: r["n_events_total"] for r in final}
     assert got == want
+
+
+def test_foreach_batch_merge_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming CDC apply: update-mode aggregate emissions merged into a
+    keyed parquet target per micro-batch; the final target equals the
+    one-shot batch aggregate."""
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        write_foreach_batch_merge,
+    )
+
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    target = str(tmp_path / "merge_target")
+    ckpt = str(tmp_path / "merge_ckpt")
+    q = (
+        write_foreach_batch_merge(agg, target, ckpt, keys=["event_type"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

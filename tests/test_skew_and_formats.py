@@ -87,3 +87,32 @@ def test_format_roundtrips(spark, sf_dir, tmp_path):
             back = reader(spark, path, nation.schema)
         got = sorted(tuple(r) for r in back.collect())
         assert got == want, name
+
+
+def test_python_datasource_synthetic_docs(spark):
+    """The custom Python DataSource plans one partition per slice, rows are
+    a pure function of (seed, doc_id) independent of partition count, and
+    options flow through."""
+    from m13_sparkstreaming_python_azure_spark.sources.python_datasource import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 200).option("seed", 7).option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.format("synthetic_docs")
+        .option("n_docs", 200).option("seed", 7).option("partitions", 3)
+        .load()
+        .collect()
+    )
+    assert a == b
+    row = dict(zip(["doc_id", "text", "n_tokens"], a[0]))
+    assert row["n_tokens"] == len(row["text"].split())

@@ -454,7 +454,12 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dir like the reference's, without the per-day driver loop (that
     # arrival cadence is exercised by the replay-harness tests)
     root = tempfile.mkdtemp(prefix="stream-daily-")
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(root)
+    # repartition by the partition column first: one file per day instead
+    # of (shuffle partitions × days) tiny files — fewer files to list and
+    # fewer micro-batch tasks on the streaming side
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(root)
     schema = spark.read.parquet(root).schema
 
     def transform(stream: DataFrame) -> DataFrame:

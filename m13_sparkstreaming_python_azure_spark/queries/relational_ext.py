@@ -261,6 +261,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def q_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into the
+    binary variant encoding, then typed variant_get extraction — unlike
+    get_json_object (re-parse per access), a variant column parses once
+    and serves any number of typed probes; the 100 TB default for JSON
+    event payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.variant_get(v, "$.missing", "string").alias("k_missing"),
+        F.schema_of_variant(v).alias("v_schema"),
+    )
+
+
 def q_merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert (CDC apply step): a simulated change feed — price
     corrections for keys ≡ 0-4 (mod 100), brand-new orders for keys ≡ 5 —
@@ -299,6 +315,7 @@ EXT_QUERIES = {
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "merge_orders_upsert": q_merge_orders_upsert,
     "map_functions": q_map_functions,
+    "variant_functions": q_variant_functions,
     "stratified_sample": q_stratified_sample,
 }
 
@@ -398,6 +415,13 @@ EXT_ORACLES = {
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
         FROM events
         GROUP BY event_type
+    """,
+    "variant_functions": """
+        SELECT event_id,
+               CAST(props->>'$.k' AS BIGINT) AS k_typed,
+               CAST(NULL AS VARCHAR) AS k_missing,
+               'OBJECT<k: BIGINT>' AS v_schema
+        FROM events
     """,
     "map_functions": """
         SELECT o_orderkey,

@@ -1,0 +1,108 @@
+"""Connected components over candidate-pair edges — the clustering step
+between near-dup PAIR generation (dedup.py / similarity.py) and survivor
+selection: pairs only say "a duplicates b"; components say "these N docs
+are all one duplicate group", including links implied by transitivity.
+
+Algorithm: min-label propagation with pointer jumping. Each round every
+node takes the min label over (its own, its neighbors', its label's
+label). Edge relaxation alone needs diameter rounds (a length-L chain
+takes L); the pointer-jump term halves label-tree depth every round, so
+convergence is O(log n) rounds — the property that makes the loop viable
+on billion-node dup graphs. Each round is two shuffles (edge join + label
+join) and the iterate is localCheckpoint'ed to truncate lineage.
+
+Spark has no built-in CC (GraphX is RDD/Scala-only); this is the
+DataFrame-native equivalent of the MapReduce min-label algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    ``component`` is the minimum node id reachable through any pair chain.
+
+    Driver-side loop with a convergence check per round — iteration count
+    is O(log n), independent of data volume per round."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    # undirected: keep both orientations so one join relaxes every edge
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("u").alias("id"), "nmin")
+        )
+        lbl2 = labels.select(
+            F.col("id").alias("l_id"), F.col("label").alias("l_label")
+        )
+        jumped = labels.join(
+            lbl2, labels.label == lbl2.l_id, "left"
+        ).select("id", "label", F.col("l_label").alias("jmin"))
+        new_labels = (
+            jumped.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    "label",
+                    F.coalesce("jmin", "label"),
+                    F.coalesce("nmin", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Full survivor map: every id in ``all_ids`` labeled with its duplicate
+    component (singletons label themselves); ``is_survivor`` marks the
+    component minimum — the canonical keep-one-per-cluster policy."""
+    comp = connected_components(pairs, pair_a, pair_b)
+    out = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comp, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_survivor", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    )

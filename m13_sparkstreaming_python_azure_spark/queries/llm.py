@@ -115,6 +115,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-to-cluster step of dedup: documents tripled (two duplicate
+    echoes per doc), pair edges generated CHAIN-ONLY per text group (a-b,
+    b-c but never a-c) so the operator must recover the full component by
+    transitivity, then connected components + survivor selection. Oracle:
+    clusters are exactly the text groups (min doc_id wins)."""
+    from pyspark.sql import Window
+
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tripled = (
+        docs.unionByName(docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    chain = (
+        tripled.select("doc_id", F.lag("doc_id").over(w).alias("prev_id"))
+        .filter(F.col("prev_id").isNotNull())
+        .select(F.col("prev_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dedup_clusters(chain, tripled, "doc_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-prep chunking: 50-token chunks every 40 tokens (10-token
     overlap), pure sequence/slice/explode — no shuffle, no Python."""
@@ -234,6 +260,7 @@ LLM_QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "ann_bruteforce": q_ann_bruteforce,
@@ -365,6 +392,18 @@ LLM_ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.2
+    """,
+    "near_dup_clusters": """
+        WITH d AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 100000, text FROM documents
+            UNION ALL SELECT doc_id + 200000, text FROM documents
+        )
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+               CAST(doc_id = min(doc_id) OVER (PARTITION BY text)
+                    AS INTEGER) AS is_survivor
+        FROM d
     """,
     "chunk_documents": f"""
         WITH toks AS (

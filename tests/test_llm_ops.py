@@ -199,3 +199,39 @@ def test_training_data_pipeline_example(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).select("split").distinct().collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+def test_connected_components_path_graph(spark):
+    """A 200-node path must collapse to one component within the default
+    round budget — pointer jumping gives O(log n) rounds where plain edge
+    relaxation would need 200."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    labels = {r["component"] for r in comp.collect()}
+    assert labels == {0}
+    assert comp.count() == 200
+
+
+def test_connected_components_disjoint(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["component"]) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

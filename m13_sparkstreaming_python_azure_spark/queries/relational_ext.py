@@ -261,6 +261,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long, the inverse reshape of pivot): order
+    numeric columns to (key, metric, value) rows — an Expand node, one
+    pass, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_collect_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set/collect_list aggregate class: per event_type, the sorted
+    distinct user-id residues as one string (arrays are order-normalized
+    before comparison — collection aggregates have no inherent order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.array_join(
+            F.array_sort(F.collect_set((F.col("user_id") % 10).cast("long"))), ","
+        ).alias("user_residues"),
+        F.size(F.collect_set("user_id")).alias("n_distinct_users"),
+        F.size(F.collect_list("user_id")).alias("n_rows"),
+    )
+
+
 def q_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured VARIANT path (Spark 4): parse_json once into the
     binary variant encoding, then typed variant_get extraction — unlike
@@ -315,6 +346,8 @@ EXT_QUERIES = {
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "merge_orders_upsert": q_merge_orders_upsert,
     "map_functions": q_map_functions,
+    "unpivot_order_metrics": q_unpivot_order_metrics,
+    "collect_aggregates": q_collect_aggregates,
     "variant_functions": q_variant_functions,
     "stratified_sample": q_stratified_sample,
 }
@@ -413,6 +446,21 @@ EXT_ORACLES = {
                min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
                max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
+        FROM events
+        GROUP BY event_type
+    """,
+    "unpivot_order_metrics": """
+        SELECT o_orderkey, 'totalprice' AS metric,
+               round(o_totalprice, 2) AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    """,
+    "collect_aggregates": """
+        SELECT event_type,
+               array_to_string(list_sort(list(DISTINCT user_id % 10)), ',')
+                   AS user_residues,
+               CAST(count(DISTINCT user_id) AS INTEGER) AS n_distinct_users,
+               CAST(count(user_id) AS INTEGER) AS n_rows
         FROM events
         GROUP BY event_type
     """,

@@ -115,6 +115,30 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (SURVEY §2.10 — the
+    UDAF surface): value-weighted mean event value per type, one Arrow
+    batch per group. numpy's pairwise summation orders floats differently
+    from any SQL engine, so this is rows-only at the gate; tests pin it to
+    the JVM-expression equivalent within float tolerance. Prefer JVM
+    expressions when they exist — this is the escape hatch for aggregates
+    they can't express."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_mean(v: pd.Series, w: pd.Series):
+        den = w.sum()
+        return float((v * w).sum() / den) if den else float("nan")
+
+    ev = load_table(spark, sf_dir, "events")
+    # note: a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — single-UDF aggregate
+    return ev.groupBy("event_type").agg(
+        weighted_mean(F.col("value"), F.abs(F.col("value"))).alias("wmean"),
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-to-cluster step of dedup: documents tripled (two duplicate
     echoes per doc), pair edges generated CHAIN-ONLY per text group (a-b,
@@ -260,6 +284,7 @@ LLM_QUERIES = {
     "minhash_dedup_pairs": q_minhash_dedup_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "udaf_weighted_stats": q_udaf_weighted_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,

@@ -235,3 +235,25 @@ def test_connected_components_disjoint(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_udaf_weighted_mean_matches_jvm_expression(spark, sf_dir):
+    """The pandas GROUPED_AGG UDAF equals the JVM sum(v*w)/sum(w) within
+    float tolerance (numpy pairwise summation != JVM fold order)."""
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_udaf_weighted_stats,
+    )
+
+    got = {r["event_type"]: r["wmean"] for r in q_udaf_weighted_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: r["wmean"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            (F.sum(F.col("value") * F.abs("value")) / F.sum(F.abs("value"))).alias("wmean")
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k])), k

@@ -77,17 +77,19 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join (SURVEY §2.3 GAP): for each left row, the latest right row
-    with ``right_ts <= left_ts`` (backward) per key — without a UDF.
+    """As-of join (SURVEY §2.3 GAP): per left row and key, the latest right
+    row with ``right_ts <= left_ts`` (backward, the default) or the
+    earliest with ``right_ts >= left_ts`` (forward) — without a UDF.
 
     Implementation: union-tag-sort-window. Both sides are unioned on the key
-    + a shared timestamp axis; ``last(right value, ignorenulls)`` over a
-    per-key window ordered by (ts, side) carries the most recent right row
-    forward onto each left row. One shuffle on the key — same cost as a
+    + a shared timestamp axis; ``last(right value, ignorenulls)`` (backward)
+    or ``first`` over the mirrored frame (forward) carries the adjacent
+    right row onto each left row. Side tags order equal-timestamp rows so
+    ties match in both directions. One shuffle on the key — same cost as a
     sort-merge join, no N×M range explosion.
     """
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     # join-on-null must not match (equi-join semantics; the union-window
     # trick would otherwise pool all null-key rows into one partition and
@@ -97,37 +99,47 @@ def asof_join(
     lcols = [c for c in left.columns if c not in on]
     rcols = [c for c in right.columns if c not in on and c != right_ts]
 
+    # equal-ts rule: the right row must sort on the "matching" side of the
+    # left row — before it for backward (last picks it up), after it for
+    # forward (first picks it up)
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in rcols],
     )
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = lambda c: F.last(F.col(c), ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = lambda c: F.first(F.col(c), ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.select(
         *on,
         "__ts",
         "__side",
         *lcols,
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in rcols
-        ],
+        *[carry(f"__r_{c}").alias(f"__r_{c}") for c in rcols],
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == F.lit(l_side)).select(
         *on,
         F.col("__ts").alias(left_ts),
         *lcols,

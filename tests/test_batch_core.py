@@ -205,3 +205,31 @@ def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
         # sf0.001 strata are ~200 rows; 3-sigma binomial noise at
         # p=0.5 is ~0.11 — the bound checks stratum targeting, not variance
         assert abs(got - frac) < 0.15, (et, got, frac)
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after each left timestamp,
+    equal timestamps matching; keys never cross."""
+    from m13_sparkstreaming_python_azure_spark.operators.join import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 25, "l2"), (2, 5, "l3"), (2, 99, "l4")],
+        "k int, ts int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 20, "r20"), (1, 30, "r30"), (2, 7, "r7")],
+        "k int, rts int, rv string",
+    )
+    got = {
+        (r["k"], r["ts"]): r["rv"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    assert got == {
+        (1, 10): "r10",   # equal ts matches
+        (1, 25): "r30",
+        (2, 5): "r7",
+        (2, 99): None,    # nothing after
+    }

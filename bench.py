@@ -51,6 +51,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # normalization aids: the suite grows as coverage widens,
+                # so total wall-clock alone inflates round over round
+                "n_queries": len(timings),
+                "sec_per_query": round(total / max(len(timings), 1), 3),
             }
         )
     )

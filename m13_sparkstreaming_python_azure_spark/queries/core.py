@@ -417,6 +417,29 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2): value
+    trended against event time per type — single-pass co-moment
+    aggregates, partial-mergeable like sum/avg. Time axis is hours since
+    2024-01-01 to keep magnitudes sane; floor-rounding at 1e-6 (the
+    core.py float rule) keeps both engines' co-moment folds hash-equal."""
+    ev = load_table(spark, sf_dir, "events")
+    x = "(unix_timestamp(ts) - 1704067200) / 3600.0"
+
+    # rounding granularity tracks magnitude: co-moment folds differ across
+    # engines by ~1e-7 RELATIVE, so the unit-scale slope/r2 take 1e-6 but
+    # the ~50-scale intercept only survives hashing at 1e-4
+    def fl(expr: str, scale: float):
+        return F.floor(F.expr(expr) * scale + F.lit(0.5)) / scale
+
+    return ev.groupBy("event_type").agg(
+        fl(f"regr_slope(value, {x})", 1e6).alias("slope"),
+        fl(f"regr_intercept(value, {x})", 1e4).alias("intercept"),
+        fl(f"regr_r2(value, {x})", 1e6).alias("r2"),
+        F.expr(f"regr_count(value, {x})").alias("n"),
+    )
+
+
 def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization (hypertable-rollup class): dense hourly
     spine per event_type with zero-filled empty buckets and forward-filled
@@ -506,6 +529,7 @@ CORE_QUERIES = {
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
     "stats_moments": q_stats_moments,
+    "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
     "streaming_daily_stats": q_streaming_daily_stats,
 }
@@ -716,6 +740,19 @@ CORE_ORACLES = {
                round(var_samp(value), 4) AS var_value,
                round(max(value) - min(value), 4) AS value_range,
                count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "regression_stats": """
+        SELECT event_type,
+               floor(regr_slope(value, (epoch(ts) - 1704067200) / 3600.0)
+                     * 1e6 + 0.5) / 1e6 AS slope,
+               floor(regr_intercept(value, (epoch(ts) - 1704067200) / 3600.0)
+                     * 1e4 + 0.5) / 1e4 AS intercept,
+               floor(regr_r2(value, (epoch(ts) - 1704067200) / 3600.0)
+                     * 1e6 + 0.5) / 1e6 AS r2,
+               CAST(regr_count(value, (epoch(ts) - 1704067200) / 3600.0)
+                    AS BIGINT) AS n
         FROM events
         GROUP BY event_type
     """,

@@ -261,6 +261,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def q_misc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean/arg-extremum aggregate class: count_if,
+    bool_and/bool_or, min_by/max_by (arg-extrema are safe here — synthetic
+    double prices make exact ties improbable), plus null-handling scalars
+    (nullif/coalesce) feeding an aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int").alias("any_huge"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.count(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))).alias(
+            "n_not_low"
+        ),
+    )
+
+
 def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (wide→long, the inverse reshape of pivot): order
     numeric columns to (key, metric, value) rows — an Expand node, one
@@ -346,6 +364,7 @@ EXT_QUERIES = {
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "merge_orders_upsert": q_merge_orders_upsert,
     "map_functions": q_map_functions,
+    "misc_aggregates": q_misc_aggregates,
     "unpivot_order_metrics": q_unpivot_order_metrics,
     "collect_aggregates": q_collect_aggregates,
     "variant_functions": q_variant_functions,
@@ -448,6 +467,17 @@ EXT_ORACLES = {
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
         FROM events
         GROUP BY event_type
+    """,
+    "misc_aggregates": """
+        SELECT o_orderstatus,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               CAST(bool_and(o_totalprice > 0) AS INTEGER) AS all_positive,
+               CAST(bool_or(o_totalprice > 400000) AS INTEGER) AS any_huge,
+               arg_max(o_orderkey, o_totalprice) AS priciest_order,
+               arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+               count(nullif(o_orderpriority, '5-LOW')) AS n_not_low
+        FROM orders
+        GROUP BY o_orderstatus
     """,
     "unpivot_order_metrics": """
         SELECT o_orderkey, 'totalprice' AS metric,

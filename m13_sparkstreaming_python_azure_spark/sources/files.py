@@ -48,3 +48,33 @@ def write_partitioned(
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "zstd",
+    max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Size- and layout-tuned parquet write — the knobs that matter at
+    100 TB:
+
+    - ``codec``: zstd ≈ gzip-level ratio at snappy-level read speed — the
+      modern default for large archival/scan tables (snappy remains fine
+      for hot intermediate data).
+    - ``max_records_per_file`` caps file size so single files never exceed
+      a task's comfortable input (~128-512 MB); without it, coalesced
+      writers can emit multi-GB files that serialize downstream scans.
+    - ``sort_within_partitions``: clustering columns sorted per file give
+      parquet min/max row-group statistics real pruning power — a scan
+      with a filter on the sort key skips whole row groups (poor man's
+      Z-order for the single-column case).
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode).option("compression", codec)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

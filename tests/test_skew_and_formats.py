@@ -3,6 +3,8 @@ format wrappers."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -116,3 +118,33 @@ def test_python_datasource_synthetic_docs(spark):
     assert a == b
     row = dict(zip(["doc_id", "text", "n_tokens"], a[0]))
     assert row["n_tokens"] == len(row["text"].split())
+
+
+def test_write_parquet_sized_codec_filecount_and_sort(spark, sf_dir, tmp_path):
+    """zstd codec lands in the parquet footers, maxRecordsPerFile bounds
+    file sizes, and sortWithinPartitions orders rows inside each file
+    (what gives row-group stats pruning power)."""
+    import pyarrow.parquet as pq
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.files import (
+        write_parquet_sized,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").repartition(2)
+    out = str(tmp_path / "sized")
+    write_parquet_sized(
+        orders, out, max_records_per_file=500,
+        sort_within_partitions=["o_orderdate"],
+    )
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    n_rows = orders.count()
+    assert len(files) >= n_rows // 500  # the cap actually split files
+    meta = pq.ParquetFile(os.path.join(out, files[0]))
+    assert meta.metadata.row_group(0).column(0).compression.lower() == "zstd"
+    assert meta.metadata.num_rows <= 500
+    back = spark.read.parquet(out)
+    assert back.count() == n_rows
+    # rows inside one file are sorted by the cluster key
+    pdf = meta.read().to_pandas()
+    assert list(pdf["o_orderdate"]) == sorted(pdf["o_orderdate"])

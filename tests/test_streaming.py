@@ -189,3 +189,55 @@ def test_replay_partitions_harness(spark, sf_dir, tmp_path):
     assert dt.datetime(first_day.year, first_day.month, first_day.day) in {
         r.processed_date for r in stamped
     }
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across a stop/restart: run 1 drains the first two day
+    files through an append foreachBatch sink with a checkpoint; more
+    files land; run 2 resumes from the SAME checkpoint and must process
+    only the new files — the union equals the batch result, no row
+    duplicated or lost."""
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    ev = _events_with_date(spark, sf_dir)
+    dates = sorted(r[0] for r in ev.select("event_date").distinct().collect())[:4]
+    ev = ev.filter(F.col("event_date").isin(dates))
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_days(days):
+        for d in days:
+            ev.filter(F.col("event_date") == d).write.mode("overwrite").parquet(
+                os.path.join(src, f"batch={d}")
+            )
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = parquet_file_stream(spark, src, schema)
+
+        def _append(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            stream.select("event_id").writeStream.outputMode("append")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_days(dates[:2])
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == ev.filter(F.col("event_date").isin(dates[:2])).count()
+
+    write_days(dates[2:])
+    run_once()
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    want = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    assert got == want  # every row exactly once across the restart

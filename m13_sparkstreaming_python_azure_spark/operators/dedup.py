@@ -218,10 +218,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # persisted: both verify joins (id_a side, id_b side) consume it, and
+    # recomputation means re-tokenizing the corpus twice. At 100 TB this
+    # spills to local disk (MEMORY_AND_DISK default) — still cheaper than
+    # a second full tokenize pass; production pipelines write shingle/
+    # signature tables out once and join against them.
     shingle_sets = docs.select(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_k).alias("__shingles"),
-    ).filter(F.size("__shingles") > 0)
+    ).filter(F.size("__shingles") > 0).persist()
     return (
         candidates.join(
             shingle_sets.select(
@@ -321,8 +326,14 @@ def simhash_pairs(
     64 bits ⇒ at least one 16-bit chunk is identical), then exact hamming
     verification — never a cross join. Candidates carry ids only; bit
     vectors join back after the pair-distinct (narrow shuffles).
+
+    The signature table is persisted: it feeds the bucketing pass AND both
+    verify joins, and without a persist Spark recomputes the full
+    explode+sum aggregation three times. Signatures are id + 64 ints —
+    tiny relative to the corpus at any scale (production dedup pipelines
+    materialize them as a table outright).
     """
-    docs = _simhash_bits_agg(spread(df), id_col, text_col)
+    docs = _simhash_bits_agg(spread(df), id_col, text_col).persist()
     chunked = docs.select(
         "__id",
         F.explode(

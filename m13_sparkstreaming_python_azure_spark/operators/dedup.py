@@ -408,6 +408,10 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         grams = grams.join(rare, on="gram", how="left_semi")
+    # persisted: the posting list feeds the size aggregate and both sides
+    # of the inverted-index join — without it the tokenize + doc-freq
+    # semi-join reruns three times
+    grams = grams.persist()
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
 
     a = grams.select(F.col("__id").alias("id_a"), "gram")

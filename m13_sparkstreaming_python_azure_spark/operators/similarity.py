@@ -425,17 +425,60 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold): LSH
     self-candidates + exact verification, threshold filter instead of a
-    top-k window (no ranking shuffle)."""
-    df = spread(df)
-    self_q = df.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec"))
-    cand = lsh_candidates(
-        df, self_q, id_col, vec_col, "__qid", "__qvec", dim, bits, tables, seed
-    ).filter(F.col("query_id") < F.col("neighbor_id"))
-    scored = _score_candidates(
-        cand, df, self_q, id_col, vec_col, "__qid", "__qvec", broadcast_queries=False
+    top-k window (no ranking shuffle).
+
+    Self-join specifics: the corpus is bucketed ONCE (it IS both sides)
+    and the normalized-vector projection is persisted — it feeds both
+    verify joins, and the bucket UDF / normalization would otherwise run
+    twice over the same vectors. Candidates still travel id-only through
+    the bucket join (carrying vectors there would multiply shuffle bytes
+    by the table count)."""
+    planes = random_hyperplanes(dim, bits, tables, seed)
+    vecs = (
+        spread(df)
+        .select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .persist()
+    )
+    bucketed = _bucketed(vecs, "__id", "__v", "__id", planes)
+    cand = (
+        bucketed.select(F.col("__id").alias("id_a"), "table", "bucket")
+        .join(
+            bucketed.select(F.col("__id").alias("id_b"), "table", "bucket"),
+            on=["table", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            on="id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                _pairwise_dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
     )
     return scored.filter(F.col("cosine_sim") >= threshold).select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
+        "id_a",
+        "id_b",
         "cosine_sim",
     )

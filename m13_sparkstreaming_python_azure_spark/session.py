@@ -90,3 +90,46 @@ def azure_oauth_conf(
             f"https://login.microsoftonline.com/{tenant_id}/oauth2/token"
         ),
     }
+
+
+def cluster_scale_conf(
+    target_input_tb: float = 100.0,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 28,
+) -> dict[str, str]:
+    """Recommended conf for running this engine on a real multi-executor
+    cluster against ~``target_input_tb`` of parquet — the settings that
+    change between local[N] and 1000 executors, as one reviewable dict for
+    ``get_spark(extra_conf=...)`` / spark-submit --conf.
+
+    Sizing logic (documented so operators can re-derive, not cargo-cult):
+    - shuffle partitions ≈ input_bytes / 128 MB, so a full-input shuffle
+      lands ~one comfortable task per partition; AQE coalesces the many
+      queries that shuffle far less, so err high. Capped at 64k (Spark's
+      practical partition-count ceiling).
+    - 2-4 GB executor memory per core; more cores per executor wastes
+      heap on concurrent task overhead, fewer wastes JVM fixed cost.
+    - maxPartitionBytes 256 MB: fewer, fatter scan tasks — scan task
+      startup is the bottleneck at 100k+ input files, not per-task work.
+    - broadcast threshold 64 MB: every dimension table in this schema
+      broadcasts; only fact-fact joins shuffle.
+    - RocksDB + changelog checkpointing for any streaming job whose keyed
+      state exceeds a few GB per executor (see streaming/stateful.py).
+    """
+    input_bytes = target_input_tb * (1 << 40)
+    shuffle_parts = min(int(input_bytes / (128 * (1 << 20))), 65536)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * (1 << 20)),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * (1 << 20)),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.7",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * (1 << 20)),
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }

@@ -38,3 +38,16 @@ def test_session_scale_defaults(spark):
     assert (
         spark.conf.get("spark.sql.parquet.int96RebaseModeInWrite") == "LEGACY"
     )
+
+
+def test_cluster_scale_conf_sizing():
+    """Shuffle width derives from input size (~1 task per 128 MB of a
+    full-input shuffle) and caps at Spark's practical ceiling."""
+    from m13_sparkstreaming_python_azure_spark.session import cluster_scale_conf
+
+    conf = cluster_scale_conf(target_input_tb=100.0)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 65536  # capped
+    small = cluster_scale_conf(target_input_tb=1.0)
+    assert int(small["spark.sql.shuffle.partitions"]) == 8192
+    assert small["spark.sql.adaptive.enabled"] == "true"
+    assert int(small["spark.sql.files.maxPartitionBytes"]) == 256 * (1 << 20)

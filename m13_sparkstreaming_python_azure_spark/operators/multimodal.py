@@ -130,6 +130,82 @@ def sample_video_frames(
     return frames.withColumn("frame_payload", F.lit(None).cast(BinaryType()))
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("target_width", IntegerType(), False),
+        StructField("target_height", IntegerType(), False),
+        StructField("scale_x", FloatType(), True),
+        StructField("scale_y", FloatType(), True),
+        StructField("resized_payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """Image-resize plumbing (the normalize-before-embed step): Arrow-
+    batched mapInPandas computing per-image scale factors and the output
+    geometry. The pixel resample itself needs a codec —
+    ``resized_payload`` stays null here, with the schema/batching contract
+    (the part a real decoder drops into) fully real."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_width": [target_width] * n,
+                    "target_height": [target_height] * n,
+                    "scale_x": (target_width / pdf["width"]).astype("float32"),
+                    "scale_y": (target_height / pdf["height"]).astype("float32"),
+                    "resized_payload": [None] * n,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+def segment_audio(
+    df: DataFrame, window_ms: int = 5000, hop_ms: int = 2500
+) -> DataFrame:
+    """Audio windowing (the ASR/embedding chunking step): one row per
+    overlapping [start, end) window over each clip — pure JVM
+    sequence/explode fan-out like ``sample_video_frames``; only the
+    per-window waveform slice would need a codec."""
+    segs = df.filter(F.col("kind") == "audio").select(
+        "media_id",
+        "format",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                F.lit(hop_ms),
+            )
+        ).alias("seg_start_ms"),
+    )
+    return segs.select(
+        "media_id",
+        "format",
+        "duration_ms",
+        "seg_start_ms",
+        F.least(
+            F.col("seg_start_ms") + window_ms, F.col("duration_ms")
+        ).alias("seg_end_ms"),
+    ).withColumn("segment_payload", F.lit(None).cast(BinaryType()))
+
+
 def synthetic_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived from
     the id (sha256 stream), metadata typed per MEDIA_SCHEMA."""

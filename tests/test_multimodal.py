@@ -55,3 +55,42 @@ def test_frame_sampling_fanout(spark):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x89PNG", "png")
+
+
+def test_resize_images_geometry(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=60)
+    out = resize_images(media, target_width=224, target_height=224)
+    rows = out.collect()
+    assert len(rows) == media.filter("kind = 'image'").count() > 0
+    for r in rows:
+        assert r["target_width"] == 224 and r["target_height"] == 224
+        assert abs(r["scale_x"] - 224 / r["width"]) < 1e-6
+        assert r["resized_payload"] is None  # codec stubbed
+
+
+def test_segment_audio_windows(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        segment_audio,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=60)
+    out = segment_audio(media, window_ms=5000, hop_ms=2500)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+        assert 0 <= r["seg_start_ms"] < r["seg_end_ms"]
+        assert r["seg_end_ms"] <= r["seg_start_ms"] + 5000
+    # hop spacing and full coverage per clip
+    for rid, rs in by_id.items():
+        starts = sorted(x["seg_start_ms"] for x in rs)
+        assert starts[0] == 0
+        assert all(b - a == 2500 for a, b in zip(starts, starts[1:]))
+        assert max(x["seg_end_ms"] for x in rs) == rs[0]["duration_ms"]

@@ -255,6 +255,53 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """documents reinterpreted as a media-metadata table (deterministic
+    geometry/duration from doc fields) so multimodal plumbing queries can
+    be oracle-checked against the same parquet the oracle sees."""
+    from pyspark.sql.types import BinaryType
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit("wav" if kind == "audio" else "png").alias("format"),
+        F.lit(None).cast(BinaryType()).alias("payload"),
+        (64 + F.col("doc_id") % 128).cast("int").alias("width"),
+        (48 + F.col("doc_id") % 96).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+def q_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-window fan-out under the oracle gate: documents as clips
+    (duration = n_chars x 10 ms), segmented into 5 s windows every 2.5 s —
+    the sequence/explode plumbing is exactly what a real corpus uses, and
+    DuckDB's generate_series reproduces it row-for-row."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        segment_audio,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "audio").filter(F.col("duration_ms") > 0)
+    return segment_audio(media, window_ms=5000, hop_ms=2500).select(
+        "media_id", "duration_ms", "seg_start_ms", "seg_end_ms"
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize geometry under the oracle gate: per-image scale factors from
+    the Arrow-batched resize pipeline (pixel payload stubbed; geometry is
+    the testable contract)."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "image")
+    return resize_images(media, target_width=224, target_height=224).select(
+        "media_id", "width", "height", "scale_x", "scale_y"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation, composed from the individually
     oracled stages: quality gate → exact dedup of survivors → language ID
@@ -293,6 +340,8 @@ LLM_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_segments": q_multimodal_audio_segments,
+    "multimodal_resize": q_multimodal_resize,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -476,6 +525,25 @@ LLM_ORACLES = {
         )
         SELECT query_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10
+    """,
+    "multimodal_audio_segments": """
+        WITH m AS (
+            SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT media_id, duration_ms,
+               unnest(range(0, duration_ms, 2500)) AS seg_start_ms,
+               least(unnest(range(0, duration_ms, 2500)) + 5000, duration_ms)
+                   AS seg_end_ms
+        FROM m
+    """,
+    "multimodal_resize": """
+        SELECT doc_id AS media_id,
+               CAST(64 + doc_id % 128 AS INTEGER) AS width,
+               CAST(48 + doc_id % 96 AS INTEGER) AS height,
+               CAST(224.0 / (64 + doc_id % 128) AS REAL) AS scale_x,
+               CAST(224.0 / (48 + doc_id % 96) AS REAL) AS scale_y
+        FROM documents
     """,
     "curation_pipeline": f"""
         WITH all_docs AS ({_DOCS_WITH_DUPS_SQL}),

@@ -134,3 +134,34 @@ def rollup_distinct_from_sketches(
             F.hll_sketch_estimate("merged").alias("distinct_estimate"),
         )
     )
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Data-quality profile: one row per column with row/null/distinct
+    counts — the schema-health check a pipeline runs before trusting a new
+    drop of data.
+
+    ONE aggregate pass computes every column's stats (a per-column loop
+    would scan the table len(columns) times); the wide result row then
+    explodes to long form, so the whole profile costs a single scan +
+    single (1-row) shuffle at any table size.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                (F.col("__n_rows") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return (
+        wide.select(F.col("__n_rows").alias("n_rows"), F.explode(entries).alias("e"))
+        .select("e.column", "n_rows", "e.n_null", "e.n_distinct")
+    )

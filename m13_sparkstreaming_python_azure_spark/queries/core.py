@@ -417,6 +417,67 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with selective filters on both fact
+    sides, grouped revenue, top-10. Catalyst pushes both date filters into
+    the scans and broadcast-joins the filtered customer side."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return topk(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10)
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+    filter on the fact side, broadcast dims, grouped revenue, top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    joined = enrich_join(joined, nation, on=[joined.c_nationkey == nation.n_nationkey])
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return topk(agg, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders: per-column row/null/distinct counts
+    in ONE scan (see operators.aggregate.profile_columns)."""
+    from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
+        profile_columns,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (regr_slope/intercept/r2): value
     trended against event time per type — single-pass co-moment
@@ -529,6 +590,9 @@ CORE_QUERIES = {
     "value_percentiles": q_value_percentiles,
     "value_percentiles_approx": q_value_percentiles_approx,
     "stats_moments": q_stats_moments,
+    "profile_orders": q_profile_orders,
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
     "streaming_daily_stats": q_streaming_daily_stats,
@@ -742,6 +806,47 @@ CORE_ORACLES = {
                count(*) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "profile_orders": """
+        SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_null,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
     """,
     "regression_stats": """
         SELECT event_type,

@@ -1,0 +1,224 @@
+"""User-behavior analytics over the events stream table — sessionization,
+cohort retention, and funnel analysis. The reference's workload is
+event-stream analytics (SURVEY.md §0: weather observations keyed by
+time+entity); these are the canonical event-stream questions any engine in
+that seat must answer, and all three compile to pure Catalyst plans (window
+functions + conditional aggregation — no UDFs, no driver loops).
+
+Scale notes:
+- Sessionization is ONE shuffle (hash-partition by user_id); the gap
+  detection and running session counter are window functions inside each
+  partition, so cost is O(events) with a single sort per user partition.
+- Cohort retention is two aggregates over the same user_id partitioning:
+  the first-seen reduction reuses the shuffle of the per-(user, week)
+  dedup when AQE notices the shared exchange.
+- Funnel is a single wide conditional aggregate per user, then a tiny
+  stage-count reduction — no joins at all, so it scales with the scan.
+
+Epoch math: events.ts is parquet TIMESTAMP(NANOS); the catalog floors it
+to microseconds (catalog.py), and DuckDB's epoch_us() floors the same way,
+so integer microsecond arithmetic is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min of inactivity closes a session
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_sec: int = SESSION_GAP_SEC,
+) -> DataFrame:
+    """Assign a per-user session id: a new session starts when the gap to
+    the previous event exceeds ``gap_sec``.
+
+    lag() finds the gaps, a running sum of the new-session flags numbers
+    the sessions — both over the same (user, time) window, so Catalyst
+    plans one Exchange + one Sort for the whole thing.
+
+    Ordering is on the MICROSECOND epoch (+ tiebreak), not the raw
+    timestamp: the source column is nanosecond-precision, and an engine
+    that kept the nanos would break same-microsecond ties differently
+    than one that floored — ordering on the floored value is identical
+    everywhere.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us, F.col(tiebreak_col))
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_sec * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_id", F.sum(new_session).over(running))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session stats: event count, duration, value total for every
+    (user, session). The output column set is integer/decimal-exact so the
+    oracle hash-compares bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev)
+    us = F.unix_micros(F.col("ts"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # floor-divide on both engines: DuckDB CAST(double AS BIGINT)
+        # rounds-to-nearest where Spark truncates — // and floor() agree
+        F.floor((F.max(us) - F.min(us)) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("duration_sec"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each later week they return. The standard growth-analytics rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week"))
+        .distinct()
+    )
+    joined = active.join(firsts, on="user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users reach each stage IN ORDER
+    (signup → view → click → purchase, each strictly after the previous).
+
+    One conditional-min aggregate builds the per-user stage timestamps;
+    a second tiny aggregate counts stage completions; stack() unpivots to
+    (stage, n_users) rows. No joins, no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, us)).alias(f"t_{s}")
+            for s in _FUNNEL_STAGES
+        ]
+    )
+    reached = [F.col(f"t_{_FUNNEL_STAGES[0]}").isNotNull()]
+    for prev, cur in zip(_FUNNEL_STAGES, _FUNNEL_STAGES[1:]):
+        reached.append(
+            reached[-1] & (F.col(f"t_{cur}") > F.col(f"t_{prev}"))
+        )
+    counts = per_user.agg(
+        *[
+            F.sum(cond.cast("bigint")).alias(f"n_{s}")
+            for s, cond in zip(_FUNNEL_STAGES, reached)
+        ]
+    )
+    stack_expr = "stack({n}, {pairs}) as (stage, n_users)".format(
+        n=len(_FUNNEL_STAGES),
+        pairs=", ".join(
+            f"'{i + 1}-{s}', n_{s}" for i, s in enumerate(_FUNNEL_STAGES)
+        ),
+    )
+    return counts.selectExpr(stack_expr)
+
+
+BEHAVIOR_QUERIES = {
+    "user_sessions": q_user_sessions,
+    "cohort_retention": q_cohort_retention,
+    "event_funnel": q_event_funnel,
+}
+
+BEHAVIOR_ORACLES = {
+    "user_sessions": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+                             > 1800000000
+                             OR lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, us, value,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    "cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+                   AS week_offset,
+               count(*) AS n_users
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "event_funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                       AS t_signup,
+                   min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                       AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                       AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                       AS t_purchase
+            FROM events GROUP BY user_id
+        ), counts AS (
+            SELECT
+                CAST(sum(CASE WHEN t_signup IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                              AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                              AND t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+            FROM per_user
+        )
+        SELECT '1-signup' AS stage, n_signup AS n_users FROM counts
+        UNION ALL SELECT '2-view', n_view FROM counts
+        UNION ALL SELECT '3-click', n_click FROM counts
+        UNION ALL SELECT '4-purchase', n_purchase FROM counts
+    """,
+}

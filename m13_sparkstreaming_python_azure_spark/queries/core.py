@@ -26,6 +26,9 @@ from m13_sparkstreaming_python_azure_spark.operators.window import (
     top1_per_group,
     topk,
 )
+from m13_sparkstreaming_python_azure_spark.operators.zorder import (
+    zorder_key_orders_sql,
+)
 
 
 def events_daily(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
@@ -478,6 +481,134 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a mergeable histogram sketch (operators/histogram):
+    build per-(type, day) sketches in one scan, merge them down to
+    per-type, estimate p50/p90/p99 from the merged state — the
+    sketch-once / query-many pattern for 100 TB percentile dashboards.
+    The per-day → merged step is the mergeability proof under the gate."""
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        build_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = build_histogram(
+        ev, "value", ["event_type", "event_date"], 0.0, 500.0, 100
+    )
+    merged = merge_histograms(daily, ["event_type"])
+    return histogram_quantiles(
+        merged, ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 100
+    )
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two order dimensions — the
+    expression that drives operators/zorder.write_zordered. Gated here so
+    the bit-interleave arithmetic is oracle-checked; the file-skipping
+    payoff is asserted in tests (parquet footer min/max pruning)."""
+    from m13_sparkstreaming_python_azure_spark.operators.zorder import (
+        zorder_key_orders_expr,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", zorder_key_orders_expr().alias("zkey")
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-table join chain (lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation ⋈ region) with the customer-nation =
+    supplier-nation locality constraint, region + order-year filters,
+    revenue per nation.
+
+    Scale shape: lineitem is the only fact side; every other table is a
+    broadcast dim, so the whole chain is map-side — one shuffle total (the
+    final 25-group aggregate). The non-equi locality constraint rides the
+    supplier broadcast join as an extra predicate rather than forcing a
+    second shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    joined = enrich_join(joined, nation, on=[F.col("s_nationkey") == nation.n_nationkey])
+    joined = enrich_join(joined, region, on=[nation.n_regionkey == region.r_regionkey])
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of revenue among
+    EUROPE-customer orders, per order year — nation joined in TWO roles
+    (customer side for the region filter, supplier side for the share
+    numerator), conditional aggregation for the ratio.
+
+    Float discipline (verify SKILL.md): numerator and denominator sum as
+    decimal(18,6) (exact, fold-order independent); the quotient rounds via
+    floor(x*1e4+0.5)/1e4 on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderdate")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "GERMANY", rev).otherwise(F.lit(0)))
+        .alias("__num"),
+        F.sum(rev).alias("__den"),
+    )
+    share = F.col("__num").cast("double") / F.col("__den").cast("double")
+    return agg.select(
+        "o_year",
+        (F.floor(share * 10000 + F.lit(0.5)) / 10000).alias("mkt_share"),
+        F.round(F.col("__den"), 2).cast("double").alias("total_revenue"),
+    )
+
+
 def q_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-regression aggregates (regr_slope/intercept/r2): value
     trended against event time per type — single-pass co-moment
@@ -593,6 +724,10 @@ CORE_QUERIES = {
     "profile_orders": q_profile_orders,
     "shipping_priority": q_shipping_priority,
     "returned_items": q_returned_items,
+    "local_supplier_volume": q_local_supplier_volume,
+    "nation_market_share": q_nation_market_share,
+    "histogram_quantiles": q_histogram_quantiles,
+    "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
     "streaming_daily_stats": q_streaming_daily_stats,
@@ -847,6 +982,70 @@ CORE_ORACLES = {
         GROUP BY c_custkey, c_name, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
+    """,
+    "zorder_key": zorder_key_orders_sql(),
+    "histogram_quantiles": """
+        WITH hist AS (
+            SELECT event_type,
+                   CAST(least(99, greatest(0, floor((value - 0.0) / 5.0)))
+                        AS INT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, bin, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(n) OVER (PARTITION BY event_type) AS total
+            FROM hist
+        ), hit AS (
+            SELECT event_type, q, bin, n, cum, q * total AS target,
+                   row_number() OVER (PARTITION BY event_type, q
+                                      ORDER BY bin) AS rn
+            FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+            WHERE cum >= q * total
+        )
+        SELECT event_type, q,
+               floor((0.0 + 5.0 * (bin + (target - (cum - n)) / n))
+                     * 1e4 + 0.5) / 1e4 AS quantile_est
+        FROM hit WHERE rn = 1
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "nation_market_share": """
+        SELECT year(o_orderdate) AS o_year,
+               floor(
+                   CAST(sum(CASE WHEN sn.n_name = 'GERMANY'
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,6))
+                            ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                   * 1e4 + 0.5) / 1e4 AS mkt_share,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY year(o_orderdate)
     """,
     "regression_stats": """
         SELECT event_type,

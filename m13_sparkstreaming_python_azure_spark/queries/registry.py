@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+from m13_sparkstreaming_python_azure_spark.queries.behavior import (
+    BEHAVIOR_ORACLES,
+    BEHAVIOR_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.core import (
     CORE_ORACLES,
     CORE_QUERIES,
@@ -15,7 +19,7 @@ from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
     EXT_QUERIES,
 )
 
-QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **LLM_QUERIES}
-ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **LLM_ORACLES}
+QUERIES = {**CORE_QUERIES, **EXT_QUERIES, **BEHAVIOR_QUERIES, **LLM_QUERIES}
+ORACLES = {**CORE_ORACLES, **EXT_ORACLES, **BEHAVIOR_ORACLES, **LLM_ORACLES}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query"

@@ -233,3 +233,77 @@ def test_asof_join_forward_direction(spark):
         (2, 5): "r7",
         (2, 99): None,    # nothing after
     }
+
+
+def test_sessionize_gap_semantics(spark):
+    """Session boundaries: a gap of exactly the threshold stays in-session;
+    one microsecond over starts a new one; numbering restarts per user."""
+    import datetime as dt
+
+    from m13_sparkstreaming_python_azure_spark.queries.behavior import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 0s, +1800s (boundary, same session), +1800.000001s (new)
+        (1, base, 10),
+        (2, base + dt.timedelta(seconds=1800), 10),
+        (3, base + dt.timedelta(seconds=3600, microseconds=1), 10),
+        # user 2: independent numbering
+        (4, base, 20),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_sec=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_histogram_sketch_mergeable_and_bounded_error(spark, sf_dir):
+    """Sketch invariants: (1) merging per-day sketches equals the sketch
+    built in one pass (mergeability); (2) sum(n) == row count (totality);
+    (3) quantile estimates are within one bin width of exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        build_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    lo, hi, bins = 0.0, 500.0, 100
+    width = (hi - lo) / bins
+    daily = build_histogram(ev, "value", ["event_type", "event_date"], lo, hi, bins)
+    merged = merge_histograms(daily, ["event_type"])
+    direct = build_histogram(ev, "value", ["event_type"], lo, hi, bins)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert merged.agg(F.sum("n")).first()[0] == ev.count()
+
+    qs = [0.5, 0.9, 0.99]
+    est = {
+        (r["event_type"], r["q"]): r["quantile_est"]
+        for r in histogram_quantiles(merged, ["event_type"], qs, lo, hi, bins).collect()
+    }
+    # The histogram guarantee is vs the inverse-CDF order statistic (the
+    # ceil(q*n)-th smallest value lands in the chosen bin), NOT vs
+    # interpolated type-7 percentile() — in a sparse tail those two exact
+    # definitions themselves differ by more than a bin.
+    import math
+
+    vals = {
+        r["event_type"]: sorted(r["vs"])
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for et, vs in vals.items():
+        for q in qs:
+            k = max(1, math.ceil(q * len(vs)))
+            x = vs[k - 1]
+            assert abs(est[(et, q)] - x) <= width, (et, q, est[(et, q)], x)

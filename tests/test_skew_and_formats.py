@@ -148,3 +148,90 @@ def test_write_parquet_sized_codec_filecount_and_sort(spark, sf_dir, tmp_path):
     # rows inside one file are sorted by the cluster key
     pdf = meta.read().to_pandas()
     assert list(pdf["o_orderdate"]) == sorted(pdf["o_orderdate"])
+
+
+def test_zorder_write_prunes_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: every file is a compact box in (custkey, orderdate)
+    space, so a box predicate on EITHER dimension overlaps few files'
+    min/max footer ranges; a single-column sort layout prunes only its
+    leading column. Row content must be identical across layouts."""
+    import pyarrow.parquet as pq
+
+    from m13_sparkstreaming_python_azure_spark.operators.zorder import (
+        morton_key,
+        quantize,
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )
+    max_ck = orders.agg(F.max("o_custkey")).first()[0]
+    lo_d, hi_d = orders.agg(
+        F.min(F.unix_date("o_date")), F.max(F.unix_date("o_date"))
+    ).first()
+    # 64 files → 6-bit z-prefix → an 8×8 tile grid over (custkey, date):
+    # a ~10% slab on either dimension overlaps ≤2 of 8 tile rows/columns
+    # (+range-bound straddle). Fewer files = coarser grid = weaker pruning.
+    n_files = 64
+    zkey = morton_key(
+        [
+            quantize(F.col("o_custkey"), 0, max_ck + 1, 8),
+            quantize(F.unix_date(F.col("o_date")), lo_d, hi_d + 1, 8),
+        ],
+        bits=8,
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "sorted")
+    write_zordered(orders, zpath, zkey, n_files)
+    # competing layout: range-sorted by custkey only
+    orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(spath)
+
+    def overlap_counts(path, ck_range, date_range):
+        """files whose footer [min,max] intersects each predicate range"""
+        ck_hits = date_hits = total = 0
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(os.path.join(path, fn))
+            stats = {}
+            for i in range(md.num_columns):
+                col = md.row_group(0).column(i)
+                lo, hi = col.statistics.min, col.statistics.max
+                for rg in range(1, md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    lo, hi = min(lo, s.min), max(hi, s.max)
+                stats[col.path_in_schema] = (lo, hi)
+            if not (stats["o_custkey"][1] < ck_range[0]
+                    or stats["o_custkey"][0] > ck_range[1]):
+                ck_hits += 1
+            if not (stats["o_date"][1] < date_range[0]
+                    or stats["o_date"][0] > date_range[1]):
+                date_hits += 1
+        return ck_hits, date_hits, total
+
+    import datetime as dt
+
+    ck_q = (int(max_ck * 0.4), int(max_ck * 0.5))  # ~10% of custkey space
+    d0 = dt.date(1970, 1, 1)
+    date_q = (
+        d0 + dt.timedelta(days=int(lo_d + (hi_d - lo_d) * 0.4)),
+        d0 + dt.timedelta(days=int(lo_d + (hi_d - lo_d) * 0.5)),
+    )
+    z_ck, z_date, z_total = overlap_counts(zpath, ck_q, date_q)
+    s_ck, s_date, s_total = overlap_counts(spath, ck_q, date_q)
+    assert z_total == n_files and s_total == n_files
+    # sorted layout: perfect on custkey, useless on date (every file hit)
+    assert s_date == n_files
+    # z-order: prunes meaningfully on BOTH dimensions (≤ ~3 of 8 tile
+    # columns incl. straddle), and strictly dominates overall
+    assert z_ck <= (3 * n_files) // 8, (z_ck, n_files)
+    assert z_date <= (3 * n_files) // 8, (z_date, n_files)
+    assert z_ck + z_date < s_ck + s_date, (z_ck, z_date, s_ck, s_date)
+    # identical content, different layout
+    got = spark.read.parquet(zpath)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, orders.collect())
+    )

@@ -441,3 +441,56 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard_sim")
     )
     return out
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination check: per document, how many of its
+    distinct word n-grams appear anywhere in a benchmark/eval set — the
+    standard guard against test-set leakage in a training corpus (n-gram
+    collision decontamination à la open-data curation pipelines).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    distinct-gram set BROADCASTS and the contamination probe is a map-side
+    left-semi join over the corpus gram stream — the corpus shuffles only
+    for its own per-doc aggregate (and that shuffle is on doc id, the
+    natural partitioning). No O(corpus × benchmark) anything.
+
+    Returns (id, n_grams, n_contaminated, contamination_ratio) with the
+    cross-engine floor-rounding rule on the ratio.
+    """
+    doc_grams = spread(docs).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    sizes = doc_grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram", how="left_semi")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    ratio = F.col("n_contaminated") / F.col("n_grams")
+    return (
+        sizes.join(hits, on="__id", how="left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias(
+                "contamination_ratio"
+            ),
+        )
+    )

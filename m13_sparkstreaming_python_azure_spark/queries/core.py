@@ -505,6 +505,51 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram sketch running as a STREAM: events replayed as a
+    file-arrival stream, each micro-batch folded to its own sketch by
+    foreachBatch (append-only batch=<id> dirs, idempotent on replay),
+    quantiles computed from the merge-on-read state. Must hash-match the
+    same batch SQL as histogram_quantiles — streaming↔batch parity for
+    the sketch path, under the driver gate.
+
+    maxFilesPerTrigger forces MULTIPLE micro-batches, so the merge step
+    is genuinely exercised (one batch would make merging vacuous)."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        histogram_quantiles,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        read_merged_histogram,
+        write_foreach_batch_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix=f"stream-hist-{uuid.uuid4().hex[:8]}-")
+    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = parquet_file_stream(spark, src, schema, max_files_per_trigger=8)
+    q = write_foreach_batch_histogram(
+        stream, sink, ck, "value", ["event_type"], 0.0, 500.0, 100
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    merged = read_merged_histogram(spark, sink, ["event_type"])
+    return histogram_quantiles(
+        merged, ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 100
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two order dimensions — the
     expression that drives operators/zorder.write_zordered. Gated here so
@@ -727,6 +772,7 @@ CORE_QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "nation_market_share": q_nation_market_share,
     "histogram_quantiles": q_histogram_quantiles,
+    "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -1097,3 +1143,9 @@ CORE_ORACLES = {
         GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
 }
+
+# The streaming sketch must reproduce the batch sketch exactly —
+# identical oracle, different execution path (streaming↔batch parity).
+CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
+    "histogram_quantiles"
+]

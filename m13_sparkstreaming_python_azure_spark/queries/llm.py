@@ -188,6 +188,20 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs).select("doc_id", "lang", "hash_prefix", "split")
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: 5-gram collision rate of every document
+    against a (deterministic pseudo-)benchmark subset (doc_id ≡ 0 mod 97).
+    The benchmark gram set broadcasts; see operators/dedup.py
+    contamination_stats for the scale shape."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        contamination_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_stats(docs, benchmark, n=5)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 10 vectors as probes."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -335,6 +349,7 @@ LLM_QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
+    "decontamination": q_decontamination,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -434,6 +449,33 @@ LLM_ORACLES = {
         )
         SELECT doc_id FROM norm
         WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+    """,
+    "decontamination": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 4, 1) + 1),
+                           i -> array_to_string(t[i:i+4], ' ')
+                       )) AS gram
+                FROM toks
+            )
+        ), bench AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_contaminated FROM grams
+            WHERE gram IN (SELECT gram FROM bench)
+            GROUP BY doc_id
+        )
+        SELECT sizes.doc_id, n_grams,
+               coalesce(n_contaminated, 0) AS n_contaminated,
+               floor(coalesce(n_contaminated, 0) / n_grams * 1e4 + 0.5)
+                   / 1e4 AS contamination_ratio
+        FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
     """,
     "ngram_jaccard_pairs": f"""
         WITH toks AS (

@@ -185,3 +185,62 @@ def write_foreach_batch_merge(
         .foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_location)
     )
+
+
+def write_foreach_batch_histogram(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_location: str,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+):
+    """Streaming sketch store: each micro-batch reduces to its own tiny
+    long-form histogram (operators/histogram.build_histogram) written to
+    ``sink_dir/batch=<id>``; readers merge on read. The streaming face of
+    the sketch-once / query-many percentile pattern.
+
+    Exactly-once without transactions: per-batch dirs are the unit of
+    idempotence — a replayed batch OVERWRITES its own ``batch=<id>`` dir
+    (same input → same sketch), so restarts can't double-count, and the
+    merge-on-read never sees partial state because parquet commits are
+    atomic per dir. Append-only + additive merge is what makes histograms
+    (and any mergeable sketch) trivially streamable where exact
+    percentiles are not streamable at all.
+    """
+    import os
+
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        build_histogram,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        hist = build_histogram(batch_df, value_col, keys, lo, hi, n_bins)
+        # sketches are O(groups × bins) — coalesce(1) keeps the store at
+        # one small file per batch instead of shuffle-width shards
+        hist.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+
+
+def read_merged_histogram(
+    spark: SparkSession, sink_dir: str, keys: list[str]
+) -> DataFrame:
+    """Fold all per-batch sketches into the current histogram state —
+    merge = groupBy-sum over tiny inputs, so this is cheap enough to run
+    per dashboard query (or periodically compacted back into one dir)."""
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        merge_histograms,
+    )
+
+    return merge_histograms(
+        spark.read.parquet(sink_dir).drop("batch"), keys
+    )

@@ -106,3 +106,58 @@ def dedup_clusters(
     return out.withColumn(
         "is_survivor", (F.col(id_col) == F.col("cluster_id")).cast("int")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank (unnormalized, fixed iteration count) —
+    the canonical iterative-join algorithm, Spark-first: each round is one
+    broadcast-or-shuffle join (edges ⋈ ranks) plus a keyed aggregate, so a
+    round costs O(edges) with map-side combine and the iteration count is
+    the only sequential dimension.
+
+    Determinism across engines (the oracle hash-checks this):
+    - per-edge contributions are cast to decimal(27,12) BEFORE summing, so
+      the per-node sum is exact and fold-order independent (double sums
+      would differ between Spark's partial aggregation tree and any other
+      engine's);
+    - each iteration's rank snaps to a 1e-9 grid via floor(x*1e9+0.5) —
+      floating error cannot accumulate across iterations.
+
+    A fixed iteration count (vs convergence test) keeps the plan static
+    and the result engine-independent; at scale, checkpoint ``ranks``
+    every few rounds to truncate lineage.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    edged = edges.join(deg, on=src).persist()
+    ranks = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0))
+    )
+    for _ in range(iterations):
+        contribs = edged.join(
+            ranks, edged[src] == ranks["node"]
+        ).select(
+            F.col(dst).alias("node"),
+            (F.col("rank") / F.col("__deg")).cast("decimal(27,12)").alias("__c"),
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.floor(
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.sum("__c").cast("double")
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("rank")
+        )
+    return ranks

@@ -550,6 +550,32 @@ def q_streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-occurrence graph (suppliers linked
+    when they serve the same order) — the iterative-join algorithm class,
+    5 fixed power iterations (see operators/graph.pagerank for the
+    cross-engine determinism contract). The oracle unrolls the same five
+    iterations as SQL CTEs."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=5).select(
+        F.col("node").alias("suppkey"), "rank"
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two order dimensions — the
     expression that drives operators/zorder.write_zordered. Gated here so
@@ -773,6 +799,7 @@ CORE_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "histogram_quantiles": q_histogram_quantiles,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
+    "supplier_pagerank": q_supplier_pagerank,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -1149,3 +1176,63 @@ CORE_ORACLES = {
 CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
     "histogram_quantiles"
 ]
+
+CORE_ORACLES["supplier_pagerank"] = """
+        WITH edges AS (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_suppkey <> b.l_suppkey
+        ), deg AS (
+            SELECT src, count(*) AS d FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS rank
+            FROM edges
+        ), r1 AS (
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r0 r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), r2 AS (
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r1 r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), r3 AS (
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r2 r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), r4 AS (
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r3 r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ), r5 AS (
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r4 r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        )
+        SELECT node AS suppkey, rank FROM r5
+"""

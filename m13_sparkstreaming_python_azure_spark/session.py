@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter pushdown: when a fact-fact join has a
+        # selective filter on one side, inject a bloom filter of its join
+        # keys into the other side's SCAN — rows that can't match die at
+        # the source instead of crossing the shuffle (explicit: the
+        # default has flipped across Spark minors).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parity with the reference's timestamp parquet writes (upload.py:33).
@@ -127,6 +133,7 @@ def cluster_scale_conf(
         "spark.memory.fraction": "0.7",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * (1 << 20)),
         "spark.shuffle.service.enabled": "true",
         "spark.dynamicAllocation.enabled": "true",

@@ -307,3 +307,29 @@ def test_histogram_sketch_mergeable_and_bounded_error(spark, sf_dir):
             k = max(1, math.ceil(q * len(vs)))
             x = vs[k - 1]
             assert abs(est[(et, q)] - x) <= width, (et, q, est[(et, q)], x)
+
+
+def test_pagerank_known_graphs(spark):
+    """Sanity on analytically-known graphs: a symmetric cycle is uniform
+    (rank 1.0 everywhere); in a symmetric star the hub outranks leaves
+    and ordering is stable across iterations."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)]
+        + [((i + 1) % 4, i) for i in range(4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(cycle, iterations=5).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0}
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(star, iterations=5).collect()}
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 5)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    # total rank is conserved up to the 1e-9 grid (no dangling nodes)
+    assert abs(sum(ranks.values()) - 5.0) < 1e-6

@@ -51,3 +51,37 @@ def test_cluster_scale_conf_sizing():
     assert int(small["spark.sql.shuffle.partitions"]) == 8192
     assert small["spark.sql.adaptive.enabled"] == "true"
     assert int(small["spark.sql.files.maxPartitionBytes"]) == 256 * (1 << 20)
+
+
+def test_runtime_bloom_filter_injected_on_selective_smj(spark, sf_dir):
+    """Fact-fact SMJ with a selective filter on one side: the optimizer
+    must push a bloom filter of the filtered side's join keys into the
+    other side's scan (might_contain in the plan) — at 100 TB this kills
+    non-matching lineitem rows before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # local fixtures are far below the size thresholds meant for clusters
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )

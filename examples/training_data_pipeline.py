@@ -4,10 +4,12 @@ The full curation chain, each stage a first-class engine operator:
   1. text stats + Gopher-style quality gate   (operators/text.py)
   2. exact dedup on normalized content        (operators/dedup.py)
   3. MinHash-LSH near-dup pair removal        (operators/dedup.py)
-  4. heuristic language ID                    (operators/text.py)
-  5. overlapping token chunks                 (operators/chunking.py)
-  6. deterministic md5 train/val/test split   (operators/chunking.py)
-  7. write parquet partitioned by (split)     (sources/files.py)
+  4. benchmark decontamination (5-gram hit)   (operators/dedup.py)
+  5. PII redaction                            (operators/text.py)
+  6. heuristic language ID                    (operators/text.py)
+  7. overlapping token chunks                 (operators/chunking.py)
+  8. deterministic md5 train/val/test split   (operators/chunking.py)
+  9. write parquet partitioned by (split)     (sources/files.py)
 
 Every stage is a declarative DataFrame plan: quality/lang/chunk fold into
 the scan stage, dedup is one keyed shuffle, near-dup cost tracks LSH
@@ -32,10 +34,12 @@ from m13_sparkstreaming_python_azure_spark.operators.chunking import (
     hash_split,
 )
 from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+    contamination_stats,
     exact_dedup,
     minhash_lsh_pairs,
 )
 from m13_sparkstreaming_python_azure_spark.operators.text import (
+    redact_pii,
     with_lang_id,
     with_quality_score,
 )
@@ -55,7 +59,22 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     losers = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
     surviving = deduped.join(losers, on="doc_id", how="left_anti")
 
-    tagged = with_lang_id(surviving).select("doc_id", "text", "lang_pred")
+    # decontaminate vs a held-out eval set (here: a deterministic pseudo-
+    # benchmark slice), dropping docs with heavy 5-gram overlap
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    contam = contamination_stats(surviving, benchmark, n=5)
+    clean = surviving.join(
+        contam.filter(F.col("contamination_ratio") > 0.8).select("doc_id"),
+        on="doc_id",
+        how="left_anti",
+    )
+
+    # scrub PII before anything downstream sees the text
+    scrubbed = redact_pii(clean).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+
+    tagged = with_lang_id(scrubbed).select("doc_id", "text", "lang_pred")
     chunks = chunk_documents(tagged, chunk_size=50, stride=40)
     ready = hash_split(
         chunks.join(tagged.select("doc_id", "lang_pred"), on="doc_id"),
@@ -70,6 +89,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         "quality_kept": kept.count(),
         "after_exact_dedup": deduped.count(),
         "after_near_dedup": surviving.count(),
+        "after_decontam": clean.count(),
         "chunks_written": out.count(),
         "train_chunks": out.filter(F.col("split") == "train").count(),
     }

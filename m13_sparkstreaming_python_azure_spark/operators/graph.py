@@ -141,8 +141,11 @@ def pagerank(
         .withColumn("rank", F.lit(1.0))
     )
     for _ in range(iterations):
+        # ranks is O(nodes) — broadcast it so the edge table never
+        # shuffles inside the loop; the only per-iteration shuffle is the
+        # per-node contribution aggregate (map-side combined)
         contribs = edged.join(
-            ranks, edged[src] == ranks["node"]
+            F.broadcast(ranks), edged[src] == ranks["node"]
         ).select(
             F.col(dst).alias("node"),
             (F.col("rank") / F.col("__deg")).cast("decimal(27,12)").alias("__c"),

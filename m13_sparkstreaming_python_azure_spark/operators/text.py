@@ -183,3 +183,31 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "fp_exact", F.xxhash64(F.concat_ws(" ", tokens(text_col)))
     ).withColumn("fp_rolling", F.array_min(win_hashes))
+
+
+# PII redaction patterns — written to the common subset of Java regex
+# (Spark) and RE2 (DuckDB/Go tooling) so one pattern string serves every
+# engine in the pipeline; extend per deployment's compliance list.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d-]{6,}\d"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub PII from a text column before training: each pattern class is
+    replaced by its `<class>` token, and per-class match counts are kept
+    for curation stats/auditing. Pure JVM regexp expressions — the chain
+    of regexp_replace folds into the scan stage (one pass over the text,
+    no shuffle, no Python)."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    red = c
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    return df.withColumn(out_col, red).select("*", *counts)

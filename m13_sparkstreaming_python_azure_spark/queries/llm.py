@@ -202,6 +202,28 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_stats(docs, benchmark, n=5)
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: the fixture corpus carries no PII, so the query
+    plants a deterministic email+phone per document, then redacts — the
+    md5 of the redacted text plus per-class counts are what the oracle
+    hash-checks. operators/text.redact_pii is the general operator."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_phone", F.md5("redacted").alias("redacted_md5")
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 10 vectors as probes."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -350,6 +372,7 @@ LLM_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "decontamination": q_decontamination,
+    "pii_redaction": q_pii_redaction,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -449,6 +472,28 @@ LLM_ORACLES = {
         )
         SELECT doc_id FROM norm
         WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY nt)
+    """,
+    "pii_redaction": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                    '\+?\d[\d-]{6,}\d')) AS INT) AS n_phone,
+               md5(regexp_replace(
+                    regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<email>', 'g'),
+                    '\+?\d[\d-]{6,}\d', '<phone>', 'g')) AS redacted_md5
+        FROM aug
     """,
     "decontamination": f"""
         WITH toks AS (

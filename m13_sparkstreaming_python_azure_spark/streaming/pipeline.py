@@ -210,24 +210,41 @@ def write_foreach_batch_histogram(
     (and any mergeable sketch) trivially streamable where exact
     percentiles are not streamable at all.
     """
-    import os
-
-    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
-        build_histogram,
-    )
-
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        hist = build_histogram(batch_df, value_col, keys, lo, hi, n_bins)
-        # sketches are O(groups × bins) — coalesce(1) keeps the store at
-        # one small file per batch instead of shuffle-width shards
-        hist.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(sink_dir, f"batch={batch_id}")
+        write_batch_histogram(
+            batch_df, batch_id, sink_dir, value_col, keys, lo, hi, n_bins
         )
 
     return (
         stream.writeStream.outputMode("append")
         .foreachBatch(_write)
         .option("checkpointLocation", checkpoint_location)
+    )
+
+
+def write_batch_histogram(
+    batch_df: DataFrame,
+    batch_id: int,
+    sink_dir: str,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> None:
+    """One micro-batch → its own sketch dir (the idempotence unit: same
+    batch_id overwrites, so replays can't double-count)."""
+    import os
+
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        build_histogram,
+    )
+
+    hist = build_histogram(batch_df, value_col, keys, lo, hi, n_bins)
+    # sketches are O(groups × bins) — coalesce(1) keeps the store at
+    # one small file per batch instead of shuffle-width shards
+    hist.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sink_dir, f"batch={batch_id}")
     )
 
 

@@ -241,3 +241,27 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     want = sorted(r["event_id"] for r in ev.select("event_id").collect())
     assert got == want  # every row exactly once across the restart
+
+
+def test_streaming_histogram_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id, same rows — the restart
+    case) must leave the merged sketch unchanged; a NEW batch id adds."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        read_merged_histogram,
+        write_batch_histogram,
+    )
+
+    sink = str(tmp_path / "sketches")
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 7.0), ("b", 3.0)], "k string, v double")
+    b1 = spark.createDataFrame([("a", 7.0)], "k string, v double")
+    args = ("v", ["k"], 0.0, 10.0, 10)
+    write_batch_histogram(b0, 0, sink, *args)
+    write_batch_histogram(b1, 1, sink, *args)
+    before = sorted(map(tuple, read_merged_histogram(spark, sink, ["k"]).collect()))
+    # restart replays batch 1
+    write_batch_histogram(b1, 1, sink, *args)
+    after = sorted(map(tuple, read_merged_histogram(spark, sink, ["k"]).collect()))
+    assert before == after
+    assert dict(((k, b), n) for k, b, n in after)[("a", 7)] == 2  # merged across batches

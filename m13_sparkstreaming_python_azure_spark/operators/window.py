@@ -44,6 +44,21 @@ def top1_per_group(
     )
 
 
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Top-k rows per group (heavy hitters / best-N). rank ≤ k over a
+    window compiles to WindowGroupLimit in Spark ≥3.5: each map task keeps
+    only its local top-k per group BEFORE the window shuffle, so shuffle
+    volume is O(groups × k), not O(rows)."""
+    out = ranked(df, partition_by, order_by).filter(F.col("row_num") <= k)
+    return out if keep_rank else out.drop("row_num")
+
+
 def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """O1: global top-k (ORDER BY ... LIMIT k → TakeOrderedAndProject)."""
     return df.orderBy(*order_by).limit(k)

@@ -339,6 +339,33 @@ def q_tumbling_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — duration 2h, slide 1h, so
+    every event contributes to exactly TWO overlapping windows. Spark's
+    ``F.window(ts, '2 hours', '1 hour')`` explodes each row into its
+    containing windows before the aggregate (state/output is
+    duration÷slide × tumbling — the scale cost of overlap is explicit).
+    The oracle reproduces the two epoch-aligned window starts per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (gap 30 min) in batch mode — the same
     ``session_window_aggregate`` code path the streaming tests run, here
@@ -547,6 +574,40 @@ def q_streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     merged = read_merged_histogram(spark, sink, ["event_type"])
     return histogram_quantiles(
         merged, ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 100
+    )
+
+
+def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (operators/feature.py JVM path):
+    z-score of value within each event_type — one window shuffle, moments
+    from exact decimal sums. The applyInPandas grouped-map twin is pinned
+    equal by test."""
+    from m13_sparkstreaming_python_azure_spark.operators.feature import (
+        zscore_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_window(ev, ["event_type"], "value")
+
+
+def q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-3 users by event count within each event type.
+    count-aggregate → per-group rank → filter, which Spark ≥3.5 plans as
+    WindowGroupLimit (per-partition top-k before the window shuffle) —
+    the scalable exact form of frequent-item queries. Full tie-break
+    (count desc, user_id asc) keeps it deterministic."""
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        topk_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return topk_per_group(
+        counts, ["event_type"], [F.desc("n_events"), F.asc("user_id")], k=3
     )
 
 
@@ -787,6 +848,7 @@ CORE_QUERIES = {
     "range_join_events": q_range_join_events,
     "cube_orders": q_cube_orders,
     "tumbling_event_windows": q_tumbling_event_windows,
+    "hopping_windows": q_hopping_windows,
     "session_windows": q_session_windows,
     "distinct_users_sketch_rollup": q_distinct_users_sketch_rollup,
     "value_percentiles": q_value_percentiles,
@@ -799,6 +861,8 @@ CORE_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "histogram_quantiles": q_histogram_quantiles,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
+    "frequent_users": q_frequent_users,
+    "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
@@ -1057,6 +1121,51 @@ CORE_ORACLES = {
         LIMIT 20
     """,
     "zorder_key": zorder_key_orders_sql(),
+    "zscore_by_type": """
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,12)))
+                        AS DOUBLE) AS ss
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               floor((value - s / n)
+                     / sqrt((ss - s * s / n) / (n - 1))
+                     * 1e4 + 0.5) / 1e4 AS zscore
+        FROM events e JOIN m ON e.event_type = m.event_type
+    """,
+    "hopping_windows": """
+        WITH expanded AS (
+            SELECT event_type, value,
+                   unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                       AS window_start
+            FROM events
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM expanded
+        GROUP BY window_start, event_type
+    """,
+    "frequent_users": """
+        WITH counts AS (
+            SELECT event_type, user_id, count(*) AS n_events
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type, user_id, n_events, row_num FROM (
+            SELECT event_type, user_id, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY n_events DESC, user_id ASC) AS INT)
+                       AS row_num
+            FROM counts
+        ) WHERE row_num <= 3
+    """,
     "histogram_quantiles": """
         WITH hist AS (
             SELECT event_type,

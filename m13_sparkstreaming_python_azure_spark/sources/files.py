@@ -78,3 +78,40 @@ def write_parquet_sized(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 256 * (1 << 20),
+    codec: str = "zstd",
+    sort_within_partitions: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files (the natural exhaust of streaming sinks and fine-grained
+    partitioned ingest) into ~``target_file_bytes`` files. Returns the
+    output file count.
+
+    File count is sized from the ACTUAL on-disk bytes (cheap: file status
+    listing, no data read), so compaction is one round-robin shuffle +
+    write regardless of input layout. At 100 TB this runs per-partition
+    (compact yesterday's partition after the stream moves on), never over
+    the whole table at once.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, names in os.walk(src_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, n))
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    write_parquet_sized(
+        df.repartition(n_files),
+        dst_dir,
+        codec=codec,
+        sort_within_partitions=sort_within_partitions,
+    )
+    return n_files

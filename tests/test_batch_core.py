@@ -333,3 +333,22 @@ def test_pagerank_known_graphs(spark):
     assert len(set(leaves)) == 1  # symmetric leaves tie exactly
     # total rank is conserved up to the 1e-9 grid (no dangling nodes)
     assert abs(sum(ranks.values()) - 5.0) < 1e-6
+
+
+def test_zscore_pandas_twin_matches_jvm(spark, sf_dir):
+    """The applyInPandas grouped-map implementation must equal the JVM
+    window implementation bit-for-bit (both ground moments in exact
+    decimal sums and floor-round at 1e-4)."""
+    from m13_sparkstreaming_python_azure_spark.operators.feature import (
+        zscore_grouped_pandas,
+        zscore_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    jvm = sorted(map(tuple, zscore_window(ev, ["event_type"], "value").collect()))
+    pds = sorted(
+        map(tuple, zscore_grouped_pandas(ev, ["event_type"], "value").collect())
+    )
+    assert jvm == pds

@@ -235,3 +235,43 @@ def test_zorder_write_prunes_files_on_both_dimensions(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_compact_parquet_reduces_file_count_preserving_rows(spark, sf_dir, tmp_path):
+    """Streaming-sink exhaust (many tiny files) compacts to the computed
+    file count with identical row content."""
+    from m13_sparkstreaming_python_azure_spark.sources.files import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "small")
+    ev.repartition(64).write.parquet(src)  # 64 tiny files
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1  # everything fits one target-size file
+    import os
+
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    a = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    b = sorted(map(tuple, ev.collect()))
+    assert a == b
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift across ingest batches (a column added later) must be
+    readable as one dataset: mergeSchema unions the schemas, nulling the
+    missing column in old files."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        p + "/b0"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/b1")
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(p)
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

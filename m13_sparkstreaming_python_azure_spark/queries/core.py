@@ -577,6 +577,76 @@ def q_streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations in BOTH directions
+    (customer-nation ↔ supplier-nation), per ship year — nation again in
+    two roles, with a pair-disjunction predicate that Catalyst pushes into
+    the broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_8"))
+            | ((F.col("cust_nation") == "NATION_8") & (F.col("supp_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_promo_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of multi-column brackets (brand ×
+    size × quantity) over the part join — the predicate class that tests
+    OR-pushdown and join-input pruning. Each bracket alone is selective;
+    Catalyst pushes the common part of the disjunction to both scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 25)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return (
+        joined.filter(bracket1 | bracket2)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature standardization (operators/feature.py JVM path):
     z-score of value within each event_type — one window shuffle, moments
@@ -694,7 +764,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: one supplier-nation's share of revenue among
+    """TPC-H Q8 shape: one supplier-nation's (NATION_3) share of revenue among
     EUROPE-customer orders, per order year — nation joined in TWO roles
     (customer side for the region filter, supplier side for the share
     numerator), conditional aggregation for the ratio.
@@ -729,7 +799,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(F.when(F.col("supp_nation") == "GERMANY", rev).otherwise(F.lit(0)))
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0)))
         .alias("__num"),
         F.sum(rev).alias("__den"),
     )
@@ -862,6 +932,8 @@ CORE_QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "frequent_users": q_frequent_users,
+    "volume_shipping": q_volume_shipping,
+    "promo_bracket_revenue": q_promo_bracket_revenue,
     "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
     "zorder_key": q_zorder_key,
@@ -1121,6 +1193,33 @@ CORE_ORACLES = {
         LIMIT 20
     """,
     "zorder_key": zorder_key_orders_sql(),
+    "volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_8')
+           OR (cn.n_name = 'NATION_8' AND sn.n_name = 'NATION_3')
+        GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+    "promo_bracket_revenue": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size <= 25
+               AND l_quantity BETWEEN 10 AND 35)
+        GROUP BY p_brand
+    """,
     "zscore_by_type": """
         WITH m AS (
             SELECT event_type,
@@ -1209,7 +1308,7 @@ CORE_ORACLES = {
     "nation_market_share": """
         SELECT year(o_orderdate) AS o_year,
                floor(
-                   CAST(sum(CASE WHEN sn.n_name = 'GERMANY'
+                   CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
                             THEN CAST(l_extendedprice * (1 - l_discount)
                                       AS DECIMAL(18,6))
                             ELSE 0 END) AS DOUBLE)

@@ -352,3 +352,33 @@ def test_zscore_pandas_twin_matches_jvm(spark, sf_dir):
         map(tuple, zscore_grouped_pandas(ev, ["event_type"], "value").collect())
     )
     assert jvm == pds
+
+
+def test_operators_handle_empty_input(spark):
+    """Degenerate-input robustness: zero-row frames must flow through the
+    newer operators without exceptions and produce zero rows."""
+    from m13_sparkstreaming_python_azure_spark.operators.feature import (
+        zscore_window,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        build_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+    from m13_sparkstreaming_python_azure_spark.queries.behavior import sessionize
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+    assert sessionize(empty_ev).count() == 0
+    assert zscore_window(
+        empty_ev.selectExpr("event_id", "'x' AS event_type", "value"),
+        ["event_type"], "value",
+    ).count() == 0
+    hist = build_histogram(empty_ev, "value", ["user_id"], 0.0, 10.0, 4)
+    assert hist.count() == 0
+    merged = merge_histograms(hist, ["user_id"])
+    assert histogram_quantiles(merged, ["user_id"], [0.5], 0.0, 10.0, 4).count() == 0
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges, iterations=2).count() == 0

@@ -135,17 +135,21 @@ def pagerank(
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     edged = edges.join(deg, on=src).persist()
-    ranks = (
-        edges.select(F.col(src).alias("node"))
-        .distinct()
-        .withColumn("rank", F.lit(1.0))
-    )
+    nodes = edges.select(F.col(src).alias("node")).distinct().persist()
+    # ranks is O(nodes): while it fits a broadcast (~tens of MB), pin the
+    # hint so the edge table never shuffles inside the loop — the only
+    # per-iteration shuffle is then the contribution aggregate. Past that
+    # size the hint would OOM the driver; drop it and pre-partition BOTH
+    # sides on the key instead, so the per-iteration join reuses one
+    # stable partitioning instead of re-planning each round.
+    broadcastable = nodes.count() <= 5_000_000
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if not broadcastable:
+        edged = edged.repartition(src)
     for _ in range(iterations):
-        # ranks is O(nodes) — broadcast it so the edge table never
-        # shuffles inside the loop; the only per-iteration shuffle is the
-        # per-node contribution aggregate (map-side combined)
+        rank_side = F.broadcast(ranks) if broadcastable else ranks
         contribs = edged.join(
-            F.broadcast(ranks), edged[src] == ranks["node"]
+            rank_side, edged[src] == ranks["node"]
         ).select(
             F.col(dst).alias("node"),
             (F.col("rank") / F.col("__deg")).cast("decimal(27,12)").alias("__c"),

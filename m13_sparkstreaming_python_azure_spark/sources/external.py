@@ -1,0 +1,107 @@
+"""Kafka / JDBC source wrappers (SURVEY.md §2.1 GAP row).
+
+This container has no broker, database, or kafka/jdbc driver jars, so
+nothing here can be integration-tested end-to-end — what CAN be built and
+tested is the part that actually carries the scale design: reader
+configuration and partitioning strategy. The builders return fully-
+configured readers without touching the network; ``.load()`` is the only
+call that needs the real service.
+
+Scale notes:
+- Kafka: parallelism = topic partitions; ``minPartitions`` can split
+  further for CPU-bound consumers. ``maxOffsetsPerTrigger`` is the
+  backpressure knob (rows per micro-batch across ALL partitions).
+- JDBC: a naive read is ONE connection on ONE executor; always partition
+  by a numeric/temporal column (lowerBound/upperBound/numPartitions) or
+  explicit predicates so N executors each issue a bounded range query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+):
+    """Configured Kafka streaming reader (call ``.load()`` where a broker
+    exists). Value arrives as binary — pair with ``from_json``/``from_avro``
+    downstream."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", str(min_partitions))
+    return reader
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    properties: dict[str, str] | None = None,
+):
+    """Configured JDBC batch reader. With partition bounds, Spark issues
+    ``num_partitions`` range queries in parallel; without them the read is
+    single-threaded (never acceptable for a large table)."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_column is not None:
+        if None in (lower_bound, upper_bound, num_partitions):
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def jdbc_partition_predicates(
+    column: str, lower: int, upper: int, n: int
+) -> list[str]:
+    """Explicit range predicates for ``spark.read.jdbc(predicates=...)`` —
+    the strategy when the partition column is skewed or non-numeric and
+    Spark's equal-width bounds would produce straggler partitions. Ranges
+    are contiguous, disjoint, and cover [lower, upper] inclusive."""
+    if n <= 0 or upper < lower:
+        raise ValueError("need n > 0 and upper >= lower")
+    span = upper - lower + 1
+    base, extra = divmod(span, n)
+    preds, start = [], lower
+    for i in range(n):
+        width = base + (1 if i < extra else 0)
+        if width == 0:
+            break
+        end = start + width - 1
+        preds.append(f"{column} >= {start} AND {column} <= {end}")
+        start = end + 1
+    return preds

@@ -85,3 +85,23 @@ def test_runtime_bloom_filter_injected_on_selective_smj(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Strategy hints must override the planner's default choice: MERGE →
+    SortMergeJoin, SHUFFLE_HASH → ShuffledHashJoin (the escape hatches
+    when the optimizer mis-sizes a side at 100 TB)."""
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merged = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in plan_of(merged)
+    hashed = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in plan_of(hashed)

@@ -275,3 +275,39 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     )
     rows = {r["id"]: (r["v"], r["score"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_external_source_builders_and_jdbc_partitioning(spark):
+    """Kafka/JDBC wrappers: readers build fully configured without any
+    network; JDBC predicate generation is contiguous, disjoint, covering."""
+    from m13_sparkstreaming_python_azure_spark.sources.external import (
+        jdbc_partition_predicates,
+        jdbc_reader,
+        kafka_stream_reader,
+    )
+
+    kafka_stream_reader(
+        spark, "broker:9092", "events", max_offsets_per_trigger=100_000,
+        min_partitions=64,
+    )
+    jdbc_reader(
+        spark, "jdbc:postgresql://db/x", "orders",
+        partition_column="o_orderkey", lower_bound=0, upper_bound=10**6,
+        num_partitions=32,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jdbc_reader(spark, "jdbc:x", "t", partition_column="c")
+
+    preds = jdbc_partition_predicates("k", 0, 10, 4)
+    assert preds == [
+        "k >= 0 AND k <= 2",
+        "k >= 3 AND k <= 5",
+        "k >= 6 AND k <= 8",
+        "k >= 9 AND k <= 10",
+    ]
+    # degenerate: more partitions than values → no empty ranges
+    assert jdbc_partition_predicates("k", 5, 6, 8) == [
+        "k >= 5 AND k <= 5", "k >= 6 AND k <= 6",
+    ]

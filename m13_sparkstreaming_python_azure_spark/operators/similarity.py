@@ -482,3 +482,95 @@ def embedding_near_dup_pairs(
         "id_b",
         "cosine_sim",
     )
+
+
+def write_ivf_index(
+    base: DataFrame,
+    path: str,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Persist the IVF index as a CELL-PARTITIONED parquet dataset (plus
+    the codebook at ``<path>__centroids``) — the at-scale form of the
+    in-memory ``ivf_ann_topk``: because the storage layout IS the index,
+    a probe becomes a partition-pruned scan that never opens the other
+    cells' files. Index build is one scan + one shuffle (repartition by
+    cell, so each cell is a few large files instead of shuffle-width
+    shards)."""
+    centroids = train_ivf_centroids(
+        base, base_vec, n_cells=n_cells, sample_size=sample_size, seed=seed
+    )
+    assign1 = _cell_assign_udf(centroids, 1)
+    (
+        base.select(
+            F.col(base_id).alias("neighbor_id"),
+            _as_double(F.col(base_vec)).alias("vec"),
+        )
+        .withColumn("cell", F.element_at(assign1(F.col("vec")), 1))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = base.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "__centroids")
+    return centroids
+
+
+def ivf_ann_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN over the persisted index: load the codebook (tiny), compute
+    each query's ``nprobe`` cells, and scan ONLY those partitions — the
+    `cell IN (...)` filter is a static partition filter, so file listings
+    and reads skip every unprobed cell. Scoring then matches
+    ``ivf_ann_topk`` (broadcast queries, inline exact cosine, per-query
+    top-k)."""
+    import numpy as _np
+
+    cent_rows = (
+        spark.read.parquet(path + "__centroids").orderBy("cell").collect()
+    )
+    centroids = _np.array([r["centroid"] for r in cent_rows])
+    assignp = _cell_assign_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv"))).withColumn(
+        "cell", F.explode(assignp(F.col("__qv")))
+    )
+    probe_cells = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    b = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .withColumnRenamed("vec", "__bv")
+        .withColumn("__bn", l2_norm(F.col("__bv")))
+    )
+    scored = b.join(F.broadcast(q), on="cell").withColumn(
+        "cosine_sim",
+        F.round(
+            _pairwise_dot(F.col("__bv"), F.col("__qv"))
+            / (F.col("__bn") * F.col("__qn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -257,3 +257,38 @@ def test_udaf_weighted_mean_matches_jvm_expression(spark, sf_dir):
     assert got.keys() == want.keys()
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k])), k
+
+
+def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """The cell-partitioned on-disk index must return exactly what the
+    in-memory IVF path returns (same codebook seed), and its probe scan
+    must carry a partition filter on cell — disk-level pruning, the whole
+    point of persisting the layout."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, n_cells=8, seed=42)
+    mem = ivf_ann_topk(
+        emb, probes, k=5, n_cells=8, nprobe=3, seed=42
+    ).collect()
+    disk_df = ivf_ann_topk_from_index(spark, path, probes, k=5, nprobe=3)
+    disk = disk_df.collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+    # partition pruning: the scan's plan must filter on the partition col
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("\n", ""), plan[:1500]
+    import os
+
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells) == 8

@@ -62,3 +62,50 @@ def merge_upsert(
             .alias("action")
         )
     return joined.select(*cols)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Full CDC apply — a change feed with I/U/D ops folded into the
+    target in ONE keyed full-outer join (no separate delete pass):
+
+    - ``op = 'D'``: key-matched target rows are dropped;
+    - ``op in ('I','U')``: upsert semantics (source row wins);
+    - unmatched target rows pass through.
+
+    If the feed carries several ops per key, pre-collapse it to the last
+    op per key (by a sequence column) before calling — this operator
+    applies ONE state transition per key, which is what a checkpointed
+    micro-batch hands you anyway.
+
+    Scale shape is identical to merge_upsert: shuffle on the merge keys,
+    broadcast or bucket as the sides dictate; pair with dynamic partition
+    overwrite so only touched partitions rewrite.
+    """
+    data_cols = [c for c in changes.columns if c != op_col]
+    if sorted(target.columns) != sorted(data_cols):
+        raise ValueError(
+            f"schema mismatch: {sorted(target.columns)} vs {sorted(data_cols)}"
+        )
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = changes.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+    s_present = F.col("s.__s_present").isNotNull()
+    is_delete = s_present & (F.col(f"s.{op_col}") == "D")
+    # a delete for an absent key is a no-op row; drop it too
+    out = joined.filter(~is_delete)
+    cols = [
+        F.when(
+            F.col("s.__s_present").isNotNull(), F.col(f"s.{c}")
+        ).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return out.select(*cols)

@@ -647,6 +647,38 @@ def q_promo_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC apply (I/U/D change feed → table state) in one keyed
+    full-outer join — operators/merge.apply_cdc. The change set is
+    synthesized deterministically from orders: every %7 key deleted,
+    every remaining %5 key re-priced +10%, every %11 key cloned as an
+    insert under a shifted key."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    updates = (
+        orders.filter((k % 5 == 0) & (k % 7 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = orders.filter(k % 7 == 0).withColumn("op", F.lit("D"))
+    inserts = (
+        orders.filter(k % 11 == 0)
+        .withColumn("o_orderkey", k + 10_000_000)
+        .withColumn("op", F.lit("I"))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    out = apply_cdc(orders, changes, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "o_totalprice"
+        ),
+    )
+
+
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature standardization (operators/feature.py JVM path):
     z-score of value within each event_type — one window shuffle, moments
@@ -704,6 +736,57 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(edges, iterations=5).select(
         F.col("node").alias("suppkey"), "rank"
+    )
+
+
+def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS under the oracle gate: events replayed as a
+    multi-batch file stream, tumbling 1h windows with a 1h watermark in
+    APPEND mode — only FINALIZED windows (window_end ≤ final watermark =
+    max event time − delay) may emit. The oracle derives exactly that set
+    from batch SQL, so late-data/window-finalization behavior is
+    hash-checked, not just unit-tested."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix=f"stream-append-{uuid.uuid4().hex[:8]}-")
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(root)
+    schema = spark.read.parquet(root).schema
+    stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"append_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 
@@ -931,9 +1014,11 @@ CORE_QUERIES = {
     "nation_market_share": q_nation_market_share,
     "histogram_quantiles": q_histogram_quantiles,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
+    "streaming_append_windows": q_streaming_append_windows,
     "frequent_users": q_frequent_users,
     "volume_shipping": q_volume_shipping,
     "promo_bracket_revenue": q_promo_bracket_revenue,
+    "cdc_apply": q_cdc_apply,
     "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
     "zorder_key": q_zorder_key,
@@ -1219,6 +1304,44 @@ CORE_ORACLES = {
            OR (p_brand = 'Brand#3' AND p_size <= 25
                AND l_quantity BETWEEN 10 AND 35)
         GROUP BY p_brand
+    """,
+    "streaming_append_windows": """
+        WITH mx AS (
+            SELECT max(epoch_us(ts)) AS mu FROM events
+        )
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events, mx
+        WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+              <= mu - 3600000000
+        GROUP BY 1, 2
+    """,
+    "cdc_apply": """
+        WITH kept AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 7 <> 0
+              AND NOT (o_orderkey % 5 = 0)
+        ), updated AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        ), inserted AS (
+            SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT o_orderkey, o_orderstatus,
+               floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+        FROM (
+            SELECT * FROM kept
+            UNION ALL SELECT * FROM updated
+            UNION ALL SELECT * FROM inserted
+        )
     """,
     "zscore_by_type": """
         WITH m AS (

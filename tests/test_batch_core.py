@@ -382,3 +382,26 @@ def test_operators_handle_empty_input(spark):
     assert histogram_quantiles(merged, ["user_id"], [0.5], 0.0, 10.0, 4).count() == 0
     empty_edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty_edges, iterations=2).count() == 0
+
+
+def test_apply_cdc_semantics(spark):
+    """I/U/D in one pass: delete drops the matched row, delete for an
+    absent key is a no-op, update overwrites, insert appends, null-safe
+    key matching applies to deletes too."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nk")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, None, "D"),      # delete existing
+            (9, None, "D"),      # delete absent → no-op
+            (2, "b2", "U"),      # update
+            (3, "c", "I"),       # insert
+            (None, None, "D"),   # null-safe delete of the null-key row
+        ],
+        "k int, v string, op string",
+    )
+    out = {(r["k"], r["v"]) for r in apply_cdc(target, changes, ["k"]).collect()}
+    assert out == {(2, "b2"), (3, "c")}

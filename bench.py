@@ -41,6 +41,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # operators persist intermediates (posting lists, signatures);
+        # drop them between queries so each timing pays its own cache
+        # cost and executor memory stays flat across the suite
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -762,7 +762,10 @@ def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date"
     ).parquet(root)
     schema = spark.read.parquet(root).schema
-    stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
+    # half the files per trigger → exactly 2+ micro-batches: the watermark
+    # must ADVANCE across batches for finalization to be exercised, and
+    # two batches prove that at half the micro-batch overhead of many
+    stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

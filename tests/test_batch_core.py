@@ -405,3 +405,44 @@ def test_apply_cdc_semantics(spark):
     )
     out = {(r["k"], r["v"]) for r in apply_cdc(target, changes, ["k"]).collect()}
     assert out == {(2, "b2"), (3, "c")}
+
+
+def test_tpch_ext_shape_invariants(spark, sf_dir):
+    """Structural invariants of the TPC-H shape adaptations that the
+    value-hash oracle can't express: partition-of-total for the Q13
+    double aggregate, max-equality for the Q15 join-back, threshold
+    respect for the Q18 having, and at-most-once semi-join semantics
+    for Q4."""
+    from m13_sparkstreaming_python_azure_spark.queries.tpch_ext import (
+        q_customer_order_distribution,
+        q_large_volume_customers,
+        q_order_priority_count,
+        q_top_supplier_revenue,
+    )
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    dist = q_customer_order_distribution(spark, sf_dir).collect()
+    # every customer lands in exactly one count bucket (outer join keeps
+    # zero-order customers)
+    assert sum(r["custdist"] for r in dist) == n_cust
+
+    top = q_top_supplier_revenue(spark, sf_dir).collect()
+    assert len(top) >= 1
+    assert len({r["total_revenue"] for r in top}) == 1  # all tied at max
+
+    for r in q_large_volume_customers(spark, sf_dir).collect():
+        assert r["sum_qty"] > 250
+
+    n_orders_window = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .count()
+    )
+    counted = sum(
+        r["order_count"] for r in q_order_priority_count(spark, sf_dir).collect()
+    )
+    # left-semi: each qualifying order contributes at most once
+    assert 0 < counted <= n_orders_window

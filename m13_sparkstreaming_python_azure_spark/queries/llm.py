@@ -268,6 +268,42 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, threshold=0.25, dim=64)
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing for storage/serving: L2 norm + int8
+    quantization (x/‖x‖ × 127, round-half-up), all JVM higher-order
+    array functions — no UDF, no shuffle, scan-stage only. The quantized
+    vector is emitted as a CSV string so the hash compare covers every
+    element. Norm folds dimensions sequentially in doubles —
+    bit-identical to DuckDB's list_reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    norm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    quant = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / norm * 127 + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        (F.floor(norm * 1e6 + F.lit(0.5)) / 1e6).alias("l2_norm"),
+        F.concat_ws(",", quant.cast("array<string>")).alias("q8"),
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means assignments (operators/clustering.py):
+    k=4 deterministic init (lowest vec_ids), 2 assignment passes with one
+    exact-decimal centroid recomputation between them. Oracle = the same
+    two iterations unrolled as CTEs over DuckDB list lambdas."""
+    from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=4, iterations=2)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing as a driver-visible query: deterministic
     synthetic media (seeded, independent of sf) → Arrow-batched
@@ -377,6 +413,8 @@ LLM_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "embedding_quantize": q_embedding_quantize,
+    "kmeans_clusters": q_kmeans_clusters,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_segments": q_multimodal_audio_segments,
     "multimodal_resize": q_multimodal_resize,
@@ -676,5 +714,59 @@ LLM_ORACLES = {
         SELECT lang_pred, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM lang GROUP BY lang_pred
+    """,
+    "embedding_quantize": """
+        SELECT vec_id,
+               floor(sqrt(list_reduce(
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (acc, x) -> acc + x)) * 1e6 + 0.5) / 1e6 AS l2_norm,
+               array_to_string(list_transform(embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE)
+                       / sqrt(list_reduce(list_transform(embedding,
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+                           (acc, y) -> acc + y)) * 127 + 0.5)
+                       AS INT) AS VARCHAR)), ',') AS q8
+        FROM embeddings
+    """,
+    # two unrolled Lloyd iterations; distances fold dims sequentially in
+    # doubles (matches F.aggregate), centroid means are exact decimal
+    # sums snapped to a 1e-9 grid (matches operators/clustering.py)
+    "kmeans_clusters": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4
+        ),
+        a1 AS (
+            SELECT vec_id, cid AS cluster, v FROM (
+                SELECT vec_id, cid, v, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY
+                    list_reduce(list_transform(range(1, len(v)+1),
+                        i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                    cid) AS rn
+                FROM vecs CROSS JOIN c0
+            ) WHERE rn = 1
+        ),
+        dims1 AS (
+            SELECT cluster, t.idx,
+                   floor(CAST(sum(CAST(v[t.idx] AS DECIMAL(27,12)))
+                              AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS cv
+            FROM a1 CROSS JOIN range(1, 65) t(idx)
+            GROUP BY cluster, t.idx
+        ),
+        cent1 AS (
+            SELECT cluster AS cid, list(cv ORDER BY idx) AS c
+            FROM dims1 GROUP BY cluster
+        )
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cid AS cluster, row_number() OVER (
+                PARTITION BY vec_id ORDER BY
+                list_reduce(list_transform(range(1, len(v)+1),
+                    i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                cid) AS rn
+            FROM vecs CROSS JOIN cent1
+        ) WHERE rn = 1
     """,
 }

@@ -292,3 +292,54 @@ def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path
 
     cells = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert len(cells) == 8
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    """Every vector is assigned to one of the k seed-initialized
+    clusters, and one Lloyd refinement never increases the total
+    within-cluster squared distance (the Lloyd monotonicity property)."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_assignments,
+        recompute_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    out = kmeans_assignments(emb, k=k, iterations=2)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    assert clusters <= set(range(k))
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = sorted(
+        (int(r["cid"]), list(r["v"]))
+        for r in vecs.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), "v")
+        .collect()
+    )
+
+    def total_cost(assigned, centroids):
+        cmap = {cid: c for cid, c in centroids}
+        rows = assigned.collect()
+        vmap = {r["vec_id"]: r["v"] for r in rows}
+        cost = 0.0
+        for r in rows:
+            c = cmap[r["cluster"]]
+            v = vmap[r["vec_id"]]
+            cost += sum((x - y) ** 2 for x, y in zip(v, c))
+        return cost
+
+    a1 = assign_clusters(vecs, init)
+    cost1 = total_cost(a1, init)
+    cents2 = recompute_centroids(a1)
+    a2 = assign_clusters(vecs, cents2)
+    cost2 = total_cost(a2, cents2)
+    assert cost2 <= cost1 + 1e-6, (cost1, cost2)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,25 @@ def apply_cdc(
         for c in target.columns
     ]
     return out.select(*cols)
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change feed:
+    each version row gains ``valid_from`` (its own sequence value),
+    ``valid_to`` (the next version's sequence, null while current) and
+    ``is_current`` — one window sort per key, no self-join.
+
+    At scale this is a single shuffle on the keys; the window frame is
+    growing-only (lead), so Catalyst plans one Sort + Window without
+    buffering whole partitions beyond the frame.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    return (
+        changes.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -679,6 +679,37 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (operators/merge.scd2_from_changes): a
+    synthetic 3-version change feed over orders (base, %5-key reprice,
+    %10-key second reprice) becomes validity intervals via one keyed
+    window — valid_from/valid_to/is_current, no self-join."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        scd2_from_changes,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    price = (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+        "price"
+    )
+    v0 = orders.select("o_orderkey", price, F.lit(0).alias("version"))
+    v1 = (
+        orders.filter(k % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .select("o_orderkey", price, F.lit(1).alias("version"))
+    )
+    v2 = (
+        orders.filter(k % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.21)
+        .select("o_orderkey", price, F.lit(2).alias("version"))
+    )
+    changes = v0.unionByName(v1).unionByName(v2)
+    return scd2_from_changes(changes, ["o_orderkey"], "version")
+
+
 def q_zscore_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature standardization (operators/feature.py JVM path):
     z-score of value within each event_type — one window shuffle, moments
@@ -790,6 +821,68 @@ def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under the oracle gate
+    (§2.9 GAP): purchases matched to same-user clicks in the preceding
+    24 h, both sides replayed as file streams, quiesced with
+    availableNow. The 90-day watermark delay exceeds the fixture's
+    30-day span, so no state eviction can drop a match and the final
+    append-mode sink equals the batch interval join exactly — at
+    production scale the delay shrinks to the real late-data bound and
+    state stays bounded by rate × (delay + lag). Raw pairs aggregate
+    per purchase day AFTER quiescing (a second stateful streaming agg
+    would gate emission on the watermark instead)."""
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix="ssj-gate-")
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(root)
+    schema = spark.read.parquet(root).schema
+    s1 = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
+    s2 = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
+    joined = stream_stream_interval_join(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+        key="user_id",
+        max_lag="24 hours",
+        watermark_delay="90 days",
+    ).select(
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd").alias("purchase_date"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    name = f"ssj_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("purchase_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.countDistinct("click_id").alias("n_clicks"),
+        )
     )
 
 
@@ -1018,10 +1111,12 @@ CORE_QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "streaming_append_windows": q_streaming_append_windows,
+    "streaming_interval_join": q_streaming_interval_join,
     "frequent_users": q_frequent_users,
     "volume_shipping": q_volume_shipping,
     "promo_bracket_revenue": q_promo_bracket_revenue,
     "cdc_apply": q_cdc_apply,
+    "scd2_history": q_scd2_history,
     "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
     "zorder_key": q_zorder_key,
@@ -1174,6 +1269,39 @@ CORE_ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN ev e
           ON p.user_id = e.user_id AND e.ts <= p.ts
+    """,
+    "scd2_history": """
+        WITH changes AS (
+            SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS price,
+                   0 AS version
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey,
+                   floor(o_totalprice * 1.1 * 100 + 0.5) / 100, 1
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey,
+                   floor(o_totalprice * 1.21 * 100 + 0.5) / 100, 2
+            FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_orderkey, price, version,
+               version AS valid_from,
+               lead(version) OVER w AS valid_to,
+               lead(version) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    """,
+    "streaming_interval_join": """
+        SELECT strftime(l.ts, '%Y-%m-%d') AS purchase_date,
+               count(*) AS n_pairs,
+               count(DISTINCT l.event_id) AS n_purchases,
+               count(DISTINCT r.event_id) AS n_clicks
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 24 HOUR
+         AND r.ts <= l.ts
+        WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+        GROUP BY 1
     """,
     "range_join_events": """
         SELECT p.event_id AS purchase_id, count(*) AS n_events_prev_hour

@@ -352,6 +352,46 @@ def q_merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_orderstatus", "o_totalprice", "action")
 
 
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per order priority: a RANGE-framed window
+    (rangeBetween over a day-number key) on top of a daily pre-aggregate,
+    plus percent-of-partition-total — the time-series analytic frame the
+    rank-family queries don't cover. Daily and trailing sums stay exact
+    decimals until the final cast; the share quotient uses the floor
+    rounding trick so both engines divide identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn(
+            "day_num", F.datediff("o_orderdate", F.lit("1995-01-01"))
+        )
+        .groupBy("o_orderpriority", "day_num")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec")
+        )
+    )
+    w7 = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    trailing = F.sum("rev_dec").over(w7)
+    total = F.sum("rev_dec").over(wall)
+    share_inputs = (
+        F.round(trailing, 2).cast("double"),
+        F.round(total, 2).cast("double"),
+    )
+    return daily.select(
+        "o_orderpriority",
+        "day_num",
+        F.round("rev_dec", 2).cast("double").alias("daily_revenue"),
+        F.round(trailing, 2).cast("double").alias("trailing_7d_revenue"),
+        (
+            F.floor(share_inputs[0] / share_inputs[1] * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("share_of_total"),
+    )
+
+
 EXT_QUERIES = {
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
@@ -369,9 +409,32 @@ EXT_QUERIES = {
     "collect_aggregates": q_collect_aggregates,
     "variant_functions": q_variant_functions,
     "stratified_sample": q_stratified_sample,
+    "rolling_revenue_7d": q_rolling_revenue_7d,
 }
 
 EXT_ORACLES = {
+    "rolling_revenue_7d": """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                       AS day_num,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+            FROM orders
+            GROUP BY o_orderpriority,
+                     date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        )
+        SELECT o_orderpriority, day_num,
+               CAST(round(rev_dec, 2) AS DOUBLE) AS daily_revenue,
+               CAST(round(sum(rev_dec) OVER w7, 2) AS DOUBLE)
+                   AS trailing_7d_revenue,
+               floor(CAST(round(sum(rev_dec) OVER w7, 2) AS DOUBLE)
+                     / CAST(round(sum(rev_dec) OVER wall, 2) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS share_of_total
+        FROM daily
+        WINDOW w7 AS (PARTITION BY o_orderpriority ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+               wall AS (PARTITION BY o_orderpriority)
+    """,
     "pivot_status_priority": """
         SELECT o_orderstatus,
                count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,

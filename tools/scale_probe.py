@@ -94,10 +94,57 @@ def main(sf_dir: str = "/root/testdata/sf0.1", replicas: int = 10) -> None:
             return contamination_stats(docs, bench, n=5).count()
         return _run
 
+    emb1 = load_table(spark, sf_dir, "embeddings")
+    embN = replicate(emb1, "vec_id", replicas, 1_000_000)
+    li1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # replicate orders (not suppliers): the semi/anti self-joins shuffle
+    # on l_orderkey, so a 10× order domain is the scale axis that matters
+    liN = replicate(li1, "l_orderkey", replicas, 100_000_000)
+
+    def probe_kmeans(emb):
+        def _run():
+            from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+                kmeans_assignments,
+            )
+
+            return kmeans_assignments(emb, k=4, iterations=2).count()
+        return _run
+
+    def probe_late_semi_anti(li):
+        # the waiting_suppliers shape: late lines ⋉ other-supplier lines
+        # ⋉̸ other-supplier late lines, all shuffled on l_orderkey
+        def _run():
+            late = li.filter(
+                F.dayofmonth("l_shipdate") <= 10
+            ).select("l_orderkey", "l_suppkey")
+            others = li.select(
+                F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+            )
+            late_others = late.select(
+                F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+            )
+            kept = late.join(
+                others,
+                (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")),
+                "left_semi",
+            ).join(
+                late_others,
+                (F.col("l_orderkey") == F.col("k3"))
+                & (F.col("l_suppkey") != F.col("s3")),
+                "left_anti",
+            )
+            return kept.groupBy("l_suppkey").count().count()
+        return _run
+
     probes = [
         ("sessionize+agg", probe_sessionize(ev1), probe_sessionize(evN)),
         ("histogram sketch e2e", probe_histogram(ev1), probe_histogram(evN)),
         ("contamination", probe_contamination(docs1), probe_contamination(docsN)),
+        ("kmeans 2-pass", probe_kmeans(emb1), probe_kmeans(embN)),
+        ("late semi+anti self-join", probe_late_semi_anti(li1), probe_late_semi_anti(liN)),
     ]
     # warm up
     ev1.count(); docs1.count()

@@ -268,6 +268,51 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(emb, threshold=0.25, dim=64)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF — the classic
+    relevance weighting as two aggregates (term frequency, document
+    frequency) + a WindowGroupLimit top-k; no UDFs, and doc frequency is
+    a term-keyed aggregate that broadcasts back (vocabulary ≪ corpus).
+
+    Cross-engine float note: JVM Math.log and C ln disagree by 1 ulp on
+    ~9% of inputs, so scores snap to a 1e-4 grid (floor(x*1e4+0.5))
+    BEFORE ranking — ordering and hashing only ever see snapped values.
+    """
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        topk_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    term_rows = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), "term").withColumn(
+        "score",
+        F.floor(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+            * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4,
+    )
+    return topk_per_group(
+        scored,
+        ["doc_id"],
+        [F.desc("score"), F.asc("term")],
+        k=3,
+        keep_rank=False,
+    ).select("doc_id", "term", "tf", "df", "score")
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding preprocessing for storage/serving: L2 norm + int8
     quantization (x/‖x‖ × 127, round-half-up), all JVM higher-order
@@ -415,6 +460,7 @@ LLM_QUERIES = {
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "embedding_quantize": q_embedding_quantize,
     "kmeans_clusters": q_kmeans_clusters,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_segments": q_multimodal_audio_segments,
     "multimodal_resize": q_multimodal_resize,
@@ -714,6 +760,28 @@ LLM_ORACLES = {
         SELECT lang_pred, count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM lang GROUP BY lang_pred
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), term_rows AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM term_rows GROUP BY doc_id, term
+        ), dfc AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT doc_id, term, tf, df,
+                   floor(tf * ln(((SELECT count(*) + 1 FROM documents))
+                                 / (df + 1)) * 1e4 + 0.5) / 1e4 AS score
+            FROM tf JOIN dfc USING (term)
+        )
+        SELECT doc_id, term, tf, df, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= 3
     """,
     "embedding_quantize": """
         SELECT vec_id,

@@ -83,6 +83,16 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
 
     ready.write.mode("overwrite").partitionBy("split").parquet(out_dir)
 
+    # embedding side: normalize+quantize for serving, cluster the corpus
+    # into codebook cells (distributed Lloyd — the IVF build path when a
+    # driver-side sample won't do)
+    from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assignments(emb, k=4, iterations=2)
+
     out = spark.read.parquet(out_dir)
     stats = {
         "raw_docs": n_raw,
@@ -92,6 +102,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         "after_decontam": clean.count(),
         "chunks_written": out.count(),
         "train_chunks": out.filter(F.col("split") == "train").count(),
+        "embedding_clusters": clusters.select("cluster").distinct().count(),
     }
     return stats
 

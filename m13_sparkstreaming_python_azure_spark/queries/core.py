@@ -853,8 +853,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date"
     ).parquet(root)
     schema = spark.read.parquet(root).schema
-    s1 = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
-    s2 = parquet_file_stream(spark, root, schema, max_files_per_trigger=10)
+    # 16 of the ~30 day-files per trigger → exactly 2 micro-batches:
+    # enough to prove cross-batch join state, half the per-batch overhead
+    s1 = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
+    s2 = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
     joined = stream_stream_interval_join(
         s1.filter(F.col("event_type") == "purchase"),
         s2.filter(F.col("event_type") == "click"),
@@ -867,14 +869,22 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("click_id"),
     )
     name = f"ssj_gate_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # a stream-stream join keeps 4 state-store instances per shuffle
+    # partition per batch; at this volume 8 partitions bound the state
+    # bookkeeping, not the data — restore the session width afterwards
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("purchase_date")

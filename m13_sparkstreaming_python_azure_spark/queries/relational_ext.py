@@ -392,6 +392,35 @@ def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics pinned as data: null-safe equality join
+    (eqNullSafe / IS NOT DISTINCT FROM), nulls as a grouping key, and
+    explicit NULLS FIRST ordering (captured via the min row_number per
+    group, since hash comparison is order-insensitive). The 3-row dim is
+    a broadcast local relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_n"),
+    )
+    w = Window.orderBy(F.asc_nulls_first("status_n"), F.asc("o_orderkey"))
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    dim = spark.createDataFrame(
+        [("P", "pending"), ("O", "open"), (None, "final")],
+        "status string, label string",
+    )
+    return (
+        ranked.join(
+            F.broadcast(dim), F.col("status_n").eqNullSafe(F.col("status"))
+        )
+        .groupBy("label", "status_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("rn").alias("first_rank"),
+        )
+    )
+
+
 EXT_QUERIES = {
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
@@ -410,9 +439,25 @@ EXT_QUERIES = {
     "variant_functions": q_variant_functions,
     "stratified_sample": q_stratified_sample,
     "rolling_revenue_7d": q_rolling_revenue_7d,
+    "null_semantics": q_null_semantics,
 }
 
 EXT_ORACLES = {
+    "null_semantics": """
+        WITH base AS (
+            SELECT o_orderkey, nullif(o_orderstatus, 'F') AS status_n
+            FROM orders
+        ), rn AS (
+            SELECT *, row_number() OVER (
+                ORDER BY status_n ASC NULLS FIRST, o_orderkey
+            ) AS rn FROM base
+        ), dim(status, label) AS (
+            VALUES ('P', 'pending'), ('O', 'open'), (NULL, 'final')
+        )
+        SELECT label, status_n, count(*) AS n_rows, min(rn) AS first_rank
+        FROM rn JOIN dim ON status_n IS NOT DISTINCT FROM status
+        GROUP BY label, status_n
+    """,
     "rolling_revenue_7d": """
         WITH daily AS (
             SELECT o_orderpriority,

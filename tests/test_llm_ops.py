@@ -194,6 +194,7 @@ def test_training_data_pipeline_example(spark, sf_dir, tmp_path):
     assert stats["after_near_dedup"] <= stats["after_exact_dedup"]
     assert stats["chunks_written"] > 0
     assert 0 < stats["train_chunks"] < stats["chunks_written"]
+    assert 1 <= stats["embedding_clusters"] <= 4
     splits = {
         r["split"]
         for r in spark.read.parquet(out).select("split").distinct().collect()

@@ -896,6 +896,84 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-state materialization under the gate: events
+    replayed as a 2-micro-batch file stream, folded by foreachBatch into
+    a keyed parquet target keeping each user's max-(ts, event_id) row.
+    The fold is order-independent (max is commutative + idempotent), so
+    the final target must equal the one-shot batch argmax regardless of
+    file arrival order — the CDC-materialization twin of cdc_apply,
+    driven from a stream."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        write_foreach_batch_latest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    root = tempfile.mkdtemp(prefix="latest-state-")
+    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = parquet_file_stream(spark, src, schema, max_files_per_trigger=16)
+    q = (
+        write_foreach_batch_latest(
+            stream.drop("event_date"), sink, ck,
+            keys=["user_id"], order_cols=["ts", "event_id"],
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.read.parquet(sink)
+    return state.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+
+def q_salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact join (operators/skew.salted_join): lineitem's
+    join key is salted and the orders side replicated, so one hot order
+    key spreads over ``salt`` reducers instead of one straggler. The
+    result set is salt-invariant (each left row meets each matching right
+    row exactly once, on its own replica), which the plain-join oracle
+    checks."""
+    from m13_sparkstreaming_python_azure_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two order dimensions — the
     expression that drives operators/zorder.write_zordered. Gated here so
@@ -1122,6 +1200,8 @@ CORE_QUERIES = {
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "streaming_append_windows": q_streaming_append_windows,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_latest_state": q_streaming_latest_state,
+    "salted_revenue_join": q_salted_revenue_join,
     "frequent_users": q_frequent_users,
     "volume_shipping": q_volume_shipping,
     "promo_bracket_revenue": q_promo_bracket_revenue,
@@ -1300,6 +1380,22 @@ CORE_ORACLES = {
                lead(version) OVER w IS NULL AS is_current
         FROM changes
         WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    """,
+    "streaming_latest_state": """
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    """,
+    "salted_revenue_join": """
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "streaming_interval_join": """
         SELECT strftime(l.ts, '%Y-%m-%d') AS purchase_date,

@@ -187,6 +187,60 @@ def write_foreach_batch_merge(
     )
 
 
+def write_foreach_batch_latest(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint_location: str,
+    keys: list[str],
+    order_cols: list[str],
+):
+    """Latest-state materialization: each micro-batch folds into a keyed
+    parquet target keeping, per key, the row with the greatest
+    ``order_cols`` tuple. Unlike arrival-order upserts this is
+    ORDER-INDEPENDENT — batches can replay or arrive shuffled and the
+    fixed point is the same (max is commutative/associative/idempotent),
+    which is what makes the final state equal to the batch argmax and
+    replays after checkpoint recovery safe.
+
+    Per batch: reduce the batch to its per-key argmax first (tiny), union
+    with the target, argmax again. At scale, partition the target by a
+    key prefix + dynamic partition overwrite, as with the merge sink."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        reduced = _latest(batch_df)
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:  # noqa: BLE001 — first batch: no target yet
+            reduced.write.mode("overwrite").parquet(target_path)
+            return
+        merged = _latest(target.unionByName(reduced.select(*target.columns)))
+        tmp = tempfile.mkdtemp(prefix="latest-batch-")
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_location)
+    )
+
+
 def write_foreach_batch_histogram(
     stream: DataFrame,
     sink_dir: str,

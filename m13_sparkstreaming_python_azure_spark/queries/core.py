@@ -943,6 +943,54 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under the gate (§2.9 GAP dropDuplicates):
+    every event lands TWICE in the landing dir (two partition trees);
+    the watermarked stream dedups on event_id across micro-batches, so
+    per-day counts over the quiesced append sink must equal the batch
+    distinct counts. Dedup state is keyed by event_id and evicted once
+    the watermark passes — with delay ≥ span nothing evicts here, at
+    production scale the delay bounds state to rate × delay."""
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    root = tempfile.mkdtemp(prefix="stream-dedup-")
+    # two writes into ONE partition tree (overwrite, then append): every
+    # event exists in two files of its day dir, and with half the files
+    # per trigger the duplicate usually arrives in a different micro-batch
+    for mode in ("overwrite", "append"):
+        ev.repartition("event_date").write.mode(mode).partitionBy(
+            "event_date"
+        ).parquet(root)
+    schema = spark.read.parquet(root).schema
+    stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=30)
+    deduped = (
+        stream.withWatermark("ts", "90 days")
+        .dropDuplicates(["event_id"])
+    )
+    name = f"dedup_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated fact join (operators/skew.salted_join): lineitem's
     join key is salted and the orders side replicated, so one hot order
@@ -1201,6 +1249,7 @@ CORE_QUERIES = {
     "streaming_append_windows": q_streaming_append_windows,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_latest_state": q_streaming_latest_state,
+    "streaming_dedup": q_streaming_dedup,
     "salted_revenue_join": q_salted_revenue_join,
     "frequent_users": q_frequent_users,
     "volume_shipping": q_volume_shipping,
@@ -1380,6 +1429,12 @@ CORE_ORACLES = {
                lead(version) OVER w IS NULL AS is_current
         FROM changes
         WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+    """,
+    "streaming_dedup": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               count(DISTINCT event_id) AS n_events
+        FROM events
+        GROUP BY strftime(ts, '%Y-%m-%d'), event_type
     """,
     "streaming_latest_state": """
         SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value

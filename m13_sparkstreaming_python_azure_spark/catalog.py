@@ -36,8 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-since-epoch long, converted here back to a timestamp (micros).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Sessions not built by our factory (e.g. the driver's) may
+            # infer TIMESTAMP_NTZ; normalize to TIMESTAMP so watermarks
+            # and epoch arithmetic work (wall-clock preserving under the
+            # session tz, which our factory pins to UTC).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

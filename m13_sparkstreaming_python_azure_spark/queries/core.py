@@ -290,7 +290,9 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.operators.join import range_join
 
     events = load_table(spark, sf_dir, "events")
-    ts_s = F.col("ts").cast("double")
+    # ts may arrive as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false); NTZ has
+    # no direct numeric cast, so hop through TIMESTAMP (session tz is UTC).
+    ts_s = F.col("ts").cast("timestamp").cast("double")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

@@ -64,6 +64,11 @@ def get_spark(
         # Driver fixtures store events.ts as TIMESTAMP(NANOS); Spark reads it
         # as long-nanos and the catalog converts back (catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Fixture timestamps are micros with isAdjustedToUTC=false, which
+        # Spark ≥3.4 infers as TIMESTAMP_NTZ — a type watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session tz is pinned UTC,
+        # so reading them as TIMESTAMP is value-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

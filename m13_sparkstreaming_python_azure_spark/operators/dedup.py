@@ -42,6 +42,12 @@ from pyspark.sql import functions as F
 from m13_sparkstreaming_python_azure_spark.operators.text import tokens
 from m13_sparkstreaming_python_azure_spark.operators.util import bind, spread
 
+# Shingling/hashing does >>1000× the work per input byte of a plain scan
+# (measured: the sketch stage over a 600 KB corpus still speeds up past 9
+# partitions), so the fan-out heuristic targets KB-scale partitions where
+# scans target MB; spread caps fan-out at the session's parallelism.
+TEXT_SPREAD_BYTES = 16 << 10
+
 
 def normalized_text(col: Column | str) -> Column:
     """Whitespace-normalized lowercase text — the exact-dup equivalence key."""
@@ -200,7 +206,7 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    docs = spread(df)
+    docs = spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES)
     sig_cols = [f"__h{i}" for i in range(num_hashes)]
     sigs = _minhash_signatures_agg(docs, id_col, text_col, num_hashes, shingle_k)
 
@@ -333,7 +339,7 @@ def simhash_pairs(
     tiny relative to the corpus at any scale (production dedup pipelines
     materialize them as a table outright).
     """
-    docs = _simhash_bits_agg(spread(df), id_col, text_col).persist()
+    docs = _simhash_bits_agg(spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES), id_col, text_col).persist()
     chunked = docs.select(
         "__id",
         F.explode(
@@ -396,7 +402,7 @@ def ngram_jaccard_pairs(
     posting lists would blow up the join (at corpus scale this cutoff is
     what keeps the operator near-linear).
     """
-    grams = spread(df).select(
+    grams = spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES).select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, n)).alias("gram"),
     )
@@ -465,7 +471,7 @@ def contamination_stats(
     Returns (id, n_grams, n_contaminated, contamination_ratio) with the
     cross-engine floor-rounding rule on the ratio.
     """
-    doc_grams = spread(docs).select(
+    doc_grams = spread(docs, target_bytes_per_partition=TEXT_SPREAD_BYTES).select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
     )

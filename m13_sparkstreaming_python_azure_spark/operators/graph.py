@@ -146,7 +146,8 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     if not broadcastable:
         edged = edged.repartition(src)
-    for _ in range(iterations):
+    prev = None
+    for i in range(iterations):
         rank_side = F.broadcast(ranks) if broadcastable else ranks
         contribs = edged.join(
             rank_side, edged[src] == ranks["node"]
@@ -167,4 +168,15 @@ def pagerank(
                 / F.lit(1e9)
             ).alias("rank")
         )
+        # Persist each round: the next round's broadcast (an independent
+        # job) would otherwise re-execute the ENTIRE lineage back to round
+        # 0 — O(iterations²) total work instead of O(iterations). Eagerly
+        # materialize with a count so the unpersist of the previous round
+        # can't trigger recomputation, then drop the now-dead parent.
+        if i < iterations - 1:
+            ranks = ranks.persist()
+            ranks.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
     return ranks

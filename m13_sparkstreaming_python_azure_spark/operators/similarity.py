@@ -283,6 +283,11 @@ def lsh_ann_topk(
                 6,
             ),
         )
+        # One shuffle for dedup + rank: hash-partitioning on query_id alone
+        # satisfies the clustering requirement of BOTH the (query_id,
+        # neighbor_id) dedup aggregate and the per-query rank window, so
+        # Catalyst inserts no further Exchange after this repartition.
+        .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("__sim").alias("cosine_sim"))
     )

@@ -185,6 +185,83 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("fp_rolling", F.array_min(win_hashes))
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for quality filtering: duplicate-word
+    fraction plus the fraction of tokens covered by the single most frequent
+    unigram / bigram. Heavily repeated boilerplate (the classic web-crawl
+    failure mode) scores high on all three.
+
+    Shuffle-free: per-row array HOFs inside codegen. The per-row top-count
+    scan is O(distinct × tokens); fine for document-sized rows (≤ ~10k
+    tokens). For book-length rows switch to the explode → (id, token)
+    groupBy shape used by the dedup sketches — one keyed shuffle instead of
+    the quadratic row-local scan.
+
+    All token arrays are let-bound (``bind``): referencing ``tokens(col)``
+    inside the nested counting lambdas would otherwise re-tokenize once per
+    array element (see the HOF-inlining hazard note in operators/dedup.py).
+    """
+    from m13_sparkstreaming_python_azure_spark.operators.util import bind
+
+    def top_count(arr: Column) -> Column:
+        # max over distinct elements of that element's occurrence count
+        return bind(
+            arr,
+            lambda a: F.array_max(
+                F.transform(
+                    F.array_distinct(a),
+                    lambda d: F.size(F.filter(a, lambda t: t == d)),
+                )
+            ),
+        )
+
+    def bigrams(text: Column | str) -> Column:
+        # bind: the token array is referenced once per bigram position
+        return bind(
+            tokens(text),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        )
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # Ratios of two identically-derived ints: IEEE division is correctly
+    # rounded, so the doubles are bit-equal across engines — no grid needed.
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "dup_word_frac",
+            F.when(
+                n_tok > 0, (n_tok - F.size(F.array_distinct(toks))) / n_tok
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_unigram_count",
+            F.when(n_tok > 0, top_count(toks)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "top_bigram_count",
+            F.when(n_tok > 1, top_count(bigrams(text_col))).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "top_unigram_frac",
+            F.when(n_tok > 0, F.col("top_unigram_count") / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(
+                n_tok > 1, F.col("top_bigram_count") / (n_tok - 1)
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 # PII redaction patterns — written to the common subset of Java regex
 # (Spark) and RE2 (DuckDB/Go tooling) so one pattern string serves every
 # engine in the pipeline; extend per deployment's compliance list.

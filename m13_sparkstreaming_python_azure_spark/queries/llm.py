@@ -115,6 +115,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (shuffle-free array HOFs)."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "top_unigram_count",
+        "top_bigram_count",
+        "top_unigram_frac",
+        "top_bigram_frac",
+    )
+
+
 def q_udaf_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate via a GROUPED_AGG pandas UDF (SURVEY §2.10 — the
     UDAF surface): value-weighted mean event value per type, one Arrow
@@ -449,6 +467,7 @@ LLM_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "udaf_weighted_stats": q_udaf_weighted_stats,
+    "repetition_stats": q_repetition_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
@@ -536,6 +555,38 @@ LLM_ORACLES = {
                    + 0.3 * least(coalesce(stopword_ratio, 0.0) * 10, 1.0), 4) >= 0.5)
                    AS quality_keep
         FROM stats
+    """,
+    "repetition_stats": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), feats AS (
+            SELECT doc_id, t, len(t) AS n_tokens,
+                   CASE WHEN len(t) > 1 THEN list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1]) END AS bg
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN (n_tokens - len(list_distinct(t))) / n_tokens
+                    ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN n_tokens > 0
+                    THEN list_max(list_transform(list_distinct(t),
+                         d -> len(list_filter(t, x -> x = d))))
+                    ELSE 0 END AS top_unigram_count,
+               CASE WHEN n_tokens > 1
+                    THEN list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d))))
+                    ELSE 0 END AS top_bigram_count,
+               CASE WHEN n_tokens > 0
+                    THEN list_max(list_transform(list_distinct(t),
+                         d -> len(list_filter(t, x -> x = d)))) / n_tokens
+                    ELSE 0.0 END AS top_unigram_frac,
+               CASE WHEN n_tokens > 1
+                    THEN list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d)))) / (n_tokens - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM feats
     """,
     "exact_dedup_groups": f"""
         WITH all_docs AS ({_DOCS_WITH_DUPS_SQL}),

@@ -343,6 +343,169 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stand-in for the missing `partsupp` fixture: one row per observed
+    (l_partkey, l_suppkey) pair with min unit price as the supply cost and
+    total shipped quantity as availability. Derived identically in the
+    DuckDB oracles, so the Q2/Q11/Q20 *shapes* — the part Catalyst has to
+    plan — run against a real multi-key aggregate, not a fake table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Hash-partitioning on l_partkey alone satisfies the (l_partkey,
+    # l_suppkey) clustering this aggregate requires AND the per-part
+    # window/aggregate consumers downstream (Q2's min-cost window), so the
+    # whole chain runs off this single shuffle.
+    return li.repartition("l_partkey").groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("ps_availqty"),
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within one region, for a
+    part-type bracket. The correlated min-cost subquery is decorrelated to
+    a per-part window min over the region-filtered offers — and because the
+    offer aggregate and the window share the `l_partkey` clustering, an
+    explicit repartition on it makes BOTH run off ONE shuffle.
+
+    `ps_supplycost` = min observed unit price (exact double min — equality
+    against the window min is bit-safe in both engines)."""
+    ps = _derived_partsupp(spark, sf_dir).select(
+        "l_partkey", "l_suppkey", "ps_supplycost"
+    )
+    parts = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 5)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup_region = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        ps.join(F.broadcast(parts.select("p_partkey", "p_name")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_region), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("ps_partkey"),
+            "p_name",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+    )
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept when above a fixed fraction (0.1%) of that nation's
+    total — a decorrelated global-scalar subquery, broadcast as a
+    single-row cross join with the comparison multiplied through
+    (value * 1000 > total, exact decimals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    national = li.join(
+        F.broadcast(
+            sup.join(
+                F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+            ).select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    value = national.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("__value")
+    )
+    total = value.agg(F.sum("__value").alias("__total"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("__value", 2).cast("double").alias("value"),
+        )
+    )
+
+
+def q_ship_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lineitems bucketed by order-to-ship delay (the
+    fixture stand-in for l_shipmode), counting critical-priority vs other
+    orders per bucket with conditional aggregates — one fact-fact shuffle
+    join on l_orderkey, then a tiny grouped count."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-01-01"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("__delay", delay)
+        .filter((F.col("__delay") >= 30) & (F.col("__delay") <= 119))
+        .groupBy(
+            F.floor(F.col("__delay") / 30).cast("int").alias("delay_bucket")
+        )
+        .agg(
+            F.count_if(critical).alias("high_line_count"),
+            F.count_if(~critical).alias("low_line_count"),
+        )
+    )
+
+
+def q_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of a name-matched part family whose
+    total observed quantity exceeds 5× what they shipped in 1997 — the
+    nested IN-subquery chain (parts → part-supplier availability →
+    suppliers) planned as a broadcast semi-join into an aggregate join,
+    then a semi-join onto supplier with the nation dimension broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir).select(
+        "l_partkey", "l_suppkey", "ps_availqty"
+    )
+    target_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    qty97 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty97"))
+    )
+    excess = (
+        ps.join(
+            F.broadcast(target_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(qty97, on=["l_partkey", "l_suppkey"])
+        .filter(F.col("ps_availqty") > F.col("__qty97") * 5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 TPCH_EXT_QUERIES = {
     "order_priority_count": q_order_priority_count,
     "discount_revenue_forecast": q_discount_revenue_forecast,
@@ -355,9 +518,87 @@ TPCH_EXT_QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "waiting_suppliers": q_waiting_suppliers,
     "idle_customer_balance": q_idle_customer_balance,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_stock": q_important_stock,
+    "ship_priority_delay": q_ship_priority_delay,
+    "excess_supply_suppliers": q_excess_supply_suppliers,
 }
 
 TPCH_EXT_ORACLES = {
+    "min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS ps_supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        offers AS (
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   p_partkey AS ps_partkey, p_name,
+                   ps_supplycost,
+                   min(ps_supplycost) OVER (PARTITION BY l_partkey) AS mc
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+                     AND p_type = 'LARGE' AND p_size <= 5
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        )
+        SELECT s_acctbal, s_name, n_name, ps_partkey, p_name,
+               round(ps_supplycost, 2) AS supplycost
+        FROM offers WHERE ps_supplycost = mc
+    """,
+    "important_stock": """
+        WITH value AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+            GROUP BY l_partkey
+        ),
+        tot AS (SELECT sum(v) AS total FROM value)
+        SELECT l_partkey AS ps_partkey,
+               CAST(round(v, 2) AS DOUBLE) AS value
+        FROM value, tot
+        WHERE v * 1000 > total
+    """,
+    "ship_priority_delay": """
+        SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 30)
+                    AS INT) AS delay_bucket,
+               count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND date_diff('day', o_orderdate, l_shipdate) BETWEEN 30 AND 119
+        GROUP BY 1
+    """,
+    "excess_supply_suppliers": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        s97 AS (
+            SELECT l_partkey, l_suppkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty97
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM ps JOIN s97 USING (l_partkey, l_suppkey)
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
+            )
+            AND ps_availqty > qty97 * 5
+        )
+    """,
     "order_priority_count": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

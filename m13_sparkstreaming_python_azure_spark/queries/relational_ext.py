@@ -421,7 +421,31 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`, executed as UnionLoop):
+    BFS over the implicit binary tree on customer keys (parent = k div 2),
+    one equi-join per level — the iterative-SQL operator class (hierarchy
+    walks, transitive closure) with log-depth recursion, no driver loop.
+    Per-level counts are exact ints."""
+    from m13_sparkstreaming_python_azure_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+        WITH RECURSIVE tree(k, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+            FROM customer c JOIN tree t ON c.c_custkey div 2 = t.k
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth, count(*) AS n_nodes,
+               min(k) AS min_key, max(k) AS max_key
+        FROM tree GROUP BY depth
+    """)
+
+
 EXT_QUERIES = {
+    "recursive_tree_depth": q_recursive_tree_depth,
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
     "window_ranks": q_window_ranks,
@@ -443,6 +467,18 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "recursive_tree_depth": """
+        WITH RECURSIVE tree(k, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+            FROM customer c JOIN tree t ON c.c_custkey // 2 = t.k
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth, count(*) AS n_nodes,
+               min(k) AS min_key, max(k) AS max_key
+        FROM tree GROUP BY depth
+    """,
     "null_semantics": """
         WITH base AS (
             SELECT o_orderkey, nullif(o_orderstatus, 'F') AS status_n

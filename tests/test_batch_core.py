@@ -446,3 +446,22 @@ def test_tpch_ext_shape_invariants(spark, sf_dir):
     )
     # left-semi: each qualifying order contributes at most once
     assert 0 < counted <= n_orders_window
+
+
+def test_recursive_cte_binary_tree(spark):
+    """WITH RECURSIVE over keys 1..7 (parent = k div 2): depths 0/1/2 with
+    1/2/4 nodes — pins Spark 4's UnionLoop execution of recursive CTEs."""
+    spark.createDataFrame(
+        [(k,) for k in range(1, 8)], "c_custkey int"
+    ).createOrReplaceTempView("customer")
+    rows = spark.sql("""
+        WITH RECURSIVE tree(k, depth) AS (
+            SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey = 1
+            UNION ALL
+            SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+            FROM customer c JOIN tree t ON c.c_custkey div 2 = t.k
+            WHERE c.c_custkey > 1
+        )
+        SELECT depth, count(*) AS n FROM tree GROUP BY depth ORDER BY depth
+    """).collect()
+    assert [(r["depth"], r["n"]) for r in rows] == [(0, 1), (1, 2), (2, 4)]

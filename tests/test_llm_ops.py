@@ -344,3 +344,32 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     a2 = assign_clusters(vecs, cents2)
     cost2 = total_cost(a2, cents2)
     assert cost2 <= cost1 + 1e-6, (cost1, cost2)
+
+
+def test_repetition_stats_edge_cases(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # empty → zeros, no div-by-zero
+            (2, "word"),                  # single token → no bigrams
+            (3, "spam spam spam spam"),   # fully repeated
+            (4, "a b a b a b"),           # repeated bigram "a b"
+            (5, None),                    # null text behaves like empty
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(df).collect()
+    }
+    assert rows[1]["n_tokens"] == 0 and rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_count"] == 0 and rows[2]["top_unigram_frac"] == 1.0
+    assert rows[3]["dup_word_frac"] == 0.75
+    assert rows[3]["top_unigram_frac"] == 1.0 and rows[3]["top_bigram_frac"] == 1.0
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top = 3 of 5
+    assert rows[4]["top_bigram_count"] == 3
+    assert rows[4]["top_bigram_frac"] == 3 / 5
+    assert rows[5]["n_tokens"] is None or rows[5]["n_tokens"] == 0

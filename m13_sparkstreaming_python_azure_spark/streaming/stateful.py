@@ -236,3 +236,22 @@ def rocksdb_state_conf() -> dict[str, str]:
             "true"
         ),
     }
+
+
+def read_state(spark, checkpoint_dir: str, batch_id: int | None = None):
+    """Offline inspection of a streaming query's keyed state via Spark 4's
+    state data source — the ops/debugging surface for stateful pipelines
+    (inspect hot keys, audit watermark drops, seed migrations) without
+    touching the running query. Returns (key, value, partition_id) rows
+    for the aggregation operator's state at ``batch_id`` (default:
+    latest committed batch)."""
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load(checkpoint_dir)
+
+
+def read_state_metadata(spark, checkpoint_dir: str):
+    """Operator-level state metadata (operator/store names, partition
+    counts, batch id range) via the `state-metadata` data source."""
+    return spark.read.format("state-metadata").load(checkpoint_dir)

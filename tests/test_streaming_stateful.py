@@ -272,3 +272,52 @@ def test_foreach_batch_merge_upsert_sink(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_state_data_source_reads_aggregate_state(spark, tmp_path):
+    """Spark 4 state data source: the checkpointed keyed state of a
+    streaming aggregate is externally readable and equals the sink-visible
+    aggregate — the ops surface for hot-key inspection and state audits."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        read_state,
+        read_state_metadata,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("state_ds_probe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sink = {
+        r["event_type"]: r["n"]
+        for r in spark.sql("SELECT * FROM state_ds_probe").collect()
+    }
+    state = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in read_state(spark, ckpt).collect()
+    }
+    assert state == sink and len(state) > 0
+
+    md = read_state_metadata(spark, ckpt).collect()
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

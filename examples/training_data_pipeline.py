@@ -1,7 +1,7 @@
 """End-to-end LLM training-data pipeline on the documents fixture.
 
 The full curation chain, each stage a first-class engine operator:
-  1. text stats + Gopher-style quality gate   (operators/text.py)
+  1. text stats + Gopher-style quality & repetition gates (operators/text.py)
   2. exact dedup on normalized content        (operators/dedup.py)
   3. MinHash-LSH near-dup pair removal        (operators/dedup.py)
   4. benchmark decontamination (5-gram hit)   (operators/dedup.py)
@@ -42,6 +42,7 @@ from m13_sparkstreaming_python_azure_spark.operators.text import (
     redact_pii,
     with_lang_id,
     with_quality_score,
+    with_repetition_stats,
 )
 from m13_sparkstreaming_python_azure_spark.session import get_spark
 
@@ -52,6 +53,16 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
 
     kept = with_quality_score(docs).filter(F.col("quality_keep")).select(
         "doc_id", "text"
+    )
+    # repetition gate (Gopher): drop docs dominated by one repeated n-gram
+    # or with heavy duplicate-word mass — both quality filters fold into
+    # the same scan stage (no extra pass over the corpus)
+    kept = (
+        with_repetition_stats(kept)
+        .filter(
+            (F.col("dup_word_frac") < 0.9) & (F.col("top_bigram_frac") < 0.5)
+        )
+        .select("doc_id", "text")
     )
     deduped = exact_dedup(kept, "doc_id")
 
@@ -96,7 +107,7 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
     out = spark.read.parquet(out_dir)
     stats = {
         "raw_docs": n_raw,
-        "quality_kept": kept.count(),
+        "quality_kept": kept.count(),  # incl. repetition gate
         "after_exact_dedup": deduped.count(),
         "after_near_dedup": surviving.count(),
         "after_decontam": clean.count(),

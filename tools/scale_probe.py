@@ -139,12 +139,54 @@ def main(sf_dir: str = "/root/testdata/sf0.1", replicas: int = 10) -> None:
             return kept.groupBy("l_suppkey").count().count()
         return _run
 
+
+    def probe_repetition(docs):
+        # scan-shaped: per-row array HOFs, no shuffle — ratio should track
+        # input size only
+        def _run():
+            from m13_sparkstreaming_python_azure_spark.operators.text import (
+                with_repetition_stats,
+            )
+
+            return (
+                with_repetition_stats(docs)
+                .filter(F.col("dup_word_frac") > 0.5)
+                .count()
+            )
+        return _run
+
+    ps1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    psN = replicate(ps1, "l_partkey", replicas, 100_000_000)
+
+    def probe_partsupp_mincost(li):
+        # the Q2 shape: one l_partkey shuffle serves the (partkey, suppkey)
+        # aggregate AND the per-part window min
+        def _run():
+            from pyspark.sql import Window
+
+            ps = (
+                li.repartition("l_partkey")
+                .groupBy("l_partkey", "l_suppkey")
+                .agg(F.min("l_extendedprice").alias("c"))
+            )
+            w = Window.partitionBy("l_partkey")
+            return (
+                ps.withColumn("m", F.min("c").over(w))
+                .filter(F.col("c") == F.col("m"))
+                .count()
+            )
+        return _run
+
     probes = [
         ("sessionize+agg", probe_sessionize(ev1), probe_sessionize(evN)),
         ("histogram sketch e2e", probe_histogram(ev1), probe_histogram(evN)),
         ("contamination", probe_contamination(docs1), probe_contamination(docsN)),
         ("kmeans 2-pass", probe_kmeans(emb1), probe_kmeans(embN)),
         ("late semi+anti self-join", probe_late_semi_anti(li1), probe_late_semi_anti(liN)),
+        ("repetition stats (scan)", probe_repetition(docs1), probe_repetition(docsN)),
+        ("partsupp min-cost window", probe_partsupp_mincost(ps1), probe_partsupp_mincost(psN)),
     ]
     # warm up
     ev1.count(); docs1.count()

@@ -105,3 +105,42 @@ def test_join_strategy_hints_respected(spark, sf_dir):
         orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
     )
     assert "ShuffledHashJoin" in plan_of(hashed)
+
+
+def test_observe_metrics_on_batch_query(spark):
+    """DataFrame.observe + Observation: scan-side pipeline metrics (row
+    counts, null counts, sums) collected as a side effect of the one real
+    action — the monitoring hook for curation pipelines (no second pass
+    over the data)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    obs = Observation("ingest_metrics")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("text").isNull()).alias("null_texts"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    kept = observed.filter(F.col("n_chars") > 0).count()
+    metrics = obs.get
+    assert metrics["rows_seen"] >= kept
+    assert metrics["null_texts"] == 0
+    assert metrics["total_chars"] > 0
+
+
+def test_parameterized_sql(spark):
+    """spark.sql named-parameter binding (Spark 4): safe templating for the
+    SQL entry point — no string interpolation of user values."""
+    from m13_sparkstreaming_python_azure_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    rows = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :status"
+        " AND o_totalprice > :floor",
+        args={"status": "F", "floor": 0.0},
+    ).collect()
+    assert rows[0]["n"] > 0

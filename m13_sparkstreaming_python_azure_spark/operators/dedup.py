@@ -500,3 +500,83 @@ def contamination_stats(
             ),
         )
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH index of a corpus — the persistable /
+    broadcastable static side of streaming near-dup detection. Same hash
+    family and band bucketing as ``minhash_lsh_pairs``; write it out
+    partitioned (or bucketed) by ``band, bucket`` and incoming documents
+    probe it with a map-side join."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig_cols = [f"__h{i}" for i in range(num_hashes)]
+    sigs = _minhash_signatures_agg(
+        spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES),
+        id_col,
+        text_col,
+        num_hashes,
+        shingle_k,
+    )
+    return sigs.select(
+        F.col("__id").alias(id_col),
+        F.explode(_band_buckets(sig_cols, bands, rows_per_band)).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+
+
+def minhash_bands_rowwise(
+    text_col: Column | str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> Column:
+    """array<struct<band,bucket>> of a text column computed PER ROW (pure
+    column expression, no aggregate) — bucket values identical to
+    ``minhash_band_index``'s, but legal inside a streaming append query
+    (streaming forbids the explode/groupBy signature aggregate; this is
+    the row-local twin, O(shingles × num_hashes) per row).
+
+    Empty/whitespace docs produce an empty band array (no shingles → no
+    buckets), matching the agg form which emits no signature row for them.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def to_bands(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(s, b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                ).alias("bucket"),
+            ),
+        )
+
+    # guard on the SHINGLE set: a shingle-less doc must yield an empty band
+    # array (the agg form emits no signature row for it) — guarding on the
+    # signature would misfire, since min-over-empty makes a 64-null array,
+    # not an empty one
+    return bind(
+        word_shingles(text_col, shingle_k),
+        lambda sh: F.when(
+            F.size(sh) > 0,
+            bind(minhash_signature(sh, num_hashes), to_bands),
+        ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>")),
+    )

@@ -321,3 +321,85 @@ def test_state_data_source_reads_aggregate_state(spark, tmp_path):
     assert md[0]["numPartitions"] == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_streaming_near_dup_flags_match_batch_candidates(spark, tmp_path):
+    """Streaming near-dup detection: arriving documents probe a static
+    MinHash band index via a broadcast stream-static join. Two invariants:
+    (1) the row-wise band expression (streaming-legal, no aggregate) equals
+    the explode/groupBy index form bucket-for-bucket; (2) the streamed
+    candidate pairs equal the batch band-collision candidates."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_bands_rowwise,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        stream_static_join,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    # arriving batch: half exact dupes, half perturbed near-dupes
+    arriving = (
+        docs.limit(60)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("new_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.col("text")
+            ).otherwise(F.concat(F.col("text"), F.lit(" tail tweak"))).alias(
+                "text"
+            ),
+        )
+    )
+
+    # invariant 1: row-wise bands == agg-form index on the same rows
+    agg_index = minhash_band_index(arriving, "new_id")
+    row_index = arriving.select(
+        "new_id",
+        F.explode(minhash_bands_rowwise("text")).alias("bb"),
+    ).select("new_id", "bb.band", "bb.bucket")
+    assert sorted(map(tuple, agg_index.collect())) == sorted(
+        map(tuple, row_index.collect())
+    )
+
+    # invariant 2: streamed probe == batch band-collision candidates
+    corpus_index = minhash_band_index(docs, "doc_id")
+    expected = sorted(
+        map(
+            tuple,
+            row_index.join(corpus_index, on=["band", "bucket"])
+            .select("new_id", "doc_id")
+            .distinct()
+            .collect(),
+        )
+    )
+
+    src = str(tmp_path / "arrivals")
+    arriving.write.parquet(src)
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    flagged = stream_static_join(
+        stream.select(
+            "new_id", F.explode(minhash_bands_rowwise("text")).alias("bb")
+        ).select("new_id", "bb.band", "bb.bucket"),
+        corpus_index,
+        on=["band", "bucket"],
+    ).select("new_id", "doc_id")
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("near_dup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT DISTINCT new_id, doc_id FROM near_dup_stream"
+            ).collect(),
+        )
+    )
+    assert got == expected and len(got) > 0

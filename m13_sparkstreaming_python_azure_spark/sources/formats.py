@@ -63,3 +63,35 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is on the classpath. Avro is a
+    built-in-but-external Spark module (shipped as a separate jar since
+    2.4); the pip pyspark distribution carries avro core jars but NOT the
+    connector, so availability is environment-dependent."""
+    try:
+        # Spark's own resolution path: raises FAILED_TO_FIND_DATA_SOURCE
+        # when only the core avro jars (not the connector) are present —
+        # a Class.forName probe false-positives on those.
+        spark.read.format("avro").load("/__avro_probe_nonexistent__")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find data source" not in str(e)
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | None = None, **options: str
+) -> DataFrame:
+    """Avro read (row-oriented interchange format — Kafka archives, data
+    exchange with JVM shops). Requires the spark-avro connector
+    (``--packages org.apache.spark:spark-avro_2.13:<spark version>``);
+    raises the same clear error Spark does when it's absent."""
+    reader = spark.read.format("avro").options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    df.write.format("avro").mode("overwrite").save(path)

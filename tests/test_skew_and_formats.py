@@ -311,3 +311,27 @@ def test_external_source_builders_and_jdbc_partitioning(spark):
     assert jdbc_partition_predicates("k", 5, 6, 8) == [
         "k >= 5 AND k <= 5", "k >= 6 AND k <= 6",
     ]
+
+
+def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
+    """Avro wrapper: full roundtrip when the connector jar is present;
+    otherwise pin the availability probe (this container ships avro core
+    jars but not spark-avro, so the probe must say False rather than the
+    write failing with a cryptic error downstream)."""
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.formats import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(100)
+    if not avro_available(spark):
+        import pytest
+
+        pytest.skip("spark-avro connector not on classpath (documented)")
+    path = str(tmp_path / "orders_avro")
+    write_avro(orders, path)
+    back = read_avro(spark, path)
+    assert back.count() == 100
+    assert sorted(back.columns) == sorted(orders.columns)

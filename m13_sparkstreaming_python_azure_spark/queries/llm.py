@@ -437,6 +437,23 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out under the oracle gate: documents as
+    clips (duration = n_chars x 10 ms), one row per sampled frame at 1 fps
+    — the sequence/explode timestamp plumbing a real corpus uses (only the
+    per-frame pixel decode needs a codec; payload stays null here)."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "video").filter(
+        F.col("duration_ms") > 0
+    )
+    return sample_video_frames(media, every_ms=1000).select(
+        "media_id", "frame_ts_ms"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation, composed from the individually
     oracled stages: quality gate → exact dedup of survivors → language ID
@@ -482,6 +499,7 @@ LLM_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio_segments": q_multimodal_audio_segments,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "curation_pipeline": q_curation_pipeline,
 }
@@ -747,6 +765,13 @@ LLM_ORACLES = {
         )
         SELECT query_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10
+    """,
+    "multimodal_frame_sample": """
+        SELECT doc_id AS media_id,
+               unnest(generate_series(0,
+                   greatest(n_chars * 10 - 1, 0), 1000)) AS frame_ts_ms
+        FROM documents
+        WHERE n_chars * 10 > 0
     """,
     "multimodal_audio_segments": """
         WITH m AS (

@@ -1,0 +1,141 @@
+"""Manifest-versioned parquet tables: snapshot isolation + time travel
+without a table-format dependency (Delta/Iceberg aren't in this container;
+SURVEY §2.1 S5 flags the memory sink's replacement path for scale).
+
+Layout:
+    table_dir/
+      data/part-*.parquet      immutable data files (never rewritten in place)
+      _manifests/v00001.json   ordered file list + row count per version
+      _manifests/_latest       the committed version number (atomic pointer)
+
+Semantics (the useful subset of a table format, in ~100 lines):
+- **Snapshot isolation**: a reader resolves `_latest` → manifest → fixed
+  file list once; concurrent appends/compactions create NEW files and a NEW
+  manifest, never touching files a live reader holds.
+- **Time travel**: every version's manifest is retained; `read_snapshot(
+  version=N)` reproduces the table as of commit N exactly.
+- **Safe compaction**: `compact_snapshot` rewrites current content into
+  fewer files and commits them as a new version — old versions (and old
+  readers) still see the original files.
+- **Atomic commit**: the manifest is written to a temp name and renamed;
+  `_latest` is a one-line pointer file renamed over atomically (POSIX /
+  HDFS rename semantics; on S3-like stores use a conditional-put catalog —
+  same protocol, different pointer swap).
+
+At 100 TB the manifest lists O(file count) entries — keep files ~256 MB+
+via `target_file_bytes` and the list stays in the low millions, read once
+per query plan (exactly the Delta/Iceberg trade).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
+
+
+def _atomic_write(path: str, content: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as f:
+        f.write(content)
+    os.rename(tmp, path)
+
+
+def latest_version(table_dir: str) -> int | None:
+    p = os.path.join(_manifest_dir(table_dir), "_latest")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def _commit(table_dir: str, files: list[str], n_rows: int) -> int:
+    version = (latest_version(table_dir) or 0) + 1
+    manifest = {"version": version, "files": sorted(files), "rows": n_rows}
+    _atomic_write(_manifest_path(table_dir, version), json.dumps(manifest))
+    _atomic_write(
+        os.path.join(_manifest_dir(table_dir), "_latest"), str(version)
+    )
+    return version
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df as new immutable files under data/ (staging dir + move —
+    Spark owns the file layout inside the staging write)."""
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    moved = []
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:8]}-{name}")
+            os.rename(os.path.join(staging, name), dst)
+            moved.append(dst)
+    # best-effort cleanup of the _SUCCESS marker etc.
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+    return moved
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Create version 1 (or fully replace content as a new version)."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    files = _write_data_files(df, table_dir)
+    spark = df.sparkSession
+    n = spark.read.parquet(*files).count() if files else 0
+    return _commit(table_dir, files, n)
+
+
+def append_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Append rows as a new version: previous files + new files."""
+    prev = read_manifest(table_dir)
+    files = _write_data_files(df, table_dir)
+    spark = df.sparkSession
+    n_new = spark.read.parquet(*files).count() if files else 0
+    return _commit(table_dir, prev["files"] + files, prev["rows"] + n_new)
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    v = version if version is not None else latest_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    with open(_manifest_path(table_dir, v)) as f:
+        return json.load(f)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table exactly as of ``version`` (default: latest committed)."""
+    m = read_manifest(table_dir, version)
+    if not m["files"]:
+        raise FileNotFoundError(f"version {m['version']} has no files")
+    return spark.read.parquet(*m["files"])
+
+
+def compact_snapshot(
+    spark: SparkSession, table_dir: str, target_file_bytes: int = 256 << 20
+) -> int:
+    """Rewrite the CURRENT version into ~target-sized files and commit as a
+    new version. Old versions keep their original files — live readers and
+    time travel are unaffected (files are only ever added, never mutated;
+    a vacuum step for expired versions is deliberately separate)."""
+    m = read_manifest(table_dir)
+    size = sum(os.path.getsize(f) for f in m["files"])
+    n_files = max(1, -(-size // target_file_bytes))
+    df = spark.read.parquet(*m["files"]).repartition(n_files)
+    files = _write_data_files(df, table_dir)
+    return _commit(table_dir, files, m["rows"])

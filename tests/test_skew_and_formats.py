@@ -335,3 +335,50 @@ def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
     back = read_avro(spark, path)
     assert back.count() == 100
     assert sorted(back.columns) == sorted(orders.columns)
+
+
+def test_snapshot_table_time_travel_and_compaction(spark, tmp_path):
+    """Manifest-versioned table: snapshot isolation, time travel, and
+    compaction that never disturbs old versions (the Delta-less scale path
+    for SURVEY §2.1 S5's durable-sink replacement)."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        latest_version,
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "versioned_orders")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    v1 = write_snapshot(first, table)
+    # hold a reader on v1 BEFORE any further commits
+    reader_v1 = read_snapshot(spark, table, v1)
+    n1 = first.count()
+
+    v2 = append_snapshot(second, table)
+    assert read_snapshot(spark, table).count() == orders.count()
+
+    v3 = compact_snapshot(spark, table, target_file_bytes=1 << 30)
+    assert (v1, v2, v3) == (1, 2, 3) and latest_version(table) == 3
+    # compacted latest equals full content, in fewer files
+    assert read_snapshot(spark, table).count() == orders.count()
+    assert len(read_manifest(table, v3)["files"]) <= len(
+        read_manifest(table, v2)["files"]
+    )
+    # time travel: every version reproduces its exact content
+    assert read_snapshot(spark, table, v1).count() == n1
+    assert read_snapshot(spark, table, v2).count() == orders.count()
+    # the v1 reader (resolved before v2/v3 existed) still scans clean
+    assert reader_v1.count() == n1
+    # value-exactness across compaction, not just counts
+    a = sorted(map(tuple, read_snapshot(spark, table, v2).collect()))
+    b = sorted(map(tuple, read_snapshot(spark, table, v3).collect()))
+    assert a == b

@@ -60,9 +60,16 @@ def latest_version(table_dir: str) -> int | None:
         return int(f.read().strip())
 
 
-def _commit(table_dir: str, files: list[str], n_rows: int) -> int:
+def _commit(
+    table_dir: str,
+    files: list[str],
+    n_rows: int,
+    extra: dict | None = None,
+) -> int:
     version = (latest_version(table_dir) or 0) + 1
     manifest = {"version": version, "files": sorted(files), "rows": n_rows}
+    if extra:
+        manifest.update(extra)
     _atomic_write(_manifest_path(table_dir, version), json.dumps(manifest))
     _atomic_write(
         os.path.join(_manifest_dir(table_dir), "_latest"), str(version)
@@ -90,22 +97,26 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
     return moved
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(
+    df: DataFrame, table_dir: str, extra: dict | None = None
+) -> int:
     """Create version 1 (or fully replace content as a new version)."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, files, n)
+    return _commit(table_dir, files, n, extra)
 
 
-def append_snapshot(df: DataFrame, table_dir: str) -> int:
+def append_snapshot(
+    df: DataFrame, table_dir: str, extra: dict | None = None
+) -> int:
     """Append rows as a new version: previous files + new files."""
     prev = read_manifest(table_dir)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n_new = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, prev["files"] + files, prev["rows"] + n_new)
+    return _commit(table_dir, prev["files"] + files, prev["rows"] + n_new, extra)
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -139,3 +150,41 @@ def compact_snapshot(
     df = spark.read.parquet(*m["files"]).repartition(n_files)
     files = _write_data_files(df, table_dir)
     return _commit(table_dir, files, m["rows"])
+
+
+def snapshot_batch_sink(table_dir: str):
+    """The idempotent foreachBatch function behind
+    ``write_stream_snapshots`` (public so recovery behavior is directly
+    testable): commits a micro-batch as a new table version unless its
+    batch_id is already committed — a replayed batch (crash recovery)
+    commits nothing."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = None
+        try:
+            last = read_manifest(table_dir).get("batch_id")
+        except FileNotFoundError:
+            pass
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed
+        extra = {"batch_id": batch_id}
+        if latest_version(table_dir) is None:
+            write_snapshot(batch_df, table_dir, extra)
+        else:
+            append_snapshot(batch_df, table_dir, extra)
+
+    return _sink
+
+
+def write_stream_snapshots(stream: DataFrame, table_dir: str, checkpoint: str):
+    """foreachBatch sink committing each micro-batch as a table version —
+    the durable, versioned, exactly-once landing path for streams.
+
+    Exactly-once: Spark replays a micro-batch (same batch_id) after crash
+    recovery; the manifest records the last committed batch_id, and a
+    replayed id commits nothing — the checkpoint (Spark's offsets) and the
+    manifest (our commits) re-converge. Returns the DataStreamWriter (call
+    ``.start()``/``.trigger(...)`` on it)."""
+    return stream.writeStream.foreachBatch(snapshot_batch_sink(table_dir)).option(
+        "checkpointLocation", checkpoint
+    )

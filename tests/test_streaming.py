@@ -299,3 +299,64 @@ def test_python_streaming_datasource_exactly_once(spark, tmp_path):
         "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM pyds_stream"
     ).collect()[0]
     assert rows["n"] == 500 and rows["d"] == 500
+
+
+def test_stream_snapshot_sink_exactly_once_across_restart(spark, tmp_path):
+    """foreachBatch → versioned-snapshot sink: each micro-batch commits one
+    table version; a restart with the same checkpoint re-commits nothing,
+    new arrivals commit incrementally, and a replayed batch_id is a no-op
+    (the crash-recovery path, driven directly)."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_manifest,
+        read_snapshot,
+        latest_version,
+        write_stream_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    first, second = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    first.write.parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        q = (
+            write_stream_snapshots(stream, table, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    v_after_first = latest_version(table)
+    assert read_snapshot(spark, table).count() == first.count()
+
+    # restart, no new data → no new commits
+    run()
+    assert latest_version(table) == v_after_first
+
+    # new arrivals → incremental commit only
+    second.write.mode("append").parquet(src)
+    run()
+    assert latest_version(table) > v_after_first
+    assert read_snapshot(spark, table).count() == ev.count()
+
+    # crash-replay: re-delivering an already-committed batch_id is a no-op
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        snapshot_batch_sink,
+    )
+
+    committed = read_manifest(table)["batch_id"]
+    before = latest_version(table)
+    snapshot_batch_sink(table)(first.limit(5), committed)
+    assert latest_version(table) == before
+    # a genuinely new batch_id still commits
+    snapshot_batch_sink(table)(first.limit(5), committed + 1)
+    assert latest_version(table) == before + 1

@@ -188,3 +188,51 @@ def write_stream_snapshots(stream: DataFrame, table_dir: str, checkpoint: str):
     return stream.writeStream.foreachBatch(snapshot_batch_sink(table_dir)).option(
         "checkpointLocation", checkpoint
     )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE (upsert) into a versioned table: key-matched rows take the
+    source's values, unmatched source rows insert, untouched rows carry
+    over — committed as a NEW version (copy-on-write at table granularity;
+    per-file copy-on-write is the refinement when update rate << table
+    size). Old versions remain time-travelable."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = read_snapshot(spark, table_dir)
+    merged = merge_upsert(target, source, keys)
+    files = _write_data_files(merged, table_dir)
+    n = spark.read.parquet(*files).count() if files else 0
+    return _commit(table_dir, files, n)
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by expired versions (older than
+    the ``keep_last`` most recent), and their manifests. The separate,
+    explicitly-invoked destructive step — commits/compactions never delete
+    anything, so a reader holding any retained version is never broken.
+    Returns the deleted file paths."""
+    latest = latest_version(table_dir)
+    if latest is None:
+        return []
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    live_files: set[str] = set()
+    for v in keep:
+        live_files.update(read_manifest(table_dir, v)["files"])
+    deleted = []
+    for v in range(1, latest + 1):
+        if v in keep:
+            continue
+        m = read_manifest(table_dir, v)
+        for f in m["files"]:
+            if f not in live_files and os.path.exists(f):
+                os.remove(f)
+                deleted.append(f)
+        os.remove(_manifest_path(table_dir, v))
+    return deleted

@@ -382,3 +382,54 @@ def test_snapshot_table_time_travel_and_compaction(spark, tmp_path):
     a = sorted(map(tuple, read_snapshot(spark, table, v2).collect()))
     b = sorted(map(tuple, read_snapshot(spark, table, v3).collect()))
     assert a == b
+
+
+def test_snapshot_merge_and_vacuum(spark, tmp_path):
+    """MERGE into a versioned table produces a new time-travelable version;
+    vacuum deletes only files exclusive to expired versions (retained
+    versions stay fully readable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        latest_version,
+        merge_snapshot,
+        read_manifest,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "merge_table")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_snapshot(orders, table)
+
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    v2 = merge_snapshot(spark, table, updates, keys=["o_orderkey"])
+    assert v2 == 2
+    now = read_snapshot(spark, table)
+    assert now.count() == orders.count()  # upsert, no dup keys
+    assert (
+        now.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_totalprice") != 0.0)).count()
+        == 0
+    )
+    # v1 unchanged (time travel across the merge)
+    v1_prices = read_snapshot(spark, table, 1).agg(F.sum("o_totalprice")).collect()[0][0]
+    assert v1_prices > 0
+
+    # vacuum: v1's files (exclusive to it) go; latest stays readable
+    dead = vacuum_snapshots(table, keep_last=1)
+    assert dead and all(not os.path.exists(f) for f in dead)
+    assert read_snapshot(spark, table).count() == orders.count()
+    assert latest_version(table) == v2
+    # expired manifest is gone
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_manifest(table, 1)

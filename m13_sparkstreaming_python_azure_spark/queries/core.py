@@ -963,6 +963,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts. Dedup state is keyed by event_id and evicted once
     the watermark passes — with delay ≥ span nothing evicts here, at
     production scale the delay bounds state to rate × delay."""
+    import os
     import tempfile
     import uuid
 
@@ -970,18 +971,26 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_file_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type"
-    ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
-    root = tempfile.mkdtemp(prefix="stream-dedup-")
-    # two writes into ONE partition tree (overwrite, then append): every
-    # event exists in two files of its day dir, and with half the files
-    # per trigger the duplicate usually arrives in a different micro-batch
-    for mode in ("overwrite", "append"):
-        ev.repartition("event_date").write.mode(mode).partitionBy(
-            "event_date"
-        ).parquet(root)
-    schema = spark.read.parquet(root).schema
+    # memoized like _events_day_landing (shared fixture prep, read-only use)
+    key = (os.path.abspath(sf_dir), "doubled")
+    hit = _EVENTS_LANDING_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit[0]):
+        root, schema = hit
+    else:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        ).withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        root = tempfile.mkdtemp(prefix="stream-dedup-")
+        # two writes into ONE partition tree (overwrite, then append):
+        # every event exists in two files of its day dir, and with half
+        # the files per trigger the duplicate usually arrives in a
+        # different micro-batch
+        for mode in ("overwrite", "append"):
+            ev.repartition("event_date").write.mode(mode).partitionBy(
+                "event_date"
+            ).parquet(root)
+        schema = spark.read.parquet(root).schema
+        _EVENTS_LANDING_CACHE[key] = (root, schema)
     stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=30)
     deduped = (
         stream.withWatermark("ts", "90 days")

@@ -61,3 +61,86 @@ def resample_ffill(
         F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
         F.last("sum_value", ignorenulls=True).over(w).alias("ffill_sum"),
     )
+
+
+def subsequence_search(
+    df: DataFrame,
+    key_col: str,
+    pattern: list[float],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series subsequence similarity search: per key, the offset of
+    the length-m window of its (time-ordered) value series closest to
+    ``pattern`` in squared Euclidean distance — the UCR-suite-style
+    pattern-matching primitive, distributed as one groupBy per key plus
+    row-local array HOFs (no window shuffle; each key's series scans its
+    own windows inside codegen).
+
+    Determinism contract (cross-engine oracle): the series order is the
+    full (ts, tiebreak) key; per-window distance sums decimal(18,6)-cast
+    squared diffs (fold-order independent); argmin tie-breaks on the
+    earliest window start. Returns (key, n_points, best_start [1-based],
+    best_dist2).
+
+    Scale: the array per key must fit a row (~millions of points); beyond
+    that, switch to fixed-size chunked windows with (m-1)-point overlap
+    between chunks — same math, bounded rows.
+    """
+    m = len(pattern)
+    pat = F.array(*[F.lit(float(v)) for v in pattern])
+    ordered = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("s")).alias("series"))
+        .select("key", F.col("series.v").alias("vals"))
+        .filter(F.size("vals") >= m)
+    )
+
+    def dist2(vals, start):
+        sq = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: (
+                (F.element_at(vals, start + j) - F.element_at(pat, j + 1))
+                * (F.element_at(vals, start + j) - F.element_at(pat, j + 1))
+            ).cast("decimal(18,6)"),
+        )
+        # re-cast each partial sum: decimal + decimal widens the type and
+        # aggregate() requires the merge result to keep the accumulator type
+        return F.aggregate(
+            sq,
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, x: (acc + x).cast("decimal(28,6)"),
+        )
+
+    scored = ordered.select(
+        "key",
+        F.size("vals").alias("n_points"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("vals") - (m - 1)),
+            lambda i: F.struct(
+                dist2(F.col("vals"), i).alias("d2"), i.alias("start")
+            ),
+        ).alias("wins"),
+    )
+    # array_min on struct orders lexicographically (d2, start): the argmin
+    # with earliest-start tie-break, no explode and no extra shuffle
+    best = scored.select(
+        "key",
+        "n_points",
+        F.array_min("wins").alias("best"),
+    )
+    return best.select(
+        F.col("key").alias(key_col),
+        "n_points",
+        F.col("best.start").alias("best_start"),
+        F.col("best.d2").cast("double").alias("best_dist2"),
+    )

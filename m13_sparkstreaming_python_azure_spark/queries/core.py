@@ -1182,6 +1182,20 @@ def q_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(ev, "event_type", "ts", "value")
 
 
+def q_pattern_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (cf. the EDBT'19 streaming
+    time-series similarity line in PAPERS.md): per user, the window of
+    their value series closest to a fixed ramp pattern — squared-Euclidean
+    over decimal-exact sums, earliest-start tie-break."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        subsequence_search,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pattern = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0]
+    return subsequence_search(ev, "user_id", pattern)
+
+
 def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REFERENCE'S ACTUAL SHAPE under the oracle gate: events replayed
     as a file-arrival stream (upload.py:80-106 pattern), consumed by the
@@ -1272,6 +1286,7 @@ CORE_QUERIES = {
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
+    "pattern_subsequence_search": q_pattern_subsequence_search,
     "streaming_daily_stats": q_streaming_daily_stats,
 }
 
@@ -1766,6 +1781,33 @@ CORE_ORACLES = {
                     AS BIGINT) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "pattern_subsequence_search": """
+        WITH series AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        ), ok AS (
+            SELECT user_id, vals, len(vals) AS n_points
+            FROM series WHERE len(vals) >= 8
+        ), wins AS (
+            SELECT user_id, n_points,
+                   unnest(generate_series(1, n_points - 7)) AS start
+            FROM ok
+        ), scored AS (
+            SELECT w.user_id, w.n_points, w.start,
+                   list_sum(list_transform(generate_series(0, 7), j ->
+                       CAST((o.vals[w.start + j]
+                             - [50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0][j + 1])
+                            * (o.vals[w.start + j]
+                             - [50.0,100.0,150.0,200.0,250.0,300.0,350.0,400.0][j + 1])
+                            AS DECIMAL(18,6)))) AS d2
+            FROM wins w JOIN ok o ON w.user_id = o.user_id
+        )
+        SELECT user_id, n_points, start AS best_start,
+               CAST(d2 AS DOUBLE) AS best_dist2
+        FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY d2, start) = 1
     """,
     "hourly_gap_fill": """
         WITH b AS (

@@ -117,3 +117,63 @@ def histogram_quantiles(
             (F.floor(est * 10000 + F.lit(0.5)) / 10000).alias("quantile_est"),
         )
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group distribution drift between two corpus slices (versions,
+    time windows, sources): Jensen-Shannon divergence over the shared
+    binned histogram — the data-quality monitor that catches a pipeline
+    silently changing what it feeds training.
+
+    Plan: one histogram scan per side (mergeable sketches), a full outer
+    join on (keys, bin) — missing bins are zero — then a per-group
+    aggregate of the JS terms. Cost is O(groups × bins), independent of
+    row count beyond the two scans.
+
+    Cross-engine determinism: probabilities are ratios of exact bin counts
+    (IEEE division is correctly rounded), the log terms snap to a 1e-4
+    grid via floor(x*1e4+0.5) (JVM log and C ln can differ in the last
+    ulp — same rule as tfidf_top_terms). JS is bounded [0, ln 2]."""
+    ha = build_histogram(a, value_col, keys, lo, hi, n_bins).withColumnRenamed(
+        "n", "n_a"
+    )
+    hb = build_histogram(b, value_col, keys, lo, hi, n_bins).withColumnRenamed(
+        "n", "n_b"
+    )
+    keys = list(keys)
+    joined = ha.join(hb, on=[*keys, "bin"], how="full_outer").select(
+        *keys,
+        "bin",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    w_tot = joined.groupBy(*keys).agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    j = joined.join(w_tot, on=keys)
+    p = F.col("n_a") / F.col("tot_a")
+    q = F.col("n_b") / F.col("tot_b")
+    mid = (p + q) / 2
+    # 0·log(0/x) ≡ 0 — guard both sides
+    term = (
+        F.when(p > 0, p * F.log(p / mid)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / mid)).otherwise(F.lit(0.0))
+    ) / 2
+    snapped = F.floor(term * 1e4 + F.lit(0.5)) / 1e4
+    return (
+        j.withColumn("__t", snapped)
+        .groupBy(*keys)
+        .agg(
+            F.round(F.sum("__t"), 4).alias("js_divergence"),
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+        )
+    )

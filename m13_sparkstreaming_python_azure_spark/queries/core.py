@@ -1196,6 +1196,22 @@ def q_pattern_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_search(ev, "user_id", pattern)
 
 
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift monitor: per-event-type JS divergence of the
+    value distribution, first half of the month vs the second — the check
+    a corpus pipeline runs between versions before shipping a refresh."""
+    from m13_sparkstreaming_python_azure_spark.operators.histogram import (
+        distribution_drift,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("ts") < "2024-01-16")
+    second = ev.filter(F.col("ts") >= "2024-01-16")
+    return distribution_drift(
+        first, second, "value", ["event_type"], 0.0, 500.0, 50
+    )
+
+
 def q_streaming_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REFERENCE'S ACTUAL SHAPE under the oracle gate: events replayed
     as a file-arrival stream (upload.py:80-106 pattern), consumed by the
@@ -1270,6 +1286,7 @@ CORE_QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "nation_market_share": q_nation_market_share,
     "histogram_quantiles": q_histogram_quantiles,
+    "distribution_drift": q_distribution_drift,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "streaming_append_windows": q_streaming_append_windows,
     "streaming_interval_join": q_streaming_interval_join,
@@ -1705,6 +1722,36 @@ CORE_ORACLES = {
                        AS row_num
             FROM counts
         ) WHERE row_num <= 3
+    """,
+    "distribution_drift": """
+        WITH binned AS (
+            SELECT event_type,
+                   CAST(least(49, greatest(0,
+                        floor((value - 0.0) / 10.0))) AS INT) AS bin,
+                   count(*) FILTER (ts <  TIMESTAMP '2024-01-16') AS n_a,
+                   count(*) FILTER (ts >= TIMESTAMP '2024-01-16') AS n_b
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+            FROM binned GROUP BY 1
+        ), terms AS (
+            SELECT b.event_type,
+                   (CASE WHEN n_a > 0 THEN (n_a / tot_a)
+                         * ln((n_a / tot_a)
+                              / ((n_a / tot_a + n_b / tot_b) / 2))
+                         ELSE 0.0 END
+                    + CASE WHEN n_b > 0 THEN (n_b / tot_b)
+                           * ln((n_b / tot_b)
+                                / ((n_a / tot_a + n_b / tot_b) / 2))
+                           ELSE 0.0 END) / 2 AS term,
+                   tot_a, tot_b
+            FROM binned b JOIN tot USING (event_type)
+        )
+        SELECT event_type,
+               round(sum(floor(term * 1e4 + 0.5) / 1e4), 4) AS js_divergence,
+               CAST(max(tot_a) AS BIGINT) AS n_a,
+               CAST(max(tot_b) AS BIGINT) AS n_b
+        FROM terms GROUP BY event_type
     """,
     "histogram_quantiles": """
         WITH hist AS (

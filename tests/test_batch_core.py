@@ -465,3 +465,38 @@ def test_recursive_cte_binary_tree(spark):
         SELECT depth, count(*) AS n FROM tree GROUP BY depth ORDER BY depth
     """).collect()
     assert [(r["depth"], r["n"]) for r in rows] == [(0, 1), (1, 2), (2, 4)]
+
+
+def test_plan_invariants_on_representative_queries(spark):
+    """The scale-critical plan properties (pushdown, broadcast joins, top-k
+    physical ops, no accidental NLJ) asserted in CI for a representative
+    query slice — regressions surface in tests, not only when PLANS.md is
+    regenerated. Full-inventory audit: tools/plan_audit.py."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import plan_audit
+
+    from m13_sparkstreaming_python_azure_spark.queries import QUERIES
+
+    representative = [
+        "pricing_summary",        # pushdown
+        "revenue_by_nation",      # broadcast dim chain
+        "topk_orders",            # TakeOrderedAndProject
+        "frequent_users",         # WindowGroupLimit
+        "ann_lsh",                # single-shuffle dedup+rank
+        "min_cost_supplier",      # partsupp window-min chain
+        "shipping_priority",      # TPC-H join shape
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in representative:
+        df = QUERIES[name](spark, sf)
+        problems, _plan = plan_audit.audit_one(name, df)
+        assert not problems, f"{name}: {problems}"

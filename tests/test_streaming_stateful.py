@@ -403,3 +403,77 @@ def test_streaming_near_dup_flags_match_batch_candidates(spark, tmp_path):
         )
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_interval_join_left_outer(spark, sf_dir, tmp_path):
+    """Outer stream-stream interval join: matched pairs equal the batch
+    inner join, and unmatched purchases whose interval the advancing
+    watermark has closed emit with a null right side. (The final batch's
+    unmatched rows can stay buffered — no later batch advances the
+    watermark past them — so the assertion is on closed intervals only.)"""
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    root = str(tmp_path / "stream_src")
+    stream2 = parquet_file_stream(spark, root, batch.schema, max_files_per_trigger=1)
+
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream2.filter(F.col("event_type") == "click")
+    joined = stream_stream_interval_join(
+        purchases,
+        clicks,
+        key="user_id",
+        max_lag="2 hours",
+        watermark_delay="1 hour",
+        how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    _run_to_memory("ssj_outer_sink", joined)
+    out = spark.table("ssj_outer_sink")
+
+    bp = batch.filter(F.col("event_type") == "purchase").alias("l")
+    bc = batch.filter(F.col("event_type") == "click").alias("r")
+    cond = (
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+    )
+    want_inner = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(bc, cond)
+        .select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
+    )
+    got_inner = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in out.filter(F.col("click_id").isNotNull()).collect()
+    )
+    assert got_inner == want_inner
+
+    # purchases with NO click in range, restricted to intervals the final
+    # watermark closed (ts + lag < max event ts - delay), must have a
+    # null-click row
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    import datetime as dt
+
+    closed_before = max_ts - dt.timedelta(hours=3)  # delay 1h + lag 2h
+    matched_ids = {p for p, _ in want_inner}
+    want_unmatched = sorted(
+        r["event_id"]
+        for r in batch.filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") < closed_before)
+        ).collect()
+        if r["event_id"] not in matched_ids
+    )
+    got_unmatched = sorted(
+        r["purchase_id"]
+        for r in out.filter(
+            F.col("click_id").isNull() & (F.col("purchase_ts") < closed_before)
+        ).collect()
+    )
+    assert got_unmatched == want_unmatched
+    assert len(got_unmatched) > 0

@@ -103,7 +103,9 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 64). Rows-only driver check."""
+    """SimHash near-dup pairs (hamming ≤ 3 of 64). Sketch-based (xxhash64)
+    → rows-only driver check; tests pin zero-distance on identical docs and
+    the chunk-bucket candidate recall."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", max_hamming=3)
 

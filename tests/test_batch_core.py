@@ -500,3 +500,40 @@ def test_plan_invariants_on_representative_queries(spark):
         df = QUERIES[name](spark, sf)
         problems, _plan = plan_audit.audit_one(name, df)
         assert not problems, f"{name}: {problems}"
+
+
+def test_subsequence_search_finds_known_window(spark):
+    """Hand-built series: the pattern appears exactly at offset 3 → distance
+    0 there; earliest-start tie-break when a duplicate match exists later."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        subsequence_search,
+    )
+
+    vals = [9.0, 7.0, 5.0, 1.0, 2.0, 3.0, 8.0, 1.0, 2.0, 3.0]
+    rows = [(1, float(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = subsequence_search(
+        df, "user_id", [1.0, 2.0, 3.0], ts_col="ts"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # exact match at 1-based offset 4 (index 3); the later duplicate at
+    # offset 8 loses the earliest-start tie-break
+    assert (r["best_start"], r["best_dist2"], r["n_points"]) == (4, 0.0, 10)
+
+
+def test_spread_is_size_aware(spark):
+    """spread() fans out only when the optimizer-estimated input justifies
+    it: tiny inputs keep their partitioning (no shuffle added), inputs past
+    the byte target grow toward the session parallelism."""
+    from m13_sparkstreaming_python_azure_spark.operators.util import spread
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    small = load_table(spark, "/root/testdata/sf0.001", "nation")
+    assert spread(small).rdd.getNumPartitions() == small.rdd.getNumPartitions()
+    big = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fanned = spread(big, target_bytes_per_partition=1 << 10)
+    assert fanned.rdd.getNumPartitions() > big.rdd.getNumPartitions()

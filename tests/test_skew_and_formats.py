@@ -433,3 +433,48 @@ def test_snapshot_merge_and_vacuum(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_manifest(table, 1)
+
+
+def test_file_index_prunes_point_lookup(spark, tmp_path):
+    """File-level min/max index over a key-clustered layout: a point lookup
+    opens a small fraction of the files and returns exactly the full-scan
+    result; an out-of-domain lookup opens none."""
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.fileindex import (
+        build_file_index,
+        indexed_lookup,
+        prune_files,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    path = str(tmp_path / "clustered")
+    # range-partition + sort by the key: each file owns a compact key range
+    orders.repartitionByRange(16, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(path)
+
+    index = build_file_index(spark, path, "o_custkey").cache()
+    n_files = index.count()
+    assert n_files >= 8
+
+    probe = orders.select("o_custkey").first()[0]
+    candidates = prune_files(index, probe, probe)
+    # clustered layout → a point key lives in ~1 file (straddle ≤ 2)
+    assert 1 <= len(candidates) <= 2
+
+    got = sorted(
+        tuple(r)
+        for r in indexed_lookup(spark, index, "o_custkey", probe).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .filter(F.col("o_custkey") == probe)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # out of domain: no files read, empty but correctly-typed result
+    missing = indexed_lookup(spark, index, "o_custkey", -1)
+    assert missing.count() == 0
+    assert missing.columns == spark.read.parquet(path).columns

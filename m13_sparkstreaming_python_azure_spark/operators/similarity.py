@@ -313,14 +313,26 @@ def train_ivf_centroids(
     standard IVF practice: the codebook is tiny (n_cells × dim) and gets
     broadcast into the plan; training cost is independent of corpus size.
 
-    Deterministic: seeded sample (``DataFrame.limit`` over a repeatable
-    scan), seeded init, fixed iteration count."""
-    sample = np.stack(
-        base.select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(sample_size)
-        .toPandas()["v"]
-        .to_numpy()
-    )
+    The sample is a seeded Bernoulli ``sample()`` across ALL partitions —
+    NOT ``limit()``, which takes the head of the first partitions and, at
+    scale (file order ≈ ingest order), would train the codebook on a
+    time-/source-skewed slice and degrade cell balance (VERDICT r1).
+    Deterministic: seeded sample, seeded init, fixed iteration count."""
+    vecs = base.select(_as_double(F.col(vec_col)).alias("v"))
+    n_rows = base.count()
+    if n_rows > sample_size:
+        # NO limit() after the sample either — limit takes the HEAD of the
+        # first partitions and would re-introduce the same skew. Slightly
+        # oversample, then trim to size with a seeded random subset on the
+        # driver (drop is random, so every partition stays represented).
+        frac = min(1.0, 1.2 * sample_size / n_rows)
+        vecs = vecs.sample(fraction=frac, seed=seed)
+    sample = np.stack(vecs.toPandas()["v"].to_numpy())
+    if len(sample) > sample_size:
+        keep = np.random.default_rng(seed).choice(
+            len(sample), size=sample_size, replace=False
+        )
+        sample = sample[np.sort(keep)]
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.clip(norms, 1e-12, None)
     rng = np.random.default_rng(seed)

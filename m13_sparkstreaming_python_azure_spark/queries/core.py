@@ -945,7 +945,11 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    state = spark.read.parquet(sink)
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    state = read_snapshot(spark, sink)
     return state.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),

@@ -52,6 +52,15 @@ def _atomic_write(path: str, content: str) -> None:
     os.rename(tmp, path)
 
 
+def _exclusive_write(path: str, content: str) -> None:
+    """Create ``path`` with O_CREAT|O_EXCL — fails with FileExistsError if
+    another writer already claimed this version number (writer-writer
+    conflict detection; the loser retries at the next version)."""
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as f:
+        f.write(content)
+
+
 def latest_version(table_dir: str) -> int | None:
     p = os.path.join(_manifest_dir(table_dir), "_latest")
     if not os.path.exists(p):
@@ -66,14 +75,43 @@ def _commit(
     n_rows: int,
     extra: dict | None = None,
 ) -> int:
-    version = (latest_version(table_dir) or 0) + 1
-    manifest = {"version": version, "files": sorted(files), "rows": n_rows}
-    if extra:
-        manifest.update(extra)
-    _atomic_write(_manifest_path(table_dir, version), json.dumps(manifest))
-    _atomic_write(
-        os.path.join(_manifest_dir(table_dir), "_latest"), str(version)
-    )
+    """Commit a new version. Concurrency + exactly-once invariants:
+
+    - The version manifest is created O_CREAT|O_EXCL: two concurrent
+      committers can't both claim version N+1 — the loser retries at the
+      next number, so no commit is ever silently clobbered.
+    - ``batch_id`` (the streaming exactly-once high-water mark) is
+      inherited from the previous latest manifest unless ``extra``
+      advances it — so a compaction or MERGE between micro-batches can't
+      reset the guard and let a crash-replayed batch double-commit.
+    - ``_latest`` advances monotonically (never moved backwards by a
+      slower concurrent committer).
+    """
+    while True:
+        prev_v = latest_version(table_dir)
+        version = (prev_v or 0) + 1
+        manifest = {"version": version, "files": sorted(files), "rows": n_rows}
+        if prev_v is not None:
+            try:
+                inherited = read_manifest(table_dir, prev_v).get("batch_id")
+            except FileNotFoundError:
+                inherited = None
+            if inherited is not None:
+                manifest["batch_id"] = inherited
+        if extra:
+            manifest.update(extra)
+        try:
+            _exclusive_write(
+                _manifest_path(table_dir, version), json.dumps(manifest)
+            )
+            break
+        except FileExistsError:
+            continue  # another writer took this version — retry on top of it
+    current = latest_version(table_dir)
+    if current is None or version > current:
+        _atomic_write(
+            os.path.join(_manifest_dir(table_dir), "_latest"), str(version)
+        )
     return version
 
 
@@ -229,10 +267,190 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     for v in range(1, latest + 1):
         if v in keep:
             continue
-        m = read_manifest(table_dir, v)
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # already vacuumed by an earlier run
         for f in m["files"]:
             if f not in live_files and os.path.exists(f):
                 os.remove(f)
                 deleted.append(f)
         os.remove(_manifest_path(table_dir, v))
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Keyed (bucketed) tables: partition-incremental MERGE / latest-state sinks
+# ---------------------------------------------------------------------------
+#
+# A keyed table hash-partitions rows into ``n_buckets`` buckets on the merge
+# keys (pmod(xxhash64(keys), n)); the manifest tracks the file list PER
+# BUCKET. A micro-batch then rewrites only the buckets its keys land in —
+# O(batch ÷ table) of the data instead of O(table) — and commits through the
+# same atomic manifest pointer swap as every other write, so a crash between
+# data-file write and commit leaves the previous version intact and readable
+# (orphaned staging files are reclaimed by vacuum).
+#
+# This is the manifest-layer stand-in for Delta/Iceberg MERGE with
+# bucket-clustered targets: on a real deployment swap `keyed_batch_sink` for
+# `MERGE INTO` on a Delta table clustered by the same keys — the protocol
+# (idempotent batch_id guard, copy-on-write of touched files only, atomic
+# commit) maps 1:1. See README "Snapshots vs Delta/Iceberg".
+
+
+def _write_bucketed_files(df: DataFrame, table_dir: str) -> dict[str, list[str]]:
+    """Write ``df`` (must carry an int ``__bucket`` column) as immutable
+    bucket-pure files under data/; returns {bucket: [files]}. Bucket purity
+    is what lets a later batch rewrite one bucket without touching others.
+    The ``__bucket`` value is derivable from the keys, so it is not stored
+    in the data files (partitionBy path-encodes it; readers recompute)."""
+    import shutil
+
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    parts: dict[str, list[str]] = {}
+    for entry in os.listdir(staging):
+        if not entry.startswith("__bucket="):
+            continue
+        bucket = entry.split("=", 1)[1]
+        moved = []
+        pdir = os.path.join(staging, entry)
+        for name in os.listdir(pdir):
+            if name.endswith(".parquet"):
+                dst = os.path.join(
+                    data_dir, f"{uuid.uuid4().hex[:8]}-b{bucket}-{name}"
+                )
+                os.rename(os.path.join(pdir, name), dst)
+                moved.append(dst)
+        parts[bucket] = moved
+    shutil.rmtree(staging, ignore_errors=True)
+    return parts
+
+
+def keyed_batch_sink(
+    table_dir: str,
+    keys: list[str],
+    mode: str = "merge",
+    order_cols: list[str] | None = None,
+    n_buckets: int = 16,
+):
+    """foreachBatch function MERGE-ing each micro-batch into a bucketed
+    keyed table, rewriting only touched buckets (partition-incremental
+    copy-on-write) and committing atomically via the manifest pointer.
+
+    ``mode='merge'``: key-matched rows take the batch's values, new keys
+    insert (CDC apply — ``operators.merge.merge_upsert`` semantics).
+    ``mode='latest'``: per key, keep the row with the greatest
+    ``order_cols`` tuple across all batches — order-independent (max is
+    commutative + idempotent), so replays and shuffled arrival converge
+    to the batch argmax.
+
+    Crash safety: data files land first, the manifest commit is the
+    atomic last step — a crash in between leaves the previous version
+    live (orphan files only). Replays are no-ops via the batch_id
+    high-water mark, which `_commit` now propagates through intervening
+    compactions/merges.
+    """
+    if mode not in ("merge", "latest"):
+        raise ValueError(f"mode must be 'merge' or 'latest', got {mode!r}")
+    if mode == "latest" and not order_cols:
+        raise ValueError("mode='latest' requires order_cols")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _argmax(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            last = read_manifest(table_dir).get("batch_id")
+        except FileNotFoundError:
+            last = None
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed
+
+        # reduce the batch first (tiny): latest-mode folds to per-key argmax
+        reduced = _argmax(batch_df) if mode == "latest" else batch_df
+        reduced = reduced.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        ).persist()
+        touched = sorted(
+            r["__bucket"] for r in reduced.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            reduced.unpersist()
+            return  # empty batch — nothing to commit
+
+        try:
+            prev_parts = read_manifest(table_dir).get("parts", {})
+        except FileNotFoundError:
+            prev_parts = {}
+        old_files = [
+            f
+            for b in touched
+            for f in prev_parts.get(str(b), {}).get("files", [])
+        ]
+        batch_rows = reduced.drop("__bucket")
+        if old_files:
+            old = spark.read.parquet(*old_files)
+            if mode == "merge":
+                from m13_sparkstreaming_python_azure_spark.operators.merge import (
+                    merge_upsert,
+                )
+
+                merged = merge_upsert(
+                    old, batch_rows.select(*old.columns), keys
+                )
+            else:
+                merged = _argmax(old.unionByName(batch_rows.select(*old.columns)))
+        else:
+            merged = batch_rows
+        merged = merged.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        ).persist()
+
+        os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+        written = _write_bucketed_files(merged, table_dir)
+        counts = {
+            str(r["__bucket"]): r["cnt"]
+            for r in merged.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        merged.unpersist()
+        reduced.unpersist()
+
+        parts = dict(prev_parts)
+        for b in touched:
+            bs = str(b)
+            parts[bs] = {
+                "files": written.get(bs, []),
+                "rows": int(counts.get(bs, 0)),
+            }
+        files = [f for p in parts.values() for f in p["files"]]
+        rows = sum(p["rows"] for p in parts.values())
+        _commit(
+            table_dir,
+            files,
+            rows,
+            {
+                "batch_id": batch_id,
+                "keys": keys,
+                "n_buckets": n_buckets,
+                "mode": mode,
+                "parts": parts,
+            },
+        )
+
+    return _sink

@@ -148,41 +148,34 @@ def write_foreach_batch_merge(
     target_path: str,
     checkpoint_location: str,
     keys: list[str],
+    n_buckets: int = 16,
+    sink_factory=None,
 ):
-    """Streaming CDC apply: each micro-batch MERGEs into a keyed parquet
-    target (update matched keys, insert new ones) via
-    ``operators.merge.merge_upsert`` — the upsert sink Spark reserves for
-    Delta/Iceberg, on plain parquet.
+    """Streaming CDC apply: each micro-batch MERGEs into a keyed,
+    bucket-partitioned versioned table (update matched keys, insert new
+    ones) — the upsert sink Spark reserves for Delta/Iceberg, built on the
+    manifest snapshot layer (``sources.snapshots.keyed_batch_sink``).
 
-    The target is read+rewritten per batch (write to a tmp dir, then swap
-    — a parquet reader can't overwrite its own input in place). At scale,
-    partition the target by a key prefix and use dynamic partition
-    overwrite so each batch rewrites only touched partitions; checkpoint
-    batch-id dedup makes replays idempotent (merging a batch twice is a
-    no-op)."""
-    import shutil
-    import tempfile
+    Per batch, only the key-hash buckets the batch touches are rewritten
+    (copy-on-write of O(batch ÷ table) files, not the whole target), and
+    the commit is an atomic manifest pointer swap — a crash mid-batch
+    leaves the previous version live; replays are no-ops via the
+    batch_id high-water mark. Read the target with
+    ``sources.snapshots.read_snapshot``.
 
-    from m13_sparkstreaming_python_azure_spark.operators.merge import merge_upsert
+    ``sink_factory(target, keys, mode=..., n_buckets=...)`` is the table-
+    format seam: the default is the manifest layer; on Delta/Iceberg pass
+    a factory emitting a ``MERGE INTO`` foreachBatch instead (see README
+    "Snapshots vs Delta/Iceberg")."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        keyed_batch_sink,
+    )
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:  # noqa: BLE001 — first batch: no target yet
-            batch_df.write.mode("overwrite").parquet(target_path)
-            return
-        merged = merge_upsert(
-            target, batch_df.select(*target.columns), keys
-        )
-        tmp = tempfile.mkdtemp(prefix="merge-batch-")
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path)
-        shutil.move(tmp, target_path)
-
+    factory = sink_factory or keyed_batch_sink
+    sink = factory(target_path, keys, mode="merge", n_buckets=n_buckets)
     return (
         stream.writeStream.outputMode("update")
-        .foreachBatch(_apply)
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_location)
     )
 
@@ -193,50 +186,38 @@ def write_foreach_batch_latest(
     checkpoint_location: str,
     keys: list[str],
     order_cols: list[str],
+    n_buckets: int = 16,
+    sink_factory=None,
 ):
-    """Latest-state materialization: each micro-batch folds into a keyed
-    parquet target keeping, per key, the row with the greatest
-    ``order_cols`` tuple. Unlike arrival-order upserts this is
+    """Latest-state materialization: each micro-batch folds into a keyed,
+    bucket-partitioned versioned table keeping, per key, the row with the
+    greatest ``order_cols`` tuple. Unlike arrival-order upserts this is
     ORDER-INDEPENDENT — batches can replay or arrive shuffled and the
     fixed point is the same (max is commutative/associative/idempotent),
     which is what makes the final state equal to the batch argmax and
     replays after checkpoint recovery safe.
 
-    Per batch: reduce the batch to its per-key argmax first (tiny), union
-    with the target, argmax again. At scale, partition the target by a
-    key prefix + dynamic partition overwrite, as with the merge sink."""
-    import shutil
-    import tempfile
+    Per batch: reduce the batch to its per-key argmax first (tiny), then
+    merge into only the touched key-hash buckets via
+    ``sources.snapshots.keyed_batch_sink`` (atomic manifest commit,
+    partition-incremental rewrite). Read the target with
+    ``sources.snapshots.read_snapshot``. ``sink_factory`` is the
+    table-format seam, as in ``write_foreach_batch_merge``."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        keyed_batch_sink,
+    )
 
-    from pyspark.sql import Window
-
-    def _latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        reduced = _latest(batch_df)
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:  # noqa: BLE001 — first batch: no target yet
-            reduced.write.mode("overwrite").parquet(target_path)
-            return
-        merged = _latest(target.unionByName(reduced.select(*target.columns)))
-        tmp = tempfile.mkdtemp(prefix="latest-batch-")
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target_path)
-        shutil.move(tmp, target_path)
-
+    factory = sink_factory or keyed_batch_sink
+    sink = factory(
+        target_path,
+        keys,
+        mode="latest",
+        order_cols=order_cols,
+        n_buckets=n_buckets,
+    )
     return (
         stream.writeStream.outputMode("update")
-        .foreachBatch(_apply)
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_location)
     )
 

@@ -434,6 +434,130 @@ def test_snapshot_merge_and_vacuum(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_manifest(table, 1)
 
+    # a SECOND vacuum after a new commit must not crash on the manifests
+    # the first vacuum deleted (ADVICE r1), and stays a no-op for live files
+    v3 = merge_snapshot(spark, table, updates, keys=["o_orderkey"])
+    dead2 = vacuum_snapshots(table, keep_last=1)
+    assert read_snapshot(spark, table).count() == orders.count()
+    assert latest_version(table) == v3
+    assert all(not os.path.exists(f) for f in dead2)
+
+
+def test_commit_propagates_batch_id_through_compact_and_merge(spark, tmp_path):
+    """Exactly-once guard survives maintenance commits: compaction and
+    MERGE inherit the previous manifest's batch_id, so a crash-replayed
+    micro-batch after a compact/merge is still a no-op (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        compact_snapshot,
+        latest_version,
+        merge_snapshot,
+        read_manifest,
+        snapshot_batch_sink,
+    )
+
+    table = str(tmp_path / "bid_table")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    sink = snapshot_batch_sink(table)
+    sink(nation, 7)
+    assert read_manifest(table)["batch_id"] == 7
+
+    compact_snapshot(spark, table)
+    assert read_manifest(table)["batch_id"] == 7  # inherited, not lost
+
+    updates = nation.withColumn("n_name", F.upper("n_name"))
+    merge_snapshot(spark, table, updates, keys=["n_nationkey"])
+    assert read_manifest(table)["batch_id"] == 7
+
+    # replayed micro-batch after the maintenance commits: still a no-op
+    before = latest_version(table)
+    sink(nation, 7)
+    assert latest_version(table) == before
+    # a genuinely new batch advances the mark
+    sink(nation.limit(3), 8)
+    assert read_manifest(table)["batch_id"] == 8
+
+
+def test_keyed_sink_incremental_and_crash_safe(spark, tmp_path, monkeypatch):
+    """The bucketed keyed sink rewrites ONLY touched key-hash buckets per
+    batch (untouched buckets keep their exact file paths), and a crash
+    between data-file write and manifest commit leaves the previous
+    version fully readable; the replayed batch then converges."""
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    table = str(tmp_path / "keyed_table")
+    rows1 = [(i, f"u{i}", float(i)) for i in range(200)]
+    df1 = spark.createDataFrame(rows1, "k int, name string, v double")
+    sink = snap.keyed_batch_sink(table, keys=["k"], mode="merge", n_buckets=8)
+    sink(df1, 0)
+    assert sorted(map(tuple, snap.read_snapshot(spark, table).collect())) == sorted(rows1)
+
+    # batch 2 touches 3 keys → at most 3 buckets rewritten
+    df2 = spark.createDataFrame(
+        [(5, "u5", -5.0), (6, "u6", -6.0), (300, "u300", 300.0)],
+        "k int, name string, v double",
+    )
+    parts_before = snap.read_manifest(table)["parts"]
+    sink(df2, 1)
+    parts_after = snap.read_manifest(table)["parts"]
+    changed = [b for b in parts_before if parts_before[b]["files"] != parts_after.get(b, {}).get("files")]
+    assert 1 <= len(changed) <= 3  # only touched buckets rewrote
+    untouched = [b for b in parts_before if b not in changed]
+    assert untouched, "expected some untouched buckets"
+    for b in untouched:
+        assert parts_before[b]["files"] == parts_after[b]["files"]
+    want = {r[0]: (r[1], r[2]) for r in rows1}
+    want.update({5: ("u5", -5.0), 6: ("u6", -6.0), 300: ("u300", 300.0)})
+    got = {r["k"]: (r["name"], r["v"]) for r in snap.read_snapshot(spark, table).collect()}
+    assert got == want
+
+    # crash mid-batch: data files written, commit never happens
+    v_before = snap.latest_version(table)
+    real_commit = snap._commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(snap, "_commit", boom)
+    df3 = spark.createDataFrame([(5, "u5", 555.0)], "k int, name string, v double")
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        sink(df3, 2)
+    monkeypatch.setattr(snap, "_commit", real_commit)
+    # previous version intact and readable — no torn table
+    assert snap.latest_version(table) == v_before
+    assert {r["k"]: r["v"] for r in snap.read_snapshot(spark, table).collect()}[5] == -5.0
+    # replay of the failed batch converges; replaying it again is a no-op
+    sink(df3, 2)
+    assert {r["k"]: r["v"] for r in snap.read_snapshot(spark, table).collect()}[5] == 555.0
+    v_now = snap.latest_version(table)
+    sink(df3, 2)
+    assert snap.latest_version(table) == v_now
+
+
+def test_keyed_sink_latest_mode_order_independent(spark, tmp_path):
+    """mode='latest': batches applied out of arrival order converge to the
+    same per-key argmax fixed point (max is commutative + idempotent)."""
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    schema = "k int, ts long, v string"
+    late = spark.createDataFrame([(1, 10, "old"), (2, 30, "keep2")], schema)
+    early = spark.createDataFrame([(1, 20, "new"), (3, 5, "keep3")], schema)
+
+    out = {}
+    for name, batches in {"fwd": [late, early], "rev": [early, late]}.items():
+        table = str(tmp_path / f"latest_{name}")
+        sink = snap.keyed_batch_sink(
+            table, keys=["k"], mode="latest", order_cols=["ts"], n_buckets=4
+        )
+        for i, b in enumerate(batches):
+            sink(b, i)
+        out[name] = sorted(map(tuple, snap.read_snapshot(spark, table).collect()))
+    assert out["fwd"] == out["rev"] == [(1, 20, "new"), (2, 30, "keep2"), (3, 5, "keep3")]
+
 
 def test_file_index_prunes_point_lookup(spark, tmp_path):
     """File-level min/max index over a key-clustered layout: a point lookup

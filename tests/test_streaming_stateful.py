@@ -241,6 +241,9 @@ def test_foreach_batch_merge_upsert_sink(spark, sf_dir, tmp_path):
     """Streaming CDC apply: update-mode aggregate emissions merged into a
     keyed parquet target per micro-batch; the final target equals the
     one-shot batch aggregate."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
     from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
         write_foreach_batch_merge,
     )
@@ -262,7 +265,7 @@ def test_foreach_batch_merge_upsert_sink(spark, sf_dir, tmp_path):
 
     got = {
         r["event_type"]: (r["n"], round(r["sum_value"], 6))
-        for r in spark.read.parquet(target).collect()
+        for r in read_snapshot(spark, target).collect()
     }
     want = {
         r["event_type"]: (r["n"], round(r["sum_value"], 6))

@@ -2,9 +2,14 @@
 sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Per-query timings are MEDIANS over $SPARK_GRAFT_BENCH_REPS repetitions
+(default 3) with per-query IQR alongside (VERDICT r1 #7): at 0.2-3 s/query,
+single-shot numbers are JIT/process noise as much as signal — the median
+resists one slow outlier rep, and the IQR says how trustworthy each
+comparison against last round is.
+
 The reference publishes no benchmark numbers (BASELINE.md), so the metric is
-total wall-clock over the query suite; per-query seconds let the judge track
-regressions operator-by-operator.
+total wall-clock (sum of per-query medians) over the query suite.
 """
 
 from __future__ import annotations
@@ -12,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -23,6 +29,7 @@ from m13_sparkstreaming_python_azure_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -34,17 +41,30 @@ def main() -> None:
     # execution, not first-job startup.
     next(iter(qs.values()))(spark, "/root/testdata/sf0.001").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        # operators persist intermediates (posting lists, signatures);
-        # drop them between queries so each timing pays its own cache
-        # cost and executor memory stays flat across the suite
-        spark.catalog.clearCache()
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    # rep-major order (whole suite, then repeat): consecutive reps of one
+    # query would share page cache/JIT state unrealistically; interleaving
+    # spaces them out the way a real regression comparison is spaced
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
+            # operators persist intermediates (posting lists, signatures);
+            # drop them between queries so each timing pays its own cache
+            # cost and executor memory stays flat across the suite
+            spark.catalog.clearCache()
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    iqr = {}
+    for n, s in samples.items():
+        if len(s) >= 2:
+            qtl = statistics.quantiles(s, n=4, method="inclusive")
+            iqr[n] = round(qtl[2] - qtl[0], 3)
+        else:
+            iqr[n] = 0.0
 
     total = round(sum(timings.values()), 3)
     print(
@@ -54,6 +74,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_iqr": iqr,
+                "reps": reps,
                 "sf": sf,
                 # normalization aids: the suite grows as coverage widens,
                 # so total wall-clock alone inflates round over round

@@ -179,4 +179,15 @@ def pagerank(
             if prev is not None:
                 prev.unpersist()
             prev = ranks
+    # Materialize the final round, then release every intermediate cache
+    # (trailing prev, edge table, node list) — without this the n-2 round's
+    # ranks stay pinned in executor storage for the session (ADVICE r1).
+    # The RETURNED ranks remain persisted (they are the one live result);
+    # callers that are done with them should .unpersist().
+    ranks = ranks.persist()
+    ranks.count()
+    if prev is not None:
+        prev.unpersist()
+    edged.unpersist()
+    nodes.unpersist()
     return ranks

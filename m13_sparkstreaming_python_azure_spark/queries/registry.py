@@ -57,11 +57,12 @@ _PRIORITY_50 = (
         "streaming_histogram_quantiles",
         "cdc_apply",
         "scd2_history",
+        "incremental_ingest_daily",
     ]
     + list(LLM_QUERIES)
     + list(BEHAVIOR_QUERIES)
     + list(TPCH_EXT_QUERIES)[:6]
-    + list(EXT_QUERIES)[:4]
+    + list(EXT_QUERIES)[:3]
 )
 assert len(_PRIORITY_50) == 50, f"priority block is {len(_PRIORITY_50)}, want 50"
 assert len(set(_PRIORITY_50)) == 50, "duplicate name in priority block"

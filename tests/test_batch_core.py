@@ -335,6 +335,27 @@ def test_pagerank_known_graphs(spark):
     assert abs(sum(ranks.values()) - 5.0) < 1e-6
 
 
+def test_pagerank_releases_intermediate_caches(spark):
+    """pagerank must not leak executor storage: after the result is
+    materialized, only the RETURNED ranks stay persisted — the trailing
+    previous-iteration cache and the loop-invariant edge/node caches are
+    all released (ADVICE r1)."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=4)
+    ranks.count()
+    during = jsc.getPersistentRDDs().size()
+    assert during <= before + 1  # the returned ranks only
+    ranks.unpersist()
+    assert jsc.getPersistentRDDs().size() <= before
+
+
 def test_zscore_pandas_twin_matches_jvm(spark, sf_dir):
     """The applyInPandas grouped-map implementation must equal the JVM
     window implementation bit-for-bit (both ground moments in exact

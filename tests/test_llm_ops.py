@@ -42,6 +42,41 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert r.jaccard_sim >= 0.2
 
 
+def test_minhash_disk_tables_match_memory_path(spark, sf_dir, tmp_path):
+    """The materialized signature/shingle-table path (production default)
+    and the in-memory persist path share hash family and verification —
+    their pair output must be IDENTICAL (VERDICT r1 done-criterion)."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        minhash_pairs_from_tables,
+        write_minhash_tables,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mem = sorted(
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", threshold=0.2, shingle_store="memory"
+        ).collect()
+    )
+    disk = sorted(
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", threshold=0.2, shingle_store="disk",
+            work_dir=str(tmp_path / "mh"),
+        ).collect()
+    )
+    assert mem == disk and len(disk) > 0
+
+    # the written tables are reusable directly (index shape: one tokenize,
+    # many consumers) and reproduce the same pairs
+    shp, bp = (str(tmp_path / "mh" / d) for d in ("shingles", "bands"))
+    again = sorted(
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in minhash_pairs_from_tables(spark, shp, bp, threshold=0.2).collect()
+    )
+    assert again == disk
+
+
 def test_exact_dedup_removes_injected_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.unionByName(

@@ -602,3 +602,20 @@ def test_file_index_prunes_point_lookup(spark, tmp_path):
     missing = indexed_lookup(spark, index, "o_custkey", -1)
     assert missing.count() == 0
     assert missing.columns == spark.read.parquet(path).columns
+
+    # explicit schema types the empty result with ZERO file access
+    typed = indexed_lookup(
+        spark, index, "o_custkey", -1, schema=spark.read.parquet(path).schema
+    )
+    assert typed.count() == 0 and typed.columns == missing.columns
+
+    # an EMPTY index is a clear error without schema, fine with one
+    import pytest
+
+    empty_index = index.filter(F.lit(False))
+    with pytest.raises(ValueError, match="schema"):
+        indexed_lookup(spark, empty_index, "o_custkey", 1)
+    ok = indexed_lookup(
+        spark, empty_index, "o_custkey", 1, schema="o_custkey long"
+    )
+    assert ok.count() == 0

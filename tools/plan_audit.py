@@ -12,7 +12,14 @@ Checked invariants (the things that break silently at 100 TB):
   declared, broadcast, and intentional);
 - whole-stage codegen coverage on the JVM-expression paths.
 
-Usage: python tools/plan_audit.py [sf_dir] — writes PLANS.md at repo root.
+Additionally (VERDICT r1 #8), the five most expensive queries are
+re-audited against a 10×-replicated fixture: AQE's broadcast-vs-shuffle
+and skew decisions depend on observed sizes, so an invariant that holds at
+sf0.01 can silently flip as stats grow — asserting at both sizes catches
+broadcast choices that only worked because the fixture was small.
+
+Usage: python tools/plan_audit.py [sf_dir] [--no-scale] — writes PLANS.md
+at repo root.
 """
 
 from __future__ import annotations
@@ -131,7 +138,63 @@ def scan_summary(plan: str) -> list[str]:
     return out
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+# the suite's five most expensive queries (BENCH_r01) — the ones whose
+# join/shuffle choices must be re-verified as input stats grow
+SCALE_AUDIT_QUERIES = [
+    "minhash_dedup_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "ann_lsh",
+]
+
+
+def build_scaled_fixture(spark, sf_dir: str, replicas: int = 10) -> str:
+    """Materialize a ``replicas``× fixture into a temp dir: documents and
+    embeddings replicate with perturbed ids (+ perturbed text, so near-dup
+    probes face almost-duplicates, not exact copies); other tables copy
+    through unchanged. Returns the fixture dir (usable as any sf_dir)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import TABLES, load_table
+
+    out = tempfile.mkdtemp(prefix="plan-audit-scaled-")
+    for t in TABLES:
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            continue
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            df = _replicate(df, "doc_id", replicas, 1_000_000).withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" rep"),
+                    (F.col("doc_id") / 1_000_000).cast("int").cast("string"),
+                ),
+            )
+        elif t == "embeddings":
+            df = _replicate(df, "vec_id", replicas, 1_000_000)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def _replicate(df, id_col: str, n: int, id_stride: int):
+    from pyspark.sql import functions as F
+
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * id_stride))
+        for i in range(n)
+    ]
+    r = parts[0]
+    for p in parts[1:]:
+        r = r.unionByName(p)
+    return r
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
+    run_scale = "--no-scale" not in flags
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -177,6 +240,43 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         lines.append(f"- whole-stage codegen spans: {codegen}")
         lines.append("")
         failures += bool(problems)
+
+    if run_scale:
+        lines.append("## Scale audit — invariants re-asserted at 10× input")
+        lines.append("")
+        lines.append(
+            "AQE join/skew choices depend on observed sizes; the five most "
+            "expensive queries are re-planned against a 10×-replicated "
+            "fixture and must keep their invariants."
+        )
+        lines.append("")
+        scaled_dir = build_scaled_fixture(spark, sf_dir)
+        for name in SCALE_AUDIT_QUERIES:
+            if name not in qs:
+                continue
+            try:
+                df = qs[name](spark, scaled_dir)
+                df._jdf.queryExecution().executedPlan().execute().count()
+                problems, plan = audit_one(name, df)
+            except Exception as e:  # noqa: BLE001
+                print(f"ERROR {name} @10x: {e}")
+                failures += 1
+                lines.append(f"- {name} @10×: ERROR {e}")
+                continue
+            status = "OK" if not problems else "FAIL: " + "; ".join(problems)
+            print(f"{'OK  ' if not problems else 'FAIL'} {name} @10x")
+            joins = sorted(
+                set(
+                    re.findall(
+                        r"(\w*(?:HashJoin|NestedLoopJoin|SortMergeJoin|CartesianProduct)\w*)",
+                        plan,
+                    )
+                )
+            )
+            lines.append(f"- {name} @10×: {status} (joins={joins or '-'})")
+            failures += bool(problems)
+        lines.append("")
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"\n{len(qs) - failures}/{len(qs)} plans clean; PLANS.md written")

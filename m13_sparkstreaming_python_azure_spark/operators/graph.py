@@ -133,6 +133,11 @@ def pagerank(
     and the result engine-independent; at scale, checkpoint ``ranks``
     every few rounds to truncate lineage.
     """
+    # The edge relation is often EXPENSIVE lineage (e.g. a self-join that
+    # materializes co-occurrence): deg, nodes, and edged each consume it,
+    # so pin it once during setup — it computes one time instead of three
+    # — and release it as soon as edged/nodes are materialized.
+    edges = edges.persist()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     edged = edges.join(deg, on=src).persist()
     nodes = edges.select(F.col(src).alias("node")).distinct().persist()
@@ -146,7 +151,9 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     if not broadcastable:
         edged = edged.repartition(src)
-    prev = None
+    edged.count()  # materialize off the cached edges, then drop them
+    edges.unpersist()
+    cached: list[DataFrame] = []
     for i in range(iterations):
         rank_side = F.broadcast(ranks) if broadcastable else ranks
         contribs = edged.join(
@@ -170,24 +177,23 @@ def pagerank(
         )
         # Persist each round: the next round's broadcast (an independent
         # job) would otherwise re-execute the ENTIRE lineage back to round
-        # 0 — O(iterations²) total work instead of O(iterations). Eagerly
-        # materialize with a count so the unpersist of the previous round
-        # can't trigger recomputation, then drop the now-dead parent.
+        # 0 — O(iterations²) total work instead of O(iterations). The
+        # persist is LAZY on purpose: the next round's broadcast build is
+        # the action that fills it, so no per-round count() job is spent.
         if i < iterations - 1:
             ranks = ranks.persist()
-            ranks.count()
-            if prev is not None:
-                prev.unpersist()
-            prev = ranks
-    # Materialize the final round, then release every intermediate cache
-    # (trailing prev, edge table, node list) — without this the n-2 round's
-    # ranks stay pinned in executor storage for the session (ADVICE r1).
-    # The RETURNED ranks remain persisted (they are the one live result);
-    # callers that are done with them should .unpersist().
+            cached.append(ranks)
+    # One materialization at the end pulls the whole chain through the
+    # caches, then every intermediate is released — without this the
+    # per-round caches stay pinned in executor storage for the session
+    # (ADVICE r1). Transient high-water is O(iterations × nodes) cached
+    # rows; at node counts where that matters, drop to checkpointing
+    # every k rounds. The RETURNED ranks remain persisted (they are the
+    # one live result); callers done with them should .unpersist().
     ranks = ranks.persist()
     ranks.count()
-    if prev is not None:
-        prev.unpersist()
+    for c in cached:
+        c.unpersist()
     edged.unpersist()
     nodes.unpersist()
     return ranks

@@ -35,6 +35,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -87,10 +88,17 @@ def _commit(
     - ``_latest`` advances monotonically (never moved backwards by a
       slower concurrent committer).
     """
+    import time
+
     while True:
         prev_v = latest_version(table_dir)
         version = (prev_v or 0) + 1
-        manifest = {"version": version, "files": sorted(files), "rows": n_rows}
+        manifest = {
+            "version": version,
+            "files": sorted(files),
+            "rows": n_rows,
+            "committed_at": time.time(),
+        }
         if prev_v is not None:
             try:
                 inherited = read_manifest(table_dir, prev_v).get("batch_id")
@@ -279,6 +287,92 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def history(table_dir: str) -> list[dict]:
+    """Commit history over retained versions, oldest first — the
+    ``DESCRIBE HISTORY`` analogue. Vacuumed versions are simply absent.
+    Each entry: version, rows, n_files, committed_at (epoch seconds),
+    batch_id (if a streaming commit), mode/keys (if a keyed table)."""
+    latest = latest_version(table_dir)
+    if latest is None:
+        return []
+    out = []
+    for v in range(1, latest + 1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue
+        out.append(
+            {
+                "version": m["version"],
+                "rows": m.get("rows"),
+                "n_files": len(m.get("files", [])),
+                "committed_at": m.get("committed_at"),
+                "batch_id": m.get("batch_id"),
+                "mode": m.get("mode"),
+            }
+        )
+    return out
+
+
+def read_snapshot_as_of(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """Time travel by TIMESTAMP (``TIMESTAMP AS OF`` analogue): the table
+    at the newest retained version committed at or before ``ts`` (epoch
+    seconds). Raises if no retained version is that old."""
+    candidates = [
+        h["version"]
+        for h in history(table_dir)
+        if h["committed_at"] is not None and h["committed_at"] <= ts
+    ]
+    if not candidates:
+        raise FileNotFoundError(
+            f"no retained version committed at or before {ts} in {table_dir}"
+        )
+    return read_snapshot(spark, table_dir, max(candidates))
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Key-level change feed between two retained versions (the CDF
+    analogue, computed rather than logged): one row per key whose content
+    changed, with ``_change_type`` ∈ insert / update / delete. Inserts and
+    updates carry the NEW row (postimage), deletes the old one.
+
+    Scale shape: one full-outer join on the keys between the two version
+    reads — both sides shuffle once on the key columns; non-key columns
+    travel as a single struct and compare null-safely in codegen. Delta's
+    logged CDF is cheaper per query (it writes change files at commit
+    time); this form needs no cooperation from writers and works on any
+    two retained versions."""
+    old = read_snapshot(spark, table_dir, from_version)
+    new = read_snapshot(spark, table_dir, to_version)
+    nonkeys = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*nonkeys).alias("__old"))
+    n = new.select(*keys, F.struct(*nonkeys).alias("__new"))
+    j = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    payload = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *keys,
+            *[payload[c].alias(c) for c in nonkeys],
+            "_change_type",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Keyed (bucketed) tables: partition-incremental MERGE / latest-state sinks
 # ---------------------------------------------------------------------------
@@ -296,6 +390,13 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
 # `MERGE INTO` on a Delta table clustered by the same keys — the protocol
 # (idempotent batch_id guard, copy-on-write of touched files only, atomic
 # commit) maps 1:1. See README "Snapshots vs Delta/Iceberg".
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet footer (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
 
 
 def _write_bucketed_files(df: DataFrame, table_dir: str) -> dict[str, list[str]]:
@@ -416,20 +517,23 @@ def keyed_batch_sink(
                 merged = _argmax(old.unionByName(batch_rows.select(*old.columns)))
         else:
             merged = batch_rows
+        # cluster by bucket BEFORE partitionBy: without this every shuffle
+        # partition writes a sliver into every bucket dir — O(partitions ×
+        # buckets) tiny files per batch; with it, one file per touched
+        # bucket
         merged = merged.withColumn(
             "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-        ).persist()
+        ).repartition(len(touched), "__bucket")
 
         os.makedirs(_manifest_dir(table_dir), exist_ok=True)
         written = _write_bucketed_files(merged, table_dir)
-        counts = {
-            str(r["__bucket"]): r["cnt"]
-            for r in merged.groupBy("__bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        merged.unpersist()
         reduced.unpersist()
+
+        # per-bucket row counts from the parquet footers (driver-side
+        # metadata read — no extra Spark job over the data)
+        counts: dict[str, int] = {}
+        for bs, fs in written.items():
+            counts[bs] = sum(_parquet_rows(f) for f in fs)
 
         parts = dict(prev_parts)
         for b in touched:

@@ -619,3 +619,85 @@ def test_file_index_prunes_point_lookup(spark, tmp_path):
         spark, empty_index, "o_custkey", 1, schema="o_custkey long"
     )
     assert ok.count() == 0
+
+
+def test_snapshot_history_timetravel_and_changes(spark, tmp_path):
+    """DESCRIBE HISTORY / TIMESTAMP AS OF / change-feed analogues: history
+    lists retained commits with timestamps; as-of-timestamp reads resolve
+    to the newest version at or before ts; snapshot_changes reports the
+    exact key-level insert/update/delete diff between two versions."""
+    import time as _time
+
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    table = str(tmp_path / "hist_table")
+    v1_rows = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    df1 = spark.createDataFrame(v1_rows, "k int, name string, v double")
+    snap.write_snapshot(df1, table)
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+
+    # v2: update k=2, insert k=4; k=3 carried over, then v3 deletes k=3
+    df2 = spark.createDataFrame(
+        [(2, "b", 20.0), (4, "d", 4.0)], "k int, name string, v double"
+    )
+    snap.merge_snapshot(spark, table, df2, keys=["k"])
+    df3 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 20.0), (4, "d", 4.0)],
+        "k int, name string, v double",
+    )
+    snap.write_snapshot(df3, table)  # v3 = full replace without k=3
+
+    h = snap.history(table)
+    assert [e["version"] for e in h] == [1, 2, 3]
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[0]["rows"] == 3 and h[1]["rows"] == 4
+
+    # timestamp between v1 and v2 resolves to v1
+    as_of = snap.read_snapshot_as_of(spark, table, t_after_v1)
+    assert sorted(map(tuple, as_of.collect())) == sorted(v1_rows)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot_as_of(spark, table, t_after_v1 - 1e6)
+
+    # change feed v1 → v3: k=2 update (postimage), k=4 insert, k=3 delete
+    ch = {
+        r["k"]: (r["_change_type"], r["name"], r["v"])
+        for r in snap.snapshot_changes(spark, table, ["k"], 1, 3).collect()
+    }
+    assert ch == {
+        2: ("update", "b", 20.0),
+        4: ("insert", "d", 4.0),
+        3: ("delete", "c", 3.0),
+    }
+    # unchanged keys (k=1) are absent; a version diffed with itself is empty
+    assert snap.snapshot_changes(spark, table, ["k"], 3, 3).count() == 0
+
+
+def test_concurrent_commits_never_clobber(spark, tmp_path):
+    """Writer-writer race on the same table: O_CREAT|O_EXCL version claims
+    mean every commit lands as its OWN version — no lost commits, _latest
+    at the max (ADVICE r1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    table = str(tmp_path / "race_table")
+    nation = spark.createDataFrame([(1, "x")], "k int, s string")
+    snap.write_snapshot(nation, table)  # v1 creates the table
+
+    def commit_one(i: int) -> int:
+        # commit metadata-only versions concurrently (empty file deltas):
+        # the contended resource is the version number itself
+        return snap._commit(table, [], 0, {"writer": i})
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = sorted(ex.map(commit_one, range(8)))
+    assert versions == list(range(2, 10))  # all distinct, no clobber
+    assert snap.latest_version(table) == 9
+    # every writer's manifest survived intact
+    writers = {
+        snap.read_manifest(table, v).get("writer") for v in range(2, 10)
+    }
+    assert writers == set(range(8))

@@ -1007,6 +1007,48 @@ def q_incremental_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level change data feed between two table versions under the
+    gate: v1 = orders as-is; v2 drops every 13th key (deletes), zeroes
+    the price of every remaining 7th key (updates), and lands shifted
+    copies of every 11th key (inserts). ``snapshot_changes`` must emit
+    exactly that diff — postimages for insert/update, the old row for
+    delete — computed by one full-outer key join between version reads
+    (``sources/snapshots.py``)."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="cdf-"), "table")
+    write_snapshot(base, table)
+    k = F.col("o_orderkey")
+    v2 = (
+        base.filter(k % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 7 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                (k + 5000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    write_snapshot(v2, table)
+    return snapshot_changes(spark, table, ["o_orderkey"], 1, 2)
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication under the gate (§2.9 GAP dropDuplicates):
     every event lands TWICE in the landing dir (two partition trees);
@@ -1312,6 +1354,7 @@ CORE_QUERIES = {
     "daily_event_stats": q_daily_event_stats,
     "daily_event_stats_approx": q_daily_event_stats_approx,
     "incremental_ingest_daily": q_incremental_ingest_daily,
+    "snapshot_change_feed": q_snapshot_change_feed,
     "best_day_top10": q_best_day_top10,
     "semi_join_building": q_semi_join_building,
     "anti_join_no_recent_orders": q_anti_join_no_recent_orders,
@@ -1387,6 +1430,22 @@ CORE_ORACLES = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "daily_event_stats": _EVENTS_DAILY_SQL,
+    "snapshot_change_feed": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus,
+               0.0 AS o_totalprice, 'update' AS _change_type
+        FROM base WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        FROM base WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 5000000, 'N', 1.0, 'insert'
+        FROM base WHERE o_orderkey % 11 = 0
+    """,
     "incremental_ingest_daily": """
         SELECT event_type,
                strftime(ts, '%Y-%m-%d') AS event_date,

@@ -58,10 +58,11 @@ _PRIORITY_50 = (
         "cdc_apply",
         "scd2_history",
         "incremental_ingest_daily",
+        "snapshot_change_feed",
     ]
     + list(LLM_QUERIES)
     + list(BEHAVIOR_QUERIES)
-    + list(TPCH_EXT_QUERIES)[:6]
+    + list(TPCH_EXT_QUERIES)[:5]
     + list(EXT_QUERIES)[:3]
 )
 assert len(_PRIORITY_50) == 50, f"priority block is {len(_PRIORITY_50)}, want 50"

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -134,3 +135,169 @@ class SyntheticEventsStreamDataSource(DataSource):
         self, schema: StructType
     ) -> SimpleDataSourceStreamReader:
         return _SyntheticEventsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-table streaming source: stream a manifest-versioned table
+# (sources/snapshots.py) incrementally — each micro-batch is the data files
+# ADDED by newly committed versions. The Delta streaming-source analogue
+# for the manifest layer, built on the full DataSourceStreamReader API so
+# file reads happen in EXECUTORS (one InputPartition per new file), not on
+# the driver: at 100 TB a micro-batch fans out like any parquet scan.
+#
+# Semantics (mirrors Delta's source):
+# - version offsets are checkpointable dicts {"version": N}; recovery
+#   replays exactly the files of versions (start, end];
+# - 'overwrite' (initial) and 'append' commits stream their new files;
+# - 'compact' commits are data-neutral and are skipped (no duplicates);
+# - 'merge'/'keyed' commits REWRITE data in place — not representable as
+#   an append stream, so the source fails fast unless
+#   .option("ignore_changes", "true") is set (Delta: ignoreChanges).
+#   For keyed tables, the change-feed path (snapshot_changes) is the
+#   correct streaming surface.
+#
+# Usage:
+#     spark.dataSource.register(SnapshotStreamDataSource)
+#     (spark.readStream.format("snapshot_stream")
+#          .option("table_dir", path).load()
+#          .writeStream...)
+# ---------------------------------------------------------------------------
+
+
+class _SnapshotFilePart(InputPartition):
+    def __init__(self, path: str, columns: list[str]) -> None:
+        self.path, self.columns = path, columns
+
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+}
+
+
+def _snapshot_schema_ddl(table_dir: str) -> str:
+    """Infer a DDL schema from the latest manifest's first data file."""
+    import pyarrow.parquet as pq
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_manifest,
+    )
+
+    files = read_manifest(table_dir)["files"]
+    if not files:
+        raise ValueError(f"snapshot table {table_dir} has no data files yet")
+    schema = pq.read_schema(files[0])
+    cols = []
+    for field in schema:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t  # decimal(p,s) DDL matches arrow's repr
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise ValueError(
+                f"cannot map arrow type {t} of column {field.name}; pass "
+                ".schema(...) explicitly"
+            )
+        cols.append(f"{field.name} {ddl}")
+    return ", ".join(cols)
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.table_dir = options.get("table_dir") or options.get("path")
+        if not self.table_dir:
+            raise ValueError("snapshot_stream requires .option('table_dir', ...)")
+        self.ignore_changes = (
+            str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+            latest_version,
+        )
+
+        return {"version": latest_version(self.table_dir) or 0}
+
+    def _new_files(self, start_v: int, end_v: int) -> list[str]:
+        from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+            read_manifest,
+        )
+
+        out: list[str] = []
+        prev_files: set[str] | None = None
+        for v in range(start_v + 1, end_v + 1):
+            m = read_manifest(self.table_dir, v)
+            op = m.get("op", "append")
+            if op == "compact":
+                prev_files = set(m["files"])
+                continue
+            if op in ("merge", "keyed") and v > 1:
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"version {v} is a '{op}' commit (in-place rewrite); "
+                        "an append stream cannot represent it. Set "
+                        ".option('ignore_changes','true') to skip such "
+                        "commits, or stream snapshot_changes instead."
+                    )
+                prev_files = set(m["files"])
+                continue
+            if prev_files is None:
+                prev_files = (
+                    set(read_manifest(self.table_dir, v - 1)["files"])
+                    if v > 1
+                    else set()
+                )
+            cur = m["files"]
+            out.extend(f for f in cur if f not in prev_files)
+            prev_files = set(cur)
+        return out
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._new_files(start["version"], end["version"])
+        return [_SnapshotFilePart(f, self.columns) for f in files] or [
+            _SnapshotFilePart("", self.columns)
+        ]
+
+    def read(self, partition: _SnapshotFilePart):
+        if not partition.path:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path, columns=partition.columns)
+        for batch in table.to_batches():
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SnapshotStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self) -> str:
+        table_dir = self.options.get("table_dir") or self.options.get("path")
+        if not table_dir:
+            raise ValueError("snapshot_stream requires .option('table_dir', ...)")
+        return _snapshot_schema_ddl(table_dir)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(schema, self.options)

@@ -151,7 +151,7 @@ def write_snapshot(
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, files, n, extra)
+    return _commit(table_dir, files, n, {"op": "overwrite", **(extra or {})})
 
 
 def append_snapshot(
@@ -162,7 +162,12 @@ def append_snapshot(
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n_new = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, prev["files"] + files, prev["rows"] + n_new, extra)
+    return _commit(
+        table_dir,
+        prev["files"] + files,
+        prev["rows"] + n_new,
+        {"op": "append", **(extra or {})},
+    )
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -195,7 +200,7 @@ def compact_snapshot(
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(*m["files"]).repartition(n_files)
     files = _write_data_files(df, table_dir)
-    return _commit(table_dir, files, m["rows"])
+    return _commit(table_dir, files, m["rows"], {"op": "compact"})
 
 
 def snapshot_batch_sink(table_dir: str):
@@ -255,7 +260,7 @@ def merge_snapshot(
     merged = merge_upsert(target, source, keys)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, files, n)
+    return _commit(table_dir, files, n, {"op": "merge"})
 
 
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
@@ -549,6 +554,7 @@ def keyed_batch_sink(
             files,
             rows,
             {
+                "op": "keyed",
                 "batch_id": batch_id,
                 "keys": keys,
                 "n_buckets": n_buckets,

@@ -423,3 +423,87 @@ def test_day_lister_touches_only_unsealed_days(spark, tmp_path):
     # nothing new → no commit at all
     assert incremental_snapshot_ingest(spark, l3, table, batch_id=1) is None
     assert read_snapshot(spark, table).count() == 20
+
+
+def test_snapshot_stream_source_appends_exactly_once(spark, tmp_path):
+    """snapshot_stream (Python DataSourceStreamReader over the manifest
+    layer): streams exactly the files newly committed per version — across
+    appends, a restart from checkpoint, and a data-neutral compaction (no
+    duplicates) — and fails fast on in-place-rewrite commits unless
+    ignore_changes is set (the Delta streaming-source contract)."""
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+    from m13_sparkstreaming_python_azure_spark.sources.python_datasource import (
+        SnapshotStreamDataSource,
+    )
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    table = str(tmp_path / "stream_table")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    df1 = spark.range(0, 5).selectExpr("id", "id * 10 as v")
+    snap.write_snapshot(df1, table)
+    snap.append_snapshot(spark.range(5, 9).selectExpr("id", "id * 10 as v"), table)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("table_dir", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {r["id"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert got == {i: i * 10 for i in range(9)}
+
+    # compaction is data-neutral: restart sees no new rows
+    snap.compact_snapshot(spark, table)
+    drain()
+    assert spark.read.parquet(sink).count() == 9
+
+    # a fresh append after the compaction streams only the delta
+    snap.append_snapshot(spark.range(9, 12).selectExpr("id", "id * 10 as v"), table)
+    drain()
+    got = {r["id"]: r["v"] for r in spark.read.parquet(sink).collect()}
+    assert got == {i: i * 10 for i in range(12)}
+
+    # merge commit: fail fast by default...
+    snap.merge_snapshot(
+        spark, table, spark.range(0, 2).selectExpr("id", "id * 99 as v"), keys=["id"]
+    )
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("table_dir", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="ignore_changes|StreamingQueryException|merge"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    # ...and skip cleanly with ignore_changes
+    q2 = (
+        spark.readStream.format("snapshot_stream")
+        .option("table_dir", table)
+        .option("ignore_changes", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None

@@ -499,7 +499,16 @@ def keyed_batch_sink(
             return  # empty batch — nothing to commit
 
         try:
-            prev_parts = read_manifest(table_dir).get("parts", {})
+            m = read_manifest(table_dir)
+            prev_parts = m.get("parts", {})
+            if m.get("files") and not prev_parts:
+                raise ValueError(
+                    f"{table_dir} has data committed outside the keyed "
+                    "layout (no per-bucket manifest) — was plain "
+                    "compact_snapshot run on a keyed table? Use "
+                    "compact_keyed_snapshot; it preserves bucket-pure "
+                    "files and the parts mapping."
+                )
         except FileNotFoundError:
             prev_parts = {}
         old_files = [
@@ -564,3 +573,46 @@ def keyed_batch_sink(
         )
 
     return _sink
+
+
+def compact_keyed_snapshot(
+    spark: SparkSession, table_dir: str, target_file_bytes: int = 256 << 20
+) -> int:
+    """Compaction for KEYED tables: rewrites the current version into
+    bucket-pure files (one job: recompute ``__bucket`` from the keys,
+    cluster, write) and commits a manifest that PRESERVES the per-bucket
+    parts mapping — plain ``compact_snapshot`` would drop it and break
+    later incremental merges (the sink guards against that). Old versions
+    keep their files; vacuum reclaims them."""
+    m = read_manifest(table_dir)
+    parts = m.get("parts")
+    if not parts:
+        raise ValueError(
+            f"{table_dir} is not a keyed table (no parts mapping); use "
+            "compact_snapshot"
+        )
+    keys, n_buckets = m["keys"], m["n_buckets"]
+    df = spark.read.parquet(*m["files"]).withColumn(
+        "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    )
+    # one output file per bucket unless a bucket exceeds the size target
+    df = df.repartition(n_buckets, "__bucket")
+    written = _write_bucketed_files(df, table_dir)
+    new_parts = {
+        bs: {"files": fs, "rows": sum(_parquet_rows(f) for f in fs)}
+        for bs, fs in written.items()
+    }
+    files = [f for p in new_parts.values() for f in p["files"]]
+    rows = sum(p["rows"] for p in new_parts.values())
+    return _commit(
+        table_dir,
+        files,
+        rows,
+        {
+            "op": "compact",
+            "keys": keys,
+            "n_buckets": n_buckets,
+            "mode": m.get("mode"),
+            "parts": new_parts,
+        },
+    )

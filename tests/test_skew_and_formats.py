@@ -701,3 +701,43 @@ def test_concurrent_commits_never_clobber(spark, tmp_path):
         snap.read_manifest(table, v).get("writer") for v in range(2, 10)
     }
     assert writers == set(range(8))
+
+
+def test_keyed_table_compaction_preserves_buckets(spark, tmp_path):
+    """compact_keyed_snapshot rewrites a keyed table into fewer files while
+    PRESERVING the per-bucket manifest mapping (bucket-pure files), so
+    later batches keep merging incrementally; plain compact_snapshot on a
+    keyed table is rejected by the sink with a clear error."""
+    import pytest
+
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    table = str(tmp_path / "keyed_compact")
+    sink = snap.keyed_batch_sink(table, keys=["k"], mode="merge", n_buckets=4)
+    sink(spark.createDataFrame([(i, float(i)) for i in range(100)], "k int, v double"), 0)
+    sink(spark.createDataFrame([(i, float(-i)) for i in range(50)], "k int, v double"), 1)
+
+    before = snap.read_manifest(table)
+    want = {r["k"]: r["v"] for r in snap.read_snapshot(spark, table).collect()}
+    v = snap.compact_keyed_snapshot(spark, table)
+    after = snap.read_manifest(table, v)
+    # content identical, parts preserved, fewer-or-equal files
+    got = {r["k"]: r["v"] for r in snap.read_snapshot(spark, table).collect()}
+    assert got == want
+    assert set(after.get("parts", {})) == set(before["parts"])
+    assert len(after["files"]) <= len(before["files"])
+    assert after["rows"] == before["rows"]
+
+    # the sink keeps merging incrementally after the compaction
+    sink(spark.createDataFrame([(1, 111.0), (999, 9.0)], "k int, v double"), 2)
+    got2 = {r["k"]: r["v"] for r in snap.read_snapshot(spark, table).collect()}
+    want.update({1: 111.0, 999: 9.0})
+    assert got2 == want
+
+    # a non-keyed commit on a keyed table is caught at the next batch
+    table2 = str(tmp_path / "keyed_misuse")
+    sink2 = snap.keyed_batch_sink(table2, keys=["k"], mode="merge", n_buckets=4)
+    sink2(spark.createDataFrame([(1, 1.0)], "k int, v double"), 0)
+    snap.compact_snapshot(spark, table2)  # wrong tool for keyed tables
+    with pytest.raises(ValueError, match="keyed"):
+        sink2(spark.createDataFrame([(2, 2.0)], "k int, v double"), 1)

@@ -116,3 +116,49 @@ def hash_split(
     return df.withColumn("split", expr.otherwise(otherwise)).withColumn(
         "hash_prefix", h
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing for pretraining: assign each document a (shard,
+    bin_id, offset_in_bin) so that concatenating a bin's documents in
+    ``id_col`` order fills a ~``budget``-token context window — contiguous
+    greedy packing (a document that straddles a boundary stays in the bin
+    it starts in, so bins overflow by at most one document's tail).
+
+    Scale shape: a GLOBAL packing order would funnel the corpus through
+    one cumulative-sum task, so packing is sharded — ``id % n_shards``
+    partitions the window, every shard packs independently in parallel,
+    and bin identity is the (shard, bin_id) pair. That is also how a
+    multi-worker training loader consumes packed data: one shard per
+    reader, no cross-shard coordination.
+
+    Deterministic and engine-independent (pure integer window cumsum over
+    whitespace token counts), so the oracle reproduces it exactly.
+    Returns (id, shard, n_tokens, bin_id, offset_in_bin).
+    """
+    from pyspark.sql import Window
+
+    sized = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / budget).cast("bigint").alias("bin_id"),
+        (cum_before % budget).cast("bigint").alias("offset_in_bin"),
+    )

@@ -196,6 +196,20 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=50, stride=40)
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep sequence packing: documents sharded by id % 8, each
+    shard greedily packed into ~500-token bins by id-ordered cumulative
+    token count (contiguous packing — straddling docs keep their starting
+    bin). Pure integer window cumsum per shard, no global ordering, no
+    Python (operators/chunking.pack_sequences)."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=500, n_shards=8)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test split from an md5 prefix —
     engine-independent (any md5 agrees), so the oracle reproduces it
@@ -489,6 +503,7 @@ LLM_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "chunk_documents": q_chunk_documents,
+    "sequence_packing": q_sequence_packing,
     "hash_split": q_hash_split,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
@@ -735,6 +750,23 @@ LLM_ORACLES = {
                CAST(least(start + 49, len(t)) - start + 1 AS INTEGER)
                    AS n_chunk_tokens
         FROM ex
+    """,
+    "sequence_packing": f"""
+        WITH sized AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+            FROM sized
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(floor(cum_before / 500) AS BIGINT) AS bin_id,
+               CAST(cum_before % 500 AS BIGINT) AS offset_in_bin
+        FROM c
     """,
     "hash_split": """
         WITH h AS (

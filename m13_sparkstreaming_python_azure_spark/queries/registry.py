@@ -62,7 +62,7 @@ _PRIORITY_50 = (
     ]
     + list(LLM_QUERIES)
     + list(BEHAVIOR_QUERIES)
-    + list(TPCH_EXT_QUERIES)[:5]
+    + list(TPCH_EXT_QUERIES)[:4]
     + list(EXT_QUERIES)[:3]
 )
 assert len(_PRIORITY_50) == 50, f"priority block is {len(_PRIORITY_50)}, want 50"

@@ -442,3 +442,37 @@ def test_repetition_stats_edge_cases(spark):
     assert rows[4]["top_bigram_count"] == 3
     assert rows[4]["top_bigram_frac"] == 3 / 5
     assert rows[5]["n_tokens"] is None or rows[5]["n_tokens"] == 0
+
+
+def test_pack_sequences_fills_bins_contiguously(spark):
+    """Packing invariants: per (shard, bin), docs are id-contiguous; every
+    bin except a shard's last starts at offset < budget and holds ≥ budget
+    tokens once its straddling tail is counted; offsets equal the running
+    token count mod budget; no document is lost or duplicated."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (7 + (i * 13) % 40))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=100, n_shards=4).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["shard"] == r["doc_id"] % 4
+            assert r["bin_id"] == cum // 100
+            assert r["offset_in_bin"] == cum % 100
+            cum += r["n_tokens"]
+        # every non-final bin spans the full budget (contiguous fill)
+        last_bin = rows[-1]["bin_id"]
+        for b in range(last_bin):
+            binned = [r for r in rows if r["bin_id"] == b]
+            tokens_in = sum(r["n_tokens"] for r in binned)
+            assert tokens_in + binned[0]["offset_in_bin"] >= 100

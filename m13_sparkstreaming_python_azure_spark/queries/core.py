@@ -782,16 +782,16 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
+    # Pair generation via ONE shuffle (groupBy orderkey) + JVM-side double
+    # explode of the per-order supplier set — vs the naive self-join, which
+    # shuffles lineitem twice and emits k² duplicate pairs per order before
+    # distinct. Safe because per-order supplier counts are bounded small
+    # (TPC-H: ≤7); for unbounded group sizes fall back to the equi-self-join.
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_suppkey").alias("ss"))
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
+        sets.select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     return pagerank(edges, iterations=5).select(

@@ -1,0 +1,146 @@
+"""Deterministic sampling & data-mixing operators for corpus curation.
+
+The curation steps between dedup and training: draw an exact-k uniform
+sample per group (eval-set carving, per-domain spot checks), a weighted
+global sample (importance sampling by quality/length), and resample a
+corpus to a target domain mixture (data-mixing, the DoReMi/Pile-style
+reweighting step). The reference has no sampling surface (SURVEY §2 —
+its only reduction is an aggregate, stream.ipynb:116-119); these extend
+the engine the way its north-star pipeline needs.
+
+Determinism contract (same as operators.chunking.hash_split): every
+random draw is `md5(salt:id)` — engine-independent, stable under
+re-partitioning and re-runs, redrawable by changing ``salt``. That makes
+each operator hash-checkable against a SQL oracle, unlike `rand()`-based
+sampling which is engine- and partitioning-specific.
+
+Scale shape:
+- per-group exact-k orders by the hash WITHIN a window partition;
+  Spark ≥3.5 plans the rank-filter as WindowGroupLimit (per-partition
+  top-k before the shuffle), so the shuffle carries ≤ k rows per group
+  per input partition, not the whole group.
+- the weighted global sample is a TakeOrderedAndProject (per-partition
+  heap of k, then a k-row merge on the driver-side single reducer) —
+  no global sort materializes.
+- mixture resampling is one count aggregate (tiny: |domains| rows,
+  broadcast back) + a stateless per-row Bernoulli filter — one shuffle
+  total regardless of corpus size, and the filter prunes BEFORE any
+  downstream shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def md5_uniform(col: Column, salt: str) -> Column:
+    """Uniform-[0,1) draw from the first 32 bits of md5(salt:value) —
+    engine-independent (DuckDB twin:
+    ``('0x' || substring(md5(salt || ':' || v), 1, 8))::BIGINT / 2^32``)."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 8
+    )
+    return F.conv(h, 16, 10).cast("double") / F.lit(_TWO32)
+
+
+def sample_exact_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` uniform rows per group, without
+    replacement: rank rows by md5(salt:id) within each group and keep the
+    first k. Adds ``sample_rank`` (1-based). Unlike ``sampleBy`` this is
+    exact-count (no Bernoulli variance) and engine-reproducible."""
+    u = md5_uniform(F.col(id_col), salt)
+    w = Window.partitionBy(*group_cols).orderBy(u, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample_global(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each row draws u = md5-uniform and gets key ln(u)/w; the k LARGEST
+    keys win — inclusion probability proportional to ``weight_col``
+    without ever materializing a global sort.
+
+    The key is snapped to a 1e-12 grid (floor(x*1e12+0.5), ties broken by
+    id) so the float ordering is engine-comparable: bare ln() may differ
+    in the last ulp between libm implementations, and an ulp at the
+    selection boundary would flip row k vs k+1."""
+    u = md5_uniform(F.col(id_col), salt)
+    # u is 0 only on a 2^-32 hash collision with 0; clamp to keep ln finite
+    key = F.log(F.greatest(u, F.lit(2.0 ** -33))) / F.col(weight_col).cast(
+        "double"
+    )
+    key = F.floor(key * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    total_rows: int,
+    id_col: str,
+    targets: dict[str, float] | None = None,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture: domain d keeps
+    each row with probability min(1, share_d * total_rows / |d|), where
+    ``targets`` maps domain → share (defaults to uniform over observed
+    domains). The expected output is ``total_rows`` rows distributed per
+    the target shares — the data-mixing step that rebalances a web-heavy
+    corpus before training.
+
+    One aggregate computes per-domain counts (|domains| rows, broadcast
+    back onto the corpus); the keep decision is a stateless md5-Bernoulli
+    per row, so the whole operator costs one tiny shuffle + one map pass.
+    Domains below their quota keep everything (fraction capped at 1) —
+    upsampling duplicates is a training-loader concern, not an engine one.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    if targets is None:
+        n_domains = counts.select(
+            F.count(F.lit(1)).alias("__n_domains")
+        )
+        counts = counts.crossJoin(F.broadcast(n_domains)).withColumn(
+            "__share", F.lit(1.0) / F.col("__n_domains")
+        ).drop("__n_domains")
+    else:
+        share = None
+        for dom, s in targets.items():
+            share = (
+                F.when(F.col(domain_col) == dom, F.lit(float(s)))
+                if share is None
+                else share.when(F.col(domain_col) == dom, F.lit(float(s)))
+            )
+        counts = counts.withColumn("__share", share.otherwise(F.lit(0.0)))
+    counts = counts.withColumn(
+        "keep_fraction",
+        F.least(
+            F.lit(1.0),
+            F.col("__share") * F.lit(float(total_rows)) / F.col("__n"),
+        ),
+    ).select(domain_col, "keep_fraction")
+    u = md5_uniform(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(counts), on=domain_col)
+        .filter(u < F.col("keep_fraction"))
+    )

@@ -222,6 +222,53 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs).select("doc_id", "lang", "hash_prefix", "split")
 
 
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per domain (eval-set carving): 5 docs per
+    source, ranked by md5(salt:doc_id) — engine-reproducible, exact-count
+    (no Bernoulli variance), planned as WindowGroupLimit top-k
+    (operators/sampling.sample_exact_per_group)."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        sample_exact_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_per_group(docs, ["source"], "doc_id", k=5, salt="s1")
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: 50 docs drawn without replacement with
+    inclusion odds ∝ n_chars (Efraimidis–Spirakis A-Res keys over md5
+    uniforms, TakeOrderedAndProject — no global sort). The selection set
+    is deterministic, so it hash-checks; the float sort key itself is
+    grid-snapped internally and excluded from the output
+    (operators/sampling.weighted_sample_global)."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        weighted_sample_global,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_global(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: resample the corpus toward a uniform source mixture
+    with an expected 200 total rows — per-domain keep fractions from one
+    tiny count aggregate broadcast back, md5-Bernoulli keep decision
+    (operators/sampling.mixture_resample)."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_resample(docs, "source", 200, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: 5-gram collision rate of every document
     against a (deterministic pseudo-)benchmark subset (doc_id ≡ 0 mod 97).
@@ -505,6 +552,9 @@ LLM_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "sequence_packing": q_sequence_packing,
     "hash_split": q_hash_split,
+    "sample_per_source": q_sample_per_source,
+    "weighted_sample_docs": q_weighted_sample_docs,
+    "mixture_resample": q_mixture_resample,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "ann_bruteforce": q_ann_bruteforce,
@@ -780,6 +830,54 @@ LLM_ORACLES = {
                     WHEN hash_prefix < 'f333' THEN 'val'
                     ELSE 'test' END AS split
         FROM h
+    """,
+    "sample_per_source": """
+        WITH u AS (
+            SELECT doc_id, source,
+                   ('0x' || substring(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) AS u
+            FROM documents
+        )
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY u, doc_id
+                   ) AS sample_rank
+            FROM u
+        ) WHERE sample_rank <= 5
+    """,
+    "weighted_sample_docs": """
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   floor(
+                       ln(greatest(
+                           ('0x' || substring(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               / CAST(4294967296 AS DOUBLE),
+                           CAST(pow(2.0, -33) AS DOUBLE)))
+                       / CAST(n_chars AS DOUBLE) * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+                   ) / 1e12 AS sample_key
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars
+        FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+    """,
+    "mixture_resample": """
+        WITH c AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), nd AS (
+            SELECT count(*) AS n_domains FROM c
+        ), f AS (
+            SELECT source,
+                   least(CAST(1 AS DOUBLE),
+                         CAST(1 AS DOUBLE) / nd.n_domains * CAST(200 AS DOUBLE) / c.n)
+                       AS keep_fraction
+            FROM c, nd
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN f USING (source)
+        WHERE ('0x' || substring(md5('seed42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / CAST(4294967296 AS DOUBLE)
+              < f.keep_fraction
     """,
     "ann_bruteforce": """
         WITH q AS (

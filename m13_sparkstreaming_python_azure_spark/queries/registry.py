@@ -46,27 +46,28 @@ ORACLES = {
 # layer), the full LLM-pipeline category (newest code), behavior, and the
 # head of the TPC-H/relational extensions — so a prefix-capped gate still
 # verifies every subsystem. Everything else follows in category order.
-_PRIORITY_50 = (
-    [
-        "pricing_summary",  # flagship — must stay first
-        "streaming_daily_stats",
-        "streaming_append_windows",
-        "streaming_interval_join",
-        "streaming_latest_state",
-        "streaming_dedup",
-        "streaming_histogram_quantiles",
-        "cdc_apply",
-        "scd2_history",
-        "incremental_ingest_daily",
-        "snapshot_change_feed",
-    ]
-    + list(LLM_QUERIES)
-    + list(BEHAVIOR_QUERIES)
-    + list(TPCH_EXT_QUERIES)[:4]
-    + list(EXT_QUERIES)[:3]
-)
-assert len(_PRIORITY_50) == 50, f"priority block is {len(_PRIORITY_50)}, want 50"
-assert len(set(_PRIORITY_50)) == 50, "duplicate name in priority block"
+_head = [
+    "pricing_summary",  # flagship — must stay first
+    "streaming_daily_stats",
+    "streaming_append_windows",
+    "streaming_interval_join",
+    "streaming_latest_state",
+    "streaming_dedup",
+    "streaming_histogram_quantiles",
+    "cdc_apply",
+    "scd2_history",
+    "incremental_ingest_daily",
+    "snapshot_change_feed",
+] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
+# pad (or cap) to exactly 50 with the heads of the remaining categories,
+# newest-first risk ordering preserved
+_pad = [
+    q
+    for q in list(TPCH_EXT_QUERIES) + list(EXT_QUERIES)
+    if q not in _head
+]
+_PRIORITY_50 = (_head + _pad)[:50]
+assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
 assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY_50}

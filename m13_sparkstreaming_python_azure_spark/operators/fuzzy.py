@@ -1,0 +1,79 @@
+"""Fuzzy (edit-distance) self-join via symmetric-delete blocking.
+
+Entity-resolution primitive: find all string pairs within Levenshtein
+distance ``d`` WITHOUT the O(n²) cross join. Blocking is the
+symmetric-delete scheme (SymSpell): every string expands to the set of
+variants reachable by deleting ≤ d characters; two strings within edit
+distance d always share at least one common deletion variant, so an
+equi-join on variants yields a complete candidate set, and an exact
+`levenshtein` filter removes false positives. Candidate generation is
+pure JVM array HOFs (transform/sequence/flatten) — no Python.
+
+Scale shape: cost is Σ |variants| = n·(L choose ≤d) rows through ONE
+equi-join — linear in corpus size for fixed d, L. The variant join key
+can skew when many near-identical strings share a variant, but that
+skew IS the output (those strings really are mutual matches); AQE skew
+join handles the shuffle imbalance. The verify filter runs post-join on
+candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_one(s: Column) -> Column:
+    """Array of every string obtained by deleting exactly one char of s."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+
+
+def deletion_variants(s: Column, max_dist: int = 1) -> Column:
+    """All distinct strings reachable from ``s`` by ≤ ``max_dist``
+    deletions (including ``s`` itself)."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    v1 = _delete_one(s)
+    out = F.array_union(F.array(s), v1)
+    if max_dist == 2:
+        v2 = F.array_distinct(
+            F.flatten(F.transform(v1, lambda t: _delete_one(t)))
+        )
+        out = F.array_union(out, v2)
+    return out
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All unordered pairs of DISTINCT ``key_col`` values with
+    ``levenshtein ≤ max_dist`` — complete (symmetric-delete blocking is
+    exhaustive for deletions+insertions+substitutions up to d) and exact
+    (verified with the true edit distance). Returns
+    (key_a, key_b, edit_distance) with key_a < key_b."""
+    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    variants = keys.select(
+        "__k",
+        F.explode(deletion_variants(F.col("__k"), max_dist)).alias("__v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cands = (
+        a.join(b, F.col("a.__v") == F.col("b.__v"))
+        .filter(F.col("a.__k") < F.col("b.__k"))
+        .select(
+            F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b")
+        )
+        .distinct()
+    )
+    return cands.withColumn(
+        "edit_distance", F.levenshtein("key_a", "key_b")
+    ).filter(F.col("edit_distance") <= max_dist)

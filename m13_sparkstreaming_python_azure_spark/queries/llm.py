@@ -269,6 +269,20 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 over the corpus for a 3-term query —
+    postings pruned by a broadcast term filter BEFORE the explode
+    materializes, tiny df/N/avgdl aggregates broadcast back, one
+    doc-keyed sum (operators/retrieval.bm25_scores). Score snaps to a
+    1e-4 grid (ln is libm-dependent), which the oracle mirrors."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        bm25_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["hash", "join", "stream"])
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage check: 5-gram collision rate of every document
     against a (deterministic pseudo-)benchmark subset (doc_id ≡ 0 mod 97).
@@ -555,6 +569,7 @@ LLM_QUERIES = {
     "sample_per_source": q_sample_per_source,
     "weighted_sample_docs": q_weighted_sample_docs,
     "mixture_resample": q_mixture_resample,
+    "bm25_search": q_bm25_search,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "ann_bruteforce": q_ann_bruteforce,
@@ -830,6 +845,34 @@ LLM_ORACLES = {
                     WHEN hash_prefix < 'f333' THEN 'val'
                     ELSE 'test' END AS split
         FROM h
+    """,
+    "bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), posting AS (
+            SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM posting
+            WHERE term IN ('hash', 'join', 'stream')
+            GROUP BY doc_id, dl, term
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+        ), dft AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), contrib AS (
+            SELECT tf.doc_id,
+                   ln(CAST(1 AS DOUBLE)
+                      + (stats.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                        / (dft.df + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * tf.dl / stats.avgdl))
+                       AS c
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id, floor(sum(c) * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS bm25
+        FROM contrib GROUP BY doc_id
     """,
     "sample_per_source": """
         WITH u AS (

@@ -444,7 +444,21 @@ def q_recursive_tree_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all customer-name pairs within
+    Levenshtein distance 1, via symmetric-delete blocking + exact verify
+    (operators/fuzzy.fuzzy_pairs) — linear candidate generation instead
+    of the O(n²) cross join the oracle uses, same exact result."""
+    from m13_sparkstreaming_python_azure_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    return fuzzy_pairs(cust, "c_name", max_dist=1)
+
+
 EXT_QUERIES = {
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "recursive_tree_depth": q_recursive_tree_depth,
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
@@ -467,6 +481,13 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "fuzzy_name_pairs": """
+        WITH v AS (SELECT DISTINCT c_name AS k FROM customer)
+        SELECT a.k AS key_a, b.k AS key_b,
+               levenshtein(a.k, b.k) AS edit_distance
+        FROM v a JOIN v b
+          ON a.k < b.k AND levenshtein(a.k, b.k) <= 1
+    """,
     "recursive_tree_depth": """
         WITH RECURSIVE tree(k, depth) AS (
             SELECT CAST(c_custkey AS BIGINT), 0 FROM customer WHERE c_custkey = 1

@@ -1,0 +1,90 @@
+"""BM25 retrieval and fuzzy-join properties.
+
+The gate hash-checks bm25_search / fuzzy_name_pairs against DuckDB on
+the fixtures; these tests cover what those fixtures can't: insertion/
+deletion pairs (customer names only exercise substitution), the
+max_dist=2 blocking depth, and BM25's ranking semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.fuzzy import fuzzy_pairs
+from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+    bm25_scores,
+)
+
+
+def _pairs(out):
+    return {(r["key_a"], r["key_b"], r["edit_distance"]) for r in out.collect()}
+
+
+def test_fuzzy_pairs_covers_all_edit_kinds(spark):
+    # substitution, deletion, insertion, and a far-away control
+    words = ["kitten", "sitten", "kittn", "kittens", "banana"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = _pairs(fuzzy_pairs(df, "w", max_dist=1))
+    want = {
+        ("kitten", "sitten", 1),  # substitution
+        ("kitten", "kittn", 1),  # deletion
+        ("kitten", "kittens", 1),  # insertion
+        ("kittn", "kittens", 2),  # not within 1 — must be absent
+    }
+    assert ("kitten", "sitten", 1) in got
+    assert ("kitten", "kittn", 1) in got
+    assert ("kitten", "kittens", 1) in got
+    assert all(p[2] <= 1 for p in got)
+    assert not any({"banana"} & {p[0], p[1]} for p in got)
+
+
+def test_fuzzy_pairs_matches_bruteforce_d2(spark):
+    words = [
+        "spark", "spork", "sprk", "sparkle", "spars", "stark",
+        "quartz", "quart", "qurt", "alpha",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = _pairs(fuzzy_pairs(df, "w", max_dist=2))
+    # brute force via Spark's own levenshtein on the cross join
+    a = df.select(F.col("w").alias("x"))
+    b = df.select(F.col("w").alias("y"))
+    brute = {
+        (r["x"], r["y"], r["d"])
+        for r in a.crossJoin(b)
+        .filter(F.col("x") < F.col("y"))
+        .withColumn("d", F.levenshtein("x", "y"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_fuzzy_pairs_rejects_bad_depth(spark):
+    df = spark.createDataFrame([("a",)], ["w"])
+    with pytest.raises(ValueError):
+        fuzzy_pairs(df, "w", max_dist=3)
+
+
+def test_bm25_ranking_semantics(spark):
+    rows = [
+        (1, "hash join hash join hash"),  # high tf for both terms
+        (2, "hash table scan"),  # one term, once
+        (3, "sort merge only"),  # no terms — must not appear
+        (4, "hash " + "filler " * 50),  # same tf as 2 but much longer doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["hash", "join"]).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1] > out[2]  # more matching mass ranks higher
+    assert out[2] > out[4]  # length normalization: same tf, longer doc loses
+    assert all(v > 0 for v in out.values())  # smoothed idf never negative
+
+
+def test_bm25_query_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "Hash JOIN")], ["doc_id", "text"])
+    out = bm25_scores(df, ["HASH", "Join"]).collect()
+    assert len(out) == 1 and out[0]["bm25"] > 0

@@ -61,10 +61,10 @@ EXPECT_PUSHDOWN = {
 }
 # top-k must plan as TakeOrderedAndProject (heap per partition + merge),
 # never a global range-partitioned sort of the full table
-EXPECT_TAKE_ORDERED = {"topk_orders", "best_day_top10"}
+EXPECT_TAKE_ORDERED = {"topk_orders", "best_day_top10", "weighted_sample_docs"}
 # per-group top-k must plan the WindowGroupLimit rewrite (local top-k per
 # map task before the window shuffle), not a full window sort
-EXPECT_WINDOW_GROUP_LIMIT = {"frequent_users"}
+EXPECT_WINDOW_GROUP_LIMIT = {"frequent_users", "sample_per_source"}
 # queries whose joins should broadcast a small side
 EXPECT_BROADCAST = {
     "revenue_by_nation",
@@ -85,11 +85,20 @@ EXPECT_BROADCAST = {
     "supplier_part_variety",
     "waiting_suppliers",
     "idle_customer_balance",
+    "mixture_resample",
+    "bm25_search",
 }
 # intentional cross join: ann probes are broadcast against the corpus;
 # idle_customer_balance broadcasts a single-row stats aggregate (the
-# decorrelated scalar avg subquery) under every customer row
-ALLOW_CARTESIAN = {"ann_bruteforce", "idle_customer_balance", "important_stock"}
+# decorrelated scalar avg subquery) under every customer row; bm25's
+# N/avgdl corpus stats are the same single-row broadcast shape
+ALLOW_CARTESIAN = {
+    "ann_bruteforce",
+    "idle_customer_balance",
+    "important_stock",
+    "bm25_search",
+    "mixture_resample",  # single-row n_domains scalar broadcast
+}
 
 
 def formatted_plan(df) -> str:

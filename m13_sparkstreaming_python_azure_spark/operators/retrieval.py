@@ -93,3 +93,124 @@ def bm25_scores(
             F.floor(F.sum("__contrib") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
         ).alias("bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — the at-scale path. bm25_scores() re-tokenizes
+# the corpus per query; at 100 TB you tokenize ONCE into a postings table
+# partitioned by a term-hash bucket, and each query reads only its terms'
+# bucket directories (partition pruning at the file level, like the IVF
+# cell index in operators/similarity.py). Query cost is then
+# O(postings of the query terms), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the bucket expression — md5-based so Python
+    (hashlib) and the Spark plan agree on every term's bucket."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Tokenize once: write a postings table (term, id, tf, dl) bucketed
+    by ``bucket = md5(term) % n_buckets`` via ``partitionBy`` (one
+    directory per bucket → a query's scan prunes to its terms' buckets),
+    plus a single-row corpus-stats table (N, avgdl, n_buckets)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", _term_bucket_col(F.col("term"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a persisted index — bit-identical scores to
+    ``bm25_scores`` on the same corpus (same operation order), but the
+    scan touches only the query terms' bucket partitions. Per-term df is
+    computed from the pruned postings themselves (no separate df table to
+    keep in sync)."""
+    stats = spark.read.parquet(f"{path}/stats")
+    n_buckets = stats.select("n_buckets").head()[0]
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+
+    tf = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))  # partition-pruned scan
+        .filter(F.col("term").isin(terms))
+        .select(
+            F.col(id_col),
+            F.col("term").alias("__term"),
+            F.col("tf").alias("__tf"),
+            F.col("dl").alias("__dl"),
+        )
+    )
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    corpus = stats.select(
+        F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), on="__term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        (
+            F.floor(F.sum("__contrib") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+        ).alias("bm25")
+    )

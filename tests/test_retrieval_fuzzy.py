@@ -88,3 +88,45 @@ def test_bm25_query_case_insensitive(spark):
     df = spark.createDataFrame([(1, "Hash JOIN")], ["doc_id", "text"])
     out = bm25_scores(df, ["HASH", "Join"]).collect()
     assert len(out) == 1 and out[0]["bm25"] > 0
+
+
+def test_text_index_parity_and_pruning(spark, sf_dir, tmp_path):
+    import os
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        _term_bucket_py,
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "text_index")
+    build_text_index(docs, idx, n_buckets=16)
+
+    terms = ["hash", "join", "stream"]
+    live = {
+        r["doc_id"]: r["bm25"] for r in bm25_scores(docs, terms).collect()
+    }
+    from_index = {
+        r["doc_id"]: r["bm25"]
+        for r in query_text_index(spark, idx, terms).collect()
+    }
+    # bit-identical scores: same operation order on both paths
+    assert from_index == live
+
+    # the scan must carry a partition filter on the probed buckets
+    # (inputFiles() reports the pre-pruning relation, so read the plan)
+    probed = {_term_bucket_py(t, 16) for t in terms}
+    q = query_text_index(spark, idx, terms)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    listed = {int(x) for x in re.findall(r"\b(\d+)\b", m.group(1).split("IN")[-1])}
+    assert probed <= listed
+    n_dirs = len(
+        [d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")]
+    )
+    assert n_dirs > len(probed)  # pruning was non-vacuous

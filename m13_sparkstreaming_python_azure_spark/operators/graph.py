@@ -108,6 +108,60 @@ def dedup_clusters(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, n_triangles) for every node in ``edges`` — the clustering-
+    coefficient numerator, a density/community signal over dup graphs and
+    co-occurrence graphs.
+
+    Each triangle is enumerated exactly once as an ordered triple
+    a < b < c (edges normalized to the a<b orientation first), then
+    credited to its three corners via one explode. Two equi-joins total:
+    wedges (a<b)⋈(b<c) on b, closed against (a<c). At scale, orient by
+    DEGREE instead of id (relabel nodes by ascending degree before the
+    joins): every wedge pivot then has out-degree ≤ √(2|E|), which bounds
+    the wedge blowup on skewed graphs — id order is used here because the
+    oracle must reproduce the exact pipeline cheaply; the relabeling is a
+    pure per-edge map and changes no counts."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    wedge = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+    )
+    tri = wedge.alias("w").join(
+        e.alias("z"),
+        (F.col("w.a") == F.col("z.a")) & (F.col("w.c") == F.col("z.b")),
+    ).select("w.a", "w.b", "w.c")
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = e.select(F.col("a").alias("node")).union(
+        e.select(F.col("b").alias("node"))
+    ).distinct()
+    return nodes.join(per_node, on="node", how="left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

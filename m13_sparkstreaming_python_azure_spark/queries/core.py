@@ -799,6 +799,32 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (clustering-coefficient numerator) over
+    a deterministic sparse graph built from customer keys — binary-tree
+    edges (k, k÷2) plus chain edges (k, k−1), which plant a known triangle
+    at every odd k. Ordered-triple enumeration, two equi-joins
+    (operators/graph.triangle_counts); the oracle replays the same
+    construction in SQL."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") / 2).cast("bigint").alias("dst")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    edges = tree.unionByName(chain)
+    return triangle_counts(edges).select(
+        F.col("node").alias("custkey"), "n_triangles"
+    )
+
+
 def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK SEMANTICS under the oracle gate: events replayed as a
     multi-batch file stream, tumbling 1h windows with a 1h watermark in
@@ -1396,6 +1422,7 @@ CORE_QUERIES = {
     "scd2_history": q_scd2_history,
     "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
+    "triangle_counts": q_triangle_counts,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -2021,6 +2048,36 @@ CORE_ORACLES = {
 CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
     "histogram_quantiles"
 ]
+
+CORE_ORACLES["triangle_counts"] = """
+        WITH e0 AS (
+            SELECT CAST(c_custkey AS BIGINT) AS src,
+                   CAST(c_custkey // 2 AS BIGINT) AS dst
+            FROM customer WHERE c_custkey >= 2
+            UNION ALL
+            SELECT CAST(c_custkey AS BIGINT),
+                   CAST(c_custkey - 1 AS BIGINT)
+            FROM customer WHERE c_custkey >= 1
+        ), e AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst
+        ), tri AS (
+            SELECT x.a, x.b, y.b AS c
+            FROM e x
+            JOIN e y ON x.b = y.a
+            JOIN e z ON z.a = x.a AND z.b = y.b
+        ), corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ), pern AS (
+            SELECT node, count(*) AS cnt FROM corners GROUP BY node
+        ), nodes AS (
+            SELECT a AS node FROM e UNION SELECT b FROM e
+        )
+        SELECT node AS custkey, COALESCE(cnt, 0) AS n_triangles
+        FROM nodes LEFT JOIN pern USING (node)
+    """
 
 CORE_ORACLES["supplier_pagerank"] = """
         WITH edges AS (

@@ -558,3 +558,22 @@ def test_spread_is_size_aware(spark):
     big = load_table(spark, "/root/testdata/sf0.001", "documents")
     fanned = spread(big, target_bytes_per_partition=1 << 10)
     assert fanned.rdd.getNumPartitions() > big.rdd.getNumPartitions()
+
+
+def test_triangle_counts_known_graphs(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 (every node in 3 triangles), plus a pendant node in none
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+    # duplicate / reversed / self-loop edges must not inflate counts
+    noisy = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 1)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(noisy).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

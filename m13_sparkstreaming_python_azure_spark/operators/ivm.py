@@ -1,0 +1,122 @@
+"""Incremental view maintenance: keep a grouped aggregate current from a
+CDC change feed instead of recomputing it from the full table.
+
+The lakehouse pattern on top of the snapshot layer (sources/snapshots.py):
+a keyed table advances version by version; a downstream aggregate ("view")
+refreshes by applying only the delta — every update is treated as
+delete(old image) + insert(new image), so rows that MOVE between groups
+are handled for free. Works for the subtractable aggregates (sum, count,
+and anything derived from them, e.g. avg); min/max are not subtractable
+and need a recompute or a sketch.
+
+Exactness contract: per-value sums are cast to an exact DECIMAL before
+summing, so incremental refresh equals full recompute EXACTLY (double
+sums would drift: the incremental path folds in a different order).
+
+Scale shape: the refresh costs one aggregate over the CHANGE SET (tiny
+relative to the table) plus one key-partitioned full-outer join against
+the previous aggregate (|groups| rows) — the table itself is never read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUM_TYPE = "decimal(27,6)"
+
+
+def table_changes_images(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Pre/post-image change feed between two table states: one row per
+    changed key with ``__old`` / ``__new`` row structs (null on insert /
+    delete respectively) and ``_change_type``. The both-images twin of
+    sources/snapshots.snapshot_changes (which emits only one image);
+    IVM needs both to subtract the old row and add the new."""
+    nonkeys = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*nonkeys).alias("__old"))
+    n = new.select(*keys, F.struct(*nonkeys).alias("__new"))
+    j = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update"))
+    )
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+    )
+
+
+def grouped_view(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """The canonical maintainable aggregate: per group, ``n_rows`` plus
+    ``sum_<c>`` (exact decimal) for each measure — the shape
+    ``incremental_refresh`` consumes and produces. Derived measures
+    (avg = sum/n) belong downstream, computed from these."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).cast(_SUM_TYPE)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_refresh(
+    prev_view: DataFrame,
+    images: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Advance ``prev_view`` (a ``grouped_view`` result) by a change feed
+    from ``table_changes_images``: subtract old images of updates and
+    deletes, add new images of updates and inserts, per group; groups
+    whose row count reaches zero disappear — identical, row for row, to
+    recomputing ``grouped_view`` on the new table state."""
+    minus = images.filter(
+        F.col("_change_type").isin("update", "delete")
+    ).select(
+        *[F.col("__old")[g].alias(g) for g in group_cols],
+        *[F.col("__old")[c].alias(c) for c in sum_cols],
+        F.lit(-1).alias("__sign"),
+    )
+    plus = images.filter(
+        F.col("_change_type").isin("update", "insert")
+    ).select(
+        *[F.col("__new")[g].alias(g) for g in group_cols],
+        *[F.col("__new")[c].alias(c) for c in sum_cols],
+        F.lit(1).alias("__sign"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__sign").alias("__d_n"),
+            *[
+                F.sum(
+                    (F.col(c).cast(_SUM_TYPE) * F.col("__sign")).cast(
+                        _SUM_TYPE
+                    )
+                ).alias(f"__d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    merged = prev_view.join(delta, on=group_cols, how="full_outer")
+    zero = F.lit(0).cast(_SUM_TYPE)
+    out = merged.select(
+        *group_cols,
+        (
+            F.coalesce("n_rows", F.lit(0)) + F.coalesce("__d_n", F.lit(0))
+        ).alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), zero)
+                + F.coalesce(F.col(f"__d_{c}"), zero)
+            )
+            .cast(_SUM_TYPE)
+            .alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out.filter(F.col("n_rows") > 0)

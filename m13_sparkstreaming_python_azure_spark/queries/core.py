@@ -708,6 +708,53 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-status
+    orders aggregate advances from v1 to v2 by applying ONLY the pre/post
+    change images (deletes %7, reprices %5, status moves %13 — a
+    group-crossing update — inserts %11 under shifted keys), never
+    rereading the table. Exact-decimal sums make the incremental result
+    row-identical to the oracle's full recompute over v2."""
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        grouped_view,
+        incremental_refresh,
+        table_changes_images,
+    )
+
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    v2 = (
+        v1.filter(k % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 5 == 0, F.col("o_totalprice") * 1.1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(k % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            v1.filter(k % 11 == 0).withColumn("o_orderkey", k + 10_000_000)
+        )
+    )
+    prev = grouped_view(v1, ["o_orderstatus"], ["o_totalprice"])
+    images = table_changes_images(v1, v2, ["o_orderkey"])
+    out = incremental_refresh(
+        prev, images, ["o_orderstatus"], ["o_totalprice"]
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.round("sum_o_totalprice", 2).cast("double").alias("sum_totalprice"),
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history build (operators/merge.scd2_from_changes): a
     synthetic 3-version change feed over orders (base, %5-key reprice,
@@ -1423,6 +1470,7 @@ CORE_QUERIES = {
     "zscore_by_type": q_zscore_by_type,
     "supplier_pagerank": q_supplier_pagerank,
     "triangle_counts": q_triangle_counts,
+    "incremental_view_refresh": q_incremental_view_refresh,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -2048,6 +2096,26 @@ CORE_ORACLES = {
 CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
     "histogram_quantiles"
 ]
+
+CORE_ORACLES["incremental_view_refresh"] = """
+        WITH v1 AS (
+            SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+            FROM orders
+        ), v2 AS (
+            SELECT k,
+                   CASE WHEN k % 13 = 0 THEN 'X' ELSE s END AS s,
+                   CASE WHEN k % 5 = 0 THEN p * CAST(1.1 AS DOUBLE)
+                        ELSE p END AS p
+            FROM v1 WHERE k % 7 <> 0
+            UNION ALL
+            SELECT k + 10000000, s, p FROM v1 WHERE k % 11 = 0
+        )
+        SELECT s AS o_orderstatus,
+               count(*) AS n_rows,
+               CAST(round(sum(CAST(p AS DECIMAL(27,6))), 2) AS DOUBLE)
+                   AS sum_totalprice
+        FROM v2 GROUP BY s
+    """
 
 CORE_ORACLES["triangle_counts"] = """
         WITH e0 AS (

@@ -58,6 +58,7 @@ _head = [
     "scd2_history",
     "incremental_ingest_daily",
     "snapshot_change_feed",
+    "incremental_view_refresh",
 ] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved

@@ -120,3 +120,61 @@ def incremental_refresh(
         ],
     )
     return out.filter(F.col("n_rows") > 0)
+
+
+def refresh_view_snapshot(
+    spark,
+    base_dir: str,
+    view_dir: str,
+    base_keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Materialized-view maintenance over the snapshot layer: advance the
+    grouped view stored at ``view_dir`` to the base table's latest
+    version by diffing the two base versions and applying only the
+    change images. The view is itself a versioned snapshot table (time
+    travel and change feed work on it too); each view manifest records
+    the ``base_version`` it reflects, so refreshes are idempotent (a
+    call with nothing new is a no-op) and chainable.
+
+    Fallback: if the recorded base version was vacuumed (its manifest is
+    gone), the view re-bootstraps with a full recompute — correctness
+    never depends on retention. Returns the view's committed version.
+    """
+    from m13_sparkstreaming_python_azure_spark.sources import snapshots as snap
+
+    base_latest = snap.latest_version(base_dir)
+    if base_latest is None:
+        raise FileNotFoundError(f"no committed base version in {base_dir}")
+
+    def _bootstrap() -> int:
+        view = grouped_view(
+            snap.read_snapshot(spark, base_dir, base_latest),
+            group_cols,
+            sum_cols,
+        )
+        return snap.write_snapshot(
+            view, view_dir, {"base_version": base_latest, "op": "view_bootstrap"}
+        )
+
+    try:
+        synced = snap.read_manifest(view_dir).get("base_version")
+    except FileNotFoundError:
+        synced = None
+    if synced is None:
+        return _bootstrap()
+    if synced == base_latest:
+        return snap.latest_version(view_dir)  # already current — no-op
+    try:
+        old = snap.read_snapshot(spark, base_dir, synced)
+    except FileNotFoundError:
+        return _bootstrap()  # synced-to version vacuumed away
+    new = snap.read_snapshot(spark, base_dir, base_latest)
+    images = table_changes_images(old, new, base_keys)
+    refreshed = incremental_refresh(
+        snap.read_snapshot(spark, view_dir), images, group_cols, sum_cols
+    )
+    return snap.write_snapshot(
+        refreshed, view_dir, {"base_version": base_latest, "op": "view_refresh"}
+    )

@@ -91,3 +91,70 @@ def test_empty_change_feed_is_identity(spark):
         ["val"],
     )
     assert _rows(out) == _rows(grouped_view(v1, ["grp"], ["val"]))
+
+
+def test_view_snapshot_maintenance_end_to_end(spark, tmp_path):
+    """Stream micro-batches into a keyed snapshot table, refresh the
+    materialized view after each commit, and require the view to equal a
+    full recompute at every step — with the refresh path (not bootstrap)
+    doing the work after the first batch."""
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        refresh_view_snapshot,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    sink = snap.keyed_batch_sink(base, keys=["k"], mode="merge", n_buckets=4)
+    schema = "k int, grp string, val double"
+
+    batches = [
+        [(i, "g" + str(i % 3), float(i)) for i in range(30)],
+        [(i, "g" + str(i % 2), float(i * 10)) for i in range(10, 40)],
+        [(7, "g9", 7.5), (100, "g9", 100.0)],
+    ]
+    for bid, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, schema), bid)
+        refresh_view_snapshot(spark, base, view, ["k"], ["grp"], ["val"])
+        want = _rows(
+            grouped_view(
+                snap.read_snapshot(spark, base), ["grp"], ["val"]
+            )
+        )
+        assert _rows(snap.read_snapshot(spark, view)) == want
+
+    ops = [
+        snap.read_manifest(view, v).get("op")
+        for v in range(1, snap.latest_version(view) + 1)
+    ]
+    assert ops[0] == "view_bootstrap"
+    assert "view_refresh" in ops[1:]
+
+    # idempotent: nothing new committed → no-op, same version
+    v = snap.latest_version(view)
+    assert refresh_view_snapshot(
+        spark, base, view, ["k"], ["grp"], ["val"]
+    ) == v
+    assert snap.latest_version(view) == v
+
+
+def test_view_refresh_rebootstraps_after_base_vacuum(spark, tmp_path):
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        refresh_view_snapshot,
+    )
+
+    base = str(tmp_path / "base")
+    view = str(tmp_path / "view")
+    schema = "k int, grp string, val double"
+    sink = snap.keyed_batch_sink(base, keys=["k"], mode="merge", n_buckets=2)
+    sink(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], schema), 0)
+    refresh_view_snapshot(spark, base, view, ["k"], ["grp"], ["val"])
+    sink(spark.createDataFrame([(3, "a", 3.0)], schema), 1)
+    sink(spark.createDataFrame([(4, "b", 4.0)], schema), 2)
+    # drop every base version but the newest, including the synced-to one
+    snap.vacuum_snapshots(base, keep_last=1)
+    refresh_view_snapshot(spark, base, view, ["k"], ["grp"], ["val"])
+    assert snap.read_manifest(view).get("op") == "view_bootstrap"
+    want = _rows(grouped_view(snap.read_snapshot(spark, base), ["grp"], ["val"]))
+    assert _rows(snap.read_snapshot(spark, view)) == want

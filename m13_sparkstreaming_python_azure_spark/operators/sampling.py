@@ -144,3 +144,43 @@ def mixture_resample(
         df.join(F.broadcast(counts), on=domain_col)
         .filter(u < F.col("keep_fraction"))
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    total_rows: int,
+    id_col: str,
+    tau: float = 0.5,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Mixture resampling with TEMPERATURE-derived target shares:
+    share_d ∝ |d|^tau (the multilingual/DoReMi-style rebalance — tau=1
+    keeps natural proportions, tau=0 is uniform, tau∈(0,1) upweights
+    small domains sublinearly). Shares come from the same tiny count
+    aggregate the uniform path uses — one window-less normalization over
+    |domains| rows — then the identical md5-Bernoulli keep decision."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.pow(F.col("__n").cast("double"), F.lit(float(tau)))
+    tot = counts.select(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(float(tau)))).alias(
+            "__wsum"
+        )
+    )
+    counts = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("__share", w / F.col("__wsum"))
+        .withColumn(
+            "keep_fraction",
+            F.least(
+                F.lit(1.0),
+                F.col("__share") * F.lit(float(total_rows)) / F.col("__n"),
+            ),
+        )
+        .select(domain_col, "keep_fraction")
+    )
+    u = md5_uniform(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(counts), on=domain_col)
+        .filter(u < F.col("keep_fraction"))
+    )

@@ -269,6 +269,21 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (share_d ∝ |d|^0.5, expected 300
+    rows): the multilingual-pretraining rebalance that upweights small
+    domains sublinearly — same tiny count aggregate + md5-Bernoulli keep
+    as the uniform mixture (operators/sampling.temperature_resample)."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_resample(docs, "source", 300, "doc_id", tau=0.5).select(
+        "doc_id", "source"
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval: Okapi BM25 over the corpus for a 3-term query —
     postings pruned by a broadcast term filter BEFORE the explode
@@ -570,6 +585,7 @@ LLM_QUERIES = {
     "weighted_sample_docs": q_weighted_sample_docs,
     "mixture_resample": q_mixture_resample,
     "bm25_search": q_bm25_search,
+    "temperature_resample": q_temperature_resample,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "ann_bruteforce": q_ann_bruteforce,
@@ -845,6 +861,26 @@ LLM_ORACLES = {
                     WHEN hash_prefix < 'f333' THEN 'val'
                     ELSE 'test' END AS split
         FROM h
+    """,
+    "temperature_resample": """
+        WITH c AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ), t AS (
+            SELECT sum(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE))) AS wsum
+            FROM c
+        ), f AS (
+            SELECT source,
+                   least(CAST(1 AS DOUBLE),
+                         (pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) / t.wsum)
+                             * CAST(300 AS DOUBLE) / c.n)
+                       AS keep_fraction
+            FROM c, t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN f USING (source)
+        WHERE ('0x' || substring(md5('seed42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  / CAST(4294967296 AS DOUBLE)
+              < f.keep_fraction
     """,
     "bm25_search": f"""
         WITH toks AS (

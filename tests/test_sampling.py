@@ -113,3 +113,42 @@ def test_mixture_resample_rebalances(spark, sf_dir):
         docs, "source", total * 2, "doc_id", targets={"src0": 1.0}
     )
     assert all_kept.count() == n_src0
+
+
+def test_temperature_resample_flattens_mixture(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # skew the corpus: src0 gets 5 echoes of every doc
+    skewed = docs.unionByName(
+        docs.filter(F.col("source") == "src0")
+        .crossJoin(spark.range(1, 6).withColumnRenamed("id", "echo"))
+        .select(
+            (F.col("doc_id") + F.col("echo") * 1000000).alias("doc_id"),
+            "source",
+            "n_chars",
+        )
+    )
+    total = 200
+
+    def share_of_src0(df):
+        rows = df.groupBy("source").agg(F.count("*").alias("n")).collect()
+        m = {r["source"]: r["n"] for r in rows}
+        return m.get("src0", 0) / max(1, sum(m.values()))
+
+    nat = share_of_src0(skewed)  # src0 dominates the skewed corpus
+    t1 = share_of_src0(
+        temperature_resample(skewed, "source", total, "doc_id", tau=1.0)
+    )
+    t0 = share_of_src0(
+        temperature_resample(skewed, "source", total, "doc_id", tau=0.0)
+    )
+    th = share_of_src0(
+        temperature_resample(skewed, "source", total, "doc_id", tau=0.5)
+    )
+    # tau=1 preserves the natural skew, tau=0 flattens to ~uniform,
+    # tau=0.5 sits in between
+    assert abs(t1 - nat) < 0.1
+    assert t0 < th < t1

@@ -158,3 +158,47 @@ def test_view_refresh_rebootstraps_after_base_vacuum(spark, tmp_path):
     assert snap.read_manifest(view).get("op") == "view_bootstrap"
     want = _rows(grouped_view(snap.read_snapshot(spark, base), ["grp"], ["val"]))
     assert _rows(snap.read_snapshot(spark, view)) == want
+
+
+def test_refresh_equals_recompute_property(spark):
+    """Property (hypothesis): for ANY pair of table states — arbitrary
+    inserts, deletes, value updates, and group moves — incremental
+    refresh equals full recompute row-for-row."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=15),          # id (collisions)
+        st.sampled_from(["a", "b", "c"]),                # group
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False, width=32),
+    )
+
+    def dedup_by_id(rows):
+        return list({r[0]: r for r in rows}.values())
+
+    tables = st.lists(row, min_size=0, max_size=14).map(dedup_by_id)
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(v1_rows=tables, v2_rows=tables)
+    def run(v1_rows, v2_rows):
+        cols = "id int, grp string, val double"
+        v1 = spark.createDataFrame(v1_rows, cols) if v1_rows else (
+            spark.createDataFrame([], cols)
+        )
+        v2 = spark.createDataFrame(v2_rows, cols) if v2_rows else (
+            spark.createDataFrame([], cols)
+        )
+        got = incremental_refresh(
+            grouped_view(v1, ["grp"], ["val"]),
+            table_changes_images(v1, v2, ["id"]),
+            ["grp"],
+            ["val"],
+        )
+        assert _rows(got) == _rows(grouped_view(v2, ["grp"], ["val"]))
+
+    run()

@@ -130,3 +130,41 @@ def test_text_index_parity_and_pruning(spark, sf_dir, tmp_path):
         [d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")]
     )
     assert n_dirs > len(probed)  # pruning was non-vacuous
+
+
+def test_fuzzy_pairs_equals_bruteforce_property(spark):
+    """Property (hypothesis): on ANY small-alphabet word set (high
+    collision pressure), symmetric-delete blocking + verify equals the
+    brute-force levenshtein cross join, at both supported depths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ws=words, d=st.sampled_from([1, 2]))
+    def run(ws, d):
+        df = spark.createDataFrame([(w,) for w in ws], ["w"])
+        got = _pairs(fuzzy_pairs(df, "w", max_dist=d))
+        a = df.select(F.col("w").alias("x"))
+        b = df.select(F.col("w").alias("y"))
+        brute = {
+            (r["x"], r["y"], r["d"])
+            for r in a.crossJoin(b)
+            .filter(F.col("x") < F.col("y"))
+            .withColumn("d", F.levenshtein("x", "y"))
+            .filter(F.col("d") <= d)
+            .collect()
+        }
+        assert got == brute
+
+    run()

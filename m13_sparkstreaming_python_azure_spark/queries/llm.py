@@ -269,6 +269,23 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality filter (CCNet/KenLM pattern, operators/lm.py):
+    an add-one unigram model trains on the doc_id%3==0 reference slice
+    (one aggregate), every document scores by mean −log p(token) through
+    a broadcast model join — OOV tokens take the smoothed unseen mass.
+    Per-token log-probs grid-snap at 1e-9 and sum as exact decimal, so
+    the oracle reproduces scores bit-for-bit."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        train_unigram_model,
+        unigram_logppl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_unigram_model(docs.filter(F.col("doc_id") % 3 == 0))
+    return unigram_logppl(docs, model)
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based data mixing (share_d ∝ |d|^0.5, expected 300
     rows): the multilingual-pretraining rebalance that upweights small
@@ -586,6 +603,7 @@ LLM_QUERIES = {
     "mixture_resample": q_mixture_resample,
     "bm25_search": q_bm25_search,
     "temperature_resample": q_temperature_resample,
+    "perplexity_scores": q_perplexity_scores,
     "decontamination": q_decontamination,
     "pii_redaction": q_pii_redaction,
     "ann_bruteforce": q_ann_bruteforce,
@@ -861,6 +879,31 @@ LLM_ORACLES = {
                     WHEN hash_prefix < 'f333' THEN 'val'
                     ELSE 'test' END AS split
         FROM h
+    """,
+    "perplexity_scores": f"""
+        WITH ref AS (
+            SELECT {_TOKS_SQL} AS t FROM documents WHERE doc_id % 3 = 0
+        ), ref_toks AS (
+            SELECT unnest(t) AS term FROM ref
+        ), model AS (
+            SELECT term, count(*) AS n FROM ref_toks GROUP BY term
+        ), stats AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS v FROM model
+        ), toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   floor(ln((COALESCE(m.n, 0) + CAST(1 AS DOUBLE))
+                            / (s.nn + s.v + CAST(1 AS DOUBLE)))
+                         * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS logp
+            FROM toks
+            LEFT JOIN model m USING (term)
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               -CAST(sum(CAST(logp AS DECIMAL(27,12))) AS DOUBLE) / count(*)
+                   AS logppl
+        FROM scored GROUP BY doc_id
     """,
     "temperature_resample": """
         WITH c AS (

@@ -1,0 +1,80 @@
+"""Unigram LM perplexity scoring/filtering semantics (operators/lm.py).
+The gate hash-checks scores against DuckDB; these tests pin the model's
+ORDERING behavior — what the filter actually relies on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.lm import (
+    perplexity_filter,
+    train_unigram_model,
+    unigram_logppl,
+)
+
+
+def _scores(spark, ref_texts, doc_rows):
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "text"])
+    model = train_unigram_model(ref)
+    return {
+        r["doc_id"]: (r["n_tokens"], r["logppl"])
+        for r in unigram_logppl(docs, model).collect()
+    }
+
+
+def test_in_domain_beats_oov(spark):
+    ref = ["the cat sat on the mat", "the dog sat on the rug"]
+    got = _scores(
+        spark,
+        ref,
+        [
+            (1, "the cat sat"),  # all in-vocab, frequent tokens
+            (2, "zyx qwv jkl"),  # all OOV
+            (3, "the cat zyx"),  # mixed
+        ],
+    )
+    assert got[1][1] < got[3][1] < got[2][1]
+    # OOV-only docs still score (smoothed unseen mass, no crash/null)
+    assert got[2][1] > 0
+
+
+def test_frequent_tokens_score_lower(spark):
+    # "the" dominates the reference → a the-only doc beats a rare-word doc
+    ref = ["the the the the cat"]
+    got = _scores(spark, ref, [(1, "the the"), (2, "cat cat")])
+    assert got[1][1] < got[2][1]
+
+
+def test_empty_docs_excluded_and_counts_right(spark):
+    ref = ["a b c"]
+    got = _scores(spark, ref, [(1, "a b"), (2, "   "), (3, "")])
+    assert set(got) == {1}
+    assert got[1][0] == 2
+
+
+def test_perplexity_filter_band(spark):
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zyx qwv jkl"), (3, "the dog sat")],
+        ["doc_id", "text"],
+    )
+    model = train_unigram_model(ref)
+    scores = {
+        r["doc_id"]: r["logppl"]
+        for r in unigram_logppl(docs, model).collect()
+    }
+    cut = (max(scores.values()) + min(scores.values())) / 2
+    kept = perplexity_filter(docs, model, max_logppl=cut)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        d for d, s in scores.items() if s <= cut
+    }
+    # keep band retains original columns plus the score
+    assert set(kept.columns) == {"doc_id", "text", "logppl"}
+    # min bound alone drops the low tail instead
+    low_dropped = perplexity_filter(docs, model, min_logppl=cut)
+    assert {r["doc_id"] for r in low_dropped.collect()} == {
+        d for d, s in scores.items() if s >= cut
+    }

@@ -155,6 +155,7 @@ SCALE_AUDIT_QUERIES = [
     "ngram_jaccard_pairs",
     "near_dup_clusters",
     "ann_lsh",
+    "fuzzy_name_pairs",  # most expensive round-2 addition
 ]
 
 

@@ -5,11 +5,13 @@ The full curation chain, each stage a first-class engine operator:
   2. exact dedup on normalized content        (operators/dedup.py)
   3. MinHash-LSH near-dup pair removal        (operators/dedup.py)
   4. benchmark decontamination (5-gram hit)   (operators/dedup.py)
-  5. PII redaction                            (operators/text.py)
-  6. heuristic language ID                    (operators/text.py)
-  7. overlapping token chunks                 (operators/chunking.py)
-  8. deterministic md5 train/val/test split   (operators/chunking.py)
-  9. write parquet partitioned by (split)     (sources/files.py)
+  5. unigram-LM perplexity filter             (operators/lm.py)
+  6. PII redaction                            (operators/text.py)
+  7. heuristic language ID                    (operators/text.py)
+  8. temperature mixture rebalance (τ=0.7)    (operators/sampling.py)
+  9. overlapping token chunks                 (operators/chunking.py)
+ 10. deterministic md5 train/val/test split   (operators/chunking.py)
+ 11. write parquet partitioned by (split)     (sources/files.py)
 
 Every stage is a declarative DataFrame plan: quality/lang/chunk fold into
 the scan stage, dedup is one keyed shuffle, near-dup cost tracks LSH
@@ -80,10 +82,41 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         how="left_anti",
     )
 
+    # perplexity gate: score every survivor under a unigram LM trained on
+    # the clean slice itself and drop the garbled tail (in production the
+    # model trains once on a trusted reference corpus and persists)
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        perplexity_filter,
+        train_unigram_model,
+        unigram_logppl,
+    )
+
+    lm = train_unigram_model(clean)
+    cut = unigram_logppl(clean, lm).agg(
+        F.expr("percentile(logppl, 0.95)")
+    ).head()[0]
+    fluent = perplexity_filter(clean, lm, max_logppl=cut).select(
+        "doc_id", "text"
+    )
+
     # scrub PII before anything downstream sees the text
-    scrubbed = redact_pii(clean).select(
+    scrubbed = redact_pii(fluent).select(
         "doc_id", F.col("redacted").alias("text")
     )
+
+    # rebalance the source mixture sublinearly (τ=0.7) toward the kept
+    # volume — one tiny count aggregate + a stateless md5-Bernoulli keep
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    sourced = scrubbed.join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    n_fluent = sourced.count()
+    scrubbed = temperature_resample(
+        sourced, "source", n_fluent, "doc_id", tau=0.7
+    ).select("doc_id", "text")
 
     tagged = with_lang_id(scrubbed).select("doc_id", "text", "lang_pred")
     chunks = chunk_documents(tagged, chunk_size=50, stride=40)
@@ -111,6 +144,8 @@ def run(spark, sf_dir: str, out_dir: str) -> dict[str, int]:
         "after_exact_dedup": deduped.count(),
         "after_near_dedup": surviving.count(),
         "after_decontam": clean.count(),
+        "after_ppl_filter": n_fluent,
+        "after_mixing": scrubbed.count(),
         "chunks_written": out.count(),
         "train_chunks": out.filter(F.col("split") == "train").count(),
         "embedding_clusters": clusters.select("cluster").distinct().count(),

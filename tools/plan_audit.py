@@ -98,6 +98,8 @@ ALLOW_CARTESIAN = {
     "important_stock",
     "bm25_search",
     "mixture_resample",  # single-row n_domains scalar broadcast
+    "temperature_resample",  # single-row weight-sum scalar broadcast
+    "perplexity_scores",  # single-row N/V model-stats scalar broadcast
 }
 
 

@@ -66,14 +66,17 @@ def fuzzy_pairs(
     )
     a = variants.alias("a")
     b = variants.alias("b")
-    cands = (
+    # verify BEFORE the dedup shuffle: levenshtein is a cheap map-side
+    # expression, and filtering false candidates first means the distinct
+    # shuffles only true pairs (each appears a handful of times — once
+    # per shared variant) instead of the full candidate blowup
+    return (
         a.join(b, F.col("a.__v") == F.col("b.__v"))
         .filter(F.col("a.__k") < F.col("b.__k"))
         .select(
             F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b")
         )
+        .withColumn("edit_distance", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("edit_distance") <= max_dist)
         .distinct()
     )
-    return cands.withColumn(
-        "edit_distance", F.levenshtein("key_a", "key_b")
-    ).filter(F.col("edit_distance") <= max_dist)

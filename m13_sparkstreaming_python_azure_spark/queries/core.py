@@ -872,6 +872,39 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier statistics — median / MAD and the
+    modified-z outlier count (0.6745·|x−med|/MAD > 3.5), the
+    skew-resistant complement to the mean/std z-score (`zscore_by_type`).
+    Exact interpolated percentiles (both engines use lower+frac·(upper−
+    lower)), grid-snapped at 1e-6 before reuse so downstream comparisons
+    are engine-identical."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def grid(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    med = ev.groupBy("event_type").agg(
+        grid(F.percentile("value", F.lit(0.5))).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), on="event_type").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        grid(F.percentile("__dev", F.lit(0.5))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.lit(0.6745) * F.col("__dev") / F.col("mad") > 3.5
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def q_streaming_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK SEMANTICS under the oracle gate: events replayed as a
     multi-batch file stream, tumbling 1h windows with a 1h watermark in
@@ -1471,6 +1504,7 @@ CORE_QUERIES = {
     "supplier_pagerank": q_supplier_pagerank,
     "triangle_counts": q_triangle_counts,
     "incremental_view_refresh": q_incremental_view_refresh,
+    "robust_outlier_stats": q_robust_outlier_stats,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -2115,6 +2149,30 @@ CORE_ORACLES["incremental_view_refresh"] = """
                CAST(round(sum(CAST(p AS DECIMAL(27,6))), 2) AS DOUBLE)
                    AS sum_totalprice
         FROM v2 GROUP BY s
+    """
+
+CORE_ORACLES["robust_outlier_stats"] = """
+        WITH med AS (
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.5) * 1e6
+                         + CAST(0.5 AS DOUBLE)) / 1e6 AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, med, abs(value - med) AS d
+            FROM events e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type,
+                   floor(quantile_cont(d, 0.5) * 1e6
+                         + CAST(0.5 AS DOUBLE)) / 1e6 AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type, dev.med, mad.mad,
+               count(*) AS n,
+               CAST(count(*) FILTER (
+                   WHERE CAST(0.6745 AS DOUBLE) * dev.d / mad.mad > 3.5
+               ) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type, dev.med, mad.mad
     """
 
 CORE_ORACLES["triangle_counts"] = """

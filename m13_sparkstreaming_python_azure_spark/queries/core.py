@@ -1065,6 +1065,58 @@ def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance under the gate: events
+    replayed as a multi-batch file stream fold into a latest-per-user
+    keyed snapshot table, and AFTER EVERY COMMIT the downstream grouped
+    view (rows + value sum per event_type) advances incrementally via
+    refresh_view_snapshot — per-user latest rows CHANGE across batches,
+    so the view absorbs genuine updates and group moves, not just
+    inserts. The returned view must equal the one-shot batch argmax
+    aggregate regardless of arrival order."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        refresh_view_snapshot,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        keyed_batch_sink,
+        read_snapshot,
+    )
+
+    src, schema = _events_day_landing(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="view-maint-")
+    base, view, ck = (os.path.join(root, d) for d in ("base", "view", "ck"))
+    table_sink = keyed_batch_sink(
+        base, keys=["user_id"], mode="latest", order_cols=["ts", "event_id"]
+    )
+
+    def _sink_then_refresh(batch_df, batch_id):
+        table_sink(batch_df, batch_id)
+        refresh_view_snapshot(
+            spark, base, view, ["user_id"], ["event_type"], ["value"]
+        )
+
+    stream = parquet_file_stream(spark, src, schema, max_files_per_trigger=16)
+    q = (
+        stream.select("event_id", "ts", "user_id", "event_type", "value")
+        .writeStream.foreachBatch(_sink_then_refresh)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return read_snapshot(spark, view).select(
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
 def q_incremental_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-pruned incremental ingest end-to-end under the gate (the
     Auto-Loader-notification-mode analogue, VERDICT r1 #6): the
@@ -1505,6 +1557,7 @@ CORE_QUERIES = {
     "triangle_counts": q_triangle_counts,
     "incremental_view_refresh": q_incremental_view_refresh,
     "robust_outlier_stats": q_robust_outlier_stats,
+    "streaming_view_maintenance": q_streaming_view_maintenance,
     "zorder_key": q_zorder_key,
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
@@ -2149,6 +2202,21 @@ CORE_ORACLES["incremental_view_refresh"] = """
                CAST(round(sum(CAST(p AS DECIMAL(27,6))), 2) AS DOUBLE)
                    AS sum_totalprice
         FROM v2 GROUP BY s
+    """
+
+CORE_ORACLES["streaming_view_maintenance"] = """
+        WITH ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ), latest AS (
+            SELECT event_type, value FROM ranked WHERE rn = 1
+        )
+        SELECT event_type, count(*) AS n_rows,
+               CAST(round(sum(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM latest GROUP BY event_type
     """
 
 CORE_ORACLES["robust_outlier_stats"] = """

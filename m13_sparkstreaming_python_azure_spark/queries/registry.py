@@ -59,6 +59,7 @@ _head = [
     "incremental_ingest_daily",
     "snapshot_change_feed",
     "incremental_view_refresh",
+    "streaming_view_maintenance",
 ] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved

@@ -202,3 +202,32 @@ def test_refresh_equals_recompute_property(spark):
         assert _rows(got) == _rows(grouped_view(v2, ["grp"], ["val"]))
 
     run()
+
+
+def test_streaming_view_maintenance_refreshes_incrementally(spark):
+    """The gate query's stream must produce 2+ base commits with the view
+    advancing via view_refresh (not re-bootstrapping per batch)."""
+    import m13_sparkstreaming_python_azure_spark.sources.snapshots as snap
+    from m13_sparkstreaming_python_azure_spark.queries.core import (
+        q_streaming_view_maintenance,
+    )
+
+    out = q_streaming_view_maintenance(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    # the tmp dirs live under the most recent view-maint- root
+    import glob
+    import os
+    import tempfile
+
+    roots = sorted(
+        glob.glob(os.path.join(tempfile.gettempdir(), "view-maint-*")),
+        key=os.path.getmtime,
+    )
+    base, view = os.path.join(roots[-1], "base"), os.path.join(roots[-1], "view")
+    assert snap.latest_version(base) >= 2, "stream must span 2+ micro-batches"
+    ops = [
+        snap.read_manifest(view, v).get("op")
+        for v in range(1, snap.latest_version(view) + 1)
+    ]
+    assert ops[0] == "view_bootstrap"
+    assert all(op == "view_refresh" for op in ops[1:]) and len(ops) >= 2

@@ -1295,6 +1295,43 @@ def q_salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.bloom_pruned_join — the
+    explicit runtime-filter pattern): high-value orders (~4% of the dim)
+    fold to a 16 KiB bitmap, the lineitem fact side is pre-filtered by
+    pure JVM bit probes BEFORE the join shuffle, and the real join drops
+    the bloom's false positives — so the result is EXACTLY the plain
+    join's (the oracle), while the shuffle carries only ~the matching
+    fraction of the fact. The at-scale alternative when the dim keyset is
+    too big to broadcast as a set."""
+    from m13_sparkstreaming_python_azure_spark.operators.bloom import (
+        bloom_pruned_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 480000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = bloom_pruned_join(li, big_orders, on="o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over two order dimensions — the
     expression that drives operators/zorder.write_zordered. Gated here so
@@ -1547,6 +1584,7 @@ CORE_QUERIES = {
     "streaming_latest_state": q_streaming_latest_state,
     "streaming_dedup": q_streaming_dedup,
     "salted_revenue_join": q_salted_revenue_join,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
     "frequent_users": q_frequent_users,
     "volume_shipping": q_volume_shipping,
     "promo_bracket_revenue": q_promo_bracket_revenue,
@@ -1777,6 +1815,15 @@ CORE_ORACLES = {
                                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "bloom_pruned_revenue": """
+        SELECT o_orderpriority,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 480000
         GROUP BY o_orderpriority
     """,
     "streaming_interval_join": """

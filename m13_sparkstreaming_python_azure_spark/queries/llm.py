@@ -582,6 +582,71 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style URL curation chain (operators/webcuration):
+    deterministic synthetic URLs per document (scheme-case, subdomain,
+    tld and trailing-slash variety baked in) → normalize_url +
+    registered_domain at scan speed → '.io' blocklist via broadcast
+    anti-join → at most 2 docs per registered domain, best-first by
+    (n_chars DESC, doc_id) through one WindowGroupLimit window. Every
+    expression is JVM-side; the oracle mirrors the full chain in SQL."""
+    from m13_sparkstreaming_python_azure_spark.operators.webcuration import (
+        blocklist_filter,
+        extract_host,
+        normalize_url,
+        per_domain_cap,
+        registered_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.element_at(
+            F.array(F.lit("www."), F.lit("cdn."), F.lit("")),
+            (did % 3 + 1).cast("int"),
+        ),
+        F.col("source"),
+        (did % 7).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+            (did % 4 + 1).cast("int"),
+        ),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.lit("/?utm=x"),
+    )
+    with_url = docs.select(
+        "doc_id",
+        "n_chars",
+        url.alias("url"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        normalize_url(F.col("url")).alias("url_norm"),
+        registered_domain(extract_host(F.col("url"))).alias("domain"),
+    )
+    blocked = with_url.join(
+        F.broadcast(
+            with_url.filter(F.col("domain").endswith(".io"))
+            .select("domain")
+            .distinct()
+        ),
+        on="domain",
+        how="left_anti",
+    )
+    # keep the list-based path exercised too (no-op list)
+    blocked = blocklist_filter(blocked, "domain", ["blocked.example"])
+    capped = per_domain_cap(
+        blocked,
+        "domain",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cap=2,
+    )
+    return capped.select("doc_id", "domain", "url_norm")
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -618,6 +683,7 @@ LLM_QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize": q_multimodal_resize,
     "curation_pipeline": q_curation_pipeline,
+    "domain_curation": q_domain_curation,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -1166,5 +1232,38 @@ LLM_ORACLES = {
                 cid) AS rn
             FROM vecs CROSS JOIN cent1
         ) WHERE rn = 1
+    """,
+    "domain_curation": """
+        WITH u AS (
+            SELECT doc_id, n_chars,
+                   'HTTPS://'
+                   || ['www.','cdn.',''][CAST(doc_id % 3 AS INT) + 1]
+                   || source || CAST(doc_id % 7 AS VARCHAR)
+                   || '.'
+                   || ['com','org','net','io'][CAST(doc_id % 4 AS INT) + 1]
+                   || '/p/' || CAST(doc_id AS VARCHAR) || '/?utm=x' AS url
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_chars,
+                   regexp_replace(regexp_replace(regexp_replace(lower(url),
+                       '^[a-z][a-z0-9+.-]*://', ''), '[?#].*$', ''),
+                       '/$', '') AS url_norm,
+                   regexp_extract(lower(url),
+                       '^(?:[a-z][a-z0-9+.-]*://)?([^/:?#]+)', 1) AS host
+            FROM u
+        ), d AS (
+            SELECT doc_id, n_chars, url_norm,
+                   CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                        ELSE string_split(host, '.')[-2] || '.'
+                             || string_split(host, '.')[-1] END AS domain
+            FROM c
+        ), e AS (
+            SELECT doc_id, domain, url_norm,
+                   row_number() OVER (PARTITION BY domain
+                       ORDER BY n_chars DESC, doc_id) AS rn
+            FROM d
+            WHERE domain NOT LIKE '%.io'
+        )
+        SELECT doc_id, domain, url_norm FROM e WHERE rn <= 2
     """,
 }

@@ -2,7 +2,8 @@
 
 Runs every ``queries()`` entry and its ``oracle_sql()`` twin (DuckDB) at a
 given sf dir, compares row count, column names, and order-insensitive
-values. Usage: python tools/check_correctness.py [sf_dir]
+values. Usage: python tools/check_correctness.py [sf_dir] [name ...]
+(names, if given, restrict the run to those queries)
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return rows
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *names: str) -> int:
     spark = get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
@@ -39,6 +40,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if names:
+        unknown = set(names) - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}")
+            return 1
+        qs = {n: qs[n] for n in names}
     failures = 0
     for name, fn in qs.items():
         try:

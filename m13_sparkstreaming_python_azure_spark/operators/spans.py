@@ -1,0 +1,114 @@
+"""Cross-document repeated-span detection — the exact-substring-dedup
+primitive (cf. Lee et al., "Deduplicating Training Data Makes Language
+Models Better": long verbatim repeats across documents are memorization
+fuel and should be found, measured, and trimmed).
+
+Algorithm (all relational, no Python, no suffix arrays):
+
+1. Tokenize once; emit every n-token shingle WITH its position
+   (posexplode). Equal shingles across two documents are points
+   (pos_a, pos_b) on that pair's match matrix.
+2. Inverted-index equi-join on the shingle string bounds the pair space
+   to documents that actually overlap; a ``max_doc_freq`` stop-gram
+   cutoff keeps posting lists (and the join) near-linear — identical to
+   the proven ``ngram_jaccard_pairs`` shape in operators/dedup.py.
+3. Consecutive matches on one DIAGONAL (pos_b − pos_a constant, pos_a
+   consecutive) are one shared run: overlapping equal n-grams chain into
+   a common substring of run_length + n − 1 tokens. The island trick —
+   group by (pair, diagonal, pos_a − row_number) — finds every maximal
+   run with one window + one aggregate.
+4. Keep each pair's longest span ≥ ``min_span`` (deterministic
+   tie-break: earliest a_start, then b_start).
+
+Scale: one shuffle keyed by shingle (bounded by the doc-freq cutoff),
+one keyed by candidate pair — nothing quadratic in the corpus, quadratic
+only within a shared-shingle posting list. At 100 TB run it per
+near-dup-cluster or per LSH band bucket to pre-bound pairs further.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+from m13_sparkstreaming_python_azure_spark.operators.util import spread
+
+SPAN_SPREAD_BYTES = 1 << 20
+
+
+def positional_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, pos, gram) for every n-token shingle; docs shorter than n
+    tokens emit nothing (the sequence guard avoids Spark's descending
+    sequence when size − n < 0)."""
+    toked = (
+        spread(df, target_bytes_per_partition=SPAN_SPREAD_BYTES)
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+        .filter(F.size("__t") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - n),
+        lambda i: F.concat_ws(" ", F.slice("__t", i + 1, n)),
+    )
+    return toked.select(
+        "__id", F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    min_span: int = 20,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Longest shared token span per document pair, as
+    (id_a, id_b, span_len, a_start, b_start) with id_a < id_b,
+    span_len ≥ ``min_span`` (token positions are 0-based)."""
+    grams = positional_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(rare, on="gram", how="left_semi")
+    a = grams.select(
+        F.col("__id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    b = grams.select(
+        F.col("__id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    matches = (
+        a.join(b, on="gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+        .withColumn("diag", F.col("pb") - F.col("pa"))
+    )
+    w_run = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn(
+            "grp", F.col("pa") - F.row_number().over(w_run)
+        )
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            (F.count(F.lit(1)) + (n - 1)).alias("span_len"),
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+        )
+    )
+    w_best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("span_len").desc(), "a_start", "b_start"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_best))
+        .filter((F.col("rn") == 1) & (F.col("span_len") >= min_span))
+        .select("id_a", "id_b", "span_len", "a_start", "b_start")
+    )

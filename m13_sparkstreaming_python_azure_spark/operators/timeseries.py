@@ -63,6 +63,86 @@ def resample_ffill(
     )
 
 
+def ewma_control_chart(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 20,
+    sigma_mult: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart per key: smoothed level, one-step-ahead
+    residual, and an anomaly flag when |residual| exceeds
+    ``sigma_mult``× the key's stddev — the classic streaming-monitoring
+    statistic, here in its oracle-checkable batch form.
+
+    Determinism contract (cross-engine): the decay is fixed at α = 0.5 so
+    every weight is an EXACT power of two (2^-lag — no pow(), whose
+    rounding is engine-specific), the weighted sum folds left over the
+    frame-ordered window list identically in both engines, the EWMA is
+    truncated at ``max_lag`` lags (weights below 2^-20 are < 1e-6 of the
+    level — also what keeps the window frame bounded at scale), and
+    outputs are grid-snapped at 1e-6 before the threshold compare.
+
+    Plan shape: ONE shuffle on the key serves the windowed list, the lag,
+    and (via a tiny per-key aggregate joined back) the sigma threshold.
+    """
+    val = F.col(value_col).cast("double")
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    w_frame = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-max_lag, 0)
+    )
+    w_lag = Window.partitionBy(key_col).orderBy(*order)
+
+    def shl_double(bits):
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), bits.cast("int")
+        ).cast("double")
+
+    vals = F.collect_list(val).over(w_frame)
+    m = F.size(vals)
+    num = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(vals, i) / shl_double(m - i),
+    )
+    den = F.lit(2.0) - F.lit(1.0) / shl_double(m - 1)
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    scored = df.select(
+        F.col(tiebreak_col),
+        F.col(key_col),
+        F.col(ts_col),
+        val.alias("__v"),
+        snap(num / den).alias("ewma"),
+    ).withColumn("__prev", F.lag("ewma").over(w_lag))
+
+    stats = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(val.cast("decimal(18,6)")).cast("double").alias("__sv"),
+        F.sum((val * val).cast("decimal(27,12)")).cast("double").alias("__sv2"),
+    )
+    sigma = F.sqrt(
+        (F.col("__sv2") - F.col("__sv") * F.col("__sv") / F.col("__n"))
+        / (F.col("__n") - 1)
+    )
+    resid = snap(F.abs(F.col("__v") - F.col("__prev")))
+    return (
+        scored.join(stats, on=key_col)
+        .select(
+            tiebreak_col,
+            key_col,
+            "ewma",
+            F.coalesce(
+                resid > snap(F.lit(sigma_mult) * sigma), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 def subsequence_search(
     df: DataFrame,
     key_col: str,

@@ -1485,6 +1485,21 @@ def q_pattern_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_search(ev, "user_id", pattern)
 
 
+def q_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (operators/timeseries.ewma_control_chart): per
+    event_type, the exponentially-smoothed level of the value series and
+    a 3-sigma anomaly flag on the one-step-ahead residual. Decay is fixed
+    at alpha = 0.5 so every weight is an exact power of two and both
+    engines fold the same doubles in the same order (no pow()); outputs
+    are 1e-6 grid-snapped before the threshold compare."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        ewma_control_chart,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_control_chart(ev, "event_type", max_lag=20, sigma_mult=3.0)
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality drift monitor: per-event-type JS divergence of the
     value distribution, first half of the month vs the second — the check
@@ -1600,6 +1615,7 @@ CORE_QUERIES = {
     "regression_stats": q_regression_stats,
     "hourly_gap_fill": q_hourly_gap_fill,
     "pattern_subsequence_search": q_pattern_subsequence_search,
+    "ewma_anomalies": q_ewma_anomalies,
     "streaming_daily_stats": q_streaming_daily_stats,
 }
 
@@ -2186,6 +2202,48 @@ CORE_ORACLES = {
         FROM scored
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY d2, start) = 1
+    """,
+    "ewma_anomalies": """
+        WITH s AS (
+            SELECT event_id, event_type, ts, CAST(value AS DOUBLE) AS v,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS vals
+            FROM events
+        ), e AS (
+            SELECT event_id, event_type, v,
+                   floor(
+                       list_reduce(
+                           list_transform(range(1, len(vals) + 1),
+                               i -> vals[i] / CAST(1 << (len(vals) - i) AS DOUBLE)),
+                           (a, b) -> a + b)
+                       / (CAST(2.0 AS DOUBLE)
+                          - CAST(1.0 AS DOUBLE)
+                            / CAST(1 << (len(vals) - 1) AS DOUBLE))
+                       * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS ewma,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS rn
+            FROM s
+        ), lagged AS (
+            SELECT event_id, event_type, v, ewma,
+                   lag(ewma) OVER (
+                       PARTITION BY event_type ORDER BY rn) AS prev
+            FROM e
+        ), st AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                   CAST(sum(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                                 AS DECIMAL(27,12))) AS DOUBLE) AS sv2
+            FROM events GROUP BY event_type
+        )
+        SELECT l.event_id, l.event_type, l.ewma,
+               coalesce(
+                   floor(abs(l.v - l.prev) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                   > floor(CAST(3.0 AS DOUBLE)
+                           * sqrt((st.sv2 - st.sv * st.sv / st.n) / (st.n - 1))
+                           * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6,
+                   false) AS is_anomaly
+        FROM lagged l JOIN st USING (event_type)
     """,
     "hourly_gap_fill": """
         WITH b AS (

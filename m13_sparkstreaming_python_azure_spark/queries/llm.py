@@ -647,6 +647,34 @@ def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "domain", "url_norm")
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup primitive (operators/spans.repeated_spans):
+    the corpus is documents plus, for every 5th doc with >= 40 tokens, a
+    remix doc made of its tokens 10..39 — so each such pair shares a
+    verbatim 30-token span at a known offset. The operator recovers every
+    pair's longest shared span from 8-gram diagonal runs (inverted-index
+    join + island aggregation, nothing quadratic in the corpus); the
+    oracle replays the same construction and island SQL in DuckDB."""
+    from m13_sparkstreaming_python_azure_spark.operators.spans import (
+        repeated_spans,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+    remix = (
+        docs.filter((F.col("doc_id") % 5 == 0) & (F.size(t) >= 40))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(t, 11, 30)).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(remix)
+    return repeated_spans(
+        corpus, "doc_id", n=8, min_span=25, max_doc_freq=50
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -684,6 +712,7 @@ LLM_QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "curation_pipeline": q_curation_pipeline,
     "domain_curation": q_domain_curation,
+    "repeated_spans": q_repeated_spans,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -1265,5 +1294,49 @@ LLM_ORACLES = {
             WHERE domain NOT LIKE '%.io'
         )
         SELECT doc_id, domain, url_norm FROM e WHERE rn <= 2
+    """,
+    "repeated_spans": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id,
+                   array_to_string(t[11:40], ' ') AS text
+            FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents)
+            WHERE doc_id % 5 = 0 AND len(t) >= 40
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM corpus
+        ), g0 AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(t[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+            WHERE len(t) >= 8
+        ), rare AS (
+            SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 50
+        ), g AS (
+            SELECT g0.* FROM g0 SEMI JOIN rare USING (gram)
+        ), m AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.pos AS pa, b.pos AS pb, b.pos - a.pos AS diag
+            FROM g a JOIN g b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        ), runs AS (
+            SELECT id_a, id_b, diag,
+                   pa - row_number() OVER (
+                       PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp,
+                   pa, pb
+            FROM m
+        ), islands AS (
+            SELECT id_a, id_b,
+                   count(*) + 7 AS span_len,
+                   min(pa) AS a_start, min(pb) AS b_start
+            FROM runs GROUP BY id_a, id_b, diag, grp
+        ), best AS (
+            SELECT id_a, id_b, span_len, a_start, b_start,
+                   row_number() OVER (PARTITION BY id_a, id_b
+                       ORDER BY span_len DESC, a_start, b_start) AS rn
+            FROM islands
+        )
+        SELECT id_a, id_b, span_len, a_start, b_start
+        FROM best WHERE rn = 1 AND span_len >= 25
     """,
 }

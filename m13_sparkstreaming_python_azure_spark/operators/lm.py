@@ -95,6 +95,117 @@ def unigram_logppl(
     )
 
 
+def importance_scores(
+    docs: DataFrame,
+    target_model: DataFrame,
+    background_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, importance) per document: mean log-likelihood ratio between a
+    target-domain unigram model and a background model — the DSIR
+    (Data Selection via Importance Resampling, Xie et al. 2023) scoring
+    step. importance = logppl_background − logppl_target; higher = more
+    target-like relative to the background.
+
+    Single pass: one token explode, BOTH models join in (broadcast — the
+    model tables are vocab-sized), both per-token log-probs grid-snap at
+    1e-9, and one aggregate produces both means. Scoring cost is
+    independent of how many models rank the corpus this way.
+
+    The two models' (N, V) smoothing constants are collected driver-side
+    (two single-row aggregates — bounded constants like k-means
+    centroids) rather than cross-joined: the two model plans share the
+    corpus lineage, and Spark's relation deduplication makes same-name
+    attribute resolution across both cloned subtrees ambiguous."""
+    tN, tV = target_model.agg(
+        F.sum("n"), F.count(F.lit(1))
+    ).first()
+    bN, bV = background_model.agg(
+        F.sum("n"), F.count(F.lit(1))
+    ).first()
+    t_den = F.lit(float((tN or 0) + tV + 1))
+    b_den = F.lit(float((bN or 0) + bV + 1))
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    snap9 = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)  # noqa: E731
+    scored = (
+        toks.join(
+            F.broadcast(target_model.withColumnRenamed("n", "__nt")),
+            on="term",
+            how="left",
+        )
+        .join(
+            F.broadcast(background_model.withColumnRenamed("n", "__nb")),
+            on="term",
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            snap9(
+                F.log(
+                    (F.coalesce(F.col("__nt"), F.lit(0)) + F.lit(1.0))
+                    / t_den
+                )
+            ).alias("__lpt"),
+            snap9(
+                F.log(
+                    (F.coalesce(F.col("__nb"), F.lit(0)) + F.lit(1.0))
+                    / b_den
+                )
+            ).alias("__lpb"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    mean_neg = lambda c: -F.sum(c.cast("decimal(27,12)")).cast("double") / cnt  # noqa: E731
+    return scored.groupBy(id_col).agg(
+        (mean_neg(F.col("__lpb")) - mean_neg(F.col("__lpt"))).alias(
+            "importance"
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_corpus: DataFrame,
+    background_corpus: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "seed42",
+) -> DataFrame:
+    """DSIR selection: train target + background unigram models, score
+    every candidate by the mean log-likelihood ratio, and draw ``k``
+    documents WITHOUT replacement with inclusion probability ∝
+    exp(importance) via the deterministic A-Res sampler
+    (operators/sampling.weighted_sample_global — md5 uniforms,
+    grid-snapped keys, so the oracle replays the exact selection).
+
+    exp() is libm-dependent, so the weight snaps to a 1e-9 grid (and
+    clamps positive) before it enters the sampling key — the same
+    determinism rule as every ln() in this module. Returns the selected
+    rows with their ``importance``."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        weighted_sample_global,
+    )
+
+    tgt = train_unigram_model(target_corpus, text_col)
+    bg = train_unigram_model(background_corpus, text_col)
+    scores = importance_scores(docs, tgt, bg, id_col, text_col)
+    weighted = docs.join(scores, on=id_col).withColumn(
+        "__w",
+        F.greatest(
+            F.floor(F.exp(F.col("importance")) * F.lit(1e9) + F.lit(0.5))
+            / F.lit(1e9),
+            F.lit(1e-9),
+        ),
+    )
+    return weighted_sample_global(weighted, id_col, "__w", k, salt).drop(
+        "__w"
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     model: DataFrame,

@@ -675,6 +675,26 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/lm.dsir_resample): a target unigram
+    model trains on the English slice, a background model on the whole
+    corpus, every document scores by the mean log-likelihood ratio in ONE
+    token pass (both models broadcast), and 100 docs are drawn without
+    replacement with probability proportional to exp(importance) via the
+    deterministic A-Res sampler. The oracle replays model training,
+    grid-snapped scoring, and the exact md5-keyed selection."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        dsir_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_resample(docs, target, docs, k=100)
+    return out.select("doc_id", "source", "importance")
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -713,6 +733,7 @@ LLM_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "domain_curation": q_domain_curation,
     "repeated_spans": q_repeated_spans,
+    "dsir_select": q_dsir_select,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -1338,5 +1359,55 @@ LLM_ORACLES = {
         )
         SELECT id_a, id_b, span_len, a_start, b_start
         FROM best WHERE rn = 1 AND span_len >= 25
+    """,
+    "dsir_select": f"""
+        WITH tm AS (
+            SELECT term, count(*) AS n FROM (
+                SELECT unnest({_TOKS_SQL}) AS term FROM documents
+                WHERE lang = 'en') GROUP BY term
+        ), bm AS (
+            SELECT term, count(*) AS n FROM (
+                SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+            GROUP BY term
+        ), ts AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS v FROM tm
+        ), bs AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS v FROM bm
+        ), toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   floor(ln((COALESCE(tm.n, 0) + CAST(1 AS DOUBLE))
+                            / (ts.nn + ts.v + CAST(1 AS DOUBLE)))
+                         * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS lpt,
+                   floor(ln((COALESCE(bm.n, 0) + CAST(1 AS DOUBLE))
+                            / (bs.nn + bs.v + CAST(1 AS DOUBLE)))
+                         * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS lpb
+            FROM toks
+            LEFT JOIN tm USING (term)
+            LEFT JOIN bm USING (term)
+            CROSS JOIN ts CROSS JOIN bs
+        ), imp AS (
+            SELECT doc_id,
+                   (-CAST(sum(CAST(lpb AS DECIMAL(27,12))) AS DOUBLE) / count(*))
+                   - (-CAST(sum(CAST(lpt AS DECIMAL(27,12))) AS DOUBLE) / count(*))
+                       AS importance
+            FROM scored GROUP BY doc_id
+        ), keyed AS (
+            SELECT d.doc_id, d.source, i.importance,
+                   floor(
+                       ln(greatest(
+                           ('0x' || substring(md5('seed42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               / CAST(4294967296 AS DOUBLE),
+                           CAST(pow(2.0, -33) AS DOUBLE)))
+                       / greatest(
+                           floor(exp(i.importance) * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9,
+                           CAST(1e-9 AS DOUBLE))
+                       * CAST(1e12 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+                   ) / 1e12 AS sample_key
+            FROM documents d JOIN imp i USING (doc_id)
+        )
+        SELECT doc_id, source, importance
+        FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 100
     """,
 }

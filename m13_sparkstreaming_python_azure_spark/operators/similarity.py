@@ -501,6 +501,80 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embeddings with k-means,
+    then within each cluster drop every vector that has a SENIOR
+    (smaller-id) near-duplicate at cosine ≥ ``threshold``. Returns
+    (vec_id, cluster, kept).
+
+    The cluster is the blocking key — the pairwise cosine check is
+    quadratic only within a cluster, never across the corpus, which is
+    the entire point of the cluster-then-prune design at scale (raise
+    ``k`` so clusters stay bounded; the paper uses k in the tens of
+    thousands for web corpora). Cross-cluster near-dups are the
+    documented recall tradeoff. Assignments come from the deterministic
+    ``kmeans_assignments`` (lowest-id init, exact-decimal centroid
+    means), and cosines round at 1e-6, so the full pipeline is
+    oracle-reproducible."""
+    from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    assigned = kmeans_assignments(df, id_col, vec_col, k=k, iterations=iterations)
+    vecs = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .join(assigned, on="vec_id")
+        .persist()
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        "cluster",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        vecs.join(dropped, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def write_ivf_index(
     base: DataFrame,
     path: str,

@@ -695,6 +695,43 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "importance")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune semantic dedup (operators/similarity.
+    semantic_dedup): the corpus is embeddings plus a deterministically
+    perturbed copy of every 3rd vector (cosine ~0.99 to its source, so
+    near-dup pairs exist by construction), k-means(4) clusters it, and
+    within each cluster every vector with a smaller-id neighbor at
+    cosine >= 0.95 is dropped. The oracle replays the deterministic
+    k-means and the within-cluster prune over DuckDB list lambdas."""
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # perturb FIRST (the lambda must see the ORIGINAL vec_id — aliasing
+    # the id in the same select would shadow it), then shift the id
+    pert = (
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "v",
+                lambda x, i: x
+                + F.lit(0.01)
+                * ((F.col("vec_id") + i) % 7 - 3).cast("double"),
+            ).alias("v"),
+        )
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "v")
+    )
+    corpus = emb.unionByName(pert)
+    return semantic_dedup(
+        corpus, id_col="vec_id", vec_col="v", k=4, iterations=2,
+        threshold=0.95,
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -734,6 +771,7 @@ LLM_QUERIES = {
     "domain_curation": q_domain_curation,
     "repeated_spans": q_repeated_spans,
     "dsir_select": q_dsir_select,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -1409,5 +1447,61 @@ LLM_ORACLES = {
         )
         SELECT doc_id, source, importance
         FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 100
+    """,
+    "semantic_dedup": """
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), vecs AS (
+            SELECT vec_id, v FROM base
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, len(v)+1),
+                       i -> v[i] + CAST(0.01 AS DOUBLE)
+                            * (CAST((vec_id + i - 1) % 7 AS INT) - 3)) AS v
+            FROM base WHERE vec_id % 3 = 0
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4
+        ),
+        a1 AS (
+            SELECT vec_id, cid AS cluster, v FROM (
+                SELECT vec_id, cid, v, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY
+                    list_reduce(list_transform(range(1, len(v)+1),
+                        i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                    cid) AS rn
+                FROM vecs CROSS JOIN c0
+            ) WHERE rn = 1
+        ),
+        dims1 AS (
+            SELECT cluster, t.idx,
+                   floor(CAST(sum(CAST(v[t.idx] AS DECIMAL(27,12)))
+                              AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS cv
+            FROM a1 CROSS JOIN range(1, 65) t(idx)
+            GROUP BY cluster, t.idx
+        ),
+        cent1 AS (
+            SELECT cluster AS cid, list(cv ORDER BY idx) AS c
+            FROM dims1 GROUP BY cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster, v FROM (
+                SELECT vec_id, cid AS cluster, v, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY
+                    list_reduce(list_transform(range(1, len(v)+1),
+                        i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                    cid) AS rn
+                FROM vecs CROSS JOIN cent1
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM a2 a JOIN a2 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+        )
+        SELECT a2.vec_id, a2.cluster,
+               d.vec_id IS NULL AS kept
+        FROM a2 LEFT JOIN dropped d USING (vec_id)
     """,
 }

@@ -1485,6 +1485,71 @@ def q_pattern_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_search(ev, "user_id", pattern)
 
 
+def q_theta_sketch_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Spark 4 Datasketches functions) — the
+    audience-overlap computation HLL cannot do: HLL unions but never
+    intersects, theta sketches support intersection and difference with
+    bounded error. Purchasers and clickers each fold to one sketch
+    (mergeable, one pass over events), then purchasers∩clickers,
+    purchasers∖clickers and the union are estimated from the TWO sketches
+    alone — no raw-data re-scan, the at-scale pattern for audience / id
+    overlap dashboards across billions of ids. Single-row broadcast
+    cross join of two scalar aggregates (the decorrelated-scalar shape);
+    estimates are sketch-based → rows-only gate, tolerance vs exact
+    counts asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("p")
+    )
+    c = ev.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("c")
+    )
+    return p.crossJoin(c).select(
+        F.theta_sketch_estimate("p").alias("n_purchasers"),
+        F.theta_sketch_estimate("c").alias("n_clickers"),
+        F.theta_sketch_estimate(F.theta_intersection("p", "c")).alias(
+            "n_both"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("p", "c")).alias(
+            "n_purchase_only"
+        ),
+        F.theta_sketch_estimate(F.theta_union("p", "c")).alias("n_either"),
+    )
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Spark 4 Datasketches functions) — the
+    mergeable percentile path with PROVEN error bounds, successor to both
+    the exact sort (value_percentiles) and the hand-rolled histogram
+    (histogram_quantiles): each half of the month folds to its own
+    sketch inside ONE grouped aggregate (conditional inputs), the two
+    merge with kll_sketch_merge_double — the mergeability that lets
+    per-partition/per-day sketches roll up without re-scanning raw data —
+    and p50/p90/p99 read off the merged state. Sketch estimates are
+    engine-specific → rows-only gate; tests bound the error vs the exact
+    percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    first_half = F.dayofmonth("ts") <= 15
+    per_type = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(
+            F.when(first_half, F.col("value"))
+        ).alias("a"),
+        F.kll_sketch_agg_double(
+            F.when(~first_half, F.col("value"))
+        ).alias("b"),
+    )
+    merged = per_type.select(
+        "event_type", F.kll_sketch_merge_double("a", "b").alias("sk")
+    )
+    return merged.select(
+        "event_type",
+        F.kll_sketch_get_n_double("sk").alias("n_values"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+
+
 def q_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart (operators/timeseries.ewma_control_chart): per
     event_type, the exponentially-smoothed level of the value series and
@@ -1616,6 +1681,8 @@ CORE_QUERIES = {
     "hourly_gap_fill": q_hourly_gap_fill,
     "pattern_subsequence_search": q_pattern_subsequence_search,
     "ewma_anomalies": q_ewma_anomalies,
+    "theta_sketch_audiences": q_theta_sketch_audiences,
+    "kll_quantiles": q_kll_quantiles,
     "streaming_daily_stats": q_streaming_daily_stats,
 }
 

@@ -60,6 +60,14 @@ _head = [
     "snapshot_change_feed",
     "incremental_view_refresh",
     "streaming_view_maintenance",
+    # newest (this round's) queries next — the driver prefix cap must
+    # cover the code with the least driver history
+    "bloom_pruned_revenue",
+    "domain_curation",
+    "repeated_spans",
+    "dsir_select",
+    "semantic_dedup",
+    "ewma_anomalies",
 ] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved

@@ -1485,6 +1485,56 @@ def q_pattern_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_search(ev, "user_id", pattern)
 
 
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA control chart under the gate — the ORDER-DEPENDENT
+    stateful operator (streaming/stateful.ewma_with_state): events replay
+    as a 3-chunk file stream in event-time order (chunk boundaries at day
+    10/20, processAllAvailable between chunks, so micro-batch boundaries
+    respect (ts, event_id) order), per-key GroupState carries the ring
+    buffer of the last 21 values across batches, and every event emits
+    its smoothed level in update mode. Must hash-match the BATCH EWMA SQL
+    (same fold, same exact power-of-two weights) — streaming↔batch parity
+    for arbitrary stateful Python operators, not just commutative folds."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        ewma_with_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="ewma-stream-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    chunks = [
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    ]
+    chunks[0].write.mode("append").parquet(land)
+    stream = parquet_file_stream(spark, land, ev.schema)
+    name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        ewma_with_state(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        ch.write.mode("append").parquet(land)
+        q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def q_theta_sketch_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set algebra (Spark 4 Datasketches functions) — the
     audience-overlap computation HLL cannot do: HLL unions but never
@@ -1681,6 +1731,7 @@ CORE_QUERIES = {
     "hourly_gap_fill": q_hourly_gap_fill,
     "pattern_subsequence_search": q_pattern_subsequence_search,
     "ewma_anomalies": q_ewma_anomalies,
+    "streaming_ewma": q_streaming_ewma,
     "theta_sketch_audiences": q_theta_sketch_audiences,
     "kll_quantiles": q_kll_quantiles,
     "streaming_daily_stats": q_streaming_daily_stats,
@@ -2269,6 +2320,26 @@ CORE_ORACLES = {
         FROM scored
         QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY d2, start) = 1
+    """,
+    "streaming_ewma": """
+        WITH s AS (
+            SELECT event_id, event_type, ts,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS vals
+            FROM events
+        )
+        SELECT event_id, event_type,
+               floor(
+                   list_reduce(
+                       list_transform(range(1, len(vals) + 1),
+                           i -> vals[i] / CAST(1 << (len(vals) - i) AS DOUBLE)),
+                       (a, b) -> a + b)
+                   / (CAST(2.0 AS DOUBLE)
+                      - CAST(1.0 AS DOUBLE)
+                        / CAST(1 << (len(vals) - 1) AS DOUBLE))
+                   * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS ewma
+        FROM s
     """,
     "ewma_anomalies": """
         WITH s AS (

@@ -68,6 +68,7 @@ _head = [
     "dsir_select",
     "semantic_dedup",
     "ewma_anomalies",
+    "streaming_ewma",
 ] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -172,6 +174,82 @@ def running_totals_with_state(
         _running_totals_fn,
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("buf", ArrayType(DoubleType()))]
+)
+
+
+def _ewma_fn_factory(max_lag: int):
+    import math
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        buf = list(state.get[0]) if state.exists else []
+        ids, ewmas = [], []
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            buf.append(float(v))
+            if len(buf) > max_lag + 1:
+                buf.pop(0)
+            m = len(buf)
+            # identical fold to the batch operator / DuckDB oracle:
+            # left-fold oldest->newest, weights exact powers of two
+            acc = 0.0
+            for i, x in enumerate(buf, start=1):
+                acc = acc + x / (1 << (m - i))
+            den = 2.0 - 1.0 / (1 << (m - 1))
+            ids.append(int(eid))
+            ewmas.append(math.floor(acc / den * 1e6 + 0.5) / 1e6)
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "event_type": [key[0]] * len(ids),
+                "ewma": ewmas,
+            }
+        )
+
+    return _fn
+
+
+def ewma_with_state(
+    stream: DataFrame, key_col: str = "event_type", max_lag: int = 20
+) -> DataFrame:
+    """Streaming EWMA control chart — the ORDER-DEPENDENT custom stateful
+    operator (vs the commutative folds of the other streaming gates):
+    per-key state carries the ring buffer of the last ``max_lag``+1
+    values across micro-batches, and each arriving event emits its
+    smoothed level.
+
+    Exactly replicates operators/timeseries.ewma_control_chart when
+    events arrive in (ts, event_id) order across batches (rows are
+    sorted within each batch; the caller guarantees batch boundaries
+    respect event-time order, e.g. by chunked day replay) — per-row math
+    is the same left fold over exact power-of-two weights, so Python
+    doubles match the JVM and the DuckDB oracle bit-for-bit.
+
+    State is O(max_lag) doubles per key — bounded regardless of stream
+    length; at scale this runs on RocksDB state like any keyed state."""
+    return stream.select(key_col, "event_id", "ts", "value").groupBy(
+        key_col
+    ).applyInPandasWithState(
+        _ewma_fn_factory(max_lag),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -480,3 +480,57 @@ def test_stream_stream_interval_join_left_outer(spark, sf_dir, tmp_path):
     )
     assert got_unmatched == want_unmatched
     assert len(got_unmatched) > 0
+
+
+def test_streaming_ewma_matches_batch_across_chunks(spark, tmp_path):
+    """ewma_with_state over a 2-chunk ordered replay must equal the batch
+    ewma_control_chart row-for-row — the state buffer carries the window
+    across the micro-batch boundary."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        ewma_control_chart,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        ewma_with_state,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), "k" if i % 2 else "j", float((i * 37) % 100))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    land = os.path.join(str(tmp_path), "land")
+    ck = os.path.join(str(tmp_path), "ck")
+    first = ev.filter(F.col("event_id") < 30)
+    second = ev.filter(F.col("event_id") >= 30)
+    first.write.mode("append").parquet(land)
+    stream = parquet_file_stream(spark, land, ev.schema)
+    name = f"ewma_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        ewma_with_state(stream, max_lag=5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    second.write.mode("append").parquet(land)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: r["ewma"] for r in spark.table(name).collect()
+    }
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_control_chart(ev, "event_type", max_lag=5).collect()
+    }
+    assert got == want
+    assert len(got) == 60

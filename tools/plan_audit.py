@@ -100,6 +100,7 @@ ALLOW_CARTESIAN = {
     "mixture_resample",  # single-row n_domains scalar broadcast
     "temperature_resample",  # single-row weight-sum scalar broadcast
     "perplexity_scores",  # single-row N/V model-stats scalar broadcast
+    "theta_sketch_audiences",  # two single-row sketch scalars cross-joined
 }
 
 

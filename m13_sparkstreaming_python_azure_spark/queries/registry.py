@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+    ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.behavior import (
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
@@ -29,6 +33,7 @@ _ALL_QUERIES = {
     **TPCH_EXT_QUERIES,
     **BEHAVIOR_QUERIES,
     **LLM_QUERIES,
+    **ANALYTICS_QUERIES,
 }
 ORACLES = {
     **CORE_ORACLES,
@@ -36,6 +41,7 @@ ORACLES = {
     **TPCH_EXT_ORACLES,
     **BEHAVIOR_ORACLES,
     **LLM_ORACLES,
+    **ANALYTICS_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the round-1 driver
@@ -69,7 +75,7 @@ _head = [
     "semantic_dedup",
     "ewma_anomalies",
     "streaming_ewma",
-] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
+] + list(ANALYTICS_QUERIES) + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved
 _pad = [

@@ -97,10 +97,109 @@ def q_price_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite (operators/quality): completeness,
+    uniqueness, and predicate compliance on orders evaluate in ONE
+    aggregate pass; lineitem compliance in a second; referential
+    integrity lineitem→orders via LEFT ANTI orphan count. One row per
+    check with pass/fail against declared thresholds."""
+    from m13_sparkstreaming_python_azure_spark.operators.quality import (
+        evaluate_suite,
+        referential_integrity,
+        single_table_metrics,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    om = single_table_metrics(
+        orders,
+        completeness=["o_custkey", "o_orderdate"],
+        uniqueness=["o_orderkey"],
+        compliance={
+            "positive_price": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("F", "O", "P"),
+        },
+    )
+    lm = single_table_metrics(
+        lineitem,
+        compliance={
+            "discount_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 0.1),
+            "quantity_range": (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 50),
+        },
+    )
+    ref = referential_integrity(lineitem, "l_orderkey", orders, "o_orderkey")
+    metrics = om.unionByName(lm).unionByName(ref)
+    thresholds = {
+        "completeness:o_custkey": 1.0,
+        "completeness:o_orderdate": 1.0,
+        "uniqueness:o_orderkey": 1.0,
+        "compliance:positive_price": 1.0,
+        "compliance:valid_status": 1.0,
+        "compliance:discount_range": 1.0,
+        "compliance:quantity_range": 1.0,
+        "referential:l_orderkey": 1.0,
+    }
+    return evaluate_suite(metrics, thresholds)
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/frequency): orders are
+    baskets, part brands are items; directed rules with support /
+    confidence / lift for pairs co-occurring in >= 300 baskets. Pairs
+    explode within the per-basket array (bounded basket size) — no
+    item-table self-join."""
+    from m13_sparkstreaming_python_azure_spark.operators.frequency import (
+        association_rules,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand"))
+    return association_rules(baskets, "basket", "p_brand", 300)
+
+
+def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (operators/frequency.heavy_hitters) over the
+    document word-bigram stream: bigrams with global share >= phi.
+    Candidate pass = per-partition local-share pruning (no false
+    negatives); exact recount touches candidates only. phi=0.0015 keeps
+    a meaningful head/tail split on the fixture corpus."""
+    from m13_sparkstreaming_python_azure_spark.operators.frequency import (
+        heavy_hitters,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bigrams = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i),
+                    F.lit(" "),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return heavy_hitters(bigrams, "bigram", 0.0015).withColumnRenamed(
+        "item", "bigram"
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
     "price_decile_stats": q_price_decile_stats,
+    "data_quality_suite": q_data_quality_suite,
+    "association_rules": q_association_rules,
+    "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
 }
 
 ANALYTICS_ORACLES = {
@@ -169,5 +268,92 @@ ANALYTICS_ORACLES = {
                CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
                     AS DOUBLE) AS sum_price
         FROM binned GROUP BY decile
+    """,
+    "data_quality_suite": """
+        WITH o AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(o_custkey) AS BIGINT) AS c_cust,
+                   CAST(count(o_orderdate) AS BIGINT) AS c_date,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_key,
+                   CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ok_price,
+                   CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok_status
+            FROM orders
+        ), l AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok_disc,
+                   CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok_qty
+            FROM lineitem
+        ), ref AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ok
+            FROM lineitem li
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON li.l_orderkey = o.o_orderkey
+        ), m AS (
+            SELECT 'completeness:o_custkey' AS check,
+                   (SELECT CAST(c_cust AS DOUBLE)/n FROM o) AS metric
+            UNION ALL SELECT 'completeness:o_orderdate',
+                   (SELECT CAST(c_date AS DOUBLE)/n FROM o)
+            UNION ALL SELECT 'uniqueness:o_orderkey',
+                   (SELECT CAST(d_key AS DOUBLE)/n FROM o)
+            UNION ALL SELECT 'compliance:positive_price',
+                   (SELECT CAST(ok_price AS DOUBLE)/n FROM o)
+            UNION ALL SELECT 'compliance:valid_status',
+                   (SELECT CAST(ok_status AS DOUBLE)/n FROM o)
+            UNION ALL SELECT 'compliance:discount_range',
+                   (SELECT CAST(ok_disc AS DOUBLE)/n FROM l)
+            UNION ALL SELECT 'compliance:quantity_range',
+                   (SELECT CAST(ok_qty AS DOUBLE)/n FROM l)
+            UNION ALL SELECT 'referential:l_orderkey',
+                   (SELECT CAST(ok AS DOUBLE)/n FROM ref)
+        )
+        SELECT "check", metric,
+               CASE WHEN metric >= CAST(1.0 AS DOUBLE)
+                    THEN TRUE ELSE FALSE END AS passed
+        FROM m
+    """,
+    "association_rules": """
+        WITH items AS (
+            SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), pc AS (
+            SELECT a.item AS antecedent, c.item AS consequent,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM items a JOIN items c
+              ON a.b = c.b AND a.item <> c.item
+            GROUP BY 1, 2 HAVING count(*) >= 300
+        ), ic AS (
+            SELECT item, CAST(count(*) AS BIGINT) AS n
+            FROM items GROUP BY item
+        ), tot AS (
+            SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM items
+        )
+        SELECT p.antecedent, p.consequent, p.n_ab,
+               CAST(p.n_ab AS DOUBLE) / (SELECT nb FROM tot) AS support,
+               CAST(p.n_ab AS DOUBLE) / a.n AS confidence,
+               (CAST(p.n_ab AS DOUBLE) / a.n)
+                   / (CAST(c.n AS DOUBLE) / (SELECT nb FROM tot)) AS lift
+        FROM pc p
+        JOIN ic a ON p.antecedent = a.item
+        JOIN ic c ON p.consequent = c.item
+    """,
+    "heavy_hitter_bigrams": """
+        WITH d AS (
+            SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), bg AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM d WHERE len(t) >= 2
+        ), tot AS (SELECT count(*) AS n FROM bg)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM bg GROUP BY bigram
+        HAVING count(*) >= CAST(0.0015 AS DOUBLE) * (SELECT n FROM tot)
     """,
 }

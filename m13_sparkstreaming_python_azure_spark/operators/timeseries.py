@@ -224,3 +224,151 @@ def subsequence_search(
         F.col("best.start").alias("best_start"),
         F.col("best.d2").cast("double").alias("best_dist2"),
     )
+
+
+def changepoint_mean_shift(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    min_segment: int = 2,
+) -> DataFrame:
+    """Single-changepoint detection per key (binary segmentation, one
+    level): the split point t that maximizes |mean(x[..t]) - mean(x[t+1..])|
+    over the key's ordered series, both segments >= ``min_segment`` long.
+
+    Determinism contract (cross-engine): prefix sums accumulate as
+    decimal(18,6) — EXACT and fold-order independent, where a double
+    running sum could differ by engine fold order — and each mean is the
+    exact decimal sum cast to double over an integer count, so the shift
+    statistic is bit-equal across engines. Ties on |shift| break to the
+    earliest split.
+
+    Plan shape: ONE shuffle on the key; prefix sums, totals, and the
+    argmax rank all ride the same per-key sort (three window specs over
+    one partitioning, no joins). At 100 TB the per-key series is the
+    unit of work — keys parallelize; a single monster key degrades to
+    one sorted partition (same caveat as any per-key window).
+    """
+    dval = F.col(value_col).cast("decimal(18,6)")
+    w_order = Window.partitionBy(key_col).orderBy(order_col)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(key_col)
+    prefixed = df.select(
+        F.col(key_col),
+        F.col(order_col),
+        F.row_number().over(w_order).alias("__t"),
+        F.sum(dval).over(w_run).alias("__psum"),
+        F.sum(dval).over(w_all).alias("__tsum"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    mean_before = F.col("__psum").cast("double") / F.col("__t")
+    mean_after = (F.col("__tsum") - F.col("__psum")).cast("double") / (
+        F.col("__n") - F.col("__t")
+    )
+    scored = prefixed.filter(
+        (F.col("__t") >= min_segment)
+        & (F.col("__n") - F.col("__t") >= min_segment)
+    ).select(
+        key_col,
+        order_col,
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        F.abs(mean_after - mean_before).alias("shift"),
+    )
+    w_best = Window.partitionBy(key_col).orderBy(
+        F.col("shift").desc(), F.col(order_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_best))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumnRenamed(order_col, "split_point")
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear interpolation of null values over a dense integer-indexed
+    series per key: v = prev + (next - prev) * (i - i_prev)/(i_next -
+    i_prev); before the first / after the last observation it clamps to
+    the nearest observed value (ffill/bfill).
+
+    Determinism: the gap fraction is a ratio of identically-derived
+    BIGINT index deltas (bit-equal, repo float rule) and prev/next are
+    untouched input doubles, so interpolated values are bit-equal across
+    engines.
+
+    Plan shape: one shuffle on the key, two window passes (backward
+    last-non-null, forward first-non-null) over the same per-key sort.
+    """
+    w = Window.partitionBy(key_col).orderBy(idx_col)
+    w_back = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    v = F.col(value_col)
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    prev_i = F.last(
+        F.when(v.isNotNull(), F.col(idx_col)), ignorenulls=True
+    ).over(w_back)
+    next_i = F.first(
+        F.when(v.isNotNull(), F.col(idx_col)), ignorenulls=True
+    ).over(w_fwd)
+    frac = (F.col(idx_col) - prev_i) / (next_i - prev_i)
+    interp = prev_v + (next_v - prev_v) * frac
+    return df.withColumn(
+        "filled",
+        F.when(v.isNotNull(), v).otherwise(
+            F.coalesce(interp, prev_v, next_v)
+        ),
+    )
+
+
+def rolling_correlation(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Rolling Pearson correlation of (x, y) over the trailing
+    ``window_rows`` rows per key.
+
+    Determinism contract: built-in corr() folds its online update in an
+    engine-specific order, so this computes the five moment sums as
+    EXACT decimals over the frame (order-independent), applies the
+    closed-form corr in doubles, and grid-snaps at 1e-6 — bit-equal
+    across engines. Windows shorter than 2 rows or with zero variance
+    yield null.
+
+    Plan shape: one shuffle on the key; all five moment sums share one
+    frame spec (single window pass).
+    """
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,12)")).over(w).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,12)")).over(w).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,12)")).over(w).cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    denom = F.sqrt(var_x * var_y)
+    corr = F.when(
+        (n >= 2) & (denom > 0), (n * sxy - sx * sy) / denom
+    )
+    snap = F.floor(corr * 1e6 + F.lit(0.5)) / 1e6
+    return df.select(
+        key_col, order_col, x_col, y_col
+    ).withColumn("rolling_corr", snap)

@@ -193,6 +193,96 @@ def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) series: n_events and the exact-decimal daily
+    sum surfaced as a 2-decimal double (bit-equal across engines — no
+    division, so no fold-order exposure)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("day_sum"),
+    )
+
+
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single changepoint per event_type (operators/timeseries
+    .changepoint_mean_shift) over the daily-sum series: the day that
+    maximizes the before/after mean shift, both segments >= 3 days.
+    Decimal prefix sums make the shift statistic bit-equal across
+    engines; ties break to the earliest day."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        changepoint_mean_shift,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    return changepoint_mean_shift(
+        series, "event_type", "day", "day_sum", min_segment=3
+    ).select("event_type", "split_point", "mean_before", "mean_after", "shift")
+
+
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by linear interpolation (operators/timeseries
+    .interpolate_linear): events bucket to an hourly mean per event_type;
+    the dense hour spine (min..max hour index per key) left-joins the
+    buckets, and missing hours fill by exact linear interpolation
+    (clamped at the series edges). Hour index is epoch//3600 — session
+    timezone is pinned UTC so Spark and the oracle agree."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("hour_idx"),
+    ).agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("hour_mean")
+    )
+    spine = (
+        buckets.groupBy("event_type")
+        .agg(
+            F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi")
+        )
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("hour_idx"),
+        )
+    )
+    dense = spine.join(buckets, ["event_type", "hour_idx"], "left")
+    out = interpolate_linear(dense, "event_type", "hour_idx", "hour_mean")
+    snap = F.floor(F.col("filled") * 1e6 + F.lit(0.5)) / 1e6
+    return out.select(
+        "event_type",
+        "hour_idx",
+        snap.alias("filled_value"),
+        F.col("hour_mean").isNull().alias("was_gap"),
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between daily event count and
+    daily value sum, per event_type (operators/timeseries
+    .rolling_correlation). Moment sums fold as exact decimals (order-
+    independent) and the closed-form corr is grid-snapped at 1e-6, so
+    the statistic is hash-comparable across engines."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        rolling_correlation,
+    )
+
+    series = _daily_series(spark, sf_dir)
+    return rolling_correlation(
+        series, "event_type", "day", "n_events", "day_sum", window_rows=7
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -200,7 +290,18 @@ ANALYTICS_QUERIES = {
     "data_quality_suite": q_data_quality_suite,
     "association_rules": q_association_rules,
     "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
+    "changepoint_detect": q_changepoint_detect,
+    "linear_interpolation": q_linear_interpolation,
+    "rolling_corr": q_rolling_corr,
 }
+
+_DAILY_SERIES_SQL = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS day_sum
+        FROM events GROUP BY 1, 2
+"""
 
 ANALYTICS_ORACLES = {
     "markov_transitions": """
@@ -355,5 +456,122 @@ ANALYTICS_ORACLES = {
         SELECT bigram, CAST(count(*) AS BIGINT) AS n
         FROM bg GROUP BY bigram
         HAVING count(*) >= CAST(0.0015 AS DOUBLE) * (SELECT n FROM tot)
+    """,
+    "changepoint_detect": f"""
+        WITH series AS ({_DAILY_SERIES_SQL}),
+        pref AS (
+            SELECT event_type, day,
+                   row_number() OVER wo AS t,
+                   sum(CAST(day_sum AS DECIMAL(18,6))) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS psum,
+                   sum(CAST(day_sum AS DECIMAL(18,6))) OVER (
+                       PARTITION BY event_type
+                   ) AS tsum,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM series
+            WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+        ), scored AS (
+            SELECT event_type, day AS split_point,
+                   CAST(psum AS DOUBLE) / t AS mean_before,
+                   CAST(tsum - psum AS DOUBLE) / (n - t) AS mean_after
+            FROM pref WHERE t >= 3 AND n - t >= 3
+        ), ranked AS (
+            SELECT *,
+                   abs(mean_after - mean_before) AS shift,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(mean_after - mean_before) DESC,
+                                split_point
+                   ) AS rk
+            FROM scored
+        )
+        SELECT event_type, split_point, mean_before, mean_after, shift
+        FROM ranked WHERE rk = 1
+    """,
+    "linear_interpolation": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_idx,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) / count(*) AS hour_mean
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_type, min(hour_idx) AS lo, max(hour_idx) AS hi
+            FROM b GROUP BY 1
+        ), spine AS (
+            SELECT event_type, unnest(range(lo, hi + 1)) AS hour_idx
+            FROM bounds
+        ), dense AS (
+            SELECT s.event_type, s.hour_idx, b.hour_mean
+            FROM spine s LEFT JOIN b
+              ON s.event_type = b.event_type AND s.hour_idx = b.hour_idx
+        ), wv AS (
+            SELECT event_type, hour_idx, hour_mean,
+                   last_value(hour_mean IGNORE NULLS) OVER wb AS prev_v,
+                   first_value(hour_mean IGNORE NULLS) OVER wf AS next_v,
+                   last_value(CASE WHEN hour_mean IS NOT NULL
+                              THEN hour_idx END IGNORE NULLS)
+                       OVER wb AS prev_i,
+                   first_value(CASE WHEN hour_mean IS NOT NULL
+                               THEN hour_idx END IGNORE NULLS)
+                       OVER wf AS next_i
+            FROM dense
+            WINDOW wb AS (
+                PARTITION BY event_type ORDER BY hour_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), wf AS (
+                PARTITION BY event_type ORDER BY hour_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT event_type, hour_idx,
+               floor((CASE WHEN hour_mean IS NOT NULL THEN hour_mean
+                      ELSE coalesce(
+                          prev_v + (next_v - prev_v)
+                              * ((hour_idx - prev_i)
+                                 / (next_i - prev_i)),
+                          prev_v, next_v) END) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS filled_value,
+               hour_mean IS NULL AS was_gap
+        FROM wv
+    """,
+    "rolling_corr": f"""
+        WITH series AS ({_DAILY_SERIES_SQL}),
+        w AS (
+            SELECT event_type, day, n_events, day_sum,
+                   CAST(count(*) OVER fr AS DOUBLE) AS n,
+                   CAST(sum(CAST(n_events AS DECIMAL(18,6))) OVER fr
+                        AS DOUBLE) AS sx,
+                   CAST(sum(CAST(day_sum AS DECIMAL(18,6))) OVER fr
+                        AS DOUBLE) AS sy,
+                   CAST(sum(CAST(CAST(n_events AS DECIMAL(19,6))
+                                 * CAST(n_events AS DECIMAL(19,6))
+                                 AS DECIMAL(38,12))) OVER fr
+                        AS DOUBLE) AS sxx,
+                   CAST(sum(CAST(CAST(day_sum AS DECIMAL(19,6))
+                                 * CAST(day_sum AS DECIMAL(19,6))
+                                 AS DECIMAL(38,12))) OVER fr
+                        AS DOUBLE) AS syy,
+                   CAST(sum(CAST(CAST(n_events AS DECIMAL(19,6))
+                                 * CAST(day_sum AS DECIMAL(19,6))
+                                 AS DECIMAL(38,12))) OVER fr
+                        AS DOUBLE) AS sxy
+            FROM series
+            WINDOW fr AS (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT event_type, day, n_events, day_sum,
+               CASE WHEN n >= 2
+                         AND sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) > 0
+                    THEN floor(((n*sxy - sx*sy)
+                                / sqrt((n*sxx - sx*sx)
+                                       * (n*syy - sy*sy))) * 1e6
+                               + CAST(0.5 AS DOUBLE)) / 1e6
+               END AS rolling_corr
+        FROM w
     """,
 }

@@ -251,3 +251,45 @@ def pagerank(
     edged.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame, source: int, max_hops: int = 6
+) -> DataFrame:
+    """Single-source BFS shortest-path distances over a directed edge
+    list, bounded at ``max_hops`` — (node, dist) for every node reachable
+    from ``source`` within the bound.
+
+    Scale design: level-synchronous frontier expansion — hop h is ONE
+    equi-join frontier⋈edges partitioned on the join key (the same plan a
+    Pregel superstep lowers to), then an anti-join against the visited
+    set so the frontier only carries NEWLY discovered nodes (monotone
+    shrink on convergence). localCheckpoint truncates lineage each hop
+    (iterative-join rule, same as pagerank above); the per-hop count() is
+    the loop-termination check, a bounded driver action. For power-law
+    graphs at extreme scale, the visited set is the memory bound — it is
+    partitioned by node, never collected.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().persist()
+    visited = spark.createDataFrame(
+        [(source, 0)], "node bigint, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    e.unpersist()
+    return visited

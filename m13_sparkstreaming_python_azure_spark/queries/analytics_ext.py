@@ -283,6 +283,91 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest paths (operators/graph.bfs_distances)
+    over the deterministic customer tree+chain graph (same construction
+    as triangle_counts), symmetrized, from node 1, 6 hops. The oracle is
+    a recursive CTE taking min(dist) over all enumerated (node, dist)
+    pairs — the textbook SQL twin of level-synchronous BFS."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") / 2).cast("bigint").alias("dst")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    ed = tree.unionByName(chain)
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_distances(sym, source=1, max_hops=6)
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/skyline.skyline_2d): orders not
+    dominated on (minimize totalprice, minimize orderdate) — cheapest-
+    earliest frontier. Dominance via running minima over the x-ordered
+    distinct point set: no self-join, no quadratic NOT EXISTS (and the
+    oracle uses the same window form, because the naive NOT EXISTS twin
+    is quadratic in DuckDB too)."""
+    from m13_sparkstreaming_python_azure_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"), F.col("o_orderdate").alias("d")
+    )
+    sky = skyline_2d(orders, "price", "d")
+    return sky.select(
+        "price",
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        "n_rows",
+    )
+
+
+def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the keyed snapshot layer: events land
+    as a latest-state keyed table (keyed_batch_sink), then every
+    user_id ≡ 3 (mod 7) is deleted via sources/snapshots.delete_keys —
+    only the buckets holding those keys rewrite; the commit is an atomic
+    manifest swap and prior versions stay time-travelable until vacuum.
+    Returns the surviving latest-state rows, hash-checked against the
+    batch argmax-with-filter oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        delete_keys,
+        keyed_batch_sink,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    tdir = os.path.join(
+        tempfile.gettempdir(), f"gdpr-{uuid.uuid4().hex[:10]}"
+    )
+    sink = keyed_batch_sink(
+        tdir, ["user_id"], mode="latest", order_cols=["ts", "event_id"]
+    )
+    sink(ev, 0)
+    forget = ev.select("user_id").distinct().filter(
+        F.col("user_id") % 7 == 3
+    )
+    delete_keys(spark, tdir, forget)
+    return read_snapshot(spark, tdir).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -293,6 +378,9 @@ ANALYTICS_QUERIES = {
     "changepoint_detect": q_changepoint_detect,
     "linear_interpolation": q_linear_interpolation,
     "rolling_corr": q_rolling_corr,
+    "bfs_shortest_paths": q_bfs_shortest_paths,
+    "skyline_orders": q_skyline_orders,
+    "gdpr_delete": q_gdpr_delete,
 }
 
 _DAILY_SERIES_SQL = """
@@ -573,5 +661,58 @@ ANALYTICS_ORACLES = {
                                + CAST(0.5 AS DOUBLE)) / 1e6
                END AS rolling_corr
         FROM w
+    """,
+    "bfs_shortest_paths": """
+        WITH RECURSIVE base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), ed AS (
+            SELECT k AS src, CAST(k // 2 AS BIGINT) AS dst
+            FROM base WHERE k >= 2
+            UNION ALL
+            SELECT k, k - 1 FROM base WHERE k >= 1
+        ), sym AS (
+            SELECT src, dst FROM ed
+            UNION
+            SELECT dst, src FROM ed
+        ), bfs AS (
+            SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+            UNION
+            SELECT sym.dst, bfs.dist + 1
+            FROM bfs JOIN sym ON bfs.node = sym.src
+            WHERE bfs.dist < 6
+        )
+        SELECT node, CAST(min(dist) AS INTEGER) AS dist
+        FROM bfs GROUP BY node
+    """,
+    "skyline_orders": """
+        WITH pts AS (
+            SELECT o_totalprice AS price, o_orderdate AS d,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1, 2
+        ), px AS (
+            SELECT *, min(d) OVER (PARTITION BY price) AS mx FROM pts
+        ), dx AS (
+            SELECT price,
+                   min(mx) OVER (
+                       ORDER BY price
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS mb
+            FROM (SELECT DISTINCT price, mx FROM px)
+        )
+        SELECT p.price, strftime(p.d, '%Y-%m-%d') AS order_date, p.n_rows
+        FROM px p JOIN dx x ON p.price = x.price
+        WHERE NOT ((x.mb IS NOT NULL AND x.mb <= p.d) OR (p.mx < p.d))
+    """,
+    "gdpr_delete": """
+        WITH ranked AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type AS last_type, value AS last_value
+        FROM ranked WHERE rn = 1 AND user_id % 7 <> 3
     """,
 }

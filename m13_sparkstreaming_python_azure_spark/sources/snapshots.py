@@ -616,3 +616,83 @@ def compact_keyed_snapshot(
             "parts": new_parts,
         },
     )
+
+
+def delete_keys(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame
+) -> int:
+    """GDPR-style key deletion from a KEYED table: remove every row whose
+    key tuple appears in ``keys_df``, rewriting ONLY the buckets those
+    keys hash into (partition-incremental copy-on-write, same bucket
+    discipline as keyed_batch_sink). Commits a new version with
+    op='delete' — prior versions remain time-travelable until
+    ``vacuum_snapshots`` reclaims them, which is the actual forget step
+    for compliance (delete + vacuum = physically gone).
+
+    Scale: the delete set is usually minuscule next to the table —
+    it is hashed to buckets, the untouched buckets' files carry over
+    by reference (no IO), and each touched bucket is rewritten via a
+    broadcast LEFT ANTI join against the delete set.
+    """
+    m = read_manifest(table_dir)
+    parts = m.get("parts")
+    if not parts:
+        raise ValueError(
+            f"{table_dir} is not a keyed table (no parts mapping)"
+        )
+    keys, n_buckets = m["keys"], m["n_buckets"]
+    dels = (
+        keys_df.select(*keys)
+        .distinct()
+        .withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        )
+        .persist()
+    )
+    touched = sorted(
+        r["__bucket"] for r in dels.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        dels.unpersist()
+        return latest_version(table_dir)
+    old_files = [
+        f
+        for b in touched
+        for f in parts.get(str(b), {}).get("files", [])
+    ]
+    new_parts = dict(parts)
+    if old_files:
+        survivors = (
+            spark.read.parquet(*old_files)
+            .join(F.broadcast(dels.drop("__bucket")), on=keys, how="left_anti")
+            .withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int"),
+            )
+            .repartition(len(touched), "__bucket")
+        )
+        written = _write_bucketed_files(survivors, table_dir)
+    else:
+        written = {}
+    for b in touched:
+        bs = str(b)
+        fs = written.get(bs, [])
+        new_parts[bs] = {
+            "files": fs,
+            "rows": sum(_parquet_rows(f) for f in fs),
+        }
+    dels.unpersist()
+    files = [f for p in new_parts.values() for f in p["files"]]
+    rows = sum(p["rows"] for p in new_parts.values())
+    return _commit(
+        table_dir,
+        files,
+        rows,
+        {
+            "op": "delete",
+            "keys": keys,
+            "n_buckets": n_buckets,
+            "mode": m.get("mode"),
+            "parts": new_parts,
+        },
+    )

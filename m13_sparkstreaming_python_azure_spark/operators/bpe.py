@@ -1,0 +1,163 @@
+"""BPE tokenizer induction and encoding at corpus scale.
+
+What a 100 TB training-data pipeline actually needs from "train a
+tokenizer" is two very different workloads:
+
+1. **Word-frequency extraction** — a full-corpus pass. This is the
+   distributed part: tokenize + explode + groupBy(word).sum — one
+   shuffle whose key space is the VOCABULARY (bounded, Zipf), with
+   map-side combine absorbing almost everything.
+2. **The merge loop** — operates only on the word-frequency table
+   (distinct words + counts). Even for a 100 TB corpus this is a few
+   million rows; iterating it distributed would pay 2×n_merges shuffle
+   rounds for data that fits on the driver. So, like the reference
+   tokenizer trainers (HuggingFace tokenizers, SentencePiece), the
+   merge loop runs driver-side over the collected frequency dict —
+   the scale-correct split, not a shortcut.
+
+Encoding applies learned merges per DISTINCT word (broadcast ranks,
+mapInPandas over the word table), then joins token counts back to
+documents — corpus rows never pass through Python one-token-at-a-time.
+
+Determinism: merge argmax ties break on (count desc, left, right) —
+engine-independent; the pure-Python reference in tests pins the exact
+merge sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """Distributed word-frequency pass: (word, n) — one shuffle on the
+    bounded vocabulary key space."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bpe_merge_loop(
+    word_freqs: dict[str, int], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Classic BPE over a word-frequency dict: repeatedly merge the most
+    frequent adjacent symbol pair. Pure Python on bounded data."""
+    symbols = {w: tuple(w) for w in word_freqs}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            n = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = max(
+            pair_counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1])
+        )
+        # deterministic tie-break: count desc, then LARGEST (left, right)
+        # lexicographically — max() over the tuple does exactly that
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merged = a + b
+        new_symbols = {}
+        for w, syms in symbols.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_symbols[w] = tuple(out)
+        symbols = new_symbols
+        merges.append((a, b))
+    return merges
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn BPE merges from a corpus. Returns (rank, left, right,
+    merged) — rank is merge order starting at 0."""
+    spark = df.sparkSession
+    wf = {
+        r["word"]: r["n"] for r in word_frequencies(df, text_col).collect()
+    }
+    merges = _bpe_merge_loop(wf, n_merges, min_pair_count)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string"
+    )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge table.
+
+    Scale path: encode each DISTINCT word once (mapInPandas over the
+    word table with the merge ranks broadcast), then join word→n_tokens
+    back through the exploded corpus and aggregate per document. The
+    join is a broadcast (vocabulary-sized build side)."""
+    spark = df.sparkSession
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = b_ranks.value
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [
+                        len(_encode_word(w, rk)) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    )
+    encoded = words.mapInPandas(enc, schema="word string, n_tokens int")
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    return (
+        exploded.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(F.sum("n_tokens").cast("bigint").alias("bpe_tokens"))
+    )

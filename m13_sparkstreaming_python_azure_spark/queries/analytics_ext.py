@@ -368,6 +368,37 @@ def q_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (operators/bpe.learn_bpe): 40 merge
+    rules learned from the documents corpus. The corpus pass (word
+    frequencies) is the distributed step; the merge loop runs on the
+    bounded word-frequency table driver-side (the HF-tokenizers
+    architecture). Iterative — no SQL oracle exists; the exact merge
+    sequence is pinned by a pure-Python reference in tests/test_bpe.py
+    (rows-only gate)."""
+    from m13_sparkstreaming_python_azure_spark.operators.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe(docs, "text", n_merges=40, min_pair_count=2)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary
+    (operators/bpe.bpe_encode_token_counts): each DISTINCT word encodes
+    once (broadcast merge ranks, mapInPandas over the word table), then
+    counts join back through the exploded corpus. Rows-only gate
+    (iterative tokenizer state — not SQL-expressible); encode semantics
+    pinned by reference tests."""
+    from m13_sparkstreaming_python_azure_spark.operators.bpe import (
+        bpe_encode_token_counts,
+        learn_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", n_merges=40, min_pair_count=2)
+    return bpe_encode_token_counts(docs, "doc_id", "text", merges)
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -381,6 +412,8 @@ ANALYTICS_QUERIES = {
     "bfs_shortest_paths": q_bfs_shortest_paths,
     "skyline_orders": q_skyline_orders,
     "gdpr_delete": q_gdpr_delete,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 _DAILY_SERIES_SQL = """

@@ -1,0 +1,100 @@
+"""Tests for BPE induction/encoding (operators/bpe) — the merge
+sequence and encode semantics are pinned by a pure-Python reference."""
+
+from __future__ import annotations
+
+from m13_sparkstreaming_python_azure_spark.operators.bpe import (
+    _bpe_merge_loop,
+    _encode_word,
+    bpe_encode_token_counts,
+    learn_bpe,
+    word_frequencies,
+)
+
+
+def _ref_bpe(word_freqs, n_merges, min_count=1):
+    """Independent reference implementation (different code path from
+    the operator's loop)."""
+    symbols = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in symbols.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freqs[w]
+        if not counts:
+            break
+        best = max(counts, key=lambda p: (counts[p], p[0], p[1]))
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        for w in symbols:
+            syms, out, i = symbols[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[w] = out
+    return merges
+
+
+def test_merge_loop_matches_reference():
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert _bpe_merge_loop(wf, 10, 1) == _ref_bpe(wf, 10, 1)
+
+
+def test_merge_loop_min_count_stops():
+    wf = {"ab": 1, "cd": 1}
+    assert _bpe_merge_loop(wf, 10, 2) == []
+
+
+def test_encode_applies_merges_in_rank_order():
+    # merges: (e,s) then (es,t) -> "newest" tokenizes with 'est' chunk
+    ranks = {("e", "s"): 0, ("es", "t"): 1}
+    assert _encode_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert _encode_word("best", ranks) == ["b", "est"]
+    assert _encode_word("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_word_frequencies_and_learn(spark):
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest widest")],
+        ["doc_id", "text"],
+    )
+    wf = {r["word"]: r["n"] for r in word_frequencies(df, "text").collect()}
+    assert wf == {"low": 3, "lower": 1, "newest": 2, "widest": 1}
+    got = [
+        (r["left"], r["right"])
+        for r in learn_bpe(df, "text", 5, 1).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe(wf, 5, 1)
+
+
+def test_encode_token_counts_zero_merges_is_char_count(spark):
+    df = spark.createDataFrame([(1, "abc de")], ["doc_id", "text"])
+    merges = spark.createDataFrame(
+        [], "rank int, left string, right string, merged string"
+    )
+    out = bpe_encode_token_counts(df, "doc_id", "text", merges).collect()
+    assert out[0]["bpe_tokens"] == 5  # 3 chars + 2 chars
+
+
+def test_encode_token_counts_compress_with_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "ab")], ["doc_id", "text"]
+    )
+    merges = learn_bpe(df, "text", 2, 1)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode_token_counts(
+            df, "doc_id", "text", merges
+        ).collect()
+    }
+    # merges learned: (a,a) -> aa, then (aa,aa) -> aaaa: doc1 = 2 tokens
+    assert out[1] == 2
+    assert out[2] == 2  # 'ab' has no applicable merge

@@ -399,6 +399,73 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_token_counts(docs, "doc_id", "text", merges)
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization under the gate (streaming/stateful
+    .sessions_with_state): events replay as a 3-chunk event-time-ordered
+    file stream; per-user GroupState carries the open session across
+    micro-batches and closed sessions emit in append mode. A final
+    sentinel chunk (one far-future event per user) flushes every open
+    session, so the emitted set must hash-match the BATCH gaps-and-
+    islands oracle — streaming↔batch parity for order-dependent session
+    state, the same contract streaming_ewma proves for folds."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        sessions_with_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="sess-stream-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    chunks = [
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    ]
+    # sentinel flush: one event per user far beyond any session's end —
+    # it opens a throwaway session (never emitted) and closes the real one
+    sentinel = ev.groupBy("user_id").agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    ).select("event_id", "ts", "user_id")
+    chunks[0].write.mode("append").parquet(land)
+    stream = parquet_file_stream(spark, land, ev.schema)
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions_with_state(stream, gap_minutes=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:] + [sentinel]:
+        ch.write.mode("append").parquet(land)
+        q.processAllAvailable()
+    q.stop()
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        F.date_format(
+            F.timestamp_micros("session_start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_start"),
+        F.date_format(
+            F.timestamp_micros("session_end"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_end"),
+        "n_events",
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -414,6 +481,7 @@ ANALYTICS_QUERIES = {
     "gdpr_delete": q_gdpr_delete,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "streaming_sessions": q_streaming_sessions,
 }
 
 _DAILY_SERIES_SQL = """
@@ -749,3 +817,10 @@ ANALYTICS_ORACLES = {
         FROM ranked WHERE rn = 1 AND user_id % 7 <> 3
     """,
 }
+
+# the streaming sessionizer must reproduce the batch islands exactly —
+# same oracle as the batch interval-merge query (streaming↔batch parity
+# as a driver-checked invariant)
+ANALYTICS_ORACLES["streaming_sessions"] = ANALYTICS_ORACLES[
+    "interval_merge_sessions"
+]

@@ -333,3 +333,83 @@ def read_state_metadata(spark, checkpoint_dir: str):
     """Operator-level state metadata (operator/store names, partition
     counts, batch id range) via the `state-metadata` data source."""
     return spark.read.format("state-metadata").load(checkpoint_dir)
+
+
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),  # epoch MICROseconds
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessions_fn_factory(gap_micros: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        # epoch MICROseconds — sub-second precision matters: two events
+        # exactly gap-apart at microsecond resolution are separate
+        # sessions, and second-truncation would merge them
+        micros = rows["ts"].astype("int64") // 1_000
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int, int]] = []
+        uid = key[0]
+        for ts in micros:
+            end = ts + gap_micros
+            if cur is None:
+                cur = [ts, end, 1]
+            elif ts <= cur[1]:  # overlap-or-touch -> same session
+                cur[1] = max(cur[1], end)
+                cur[2] += 1
+            else:
+                closed.append((uid, cur[0], cur[1], cur[2]))
+                cur = [ts, end, 1]
+        state.update(tuple(cur))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return fn
+
+
+def sessions_with_state(
+    stream: DataFrame, gap_minutes: int = 10
+) -> DataFrame:
+    """Streaming interval-merge sessionization — the stateful twin of
+    operators/intervals.merge_intervals: each event spans [ts, ts+gap];
+    per-user GroupState carries the OPEN session (start, end, count)
+    across micro-batches, and a session emits exactly once, when an
+    arriving event starts a new one (its start exceeds the open
+    session's end).
+
+    Equivalence contract: when events arrive in (ts, event_id) order
+    across batches (rows sorted within each batch; chunked event-time
+    replay guarantees the boundary), emitted sessions are exactly the
+    batch gaps-and-islands islands. Sessions still open at stream end
+    live in state only — flush them by replaying one far-future sentinel
+    event per key (the sentinel's own session is never emitted).
+
+    State is 3 longs per key — bounded; timestamps travel as epoch
+    microseconds so the state tuple stays primitive (RocksDB-friendly)
+    without losing sub-second session boundaries."""
+    return stream.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _sessions_fn_factory(gap_minutes * 60 * 1_000_000),
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -466,6 +466,39 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (operators/stats) between
+    event_type and day-of-week (dow = epoch//86400 mod 7 — engine-
+    independent, unlike dayofweek()'s differing conventions). One
+    contingency groupBy + window marginals; empty cells absorbed by the
+    closed form N*sum(n²/(ra*cb)) - N."""
+    from m13_sparkstreaming_python_azure_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.unix_timestamp("ts") / 86400).cast("bigint") % 7
+        ).alias("dow"),
+    )
+    return chi_square_independence(ev, "event_type", "dow")
+
+
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type mean (operators/stats.winsorized_stats):
+    values clip at the exact interpolated [p05, p95] before averaging —
+    the outlier-resistant complement to stats_moments. Bounds grid-snap
+    at 1e-6 and broadcast back; the clipped mean uses the decimal-sum
+    rule."""
+    from m13_sparkstreaming_python_azure_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, "event_type", "value", 0.05, 0.95)
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -482,6 +515,8 @@ ANALYTICS_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "streaming_sessions": q_streaming_sessions,
+    "chi_square_independence": q_chi_square_independence,
+    "winsorized_value_stats": q_winsorized_value_stats,
 }
 
 _DAILY_SERIES_SQL = """
@@ -815,6 +850,62 @@ ANALYTICS_ORACLES = {
         )
         SELECT user_id, event_type AS last_type, value AS last_value
         FROM ranked WHERE rn = 1 AND user_id % 7 <> 3
+    """,
+    "chi_square_independence": """
+        WITH base AS (
+            SELECT event_type AS a,
+                   CAST(floor(epoch(ts)/86400) AS BIGINT) % 7 AS b
+            FROM events
+        ), cells AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        ), marg AS (
+            SELECT n,
+                   CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                   CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                   CAST(sum(n) OVER () AS BIGINT) AS nn
+            FROM cells
+        ), agg AS (
+            SELECT CAST(sum(CAST(CAST(n*n AS DOUBLE)
+                                 / CAST(ra*cb AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE) AS s,
+                   max(nn) AS n_rows
+            FROM marg
+        ), dims AS (
+            SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+                   CAST(count(DISTINCT b) AS BIGINT) AS c
+            FROM cells
+        )
+        SELECT floor((n_rows*s - n_rows) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS chi2,
+               (r-1)*(c-1) AS dof,
+               n_rows,
+               floor(sqrt((n_rows*s - n_rows)
+                          / (n_rows * least(r-1, c-1))) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS cramers_v
+        FROM agg, dims
+    """,
+    "winsorized_value_stats": """
+        WITH bounds AS (
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.05) * 1e6
+                         + CAST(0.5 AS DOUBLE)) / 1e6 AS lo,
+                   floor(quantile_cont(value, 0.95) * 1e6
+                         + CAST(0.5 AS DOUBLE)) / 1e6 AS hi
+            FROM events GROUP BY 1
+        ), clipped AS (
+            SELECT e.event_type,
+                   least(greatest(e.value, b.lo), b.hi) AS w,
+                   b.lo, b.hi
+            FROM events e JOIN bounds b USING (event_type)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_values,
+               min(lo) AS p_lo,
+               min(hi) AS p_hi,
+               CAST(round(sum(CAST(w AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   / count(*) AS winsorized_mean
+        FROM clipped GROUP BY event_type
     """,
 }
 

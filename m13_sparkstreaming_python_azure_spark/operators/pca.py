@@ -1,0 +1,128 @@
+"""PCA over an embedding column — the dimensionality-reduction /
+whitening step a vector pipeline runs before ANN indexing or clustering
+(e.g. OPQ-style rotation, IVF cell training on reduced vectors).
+
+Scale architecture (the only one that works at 100 TB of vectors):
+- The data pass computes per-partition moment partials — (n, sum-vector,
+  outer-product sum) — via Arrow-batched mapInPandas; each partial is
+  O(d²) doubles regardless of partition row count (d=64 → 32 KiB).
+  Partials collect to the driver (executors × 32 KiB, trivial).
+- The d×d eigendecomposition runs driver-side with numpy — O(d³) on a
+  matrix that fits in L2 cache; distributing it would be pure overhead.
+  (This is the same distributed-moments + local-solve split k-means and
+  IVF training use, clustering.py / similarity.py.)
+- Projection is a broadcast matmul: components ship to executors once,
+  each Arrow batch projects with one BLAS call. Corpus rows never
+  round-trip through per-row Python.
+
+Determinism: eigh on a symmetric matrix is deterministic for a fixed
+BLAS; eigenvector SIGN is not mathematically determined, so each
+component is canonicalized (its largest-|coefficient| entry made
+positive) — making projections reproducible across runs and platforms
+modulo float noise, which tests bound."""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class PCAModel(NamedTuple):
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (k, d) rows = principal axes
+    eigenvalues: np.ndarray   # (k,) variances along components
+    total_variance: float     # trace of the covariance
+    n_rows: int
+
+
+def _moment_partials(vec_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, o = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            xo = x.T @ x
+            o = xo if o is None else o + xo
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.astype("float64")],
+                    "o": [o.astype("float64").ravel()],
+                }
+            )
+
+    return fn
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
+    """Fit PCA on ``df[vec_col]`` (array<numeric>), keep top-``k``
+    components by eigenvalue."""
+    partials = df.select(vec_col).mapInPandas(
+        _moment_partials(vec_col),
+        schema="n long, s array<double>, o array<double>",
+    ).collect()
+    if not partials:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p["n"] for p in partials)
+    d = len(partials[0]["s"])
+    s = np.zeros(d)
+    o = np.zeros((d, d))
+    for p in partials:
+        s += np.asarray(p["s"])
+        o += np.asarray(p["o"]).reshape(d, d)
+    mean = s / n
+    cov = (o - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, idx].T.copy()
+    # canonical sign: largest-|coeff| entry of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        eigenvalues=np.maximum(evals[idx], 0.0),
+        total_variance=float(np.trace(cov)),
+        n_rows=int(n),
+    )
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, model: PCAModel, out_col: str = "proj"
+) -> DataFrame:
+    """Project vectors onto the model's components (centered) — one
+    broadcast of (mean, components), one BLAS matmul per Arrow batch."""
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(
+        (model.mean, model.components)
+    )
+    cols = df.columns
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean, comps = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            proj = (x - mean) @ comps.T
+            out = pdf.drop(columns=[vec_col])
+            out[out_col] = list(proj.astype("float64"))
+            yield out
+
+    out_fields = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    ]
+    schema = ", ".join(out_fields + [f"{out_col} array<double>"])
+    return df.select(*cols).mapInPandas(fn, schema=schema)

@@ -499,6 +499,54 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(ev, "event_type", "value", 0.05, 0.95)
 
 
+def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum of the embeddings table (operators/pca.pca_fit):
+    top-8 eigenvalues + explained-variance ratios. Distributed O(d²)
+    moment partials, driver-side eigh (the k-means/IVF split). Rows-only
+    gate (eigendecomposition is not SQL-expressible); numpy parity and
+    orthonormality pinned in tests/test_pca.py."""
+    import math
+
+    from m13_sparkstreaming_python_azure_spark.operators.pca import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    snap = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    rows = [
+        (
+            i,
+            snap(model.eigenvalues[i]),
+            snap(model.eigenvalues[i] / model.total_variance),
+        )
+        for i in range(len(model.eigenvalues))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-component PCA projection of every embedding (operators/pca
+    .pca_project — broadcast matmul per Arrow batch): (vec_id, label,
+    pc1, pc2), 1e-6-snapped. Rows-only gate; projection-variance and
+    centering invariants pinned in tests."""
+    from m13_sparkstreaming_python_azure_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=2)
+    proj = pca_project(emb, "embedding", model)
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return proj.select(
+        "vec_id",
+        "label",
+        snap(F.element_at("proj", 1)).alias("pc1"),
+        snap(F.element_at("proj", 2)).alias("pc2"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -517,6 +565,8 @@ ANALYTICS_QUERIES = {
     "streaming_sessions": q_streaming_sessions,
     "chi_square_independence": q_chi_square_independence,
     "winsorized_value_stats": q_winsorized_value_stats,
+    "pca_explained_variance": q_pca_explained_variance,
+    "pca_embedding_projection": q_pca_embedding_projection,
 }
 
 _DAILY_SERIES_SQL = """

@@ -226,3 +226,100 @@ def perplexity_filter(
     if min_logppl is not None:
         out = out.filter(F.col("logppl") >= min_logppl)
     return out
+
+
+def train_bigram_model(corpus: DataFrame, text_col: str = "text"):
+    """Bigram + unigram count tables from a corpus — the two shuffles a
+    KenLM-style count pass needs (both keyed on bounded vocab spaces,
+    map-side combine does the heavy lifting). Returns (unigrams, bigrams)
+    as (term, n) and (t1, t2, n12)."""
+    toks = corpus.select(F.explode(tokens(text_col)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    arr = corpus.select(tokens(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("t1"),
+                    F.element_at("t", i + 1).alias("t2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    bi = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n12"))
+    return uni, bi
+
+
+def bigram_logppl(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    lam_uni: float = 0.3,
+) -> DataFrame:
+    """Interpolated-bigram log-perplexity per document (the KenLM/CCNet
+    quality signal one order up from unigram_logppl):
+
+        p(t2 | t1) = lam · n12/n1  +  lam_uni · (n_t2 + 1)/(N + V + 1)
+
+    — ML bigram backed off into the add-one unigram. Documents shorter
+    than 2 tokens are excluded (no transitions).
+
+    Cross-engine float discipline: both mixture terms are ratios of
+    identically-derived BIGINTs (bit-equal); lam/lam_uni are EXPLICIT
+    double literals on both sides (never computed as 1−lam, whose float
+    representation differs from a written 0.3); ln grid-snaps at 1e-9
+    pre-sum; per-doc sums fold as exact decimals.
+
+    Plan shape: transitions join the bigram and unigram tables — both
+    vocabulary-sized, broadcast — then one groupBy on the doc id. The
+    corpus shuffles once."""
+    stats = uni.agg(F.sum("n").alias("__N"), F.count(F.lit(1)).alias("__V"))
+    arr = docs.select(
+        F.col(id_col), tokens(text_col).alias("t")
+    ).filter(F.size("t") >= 2)
+    trans = arr.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("t1"),
+                    F.element_at("t", i + 1).alias("t2"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.t1", "p.t2")
+    u1 = uni.select(F.col("term").alias("t1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("term").alias("t2"), F.col("n").alias("n2"))
+    # n1 is never null when the model is trained on the scored corpus;
+    # the outer coalesce keeps foreign-corpus scoring total (unseen t1
+    # -> pure unigram backoff)
+    p_ml = F.coalesce(
+        F.coalesce(F.col("n12"), F.lit(0)) / F.col("n1"), F.lit(0.0)
+    )
+    p_uni = (F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("__N") + F.col("__V") + F.lit(1.0)
+    )
+    lp = F.log(F.lit(lam) * p_ml + F.lit(lam_uni) * p_uni)
+    scored = (
+        trans.join(F.broadcast(bi), on=["t1", "t2"], how="left")
+        .join(F.broadcast(u1), on="t1", how="left")
+        .join(F.broadcast(u2), on="t2", how="left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__lp", F.floor(lp * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        (
+            -F.sum(F.col("__lp").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("logppl"),
+    )

@@ -547,6 +547,22 @@ def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram perplexity filter (operators/lm
+    .bigram_logppl): self-trained bigram+unigram counts, mixture
+    p = 0.7·ML-bigram + 0.3·smoothed-unigram, per-doc mean −ln p over
+    transitions. The order-2 upgrade of perplexity_scores, same float
+    contract (explicit mixture literals, 1e-9 ln grid, decimal sums)."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        bigram_logppl,
+        train_bigram_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi = train_bigram_model(docs, "text")
+    return bigram_logppl(docs, uni, bi)
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -567,6 +583,7 @@ ANALYTICS_QUERIES = {
     "winsorized_value_stats": q_winsorized_value_stats,
     "pca_explained_variance": q_pca_explained_variance,
     "pca_embedding_projection": q_pca_embedding_projection,
+    "bigram_perplexity": q_bigram_perplexity,
 }
 
 _DAILY_SERIES_SQL = """
@@ -956,6 +973,50 @@ ANALYTICS_ORACLES = {
                CAST(round(sum(CAST(w AS DECIMAL(18,6))), 2) AS DOUBLE)
                    / count(*) AS winsorized_mean
         FROM clipped GROUP BY event_type
+    """,
+    "bigram_perplexity": """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT unnest(t) AS term FROM d
+        ), uni AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1
+        ), stats AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS vv
+            FROM uni
+        ), pairs AS (
+            SELECT doc_id,
+                   unnest(t[1:len(t)-1]) AS t1,
+                   unnest(t[2:len(t)]) AS t2
+            FROM d WHERE len(t) >= 2
+        ), bi AS (
+            SELECT t1, t2, CAST(count(*) AS BIGINT) AS n12
+            FROM pairs GROUP BY 1, 2
+        ), scored AS (
+            SELECT p.doc_id,
+                   floor(ln(CAST(0.7 AS DOUBLE)
+                              * (CAST(coalesce(b.n12, 0) AS DOUBLE)
+                                 / u1.n)
+                            + CAST(0.3 AS DOUBLE)
+                              * ((coalesce(u2.n, 0) + CAST(1.0 AS DOUBLE))
+                                 / (s.nn + s.vv + CAST(1.0 AS DOUBLE))))
+                         * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS lp
+            FROM pairs p
+            LEFT JOIN bi b ON p.t1 = b.t1 AND p.t2 = b.t2
+            JOIN uni u1 ON p.t1 = u1.term
+            LEFT JOIN uni u2 ON p.t2 = u2.term
+            CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               -CAST(sum(CAST(lp AS DECIMAL(27,12))) AS DOUBLE)
+                   / count(*) AS logppl
+        FROM scored GROUP BY doc_id
     """,
 }
 

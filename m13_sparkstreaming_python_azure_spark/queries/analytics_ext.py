@@ -563,6 +563,48 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logppl(docs, uni, bi)
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (operators/linkage.fs_score):
+    customers blocked on (nation, segment) — quadratic only within
+    bounded blocks — then scored on name edit-distance and balance
+    proximity with fixed m/u priors; two thresholds split match /
+    possible / non-match. Scoring is one codegen'd projection; ln
+    weights snap at 1e-9."""
+    from m13_sparkstreaming_python_azure_spark.operators.linkage import (
+        fs_score,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, on=["nation", "segment"]).filter(
+        F.col("key_a") < F.col("key_b")
+    )
+    scored = fs_score(
+        pairs,
+        agreements={
+            "name": F.levenshtein("name_a", "name_b") <= 2,
+            "balance": F.abs(F.col("bal_a") - F.col("bal_b")) < 100,
+        },
+        mu={"name": (0.95, 0.01), "balance": (0.8, 0.05)},
+        lower=-3.0,
+        upper=4.0,
+    )
+    return scored.select("key_a", "key_b", "score", "decision")
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -584,6 +626,7 @@ ANALYTICS_QUERIES = {
     "pca_explained_variance": q_pca_explained_variance,
     "pca_embedding_projection": q_pca_embedding_projection,
     "bigram_perplexity": q_bigram_perplexity,
+    "record_linkage": q_record_linkage,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1017,6 +1060,42 @@ ANALYTICS_ORACLES = {
                -CAST(sum(CAST(lp AS DECIMAL(27,12))) AS DOUBLE)
                    / count(*) AS logppl
         FROM scored GROUP BY doc_id
+    """,
+    "record_linkage": """
+        WITH pairs AS (
+            SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment
+             AND a.c_custkey < b.c_custkey
+        ), scored AS (
+            SELECT key_a, key_b,
+                   floor((
+                       CASE WHEN levenshtein(name_a, name_b) <= 2
+                            THEN ln(CAST(0.95 AS DOUBLE)
+                                    / CAST(0.01 AS DOUBLE))
+                            ELSE ln((CAST(1.0 AS DOUBLE)
+                                     - CAST(0.95 AS DOUBLE))
+                                    / (CAST(1.0 AS DOUBLE)
+                                       - CAST(0.01 AS DOUBLE))) END
+                     + CASE WHEN abs(bal_a - bal_b)
+                                 < CAST(100 AS DOUBLE)
+                            THEN ln(CAST(0.8 AS DOUBLE)
+                                    / CAST(0.05 AS DOUBLE))
+                            ELSE ln((CAST(1.0 AS DOUBLE)
+                                     - CAST(0.8 AS DOUBLE))
+                                    / (CAST(1.0 AS DOUBLE)
+                                       - CAST(0.05 AS DOUBLE))) END
+                   ) * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9 AS score
+            FROM pairs
+        )
+        SELECT key_a, key_b, score,
+               CASE WHEN score >= CAST(4.0 AS DOUBLE) THEN 'match'
+                    WHEN score <= CAST(-3.0 AS DOUBLE) THEN 'non_match'
+                    ELSE 'possible' END AS decision
+        FROM scored
     """,
 }
 

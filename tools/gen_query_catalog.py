@@ -20,6 +20,8 @@ MODULE_TITLES = {
     "tpch_ext": "TPC-H decision-support shapes (fixture-adapted)",
     "behavior": "Behavior analytics (sessions, cohorts, funnels)",
     "llm": "LLM training-data pipeline (dedup, similarity, text, multimodal)",
+    "analytics_ext": "Analytics extensions (intervals, frequency, quality, "
+    "time series, graph, lakehouse ops, tokenizers)",
 }
 
 
@@ -48,7 +50,11 @@ def main() -> None:
         "Regenerate with `python tools/gen_query_catalog.py`.",
         "",
     ]
-    for mod in ("core", "relational_ext", "tpch_ext", "behavior", "llm"):
+    known = ["core", "relational_ext", "tpch_ext", "behavior", "llm",
+             "analytics_ext"]
+    # never silently drop a category the hardcoded order predates
+    extras = [m for m in by_module if m not in known]
+    for mod in known + sorted(extras):
         names = by_module.get(mod, [])
         if not names:
             continue

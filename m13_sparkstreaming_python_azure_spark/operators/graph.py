@@ -293,3 +293,45 @@ def bfs_distances(
         frontier = new
     e.unpersist()
     return visited
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k, by iterative peeling — drop all nodes
+    with degree < k, recompute degrees on the induced subgraph, repeat
+    to fixpoint. Returns (node, degree) inside the core.
+
+    Scale design: each round is ONE degree aggregate (groupBy src) plus
+    two semi-joins filtering the edge list to surviving nodes — all
+    partitioned on node/src keys. The edge list shrinks monotonically,
+    so later rounds cost less; localCheckpoint truncates lineage per
+    round (iterative-join rule). Peeling rounds are bounded by the
+    degeneracy ordering depth — tens, not thousands, for real graphs;
+    ``max_iter`` is the safety valve. The per-round count() on the
+    dropped-node set is the bounded driver action that detects the
+    fixpoint."""
+    sym = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    live = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        weak = deg.filter(F.col("degree") < k).select("src").localCheckpoint(
+            eager=True
+        )
+        if weak.count() == 0:
+            return deg.select(F.col("src").alias("node"), "degree")
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        live = (
+            live.join(keep, on="src", how="left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")),
+                on="dst",
+                how="left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("src").alias("node"), "degree"
+    )

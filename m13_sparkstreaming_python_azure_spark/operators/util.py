@@ -61,3 +61,58 @@ def spread(
     if min_partitions <= 1 or df.rdd.getNumPartitions() >= min_partitions:
         return df
     return df.repartition(min_partitions)
+
+
+def stable_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+    """Dense unique BIGINT ids 0..n-1 WITHOUT a global sort — the
+    zipWithIndex pattern, DataFrame-native.
+
+    Two bounded passes:
+    1. per-partition row counts (one tiny aggregate on
+       spark_partition_id) collect to the driver and fold into exclusive
+       prefix offsets — executors × 1 row, broadcast back;
+    2. each partition assigns offset + local position in one vectorized
+       mapInPandas sweep (no shuffle at all).
+
+    The assignment follows the CURRENT partition layout: ids are dense
+    and unique for this materialization but change if the partitioning
+    changes — the contract every zipWithIndex has. Pin the input
+    (checkpoint / write) before treating ids as durable keys. For fully
+    deterministic ids independent of layout, sort on a unique key and
+    pay the range shuffle, or hash the natural key (operators/chunking
+    hash_split pattern)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pos is None:
+                pos = b_off.value[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"])
+            out[id_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield out
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{id_col} bigint"]
+    )
+    return tagged.mapInPandas(assign, schema=schema)

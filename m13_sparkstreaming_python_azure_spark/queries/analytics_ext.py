@@ -605,6 +605,46 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("key_a", "key_b", "score", "decision")
 
 
+def q_k_core_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the deterministic customer tree+chain graph
+    (operators/graph.k_core): iterative peel — degree aggregate + two
+    semi-joins per round, monotonically shrinking edge list. Iterative
+    fixpoint — not SQL-expressible (recursive CTEs cannot aggregate in
+    the recursive step), so rows-only gate; peel semantics pinned on
+    known graphs in tests/test_kcore_ids.py."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import k_core
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") / 2).cast("bigint").alias("dst")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    ed = tree.unionByName(chain)
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return k_core(sym, k=3)
+
+
+def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..n-1 id assignment without a global sort (operators/util
+    .stable_ids — the zipWithIndex pattern): per-partition counts fold
+    into broadcast prefix offsets, then a shuffle-free vectorized local
+    assignment. Ids depend on partition layout (the zipWithIndex
+    contract) → rows-only gate; uniqueness/density/order invariants
+    pinned in tests."""
+    from m13_sparkstreaming_python_azure_spark.operators.util import (
+        stable_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stable_ids(docs)
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -627,6 +667,8 @@ ANALYTICS_QUERIES = {
     "pca_embedding_projection": q_pca_embedding_projection,
     "bigram_perplexity": q_bigram_perplexity,
     "record_linkage": q_record_linkage,
+    "k_core_customers": q_k_core_customers,
+    "stable_row_ids": q_stable_row_ids,
 }
 
 _DAILY_SERIES_SQL = """

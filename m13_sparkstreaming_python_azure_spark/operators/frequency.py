@@ -66,17 +66,16 @@ def heavy_hitters(items: DataFrame, col: str, phi: float) -> DataFrame:
     ``groupBy(col).count().filter(n >= phi*N)`` by construction; the
     difference is the shuffle carries only candidate rows."""
     stream = items.select(F.col(col).cast("string").alias("item"))
-    candidates = [
-        r["item"]
-        for r in stream.mapInPandas(
-            lambda it: _local_candidates(it, phi),
-            schema="item string",
-        ).collect()
-    ]
+    # candidates stay a DataFrame and prune via broadcast semi-join —
+    # NOT a collected isin() list: the bound is partitions × 1/phi,
+    # which at cluster scale is broadcast-sized but not literal-sized
+    candidates = stream.mapInPandas(
+        lambda it: _local_candidates(it, phi), schema="item string"
+    ).distinct()
     total = stream.count()
     threshold = phi * total
     return (
-        stream.filter(F.col("item").isin(candidates))
+        stream.join(F.broadcast(candidates), on="item", how="left_semi")
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(threshold))

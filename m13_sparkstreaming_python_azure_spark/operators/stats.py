@@ -87,7 +87,13 @@ def winsorized_stats(
     Two passes over one shuffle's partitioning: percentile bounds per key
     (exact interpolated — both engines use lower + frac*(upper-lower)),
     grid-snapped, joined back (tiny build side, broadcast), then a
-    decimal-summed clipped mean."""
+    decimal-summed clipped mean.
+
+    Scale note: exact percentile buffers each key's values in the
+    aggregation — fine while per-key cardinality fits an executor; for
+    monster keys swap in approx_percentile (the bounds become
+    approximate, the clip semantics unchanged). The gate uses the exact
+    form because the oracle must agree bit-for-bit."""
     v = F.col(value_col)
     bounds = df.groupBy(key_col).agg(
         _snap6(F.percentile(v, F.lit(lo_p))).alias("lo"),

@@ -645,6 +645,87 @@ def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_ids(docs)
 
 
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: revenue by part brand, top-5 brands kept,
+    the tail collapsed into an OTHER bucket, with share-of-total. The
+    BI rollup shape: one groupBy on the brand key, a rank window over
+    the (tiny) aggregate, and a re-aggregate of the tail — fact rows
+    shuffle once. Shares are exact-decimal revenue over the decimal
+    total (identical derivation both engines)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("p_brand"))
+    ranked = rev.withColumn("__rk", F.row_number().over(w))
+    bucketed = ranked.select(
+        F.when(F.col("__rk") <= 5, F.col("p_brand"))
+        .otherwise(F.lit("OTHER"))
+        .alias("brand"),
+        "rev",
+    )
+    agg = bucketed.groupBy("brand").agg(
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue")
+    )
+    total = Window.partitionBy()
+    # total folds as exact decimal — a double window-sum's fold order is
+    # engine-unspecified over an unordered frame
+    tot = F.sum(F.col("revenue").cast("decimal(18,6)")).over(total)
+    return agg.select(
+        "brand",
+        "revenue",
+        (F.col("revenue") / tot.cast("double")).alias("share"),
+    )
+
+
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per market segment: weekly order revenue
+    (week = epoch-day // 7 — engine-independent, no ISO-week ambiguity),
+    previous week via lag, growth as a ratio of identically-derived
+    2-decimal revenue doubles (bit-equal; null on the first week)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    weekly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            "c_mktsegment",
+            (F.floor(F.unix_timestamp("o_orderdate") / 86400) / 7)
+            .cast("bigint")
+            .alias("week"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        F.col("c_mktsegment").alias("segment"),
+        "week",
+        "revenue",
+        (F.col("revenue") / prev - 1).alias("wow_growth"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -669,6 +750,8 @@ ANALYTICS_QUERIES = {
     "record_linkage": q_record_linkage,
     "k_core_customers": q_k_core_customers,
     "stable_row_ids": q_stable_row_ids,
+    "topn_with_other": q_topn_with_other,
+    "week_over_week": q_week_over_week,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1138,6 +1221,49 @@ ANALYTICS_ORACLES = {
                     WHEN score <= CAST(-3.0 AS DOUBLE) THEN 'non_match'
                     ELSE 'possible' END AS decision
         FROM scored
+    """,
+    "topn_with_other": """
+        WITH rev AS (
+            SELECT p.p_brand,
+                   sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(18,6))) AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        ), ranked AS (
+            SELECT p_brand, r,
+                   row_number() OVER (ORDER BY r DESC, p_brand) AS rk
+            FROM rev
+        ), bucketed AS (
+            SELECT CASE WHEN rk <= 5 THEN p_brand ELSE 'OTHER' END
+                       AS brand,
+                   r
+            FROM ranked
+        ), agg AS (
+            SELECT brand,
+                   CAST(round(sum(r), 2) AS DOUBLE) AS revenue
+            FROM bucketed GROUP BY brand
+        )
+        SELECT brand, revenue,
+               revenue / CAST(sum(CAST(revenue AS DECIMAL(18,6)))
+                              OVER () AS DOUBLE) AS share
+        FROM agg
+    """,
+    "week_over_week": """
+        WITH weekly AS (
+            SELECT c.c_mktsegment,
+                   CAST(floor(epoch(o.o_orderdate)/86400) AS BIGINT) // 7
+                       AS week,
+                   CAST(round(sum(CAST(o.o_totalprice
+                                       AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment AS segment, week, revenue,
+               revenue / lag(revenue) OVER (
+                   PARTITION BY c_mktsegment ORDER BY week
+               ) - 1 AS wow_growth
+        FROM weekly
     """,
 }
 

@@ -101,6 +101,8 @@ ALLOW_CARTESIAN = {
     "temperature_resample",  # single-row weight-sum scalar broadcast
     "perplexity_scores",  # single-row N/V model-stats scalar broadcast
     "theta_sketch_audiences",  # two single-row sketch scalars cross-joined
+    "chi_square_independence",  # single-row moment × single-row dims scalars
+    "bigram_perplexity",  # single-row N/V model-stats scalar broadcast
 }
 
 

@@ -726,6 +726,51 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test per event_type: users split A/B by md5 parity
+    (engine-independent assignment — the repo's deterministic-randomness
+    rule), then z = (meanA − meanB)/sqrt(varA/nA + varB/nB) from
+    decimal-exact moment sums, 1e-6-snapped. The experimentation-
+    analysis shape: one groupBy computes both arms' moments via
+    conditional aggregation — the fact table shuffles once."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    v = F.col("value")
+    dv = v.cast("decimal(18,6)")
+    dv2 = (dv * dv).cast("decimal(38,12)")
+    is_a = arm == 0
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, dv)).cast("double").alias("s_a"),
+        F.sum(F.when(~is_a, dv)).cast("double").alias("s_b"),
+        F.sum(F.when(is_a, dv2)).cast("double").alias("q_a"),
+        F.sum(F.when(~is_a, dv2)).cast("double").alias("q_b"),
+    )
+    m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (m_a - m_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        snap(m_a).alias("mean_a"),
+        snap(m_b).alias("mean_b"),
+        snap(z).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -752,6 +797,7 @@ ANALYTICS_QUERIES = {
     "stable_row_ids": q_stable_row_ids,
     "topn_with_other": q_topn_with_other,
     "week_over_week": q_week_over_week,
+    "ab_test_zscore": q_ab_test_zscore,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1264,6 +1310,45 @@ ANALYTICS_ORACLES = {
                    PARTITION BY c_mktsegment ORDER BY week
                ) - 1 AS wow_growth
         FROM weekly
+    """,
+    "ab_test_zscore": """
+        WITH armed AS (
+            SELECT event_type,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 AS arm,
+                   CAST(value AS DECIMAL(18,6)) AS dv,
+                   CAST(CAST(value AS DECIMAL(19,6))
+                        * CAST(value AS DECIMAL(19,6))
+                        AS DECIMAL(38,12)) AS dv2
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(sum(CASE WHEN arm = 0 THEN dv END) AS DOUBLE)
+                       AS s_a,
+                   CAST(sum(CASE WHEN arm <> 0 THEN dv END) AS DOUBLE)
+                       AS s_b,
+                   CAST(sum(CASE WHEN arm = 0 THEN dv2 END) AS DOUBLE)
+                       AS q_a,
+                   CAST(sum(CASE WHEN arm <> 0 THEN dv2 END) AS DOUBLE)
+                       AS q_b
+            FROM armed GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               floor((s_a/n_a) * 1e6 + CAST(0.5 AS DOUBLE))/1e6 AS mean_a,
+               floor((s_b/n_b) * 1e6 + CAST(0.5 AS DOUBLE))/1e6 AS mean_b,
+               floor(((s_a/n_a - s_b/n_b)
+                      / sqrt(((q_a - s_a*s_a/n_a)/(n_a - 1))/n_a
+                             + ((q_b - s_b*s_b/n_b)/(n_b - 1))/n_b))
+                     * 1e6 + CAST(0.5 AS DOUBLE))/1e6 AS z_score,
+               abs((s_a/n_a - s_b/n_b)
+                   / sqrt(((q_a - s_a*s_a/n_a)/(n_a - 1))/n_a
+                          + ((q_b - s_b*s_b/n_b)/(n_b - 1))/n_b))
+                   > CAST(1.96 AS DOUBLE) AS significant
+        FROM g
     """,
 }
 

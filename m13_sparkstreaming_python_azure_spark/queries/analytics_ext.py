@@ -771,6 +771,72 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 lexical ranks
+    (operators/retrieval.bm25_scores, 1e-4-snapped scores) fuse with
+    exact-cosine vector ranks against vec 0's embedding (round-6 cosine,
+    the embedding_pairs_exact contract) as
+    rrf = Σ 1/(60 + rank) — the RAG-stack ranker that needs no score
+    calibration between modalities. Ranks are integers and the RRF terms
+    are exact int ratios, so fusion is bit-equal across engines; a rank
+    of 0 means 'absent from that modality's list'."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        bm25_scores,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_scores(docs, ["hash", "join", "stream"])
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    vec = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("v"), F.col("qv"))
+            / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("cos"),
+    )
+    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
+    vecr = vec.select(
+        "doc_id", F.row_number().over(w_vec).alias("rank_vec")
+    )
+    fused = (
+        lexr.join(vecr, on="doc_id", how="full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.when(
+                F.col("rank_lex") > 0,
+                F.lit(1.0) / (F.lit(60) + F.col("rank_lex")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("rank_vec") > 0,
+                F.lit(1.0) / (F.lit(60) + F.col("rank_vec")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    w_top = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") <= 20)
+        .drop("__rk")
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -798,6 +864,7 @@ ANALYTICS_QUERIES = {
     "topn_with_other": q_topn_with_other,
     "week_over_week": q_week_over_week,
     "ab_test_zscore": q_ab_test_zscore,
+    "hybrid_rrf_search": q_hybrid_rrf_search,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1358,3 +1425,49 @@ ANALYTICS_ORACLES = {
 ANALYTICS_ORACLES["streaming_sessions"] = ANALYTICS_ORACLES[
     "interval_merge_sessions"
 ]
+
+# hybrid RRF reuses the bm25_search oracle verbatim as its lexical arm —
+# one source of truth for the BM25 formula (nested WITH inside a derived
+# CTE is legal in DuckDB)
+from m13_sparkstreaming_python_azure_spark.queries.llm import (  # noqa: E402
+    LLM_ORACLES as _LLM_ORACLES,
+)
+
+ANALYTICS_ORACLES["hybrid_rrf_search"] = f"""
+    WITH lex AS ({_LLM_ORACLES["bm25_search"]}),
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS INTEGER) AS rank_lex
+        FROM lex
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv),
+                     6) AS c
+        FROM embeddings e CROSS JOIN q
+    ), vecr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY c DESC, doc_id)
+                    AS INTEGER) AS rank_vec
+        FROM vec
+    ), fused AS (
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(l.rank_lex, 0) AS rank_lex,
+               coalesce(v.rank_vec, 0) AS rank_vec,
+               (CASE WHEN coalesce(l.rank_lex, 0) > 0
+                     THEN CAST(1.0 AS DOUBLE) / (60 + l.rank_lex)
+                     ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN coalesce(v.rank_vec, 0) > 0
+                       THEN CAST(1.0 AS DOUBLE) / (60 + v.rank_vec)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score
+        FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_score
+    FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= 20
+"""

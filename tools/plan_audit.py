@@ -103,6 +103,7 @@ ALLOW_CARTESIAN = {
     "theta_sketch_audiences",  # two single-row sketch scalars cross-joined
     "chi_square_independence",  # single-row moment × single-row dims scalars
     "bigram_perplexity",  # single-row N/V model-stats scalar broadcast
+    "hybrid_rrf_search",  # single-row query-vector broadcast (+ bm25 stats)
 }
 
 

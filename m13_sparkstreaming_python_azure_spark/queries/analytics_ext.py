@@ -837,6 +837,34 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record routing (the ingest dead-letter-queue pattern):
+    props JSON is deterministically mangled for event_id ≡ 0 (mod 13),
+    then parsed permissively — unparseable rows route to 'dlq', valid
+    rows to 'valid' with their extracted field aggregated. At scale this
+    is the foreachBatch split-sink shape: bad rows quarantine with full
+    payload instead of poisoning the batch. Corruption is TRUNCATION
+    (unclosed object) — rejected by any JSON grammar; trailing-garbage
+    corruption would NOT work here, Spark's Jackson parser accepts it
+    while strict validators refuse."""
+    ev = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 13 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(mangled, "k int")
+    routed = ev.select(
+        F.when(parsed["k"].isNotNull(), F.lit("valid"))
+        .otherwise(F.lit("dlq"))
+        .alias("route"),
+        parsed["k"].cast("bigint").alias("k"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -865,6 +893,7 @@ ANALYTICS_QUERIES = {
     "week_over_week": q_week_over_week,
     "ab_test_zscore": q_ab_test_zscore,
     "hybrid_rrf_search": q_hybrid_rrf_search,
+    "json_dlq_routing": q_json_dlq_routing,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1470,4 +1499,22 @@ ANALYTICS_ORACLES["hybrid_rrf_search"] = f"""
                    ORDER BY rrf_score DESC, doc_id) AS rk
         FROM fused
     ) WHERE rk <= 20
+"""
+
+ANALYTICS_ORACLES["json_dlq_routing"] = """
+    WITH m AS (
+        SELECT CASE WHEN event_id % 13 = 0
+                    THEN substring(props, 1, length(props) - 2)
+                    ELSE props END AS p
+        FROM events
+    ), r AS (
+        SELECT CASE WHEN json_valid(p) THEN 'valid' ELSE 'dlq' END
+                   AS route,
+               CASE WHEN json_valid(p)
+                    THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k
+        FROM m
+    )
+    SELECT route, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM r GROUP BY route
 """

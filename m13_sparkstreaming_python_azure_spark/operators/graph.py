@@ -314,15 +314,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         F.col("src") != F.col("dst")
     ).distinct()
     live = sym.localCheckpoint(eager=True)
+    n_prev = live.count()
     for _ in range(max_iter):
         deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        weak = deg.filter(F.col("degree") < k).select("src").localCheckpoint(
-            eager=True
-        )
-        if weak.count() == 0:
-            return deg.select(F.col("src").alias("node"), "degree")
         keep = deg.filter(F.col("degree") >= k).select("src")
-        live = (
+        nxt = (
             live.join(keep, on="src", how="left_semi")
             .join(
                 keep.select(F.col("src").alias("dst")),
@@ -331,6 +327,14 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        n = nxt.count()
+        # fixpoint = no edge dropped this round, which means every node
+        # already had degree >= k: return those degrees directly. One
+        # checkpoint + one count per round (the count doubles as the
+        # materialization barrier AND the termination test).
+        if n == n_prev:
+            return deg.select(F.col("src").alias("node"), "degree")
+        live, n_prev = nxt, n
     deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.filter(F.col("degree") >= k).select(
         F.col("src").alias("node"), "degree"

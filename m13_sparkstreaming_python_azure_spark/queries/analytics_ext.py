@@ -865,6 +865,84 @@ def q_json_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the third entity-resolution
+    candidate generator, after symmetric-delete fuzzy and key blocking):
+    sort names once, compare each to its next 5 neighbors only —
+    candidates are LINEAR in n with a fixed window, the classic
+    alternative when no natural blocking key exists. Implemented as
+    lead() offsets over the sorted window (no self-join); exact
+    levenshtein verify keeps pairs within distance 2.
+
+    Scale: the sort is a range-partitioned total order (Spark's sort
+    shuffle); neighbor comparison is window-local — no cross-partition
+    pairs are missed because lead() spans partition boundaries by
+    definition of the global window."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    ).distinct()
+    w = Window.orderBy("name")
+    withnext = cust.select(
+        "name",
+        F.array(
+            *[F.lead("name", i).over(w) for i in range(1, 6)]
+        ).alias("nbrs"),
+    )
+    pairs = withnext.select(
+        "name", F.explode("nbrs").alias("other")
+    ).filter(F.col("other").isNotNull())
+    return pairs.withColumn(
+        "edit_distance", F.levenshtein("name", "other", 2)
+    ).filter(
+        (F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 2)
+    ).select(
+        F.col("name").alias("name_a"),
+        F.col("other").alias("name_b"),
+        "edit_distance",
+    )
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics for the documents corpus in one long
+    table (metric, value): counts, token/char volume, exact-duplicate
+    rate (md5 content identity — engine-portable), interpolated length
+    percentiles, and per-language shares. Two aggregate passes (scalar
+    + per-lang), both map-side combining; shares and rates are exact
+    int ratios, percentiles snap at 1e-6."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    scalar = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct(F.md5("text")).alias("distinct_texts"),
+        snap(F.percentile(F.col("n_chars"), F.lit(0.5))).alias("p50"),
+        snap(F.percentile(F.col("n_chars"), F.lit(0.9))).alias("p90"),
+    )
+    base = scalar.select(
+        F.expr(
+            "stack(6, 'n_docs', CAST(n_docs AS DOUBLE),"
+            " 'total_tokens', CAST(total_tokens AS DOUBLE),"
+            " 'total_chars', CAST(total_chars AS DOUBLE),"
+            " 'dup_rate', 1.0 - CAST(distinct_texts AS DOUBLE) / n_docs,"
+            " 'p50_chars', p50,"
+            " 'p90_chars', p90) as (metric, value)"
+        )
+    )
+    n_total = docs.count()
+    langs = docs.groupBy("lang").agg(
+        (F.count(F.lit(1)) / F.lit(n_total)).alias("value")
+    ).select(
+        F.concat(F.lit("lang_share:"), F.col("lang")).alias("metric"),
+        "value",
+    )
+    return base.unionByName(langs)
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -894,6 +972,8 @@ ANALYTICS_QUERIES = {
     "ab_test_zscore": q_ab_test_zscore,
     "hybrid_rrf_search": q_hybrid_rrf_search,
     "json_dlq_routing": q_json_dlq_routing,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "corpus_datacard": q_corpus_datacard,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1517,4 +1597,52 @@ ANALYTICS_ORACLES["json_dlq_routing"] = """
     SELECT route, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(k) AS BIGINT) AS sum_k
     FROM r GROUP BY route
+"""
+
+ANALYTICS_ORACLES["sorted_neighborhood_pairs"] = """
+    WITH names AS (
+        SELECT DISTINCT c_name AS name FROM customer
+    ), led AS (
+        SELECT name,
+               [lead(name, 1) OVER w, lead(name, 2) OVER w,
+                lead(name, 3) OVER w, lead(name, 4) OVER w,
+                lead(name, 5) OVER w] AS nbrs
+        FROM names WINDOW w AS (ORDER BY name)
+    ), nb AS (
+        SELECT name, unnest(nbrs) AS other FROM led
+    )
+    SELECT name AS name_a, other AS name_b,
+           CAST(levenshtein(name, other) AS INTEGER) AS edit_distance
+    FROM nb
+    WHERE other IS NOT NULL AND levenshtein(name, other) <= 2
+"""
+
+ANALYTICS_ORACLES["corpus_datacard"] = """
+    WITH base AS (
+        SELECT n_chars, text, lang,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '')) AS tc
+        FROM documents
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(tc) AS BIGINT) AS tt,
+               CAST(sum(n_chars) AS BIGINT) AS ch,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS dt,
+               floor(quantile_cont(n_chars, 0.5) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS p50,
+               floor(quantile_cont(n_chars, 0.9) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS p90
+        FROM base
+    )
+    SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM s
+    UNION ALL SELECT 'total_tokens', CAST(tt AS DOUBLE) FROM s
+    UNION ALL SELECT 'total_chars', CAST(ch AS DOUBLE) FROM s
+    UNION ALL SELECT 'dup_rate',
+               CAST(1.0 AS DOUBLE) - CAST(dt AS DOUBLE) / n FROM s
+    UNION ALL SELECT 'p50_chars', p50 FROM s
+    UNION ALL SELECT 'p90_chars', p90 FROM s
+    UNION ALL
+    SELECT 'lang_share:' || lang,
+           CAST(count(*) AS DOUBLE) / (SELECT n FROM s)
+    FROM base GROUP BY lang
 """

@@ -943,6 +943,84 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(langs)
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency analysis of the corpus vocabulary: OLS slope
+    of ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    ≈ −1; synthetic/boilerplate text flattens). One vocab-keyed count,
+    one rank window over the (vocabulary-sized) aggregate, then a
+    single-row regression from decimal-accumulated sums of 1e-9-snapped
+    logs."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "term")
+    ranked = vocab.select(
+        F.row_number().over(w).alias("rank"), "n"
+    )
+    snap9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)) / 1e9  # noqa: E731
+    pts = ranked.select(
+        snap9(F.log(F.col("rank").cast("double"))).alias("x"),
+        snap9(F.log(F.col("n").cast("double"))).alias("y"),
+    )
+    d = lambda c: F.sum(c.cast("decimal(27,12)")).cast("double")  # noqa: E731
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        d(F.col("x")).alias("sx"),
+        d(F.col("y")).alias("sy"),
+        d(F.col("x") * F.col("x")).alias("sxx"),
+        d(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return agg.select(
+        F.col("k").alias("vocab_size"),
+        snap6(slope).alias("zipf_slope"),
+        snap6(intercept).alias("intercept"),
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (the model-eval op): a deterministic
+    pseudo-prediction (md5 uniform per event — the repo's engine-
+    independent randomness) is binned into deciles and compared to the
+    realized outcome (event_type = 'purchase'): per bin, count, mean
+    predicted probability, observed positive rate, and |gap| — the rows
+    a reliability diagram plots and ECE sums. All ratios of identically-
+    derived ints except mean_pred (decimal-summed uniforms)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cal:"), F.col("event_id"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    binned = ev.select(
+        F.least(F.floor(u * 10).cast("int"), F.lit(9)).alias("bin"),
+        u.alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    dec = F.sum(F.col("pred").cast("decimal(18,12)"))
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        snap(dec.cast("double") / F.count(F.lit(1))).alias("mean_pred"),
+        (F.sum("y") / F.count(F.lit(1))).alias("frac_pos"),
+    )
+    return agg.withColumn(
+        "abs_gap", snap(F.abs(F.col("mean_pred") - F.col("frac_pos")))
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -974,6 +1052,8 @@ ANALYTICS_QUERIES = {
     "json_dlq_routing": q_json_dlq_routing,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "corpus_datacard": q_corpus_datacard,
+    "zipf_slope": q_zipf_slope,
+    "calibration_bins": q_calibration_bins,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1645,4 +1725,63 @@ ANALYTICS_ORACLES["corpus_datacard"] = """
     SELECT 'lang_share:' || lang,
            CAST(count(*) AS DOUBLE) / (SELECT n FROM s)
     FROM base GROUP BY lang
+"""
+
+ANALYTICS_ORACLES["zipf_slope"] = """
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+    ), ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT)
+                   AS rank,
+               n
+        FROM vocab
+    ), pts AS (
+        SELECT floor(ln(CAST(rank AS DOUBLE)) * 1e9
+                     + CAST(0.5 AS DOUBLE)) / 1e9 AS x,
+               floor(ln(CAST(n AS DOUBLE)) * 1e9
+                     + CAST(0.5 AS DOUBLE)) / 1e9 AS y
+        FROM ranked
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x*x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x*y AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT k AS vocab_size,
+           floor(((k*sxy - sx*sy) / (k*sxx - sx*sx)) * 1e6
+                 + CAST(0.5 AS DOUBLE)) / 1e6 AS zipf_slope,
+           floor(((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k)
+                 * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS intercept
+    FROM agg
+"""
+
+ANALYTICS_ORACLES["calibration_bins"] = """
+    WITH u AS (
+        SELECT ('0x' || substring(md5('cal:' || CAST(event_id AS VARCHAR)),
+                                  1, 8))::BIGINT
+                   / CAST(4294967296 AS DOUBLE) AS pred,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), b AS (
+        SELECT least(CAST(floor(pred * 10) AS INTEGER), 9) AS bin,
+               pred, y
+        FROM u
+    ), g AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               floor((CAST(sum(CAST(pred AS DECIMAL(18,12))) AS DOUBLE)
+                      / count(*)) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                   AS mean_pred,
+               CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos
+        FROM b GROUP BY bin
+    )
+    SELECT bin, n, mean_pred, frac_pos,
+           floor(abs(mean_pred - frac_pos) * 1e6
+                 + CAST(0.5 AS DOUBLE)) / 1e6 AS abs_gap
+    FROM g
 """

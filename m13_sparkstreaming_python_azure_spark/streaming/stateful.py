@@ -413,3 +413,80 @@ def sessions_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _sessions_timeout_fn_factory(gap_micros: int, delay_ms: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        if state.hasTimedOut:
+            # watermark passed the open session's horizon: flush + evict
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(uid, start, end, n)],
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events"
+                ],
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        micros = rows["ts"].astype("int64") // 1_000
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int, int]] = []
+        for ts in micros:
+            end = ts + gap_micros
+            if cur is None:
+                cur = [ts, end, 1]
+            elif ts <= cur[1]:
+                cur[1] = max(cur[1], end)
+                cur[2] += 1
+            else:
+                closed.append((uid, cur[0], cur[1], cur[2]))
+                cur = [ts, end, 1]
+        state.update(tuple(cur))
+        # fire when the event-time watermark passes session end + delay;
+        # a key with NO rows in a later batch still gets this callback —
+        # the production flush (vs the gate query's sentinel replay)
+        state.setTimeoutTimestamp(cur[1] // 1000 + delay_ms)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
+    return fn
+
+
+def sessions_with_event_timeout(
+    stream: DataFrame,
+    gap_minutes: int = 10,
+    watermark_delay: str = "1 minute",
+    timeout_extra_ms: int = 0,
+) -> DataFrame:
+    """Streaming sessionization with EVENT-TIME TIMEOUT flush — the
+    production twin of ``sessions_with_state``: instead of replaying a
+    sentinel row to close trailing sessions, each key arms an event-time
+    timer at its open session's end; when the watermark passes it, the
+    state function is invoked WITHOUT input rows, emits the session, and
+    evicts the state (bounded state even for keys that go silent — the
+    semantics Auto-Loader-era jobs need on unbounded key spaces).
+
+    The caller's stream must carry an event-time watermark on ``ts``
+    (applyInPandasWithState requires one for EventTimeTimeout); sessions
+    whose horizon the final watermark never passes remain in state —
+    exactly-once hand-off to the next run via the checkpoint."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessions_timeout_fn_factory(
+                gap_minutes * 60 * 1_000_000, timeout_extra_ms
+            ),
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,67 @@
+"""Event-time-timeout session flush (streaming/stateful
+.sessions_with_event_timeout): a key with NO rows in a later batch still
+emits its session when the watermark passes its horizon."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+    parquet_file_stream,
+)
+from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+    sessions_with_event_timeout,
+)
+
+
+def _rows(spark, specs):
+    data = [
+        (eid, dt.datetime(2024, 1, d, h, m, 0), uid)
+        for eid, d, h, m, uid in specs
+    ]
+    return spark.createDataFrame(data, "event_id long, ts timestamp, user_id long")
+
+
+def test_timeout_flushes_silent_key(spark):
+    root = tempfile.mkdtemp(prefix="sess-timeout-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    # batch 1: user 1 has a tight session on day 1; user 2 too
+    b1 = _rows(
+        spark,
+        [(1, 1, 9, 0, 1), (2, 1, 9, 5, 1), (3, 1, 9, 0, 2)],
+    )
+    # batch 2: ONLY user 2, far in the future -> watermark jumps past
+    # user 1's session horizon; user 1 gets a timeout callback with no
+    # input rows and its session must emit
+    b2 = _rows(spark, [(4, 20, 9, 0, 2)])
+
+    b1.write.mode("append").parquet(land)
+    stream = parquet_file_stream(spark, land, b1.schema)
+    name = f"sess_to_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions_with_event_timeout(stream, gap_minutes=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    b2.write.mode("append").parquet(land)
+    q.processAllAvailable()
+    # one more empty-ish trigger so timers registered in batch 2 can fire
+    _rows(spark, [(5, 20, 10, 0, 2)]).write.mode("append").parquet(land)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    # user 1's 2-event session flushed by TIMEOUT (no user-1 rows after
+    # batch 1); user 2's day-1 single-event session flushed the same way
+    assert (1, 2) in got
+    assert (2, 1) in got

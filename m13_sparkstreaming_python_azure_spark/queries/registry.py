@@ -75,7 +75,9 @@ _head = [
     "semantic_dedup",
     "ewma_anomalies",
     "streaming_ewma",
-] + list(ANALYTICS_QUERIES) + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
+    # analytics reversed: the dict appends newest LAST, but the prefix
+    # cap must cover the code with the least driver history FIRST
+] + list(ANALYTICS_QUERIES)[::-1] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
 # pad (or cap) to exactly 50 with the heads of the remaining categories,
 # newest-first risk ordering preserved
 _pad = [

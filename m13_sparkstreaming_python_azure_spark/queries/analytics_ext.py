@@ -1021,6 +1021,106 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join under the gate
+    — the §2.9 semantic the inner-join gate can't prove: UNMATCHED
+    purchases must null-pad, and Spark only emits them when the
+    watermark closes their interval (state eviction). Events replay as
+    3 event-time-ordered chunks with a REALISTIC 3-day delay (not the
+    span-exceeding delay the inner gate uses), then two far-future
+    sentinel rows push the watermark past every real interval so all
+    outer rows flush — the emitted set must equal the batch LEFT join
+    exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="souter-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    chunks = [
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    ]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # each stream's watermark advances only on rows that SURVIVE its
+    # filter — so every sentinel batch must carry BOTH event types, or
+    # the global watermark (min over operators) stays pinned and the
+    # trailing unmatched rows never flush
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (-1 - 2 * i, max_ts, -1, "purchase"),
+                (-2 - 2 * i, max_ts, -2, "click"),
+            ],
+            ev.schema,
+        ).select(
+            F.col("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {60 + i} DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        for i in range(2)
+    ]
+    chunks[0].write.mode("append").parquet(land)
+    s1 = parquet_file_stream(spark, land, ev.schema)
+    s2 = parquet_file_stream(spark, land, ev.schema)
+    joined = stream_stream_interval_join(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+        key="user_id",
+        max_lag="24 hours",
+        watermark_delay="3 days",
+        how="leftOuter",
+    ).select(
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd").alias("purchase_date"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+    )
+    name = f"souter_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        for ch in chunks[1:] + sentinels:
+            ch.write.mode("append").parquet(land)
+            q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .filter(F.col("purchase_id") >= 0)
+        .groupBy("purchase_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count("click_id").alias("n_matched"),
+            F.sum(
+                F.when(F.col("click_id").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unmatched"),
+        )
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -1054,6 +1154,7 @@ ANALYTICS_QUERIES = {
     "corpus_datacard": q_corpus_datacard,
     "zipf_slope": q_zipf_slope,
     "calibration_bins": q_calibration_bins,
+    "streaming_outer_join": q_streaming_outer_join,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1784,4 +1885,26 @@ ANALYTICS_ORACLES["calibration_bins"] = """
            floor(abs(mean_pred - frac_pos) * 1e6
                  + CAST(0.5 AS DOUBLE)) / 1e6 AS abs_gap
     FROM g
+"""
+
+ANALYTICS_ORACLES["streaming_outer_join"] = """
+    WITH p AS (
+        SELECT event_id AS pid, ts AS pts, user_id
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS cid, ts AS cts, user_id
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.pid, strftime(p.pts, '%Y-%m-%d') AS d, c.cid
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.cts >= p.pts - INTERVAL 24 HOUR
+         AND c.cts <= p.pts
+    )
+    SELECT d AS purchase_date,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(cid) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched
+    FROM j GROUP BY d
 """

@@ -1121,6 +1121,49 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/cms) over the
+    document word-bigram stream: a deterministic probe subset (md5(b) ≡
+    0 mod 37) queried against a 4×256 sketch, reported next to the true
+    counts — (bigram, estimate, true_count), estimate ≥ true always.
+    The md5-seeded bucket grid makes the sketch CONTENTS engine-
+    identical, so even the approximate answers hash-match the SQL
+    oracle."""
+    from m13_sparkstreaming_python_azure_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bigrams = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i),
+                    F.lit(" "),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    cms = cms_build(bigrams, "bigram")
+    truth = bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    probes = truth.filter(
+        F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("bigint")
+        % 37
+        == 0
+    )
+    est = cms_estimate(cms, probes.select("bigram"), "bigram")
+    return est.join(probes, on="bigram").select(
+        "bigram", "estimate", "true_count"
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -1155,6 +1198,7 @@ ANALYTICS_QUERIES = {
     "zipf_slope": q_zipf_slope,
     "calibration_bins": q_calibration_bins,
     "streaming_outer_join": q_streaming_outer_join,
+    "cms_frequencies": q_cms_frequencies,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1907,4 +1951,45 @@ ANALYTICS_ORACLES["streaming_outer_join"] = """
            CAST(sum(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_unmatched
     FROM j GROUP BY d
+"""
+
+ANALYTICS_ORACLES["cms_frequencies"] = """
+    WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM d WHERE len(t) >= 2
+    ), cells AS (
+        SELECT dep, bkt, CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(range(0, 4)) AS dep, bigram FROM bg
+        ) x,
+        LATERAL (
+            SELECT ('0x' || substring(md5('cms' || CAST(dep AS VARCHAR)
+                                          || ':' || bigram), 1, 8))
+                       ::BIGINT % 256 AS bkt
+        )
+        GROUP BY dep, bkt
+    ), truth AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS true_count
+        FROM bg GROUP BY bigram
+    ), probes AS (
+        SELECT bigram, true_count FROM truth
+        WHERE ('0x' || substring(md5(bigram), 1, 8))::BIGINT % 37 = 0
+    ), keyed AS (
+        SELECT p.bigram, p.true_count, dd.dep,
+               ('0x' || substring(md5('cms' || CAST(dd.dep AS VARCHAR)
+                                      || ':' || p.bigram), 1, 8))
+                   ::BIGINT % 256 AS bkt
+        FROM probes p CROSS JOIN (SELECT unnest(range(0, 4)) AS dep) dd
+    )
+    SELECT k.bigram,
+           CAST(min(coalesce(c.n, 0)) AS BIGINT) AS estimate,
+           k.true_count
+    FROM keyed k LEFT JOIN cells c
+      ON k.dep = c.dep AND k.bkt = c.bkt
+    GROUP BY k.bigram, k.true_count
 """

@@ -1164,6 +1164,69 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics under the gate — the inverse
+    of streaming_append_windows (which proves what IS emitted): events
+    replay OUT OF ORDER — days 1-10, then days 20+, then days 11-19
+    arriving last — with a 2-day watermark on daily tumbling counts in
+    update mode. After the second chunk the watermark sits ~2 days
+    behind day 30, so the ENTIRE late middle chunk is older than the
+    watermark and must be dropped from the aggregation state. The final
+    per-window maxima (update-mode counts only grow) must equal the
+    batch daily counts computed WITHOUT the middle chunk — the drop set
+    is exact and deterministic, not best-effort."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="late-drop-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    on_time_1 = ev.filter(F.col("ts") < "2024-01-11")
+    on_time_2 = ev.filter(F.col("ts") >= "2024-01-20")
+    late = ev.filter(
+        (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-20")
+    )
+    on_time_1.write.mode("append").parquet(land)
+    stream = parquet_file_stream(spark, land, ev.schema)
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n",
+        )
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in (on_time_2, late):
+        ch.write.mode("append").parquet(land)
+        q.processAllAvailable()
+    q.stop()
+    # update mode re-emits a window each time its count grows; the final
+    # value per window is the max. Windows fed ONLY by the dropped late
+    # chunk never emit at all.
+    return (
+        spark.table(name)
+        .groupBy("day")
+        .agg(F.max("n").alias("n_events"))
+    )
+
+
 ANALYTICS_QUERIES = {
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -1199,6 +1262,7 @@ ANALYTICS_QUERIES = {
     "calibration_bins": q_calibration_bins,
     "streaming_outer_join": q_streaming_outer_join,
     "cms_frequencies": q_cms_frequencies,
+    "streaming_late_data_drop": q_streaming_late_data_drop,
 }
 
 _DAILY_SERIES_SQL = """
@@ -1992,4 +2056,13 @@ ANALYTICS_ORACLES["cms_frequencies"] = """
     FROM keyed k LEFT JOIN cells c
       ON k.dep = c.dep AND k.bkt = c.bkt
     GROUP BY k.bigram, k.true_count
+"""
+
+ANALYTICS_ORACLES["streaming_late_data_drop"] = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-11'
+       OR ts >= TIMESTAMP '2024-01-20'
+    GROUP BY 1
 """

@@ -415,6 +415,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.sources.filestream import (
         parquet_file_stream,
     )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
     from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
         sessions_with_state,
     )
@@ -437,7 +438,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("event_id"),
         (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
     ).select("event_id", "ts", "user_id")
-    chunks[0].write.mode("append").parquet(land)
+    publish_chunk(chunks[0], land)
     stream = parquet_file_stream(spark, land, ev.schema)
     name = f"sess_stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -450,7 +451,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     for ch in chunks[1:] + [sentinel]:
-        ch.write.mode("append").parquet(land)
+        publish_chunk(ch, land)
         q.processAllAvailable()
     q.stop()
     out = spark.table(name)
@@ -1038,6 +1039,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.sources.filestream import (
         parquet_file_stream,
     )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
     from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
         stream_stream_interval_join,
     )
@@ -1074,7 +1076,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(2)
     ]
-    chunks[0].write.mode("append").parquet(land)
+    publish_chunk(chunks[0], land)
     s1 = parquet_file_stream(spark, land, ev.schema)
     s2 = parquet_file_stream(spark, land, ev.schema)
     joined = stream_stream_interval_join(
@@ -1102,7 +1104,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         for ch in chunks[1:] + sentinels:
-            ch.write.mode("append").parquet(land)
+            publish_chunk(ch, land)
             q.processAllAvailable()
         q.stop()
     finally:
@@ -1182,6 +1184,7 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.sources.filestream import (
         parquet_file_stream,
     )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
@@ -1193,7 +1196,7 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.filter(
         (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-20")
     )
-    on_time_1.write.mode("append").parquet(land)
+    publish_chunk(on_time_1, land)
     stream = parquet_file_stream(spark, land, ev.schema)
     agg = (
         stream.withWatermark("ts", "2 days")
@@ -1214,7 +1217,7 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     for ch in (on_time_2, late):
-        ch.write.mode("append").parquet(land)
+        publish_chunk(ch, land)
         q.processAllAvailable()
     q.stop()
     # update mode re-emits a window each time its count grows; the final

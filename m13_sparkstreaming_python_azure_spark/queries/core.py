@@ -1502,6 +1502,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m13_sparkstreaming_python_azure_spark.sources.filestream import (
         parquet_file_stream,
     )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
     from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
         ewma_with_state,
     )
@@ -1516,7 +1517,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")),
         ev.filter(F.col("ts") >= "2024-01-21"),
     ]
-    chunks[0].write.mode("append").parquet(land)
+    publish_chunk(chunks[0], land)
     stream = parquet_file_stream(spark, land, ev.schema)
     name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1529,7 +1530,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     for ch in chunks[1:]:
-        ch.write.mode("append").parquet(land)
+        publish_chunk(ch, land)
         q.processAllAvailable()
     q.stop()
     return spark.table(name)

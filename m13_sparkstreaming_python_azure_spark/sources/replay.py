@@ -78,6 +78,42 @@ def replay_partitions(
             time.sleep(delay_seconds)
 
 
+def publish_chunk(df: DataFrame, land: str) -> str:
+    """Atomically publish one replay chunk into a live streaming landing dir.
+
+    ``df.write.mode("append").parquet(land)`` into a directory a running
+    file-source stream is polling is RACY: the micro-batch engine lists on
+    its own thread and can observe a half-committed multi-file write,
+    splitting one chunk across two micro-batches out of event-time order —
+    which breaks operators whose contract is "batch boundaries respect
+    event-time order" (order-dependent EWMA, sessionization, watermark
+    late-drop). Fix: stage the chunk as a SINGLE parquet file in a sibling
+    temp dir, then ``os.rename`` that one file into the landing dir. A
+    single-file rename is atomic on a local FS, so any directory listing
+    sees the whole chunk or none of it. Chunks here are toy-scale replay
+    slices, so ``coalesce(1)`` is free; at production scale the equivalent
+    is a commit-protocol/manifest source (sources/snapshots.py).
+    """
+    import shutil
+    import uuid
+
+    os.makedirs(land, exist_ok=True)
+    parent = os.path.dirname(land.rstrip(os.sep)) or "."
+    stage = os.path.join(parent, f"_stage-{uuid.uuid4().hex[:12]}")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        assert len(parts) == 1, f"expected one staged part file, got {parts}"
+        final = os.path.join(land, f"chunk-{uuid.uuid4().hex[:12]}.parquet")
+        os.rename(os.path.join(stage, parts[0]), final)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return final
+
+
 def replay_dataframe_by_key(
     df: DataFrame,
     key_values: Sequence,

@@ -9,6 +9,7 @@ import os
 import tempfile
 import uuid
 
+from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
 from m13_sparkstreaming_python_azure_spark.sources.filestream import (
     parquet_file_stream,
 )
@@ -38,7 +39,7 @@ def test_timeout_flushes_silent_key(spark):
     # input rows and its session must emit
     b2 = _rows(spark, [(4, 20, 9, 0, 2)])
 
-    b1.write.mode("append").parquet(land)
+    publish_chunk(b1, land)
     stream = parquet_file_stream(spark, land, b1.schema)
     name = f"sess_to_{uuid.uuid4().hex[:8]}"
     q = (
@@ -50,10 +51,10 @@ def test_timeout_flushes_silent_key(spark):
         .start()
     )
     q.processAllAvailable()
-    b2.write.mode("append").parquet(land)
+    publish_chunk(b2, land)
     q.processAllAvailable()
     # one more empty-ish trigger so timers registered in batch 2 can fire
-    _rows(spark, [(5, 20, 10, 0, 2)]).write.mode("append").parquet(land)
+    publish_chunk(_rows(spark, [(5, 20, 10, 0, 2)]), land)
     q.processAllAvailable()
     q.stop()
 

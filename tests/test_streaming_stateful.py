@@ -496,6 +496,7 @@ def test_streaming_ewma_matches_batch_across_chunks(spark, tmp_path):
     from m13_sparkstreaming_python_azure_spark.sources.filestream import (
         parquet_file_stream,
     )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import publish_chunk
     from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
         ewma_with_state,
     )
@@ -510,7 +511,7 @@ def test_streaming_ewma_matches_batch_across_chunks(spark, tmp_path):
     ck = os.path.join(str(tmp_path), "ck")
     first = ev.filter(F.col("event_id") < 30)
     second = ev.filter(F.col("event_id") >= 30)
-    first.write.mode("append").parquet(land)
+    publish_chunk(first, land)
     stream = parquet_file_stream(spark, land, ev.schema)
     name = f"ewma_t_{uuid.uuid4().hex[:8]}"
     q = (
@@ -522,7 +523,7 @@ def test_streaming_ewma_matches_batch_across_chunks(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
-    second.write.mode("append").parquet(land)
+    publish_chunk(second, land)
     q.processAllAvailable()
     q.stop()
     got = {

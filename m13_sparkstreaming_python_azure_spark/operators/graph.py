@@ -301,6 +301,13 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     with degree < k, recompute degrees on the induced subgraph, repeat
     to fixpoint. Returns (node, degree) inside the core.
 
+    Edges are symmetrized internally (union with the reversed list,
+    then distinct), so callers may pass one row per undirected edge OR
+    an already-symmetric list — both yield correct undirected degrees.
+    If ``max_iter`` rounds pass without a fixpoint, the result is the
+    degree->=k slice of the round-``max_iter`` live subgraph (documented
+    truncation; the gate oracle mirrors the same round count).
+
     Scale design: each round is ONE degree aggregate (groupBy src) plus
     two semi-joins filtering the edge list to surviving nodes — all
     partitioned on node/src keys. The edge list shrinks monotonically,
@@ -310,9 +317,16 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     ``max_iter`` is the safety valve. The per-round count() on the
     dropped-node set is the bounded driver action that detects the
     fixpoint."""
-    sym = edges.select("src", "dst").filter(
-        F.col("src") != F.col("dst")
-    ).distinct()
+    one_way = edges.select("src", "dst")
+    sym = (
+        one_way.unionByName(
+            one_way.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     live = sym.localCheckpoint(eager=True)
     n_prev = live.count()
     for _ in range(max_iter):

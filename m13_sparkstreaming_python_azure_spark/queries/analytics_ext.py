@@ -609,10 +609,13 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_k_core_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the deterministic customer tree+chain graph
     (operators/graph.k_core): iterative peel — degree aggregate + two
-    semi-joins per round, monotonically shrinking edge list. Iterative
-    fixpoint — not SQL-expressible (recursive CTEs cannot aggregate in
-    the recursive step), so rows-only gate; peel semantics pinned on
-    known graphs in tests/test_kcore_ids.py."""
+    semi-joins per round, monotonically shrinking edge list, truncated
+    at max_iter=30 rounds. Hash-gated against a DuckDB recursive-CTE
+    oracle that peels the SAME 30 rounds (DuckDB permits aggregation
+    over the recursive reference, so each iteration recomputes induced
+    degrees); peel semantics additionally pinned on known graphs in
+    tests/test_kcore_ids.py. k_core symmetrizes internally, so the
+    one-row-per-undirected-edge list is passed as-is."""
     from m13_sparkstreaming_python_azure_spark.operators.graph import k_core
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -624,11 +627,7 @@ def q_k_core_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = cust.filter(F.col("k") >= 1).select(
         F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
     )
-    ed = tree.unionByName(chain)
-    sym = ed.unionByName(
-        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return k_core(sym, k=3)
+    return k_core(tree.unionByName(chain), k=3)
 
 
 def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1546,6 +1545,48 @@ ANALYTICS_ORACLES = {
                                + CAST(0.5 AS DOUBLE)) / 1e6
                END AS rolling_corr
         FROM w
+    """,
+    "k_core_customers": """
+        WITH RECURSIVE base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), ed AS (
+            SELECT k AS src, CAST(k // 2 AS BIGINT) AS dst
+            FROM base WHERE k >= 2
+            UNION ALL
+            SELECT k, k - 1 FROM base WHERE k >= 1
+        ), sym AS (
+            -- explicit DISTINCT: under WITH RECURSIVE, a plain UNION here
+            -- fails to dedup duplicates WITHIN a branch (ed carries (2,1)
+            -- from both the tree and the chain), which inflates degrees
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed
+                UNION ALL
+                SELECT dst, src FROM ed
+            ) WHERE src <> dst
+        ), live(iter, node) AS (
+            SELECT 0, src FROM sym GROUP BY src
+            UNION
+            -- one peel round per iteration: recompute degrees on the
+            -- subgraph induced by the previous round's node set, keep
+            -- degree >= 3; capped at the SAME 30 rounds as the Spark
+            -- operator's max_iter truncation
+            SELECT iter + 1, src FROM (
+                SELECT l.iter AS iter, e.src AS src, count(*) AS deg
+                FROM sym e
+                JOIN live l ON e.src = l.node
+                JOIN live l2 ON e.dst = l2.node AND l2.iter = l.iter
+                GROUP BY l.iter, e.src
+            ) WHERE deg >= 3 AND iter < 30
+        ), final AS (
+            SELECT node FROM live WHERE iter = 30
+        ), fdeg AS (
+            SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM sym e
+            JOIN final a ON e.src = a.node
+            JOIN final b ON e.dst = b.node
+            GROUP BY e.src
+        )
+        SELECT node, degree FROM fdeg WHERE degree >= 3
     """,
     "bfs_shortest_paths": """
         WITH RECURSIVE base AS (

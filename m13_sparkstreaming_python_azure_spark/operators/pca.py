@@ -62,6 +62,66 @@ def _moment_partials(vec_col: str):
     return fn
 
 
+def covariance_int_moments(
+    df: DataFrame, vec_col: str, scale: int = 1_000_000
+) -> tuple[int, list[int], list[list[int]]]:
+    """Exact integer-quantized covariance moments of an embedding column —
+    the hash-gateable twin of the float moment pass in ``pca_fit``.
+
+    Each element is snapped to a 1/``scale`` grid (floor(x*scale + 0.5),
+    the engine-independent rounding this repo's oracles use), then the
+    (n, Σx, Σxy) moments are EXACT integers: the same distributed one-pass
+    mapInPandas partial scheme as ``_moment_partials``, folded driver-side
+    in arbitrary-precision Python ints. From these, covariance derives by
+    IEEE division of identically-valued integers — bit-equal across
+    engines, which is what lets the O(d²) moment matrix sit under the
+    DuckDB hash gate while only the eigh step stays rows-only.
+
+    Per-partition partials accumulate in int64: |x|<=scale ⇒ each product
+    <= scale², so a partition stays exact while rows/partition <=
+    2^62/scale² (~4.6e6 at the default scale) — repartition wider before
+    calling at larger volumes (asserted in the partial)."""
+    limit = (1 << 62) // (scale * scale)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, o = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            xi = np.floor(x * scale + 0.5).astype("int64")
+            n += xi.shape[0]
+            assert n <= limit, (
+                f"covariance_int_moments: >{limit} rows in one partition "
+                "overflows the int64 partial — repartition wider"
+            )
+            s = xi.sum(axis=0) if s is None else s + xi.sum(axis=0)
+            xo = xi.T @ xi
+            o = xo if o is None else o + xo
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "o": [o.ravel()]})
+
+    partials = df.select(vec_col).mapInPandas(
+        fn, schema="n long, s array<long>, o array<long>"
+    ).collect()
+    if not partials:
+        raise ValueError("covariance_int_moments: empty input")
+    d = len(partials[0]["s"])
+    n = 0
+    s = [0] * d
+    o = [[0] * d for _ in range(d)]
+    for p in partials:
+        n += int(p["n"])
+        ps, po = p["s"], p["o"]
+        for i in range(d):
+            s[i] += int(ps[i])
+            row = o[i]
+            base = i * d
+            for j in range(d):
+                row[j] += int(po[base + j])
+    return n, s, o
+
+
 def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
     """Fit PCA on ``df[vec_col]`` (array<numeric>), keep top-``k``
     components by eigenvalue."""

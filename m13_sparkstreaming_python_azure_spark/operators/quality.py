@@ -47,6 +47,11 @@ def single_table_metrics(
     - compliance:<name>  — fraction of rows satisfying the predicate
     """
     compliance = dict(compliance or {})
+    if not completeness and not uniqueness and not compliance:
+        # an empty suite would render a malformed "stack(0, )" expression
+        return df.sparkSession.createDataFrame(
+            [], "check string, metric double"
+        )
     aggs = [F.count(F.lit(1)).alias("_n")]
     names: list[str] = []
     for c in completeness:
@@ -83,16 +88,26 @@ def referential_integrity(
     child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
 ) -> DataFrame:
     """(check, metric) row: fraction of child rows whose key exists in
-    parent. Orphans counted via LEFT ANTI join (only violations flow)."""
+    parent (1.0 for an empty child — no rows, no violations). Orphans
+    counted via LEFT ANTI join (only violations flow)."""
     total = child.count()
-    orphans = child.join(
-        parent.select(F.col(parent_col).alias(child_col)).distinct(),
-        on=child_col,
-        how="left_anti",
-    ).count()
+    orphans = (
+        child.join(
+            parent.select(F.col(parent_col).alias(child_col)).distinct(),
+            on=child_col,
+            how="left_anti",
+        ).count()
+        if total
+        else 0
+    )
     spark = child.sparkSession
     return spark.createDataFrame(
-        [(f"referential:{child_col}", float((total - orphans) / total))],
+        [
+            (
+                f"referential:{child_col}",
+                float((total - orphans) / total) if total else 1.0,
+            )
+        ],
         "check string, metric double",
     )
 

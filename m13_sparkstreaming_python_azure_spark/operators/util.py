@@ -76,16 +76,23 @@ def stable_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
 
     The assignment follows the CURRENT partition layout: ids are dense
     and unique for this materialization but change if the partitioning
-    changes — the contract every zipWithIndex has. Pin the input
-    (checkpoint / write) before treating ids as durable keys. For fully
-    deterministic ids independent of layout, sort on a unique key and
-    pay the range shuffle, or hash the natural key (operators/chunking
-    hash_split pattern)."""
+    changes — the contract every zipWithIndex has. The tagged input is
+    pinned internally (MEMORY_AND_DISK persist — spills, never evicts in
+    local mode) so the count pass and the assignment pass observe the
+    SAME materialization even when the upstream plan is nondeterministic
+    (repartition / sample / shuffle retry); it stays persisted because
+    the returned DataFrame reads it. For fully deterministic ids
+    independent of layout, sort on a unique key and pay the range
+    shuffle, or hash the natural key (operators/chunking hash_split
+    pattern)."""
     from typing import Iterator
 
     import pandas as pd
+    from pyspark import StorageLevel
 
-    tagged = df.withColumn("__pid", F.spark_partition_id())
+    tagged = df.withColumn("__pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     counts = {
         r["__pid"]: r["cnt"]
         for r in tagged.groupBy("__pid")

@@ -548,6 +548,36 @@ def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding column under the
+    FULL hash gate (operators/pca.covariance_int_moments): elements snap
+    to the 1e-6 grid, the (n, Σx, Σxy) moments are exact integers from
+    one distributed mapInPandas pass, and cov_ij = (n·Σxy − Σx·Σy) /
+    n / (n−1) / scale² — IEEE division of identically-derived integers,
+    bit-equal vs the DuckDB oracle. This gates the O(d²) data pass of
+    pca_fit; only the driver-side eigh remains rows-only (its numpy
+    parity is pinned in tests/test_pca.py)."""
+    from m13_sparkstreaming_python_azure_spark.operators.pca import (
+        covariance_int_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, o = covariance_int_moments(emb, "embedding")
+    rows = [
+        (
+            i,
+            j,
+            float(n * o[i][j] - s[i] * s[j])
+            / float(n)
+            / float(n - 1)
+            / 1e12,
+        )
+        for i in range(len(s))
+        for j in range(i, len(s))
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double")
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity filter (operators/lm
     .bigram_logppl): self-trained bigram+unigram counts, mixture
@@ -1249,6 +1279,7 @@ ANALYTICS_QUERIES = {
     "winsorized_value_stats": q_winsorized_value_stats,
     "pca_explained_variance": q_pca_explained_variance,
     "pca_embedding_projection": q_pca_embedding_projection,
+    "pca_covariance": q_pca_covariance,
     "bigram_perplexity": q_bigram_perplexity,
     "record_linkage": q_record_linkage,
     "k_core_customers": q_k_core_customers,
@@ -1545,6 +1576,33 @@ ANALYTICS_ORACLES = {
                                + CAST(0.5 AS DOUBLE)) / 1e6
                END AS rolling_corr
         FROM w
+    """,
+    "pca_covariance": """
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ), nn AS (
+            SELECT count(*) AS n FROM embeddings
+        ), sums AS (
+            SELECT i, sum(x) AS sx FROM el GROUP BY i
+        ), prods AS (
+            SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+            FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        )
+        SELECT CAST(p.i - 1 AS INTEGER) AS i,
+               CAST(p.j - 1 AS INTEGER) AS j,
+               CAST(nn.n * p.sxy - sa.sx * sb.sx AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE)
+                   / CAST(nn.n - 1 AS DOUBLE)
+                   / 1e12 AS cov
+        FROM prods p
+        CROSS JOIN nn
+        JOIN sums sa ON sa.i = p.i
+        JOIN sums sb ON sb.i = p.j
     """,
     "k_core_customers": """
         WITH RECURSIVE base AS (

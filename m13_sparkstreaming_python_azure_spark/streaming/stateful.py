@@ -448,8 +448,16 @@ def _sessions_timeout_fn_factory(gap_micros: int, delay_ms: int):
         state.update(tuple(cur))
         # fire when the event-time watermark passes session end + delay;
         # a key with NO rows in a later batch still gets this callback —
-        # the production flush (vs the gate query's sentinel replay)
-        state.setTimeoutTimestamp(cur[1] // 1000 + delay_ms)
+        # the production flush (vs the gate query's sentinel replay).
+        # Clamp above the CURRENT watermark: Spark rejects past timers
+        # (IllegalArgumentException kills the query). Fully-late rows are
+        # dropped by the engine's late-event filter before reaching this
+        # function, but that filter uses the PREVIOUS batch's watermark
+        # while timer validation uses the current one — a row landing in
+        # that window would otherwise arm a past timer. The clamped timer
+        # fires once the watermark advances again.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(cur[1] // 1000 + delay_ms, wm_ms + 1))
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "session_end", "n_events"],

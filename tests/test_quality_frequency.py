@@ -43,6 +43,17 @@ def test_referential_orphans(spark):
     assert row["metric"] == 2 / 3
 
 
+def test_empty_suite_and_empty_child_guards(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    out = single_table_metrics(df)
+    assert out.columns == ["check", "metric"]
+    assert out.count() == 0
+    empty_child = spark.createDataFrame([], "fk bigint")
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    row = referential_integrity(empty_child, "fk", parent, "pk").collect()[0]
+    assert row["metric"] == 1.0
+
+
 def test_evaluate_suite_thresholds(spark):
     metrics = spark.createDataFrame(
         [("a", 0.9), ("b", 1.0), ("c", 0.5)], ["check", "metric"]

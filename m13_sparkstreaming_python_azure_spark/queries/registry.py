@@ -44,16 +44,26 @@ ORACLES = {
     **ANALYTICS_ORACLES,
 }
 
-# Registry ORDER is part of the external contract: the round-1 driver
-# checked only the FIRST 50 entries (VERDICT r1), which under plain
-# category concatenation covered core alone. The first 50 slots therefore
-# carry the highest-risk surface explicitly — the flagship, every
-# streaming/CDC gate (they exercise the stateful sinks and the snapshot
-# layer), the full LLM-pipeline category (newest code), behavior, and the
-# head of the TPC-H/relational extensions — so a prefix-capped gate still
-# verifies every subsystem. Everything else follows in category order.
+# Registry ORDER is part of the external contract: the driver checks only
+# the FIRST 50 entries per round (VERDICT r1/r2). The prefix therefore
+# carries ONLY hash-gated queries (a rows-only entry burns a slot the
+# driver cannot verify — VERDICT r2 #2) and covers every subsystem with at
+# least one representative (core, relational-ext, TPC-H-ext, behavior,
+# LLM, analytics, plus every streaming/CDC/snapshot gate — ADVICE r2),
+# ordered newest-/highest-risk-first. Rows-only queries and everything
+# else follow after slot 50; the full local gate replica
+# (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
+    # ROUND-3 new / materially-changed code first (least driver history)
+    "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
+    "pca_covariance",        # new: integer-moment hash gate
+    "streaming_ewma",        # de-raced chunk publication
+    "streaming_sessions",
+    "streaming_outer_join",
+    "streaming_late_data_drop",
+    # every streaming / CDC / snapshot gate (stateful sinks + manifest
+    # layer are the highest-regression-risk subsystems)
     "streaming_daily_stats",
     "streaming_append_windows",
     "streaming_interval_join",
@@ -66,28 +76,49 @@ _head = [
     "snapshot_change_feed",
     "incremental_view_refresh",
     "streaming_view_maintenance",
-    # newest (this round's) queries next — the driver prefix cap must
-    # cover the code with the least driver history
-    "bloom_pruned_revenue",
-    "domain_curation",
-    "repeated_spans",
-    "dsir_select",
-    "semantic_dedup",
-    "ewma_anomalies",
-    "streaming_ewma",
-    # analytics reversed: the dict appends newest LAST, but the prefix
-    # cap must cover the code with the least driver history FIRST
-] + list(ANALYTICS_QUERIES)[::-1] + list(LLM_QUERIES) + list(BEHAVIOR_QUERIES)
-# pad (or cap) to exactly 50 with the heads of the remaining categories,
-# newest-first risk ordering preserved
-_pad = [
-    q
-    for q in list(TPCH_EXT_QUERIES) + list(EXT_QUERIES)
-    if q not in _head
+    # one-per-subsystem representatives so a prefix-capped gate verifies
+    # every category each round
+    "user_sessions",         # behavior
+    "order_priority_count",  # tpch_ext
+    "fuzzy_name_pairs",      # relational_ext
+    "exact_dedup_groups",    # llm — dedup backbone
+    "bm25_search",           # llm — retrieval backbone
+    "triangle_counts",       # core — graph
+    # newest hash-gated analytics, newest first (dict appends newest LAST)
+    "cms_frequencies",
+    "calibration_bins",
+    "zipf_slope",
+    "corpus_datacard",
+    "sorted_neighborhood_pairs",
+    "json_dlq_routing",
+    "hybrid_rrf_search",
+    "ab_test_zscore",
+    "week_over_week",
+    "topn_with_other",
+    "record_linkage",
+    "bigram_perplexity",
+    "winsorized_value_stats",
+    "chi_square_independence",
+    "gdpr_delete",
+    "skyline_orders",
+    "bfs_shortest_paths",
+    "rolling_corr",
+    "linear_interpolation",
+    "changepoint_detect",
+    "heavy_hitter_bigrams",
+    "association_rules",
+    "data_quality_suite",
+    "interval_merge_sessions",
+    "markov_transitions",
 ]
-_PRIORITY_50 = (_head + _pad)[:50]
+_PRIORITY_50 = _head[:50]
+assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
 assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"
+assert set(_PRIORITY_50) <= set(ORACLES), (
+    "rows-only query in the driver-checked prefix: "
+    f"{sorted(set(_PRIORITY_50) - set(ORACLES))}"
+)
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY_50}
 QUERIES.update({k: v for k, v in _ALL_QUERIES.items() if k not in QUERIES})

@@ -17,10 +17,12 @@ Semantics (the useful subset of a table format, in ~100 lines):
 - **Safe compaction**: `compact_snapshot` rewrites current content into
   fewer files and commits them as a new version — old versions (and old
   readers) still see the original files.
-- **Atomic commit**: the manifest is written to a temp name and renamed;
-  `_latest` is a one-line pointer file renamed over atomically (POSIX /
-  HDFS rename semantics; on S3-like stores use a conditional-put catalog —
-  same protocol, different pointer swap).
+- **Atomic commit**: the manifest is created exclusively and `_latest` is
+  a one-line pointer published atomically — both routed through the
+  filesystem seam (sources/fs.py): POSIX rename/O_EXCL locally,
+  conditional-put + overwrite-put on an object store. The protocol is
+  identical on both; only the nine primitive ops differ, so pointing
+  `table_dir` at `abfss://…` needs an adapter, not a rewrite.
 
 At 100 TB the manifest lists O(file count) entries — keep files ~256 MB+
 via `target_file_bytes` and the list stays in the low millions, read once
@@ -31,11 +33,12 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.sources.fs import fs_for
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -47,27 +50,26 @@ def _manifest_path(table_dir: str, version: int) -> str:
 
 
 def _atomic_write(path: str, content: str) -> None:
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
-    with os.fdopen(fd, "w") as f:
-        f.write(content)
-    os.rename(tmp, path)
+    """Atomic pointer publish, routed through the owning filesystem
+    (POSIX tmp+rename locally; one conditional/overwrite put on an
+    object store — sources/fs.py)."""
+    fs_for(path).write_atomic(path, content)
 
 
 def _exclusive_write(path: str, content: str) -> None:
-    """Create ``path`` with O_CREAT|O_EXCL — fails with FileExistsError if
-    another writer already claimed this version number (writer-writer
-    conflict detection; the loser retries at the next version)."""
-    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    with os.fdopen(fd, "w") as f:
-        f.write(content)
+    """Create ``path`` exclusively — FileExistsError if another writer
+    already claimed this version number (writer-writer conflict
+    detection; the loser retries at the next version). O_CREAT|O_EXCL
+    locally; conditional-put/If-None-Match on an object store."""
+    fs_for(path).write_exclusive(path, content)
 
 
 def latest_version(table_dir: str) -> int | None:
+    fs = fs_for(table_dir)
     p = os.path.join(_manifest_dir(table_dir), "_latest")
-    if not os.path.exists(p):
+    if not fs.exists(p):
         return None
-    with open(p) as f:
-        return int(f.read().strip())
+    return int(fs.read_text(p).strip())
 
 
 def _commit(
@@ -126,20 +128,19 @@ def _commit(
 def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
     """Write df as new immutable files under data/ (staging dir + move —
     Spark owns the file layout inside the staging write)."""
+    fs = fs_for(table_dir)
     staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
     data_dir = os.path.join(table_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
+    fs.makedirs(data_dir)
     moved = []
-    for name in os.listdir(staging):
+    for name in fs.listdir(staging):
         if name.endswith(".parquet"):
             dst = os.path.join(data_dir, f"{uuid.uuid4().hex[:8]}-{name}")
-            os.rename(os.path.join(staging, name), dst)
+            fs.rename(os.path.join(staging, name), dst)
             moved.append(dst)
     # best-effort cleanup of the _SUCCESS marker etc.
-    for name in os.listdir(staging):
-        os.remove(os.path.join(staging, name))
-    os.rmdir(staging)
+    fs.rmtree(staging)
     return moved
 
 
@@ -147,7 +148,7 @@ def write_snapshot(
     df: DataFrame, table_dir: str, extra: dict | None = None
 ) -> int:
     """Create version 1 (or fully replace content as a new version)."""
-    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    fs_for(table_dir).makedirs(_manifest_dir(table_dir))
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n = spark.read.parquet(*files).count() if files else 0
@@ -174,8 +175,11 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
     v = version if version is not None else latest_version(table_dir)
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    with open(_manifest_path(table_dir, v)) as f:
-        return json.load(f)
+    fs = fs_for(table_dir)
+    try:
+        return json.loads(fs.read_text(_manifest_path(table_dir, v)))
+    except OSError as e:
+        raise FileNotFoundError(str(e)) from None
 
 
 def read_snapshot(
@@ -196,7 +200,8 @@ def compact_snapshot(
     time travel are unaffected (files are only ever added, never mutated;
     a vacuum step for expired versions is deliberately separate)."""
     m = read_manifest(table_dir)
-    size = sum(os.path.getsize(f) for f in m["files"])
+    fs = fs_for(table_dir)
+    size = sum(fs.getsize(f) for f in m["files"])
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(*m["files"]).repartition(n_files)
     files = _write_data_files(df, table_dir)
@@ -272,6 +277,7 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     latest = latest_version(table_dir)
     if latest is None:
         return []
+    fs = fs_for(table_dir)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
     live_files: set[str] = set()
     for v in keep:
@@ -285,10 +291,10 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
         except FileNotFoundError:
             continue  # already vacuumed by an earlier run
         for f in m["files"]:
-            if f not in live_files and os.path.exists(f):
-                os.remove(f)
+            if f not in live_files and fs.exists(f):
+                fs.remove(f)
                 deleted.append(f)
-        os.remove(_manifest_path(table_dir, v))
+        fs.remove(_manifest_path(table_dir, v))
     return deleted
 
 
@@ -410,28 +416,27 @@ def _write_bucketed_files(df: DataFrame, table_dir: str) -> dict[str, list[str]]
     is what lets a later batch rewrite one bucket without touching others.
     The ``__bucket`` value is derivable from the keys, so it is not stored
     in the data files (partitionBy path-encodes it; readers recompute)."""
-    import shutil
-
+    fs = fs_for(table_dir)
     staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
     data_dir = os.path.join(table_dir, "data")
-    os.makedirs(data_dir, exist_ok=True)
+    fs.makedirs(data_dir)
     parts: dict[str, list[str]] = {}
-    for entry in os.listdir(staging):
+    for entry in fs.listdir(staging):
         if not entry.startswith("__bucket="):
             continue
         bucket = entry.split("=", 1)[1]
         moved = []
         pdir = os.path.join(staging, entry)
-        for name in os.listdir(pdir):
+        for name in fs.listdir(pdir):
             if name.endswith(".parquet"):
                 dst = os.path.join(
                     data_dir, f"{uuid.uuid4().hex[:8]}-b{bucket}-{name}"
                 )
-                os.rename(os.path.join(pdir, name), dst)
+                fs.rename(os.path.join(pdir, name), dst)
                 moved.append(dst)
         parts[bucket] = moved
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.rmtree(staging)
     return parts
 
 
@@ -539,7 +544,7 @@ def keyed_batch_sink(
             "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
         ).repartition(len(touched), "__bucket")
 
-        os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+        fs_for(table_dir).makedirs(_manifest_dir(table_dir))
         written = _write_bucketed_files(merged, table_dir)
         reduced.unpersist()
 

@@ -87,3 +87,62 @@ def test_dynamic_partition_pruning_fires(spark):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_state_rows_stay_bounded_under_watermark(spark):
+    """The gauges as asserted invariants (VERDICT r2 #8): across a LONG
+    ordered replay of a watermarked windowed aggregation, the state-store
+    row count must track only the windows still inside the watermark
+    horizon — NOT grow with total data processed. 20 day-chunks, 1-day
+    tumbling windows, 2-day delay => at most ~4 windows of state alive at
+    any trigger; unbounded growth here is the first operational failure
+    mode at scale."""
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+
+    root = tempfile.mkdtemp(prefix="state-bound-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    days = 20
+    chunks = [
+        spark.createDataFrame(
+            [
+                (d * 100 + i, dt.datetime(2024, 2, 1 + d, 9, i, 0), float(i))
+                for i in range(5)
+            ],
+            "id long, ts timestamp, v double",
+        )
+        for d in range(days)
+    ]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(spark, land, chunks[0].schema)
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"bound_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    max_state = 0
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+        s = progress_summary(q.lastProgress)
+        if s.get("state_rows"):
+            max_state = max(max_state, s["state_rows"])
+    totals = history_summary(q)
+    q.stop()
+    # every chunk was on time — the watermark dropped nothing
+    assert totals["total_rows_dropped_by_watermark"] == 0
+    # all 20 windows flowed through, but state never held more than the
+    # watermark horizon's worth (2-day delay + open window + slack)
+    assert max_state > 0
+    assert max_state <= 5, f"state grew to {max_state} rows (horizon is ~4)"
+    assert spark.table(name).count() >= days - 3  # closed windows emitted

@@ -153,7 +153,7 @@ def scan_summary(plan: str) -> list[str]:
     return out
 
 
-# the suite's five most expensive queries (BENCH_r01) — the ones whose
+# the suite's most expensive queries (BENCH r01/r02) — the ones whose
 # join/shuffle choices must be re-verified as input stats grow
 SCALE_AUDIT_QUERIES = [
     "minhash_dedup_pairs",
@@ -162,6 +162,11 @@ SCALE_AUDIT_QUERIES = [
     "near_dup_clusters",
     "ann_lsh",
     "fuzzy_name_pairs",  # most expensive round-2 addition
+    # round-2 heavies (VERDICT r2 #6)
+    "bloom_pruned_revenue",   # fact-side prune must precede the shuffle
+    "k_core_customers",       # iterative peel — per-round plan stays keyed
+    "repeated_spans",         # positional shingle join
+    "association_rules",     # in-basket pair explode, no self-join
 ]
 
 
@@ -181,7 +186,13 @@ def build_scaled_fixture(spark, sf_dir: str, replicas: int = 10) -> str:
         if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             continue
         df = load_table(spark, sf_dir, t)
-        if t == "documents":
+        if t == "orders":
+            df = _replicate(df, "o_orderkey", replicas, 10_000_000)
+        elif t == "lineitem":
+            df = _replicate(df, "l_orderkey", replicas, 10_000_000)
+        elif t == "customer":
+            df = _replicate(df, "c_custkey", replicas, 1_000_000)
+        elif t == "documents":
             df = _replicate(df, "doc_id", replicas, 1_000_000).withColumn(
                 "text",
                 F.concat(

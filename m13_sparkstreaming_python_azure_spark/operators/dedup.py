@@ -693,3 +693,98 @@ def minhash_bands_rowwise(
             bind(minhash_signature(sh, num_hashes), to_bands),
         ).otherwise(F.array().cast("array<struct<band:int,bucket:bigint>>")),
     )
+
+
+def text_fingerprint(col: Column | str) -> Column:
+    """Engine-independent 60-bit content fingerprint: the first 15 hex
+    digits of md5 over the raw text, as a BIGINT — reproducible in any
+    SQL engine (the repo's md5-derivation rule), unlike xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def incremental_dedup_sink(
+    corpus_dir: str,
+    fp_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+):
+    """foreachBatch sink for EXACTLY-ONCE streaming corpus dedup against
+    ALL history: each micro-batch keeps only docs whose content
+    fingerprint was never seen (in this batch — min ``id_col`` wins — or
+    any earlier one), appends the survivors to a versioned corpus
+    snapshot, and upserts their fingerprints into a BUCKETED keyed
+    fingerprint table.
+
+    Scale shape — O(batch), never O(corpus): the seen-set probe computes
+    the batch's touched fingerprint buckets and anti-joins against ONLY
+    those buckets' files (sources/snapshots.read_keyed_buckets); the
+    corpus itself is never re-read. This is the streaming analogue of
+    exact_dedup for a corpus that grows forever — the first stage of a
+    continuously-crawled training-data pipeline.
+
+    Crash safety / ordering: the corpus version commits FIRST (carrying
+    the batch_id high-water mark), the fingerprint upsert second. A
+    replay after a crash between the two skips the corpus append (guard)
+    and re-commits only the fingerprints — convergent. The reverse order
+    would lose the batch: replayed survivors would anti-join against
+    their own fingerprints and vanish before ever reaching the corpus.
+    """
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        keyed_batch_sink,
+        latest_version,
+        read_keyed_buckets,
+        read_manifest,
+        write_snapshot,
+    )
+
+    fp_sink = keyed_batch_sink(fp_dir, keys=["fp"], mode="merge",
+                               n_buckets=n_buckets)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            last = read_manifest(corpus_dir).get("batch_id")
+        except FileNotFoundError:
+            last = None
+        corpus_done = last is not None and batch_id <= last
+        from pyspark.sql import Window
+
+        withfp = batch_df.withColumn("fp", text_fingerprint(text_col))
+        w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+        winners = (
+            withfp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int"),
+            )
+            .persist()
+        )
+        touched = sorted(
+            r["__bucket"]
+            for r in winners.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            winners.unpersist()
+            return
+        seen = read_keyed_buckets(spark, fp_dir, touched)
+        fresh = winners.drop("__bucket")
+        if seen is not None:
+            fresh = fresh.join(
+                seen.select("fp"), on="fp", how="left_anti"
+            )
+        if not corpus_done:
+            extra = {"batch_id": batch_id, "op": "dedup-append"}
+            if latest_version(corpus_dir) is None:
+                write_snapshot(fresh, corpus_dir, extra)
+            else:
+                append_snapshot(fresh, corpus_dir, extra)
+        # fingerprint upsert LAST (see ordering note); keyed sink has its
+        # own batch_id guard on fp_dir
+        fp_sink(fresh.select("fp", F.col(id_col).alias("first_id")), batch_id)
+        winners.unpersist()
+
+    return _sink

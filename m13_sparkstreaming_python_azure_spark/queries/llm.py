@@ -732,6 +732,64 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming corpus dedup against ALL history
+    (operators/dedup.incremental_dedup_sink): documents replay as three
+    atomic chunks — chunk 2 RE-SENDS every doc_id divisible by 7 (a
+    re-crawl) — through a foreachBatch sink that keeps only
+    never-seen-before content fingerprints (bucket-pruned anti-join
+    against the persisted keyed fingerprint table, O(batch) per batch),
+    appends survivors to a versioned corpus snapshot, and upserts the
+    fingerprints. The final corpus must equal first-arrival dedup: per
+    fingerprint, the earliest chunk wins, min doc_id within a chunk —
+    which the DuckDB oracle states directly as one window."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        incremental_dedup_sink,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incdedup-")
+    land, ck, corpus, fps = (
+        os.path.join(root, d) for d in ("land", "ck", "corpus", "fps")
+    )
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(
+            (F.col("doc_id") % 3 == 1) | (F.col("doc_id") % 7 == 0)
+        ),
+        docs.filter(F.col("doc_id") % 3 == 2),
+    ]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(spark, land, docs.schema)
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_sink(corpus, fps)
+        )
+        .queryName(f"incdedup_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+    q.stop()
+    return read_snapshot(spark, corpus).select("doc_id", "fp")
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -772,6 +830,7 @@ LLM_QUERIES = {
     "repeated_spans": q_repeated_spans,
     "dsir_select": q_dsir_select,
     "semantic_dedup": q_semantic_dedup,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -780,6 +839,27 @@ _STOP_ES = "['el','la','los','de','y','un','una','es','que','por']"
 _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
+    "streaming_incremental_dedup": """
+        WITH fp AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+            FROM documents
+        ), tagged AS (
+            SELECT doc_id, fp, 1 AS chunk FROM fp WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, fp, 2 FROM fp
+            WHERE doc_id % 3 = 1 OR doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id, fp, 3 FROM fp WHERE doc_id % 3 = 2
+        ), ranked AS (
+            SELECT doc_id, fp,
+                   row_number() OVER (
+                       PARTITION BY fp ORDER BY chunk, doc_id
+                   ) AS rn
+            FROM tagged
+        )
+        SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """,
     "text_stats": f"""
         WITH toks AS (
             SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents

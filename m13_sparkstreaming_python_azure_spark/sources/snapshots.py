@@ -580,6 +580,28 @@ def keyed_batch_sink(
     return _sink
 
 
+def read_keyed_buckets(
+    spark: SparkSession, table_dir: str, buckets: list[int]
+) -> DataFrame | None:
+    """Read ONLY the given buckets of a keyed table (None if the table
+    has no committed version or those buckets are empty) — the pruned
+    probe path: a batch that touches k of n buckets reads k/n of the
+    table regardless of total size."""
+    try:
+        m = read_manifest(table_dir)
+    except FileNotFoundError:
+        return None
+    parts = m.get("parts", {})
+    files = [
+        f
+        for b in buckets
+        for f in parts.get(str(b), {}).get("files", [])
+    ]
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
 def compact_keyed_snapshot(
     spark: SparkSession, table_dir: str, target_file_bytes: int = 256 << 20
 ) -> int:

@@ -1,0 +1,103 @@
+"""Exactly-once streaming corpus dedup (operators/dedup
+.incremental_dedup_sink): in-batch and cross-batch dedup, replay
+idempotence, and the crash-window ordering contract."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+    incremental_dedup_sink,
+    text_fingerprint,
+)
+from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+    history,
+    read_manifest,
+    read_snapshot,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dirs():
+    root = tempfile.mkdtemp(prefix="incdedup-t-")
+    return os.path.join(root, "corpus"), os.path.join(root, "fps")
+
+
+def test_in_batch_and_cross_batch_dedup(spark):
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    # batch 0: doc 5 and doc 9 share text — min doc_id wins in-batch
+    sink(_docs(spark, [(5, "aaa"), (9, "aaa"), (7, "bbb")]), 0)
+    # batch 1: doc 11 repeats "bbb" (cross-batch dup), doc 12 is fresh
+    sink(_docs(spark, [(11, "bbb"), (12, "ccc")]), 1)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_snapshot(spark, corpus).collect()
+    }
+    assert got == {(5, "aaa"), (7, "bbb"), (12, "ccc")}
+
+
+def test_replay_is_idempotent(spark):
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    sink(_docs(spark, [(1, "x")]), 0)
+    sink(_docs(spark, [(2, "y")]), 1)
+    v = read_manifest(corpus)["version"]
+    sink(_docs(spark, [(2, "y")]), 1)  # crash replay of batch 1
+    assert read_manifest(corpus)["version"] == v
+    assert read_snapshot(spark, corpus).count() == 2
+
+
+def test_crash_between_corpus_and_fp_commit_converges(spark):
+    """Corpus committed, fingerprints not (the crash window the ordering
+    contract allows): the replay must skip the corpus append but land
+    the fingerprints, and later batches must still dedup against them."""
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    sink(_docs(spark, [(1, "x")]), 0)
+
+    # simulate the crash: run batch 1 with a sink whose fp table is a
+    # THROWAWAY dir, so only the corpus advances
+    scratch_fps = tempfile.mkdtemp(prefix="lost-fps-")
+    incremental_dedup_sink(corpus, os.path.join(scratch_fps, "f"))(
+        _docs(spark, [(2, "y")]), 1
+    )
+    assert read_manifest(corpus)["batch_id"] == 1
+    # fp table for "y" was never committed
+    fp_y = None
+
+    # replay of batch 1 through the REAL sink: corpus skip, fp commit
+    sink(_docs(spark, [(2, "y")]), 1)
+    assert read_snapshot(spark, corpus).count() == 2  # no double append
+    # batch 2 re-sends "y": must dedup against the recovered fp table
+    sink(_docs(spark, [(3, "y"), (4, "z")]), 2)
+    got = {r["doc_id"] for r in read_snapshot(spark, corpus).collect()}
+    assert got == {1, 2, 4}
+    assert fp_y is None  # (explicitness: nothing read from the lost dir)
+
+
+def test_fingerprint_engine_independence(spark):
+    df = _docs(spark, [(1, "hello world")]).select(
+        text_fingerprint("text").alias("fp")
+    )
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT ('0x' || substring(md5('hello world'), 1, 15))::BIGINT"
+    ).fetchone()[0]
+    assert df.collect()[0]["fp"] == want
+
+
+def test_corpus_history_tracks_batches(spark):
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    for i, t in enumerate(["a", "b", "c"]):
+        sink(_docs(spark, [(i, t)]), i)
+    hist = history(corpus)
+    assert [h["batch_id"] for h in hist] == [0, 1, 2]

@@ -679,3 +679,61 @@ def ivf_ann_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def hard_negative_mining(
+    base: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k_pos: int = 3,
+    k_neg: int = 3,
+) -> DataFrame:
+    """Contrastive-pair mining over an embedding corpus: per anchor, the
+    ``k_pos`` most-similar SAME-label rows (positives) and the ``k_neg``
+    most-similar DIFFERENT-label rows (hard negatives — the pairs that
+    actually move a contrastive loss; random negatives are trivially
+    easy). Output: (anchor_id, pair_id, pair_type, cosine_sim, rank).
+
+    This exact form scores base × anchors in one broadcast pass (the
+    anchor set is the bounded side — a training batch, not the corpus)
+    and ranks with one window per (anchor, type). At 100 TB swap the
+    candidate pass for the IVF index (ivf_ann_topk) with an oversized k
+    and apply the label split at re-rank — the mining semantics stay
+    identical, only candidate generation changes.
+    """
+    b = spread(base).select(
+        F.col(id_col).alias("pair_id"),
+        F.col(label_col).alias("__blbl"),
+        _as_double(F.col(vec_col)).alias("__bv"),
+    ).withColumn("__bn", l2_norm(F.col("__bv")))
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("__albl"),
+        _as_double(F.col(vec_col)).alias("__av"),
+    ).withColumn("__an", l2_norm(F.col("__av")))
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .filter(F.col("pair_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "pair_id",
+            F.when(F.col("__blbl") == F.col("__albl"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("pair_type"),
+            F.round(
+                dot(F.col("__bv"), F.col("__av"))
+                / (F.col("__bn") * F.col("__an")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "pair_type").orderBy(
+        F.desc("cosine_sim"), F.asc("pair_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(
+        ((F.col("pair_type") == "pos") & (F.col("rank") <= k_pos))
+        | ((F.col("pair_type") == "neg") & (F.col("rank") <= k_neg))
+    )

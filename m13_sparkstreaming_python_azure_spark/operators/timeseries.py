@@ -372,3 +372,87 @@ def rolling_correlation(
     return df.select(
         key_col, order_col, x_col, y_col
     ).withColumn("rolling_corr", snap)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classic additive seasonal decomposition of a regular series —
+    value = trend + seasonal + remainder (the moving-average STL
+    ancestor every ops dashboard runs on daily metrics):
+
+    - trend: centered ``period``-point moving average (odd period; rows
+      without a full window emit NULL trend/seasonal/remainder),
+    - seasonal: per-phase (t mod period) mean of the detrended values,
+      centered so the ``period`` seasonal effects sum to ~0,
+    - remainder: what's left.
+
+    Input must be one row per ``t_col`` tick (an upstream aggregate —
+    which is the distributed-heavy part; the decomposition itself runs
+    on the tiny aggregated series, so the unpartitioned windows here
+    are bounded by the series length, not the data volume).
+
+    Float contract (hash-gate-ready): window and phase sums accumulate
+    in DECIMAL(18,6) (exact, fold-order independent), divisions happen
+    in doubles on identically-derived operands, every emitted component
+    snaps to the 1e-6 grid.
+    """
+    if period % 2 == 0:
+        raise ValueError("seasonal_decompose: period must be odd")
+    half = period // 2
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    base = df.select(
+        F.col(t_col).alias("t"),
+        F.col(value_col).cast("double").alias("value"),
+        F.col(value_col).cast("decimal(18,6)").alias("__vdec"),
+        F.pmod(F.col(t_col), F.lit(period)).alias("__phase"),
+    )
+    w = Window.orderBy("t").rowsBetween(-half, half)
+    with_trend = base.select(
+        "t",
+        "value",
+        "__phase",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.sum("__vdec").over(w).cast("double") / float(period),
+        ).alias("trend"),
+    )
+    detr = with_trend.withColumn(
+        "__ddec", snap(F.col("value") - F.col("trend")).cast("decimal(18,6)")
+    )
+    seas = (
+        detr.filter(F.col("trend").isNotNull())
+        .groupBy("__phase")
+        .agg(
+            (
+                F.sum("__ddec").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__sraw")
+        )
+        .withColumn("__sdec", snap(F.col("__sraw")).cast("decimal(18,6)"))
+    )
+    # center the period effects: subtract their own mean (tiny aggregate)
+    center = seas.agg(
+        (F.sum("__sdec").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("__m")
+    )
+    seasonal = seas.crossJoin(F.broadcast(center)).select(
+        "__phase", snap(F.col("__sraw") - F.col("__m")).alias("seasonal")
+    )
+    out = detr.join(F.broadcast(seasonal), on="__phase", how="left")
+    return out.select(
+        "t",
+        "value",
+        snap(F.col("trend")).alias("trend"),
+        F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias(
+            "seasonal"
+        ),
+        F.when(
+            F.col("trend").isNotNull(),
+            snap(F.col("value") - F.col("trend") - F.col("seasonal")),
+        ).alias("remainder"),
+    )

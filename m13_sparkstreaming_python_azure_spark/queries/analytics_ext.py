@@ -578,6 +578,27 @@ def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "i int, j int, cov double")
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-value series
+    (operators/timeseries.seasonal_decompose): value = trend (centered
+    7-day MA) + weekly seasonal (per-phase mean of detrended, centered)
+    + remainder. The daily aggregate is the distributed pass; the
+    decomposition windows run on the tiny series. Exact-decimal sums +
+    IEEE divisions of identical operands + 1e-6 snaps make all three
+    components hash-equal vs the DuckDB twin."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v")
+    )
+    return seasonal_decompose(daily, "t", "v", period=7)
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity filter (operators/lm
     .bigram_logppl): self-trained bigram+unigram counts, mixture
@@ -1280,6 +1301,7 @@ ANALYTICS_QUERIES = {
     "pca_explained_variance": q_pca_explained_variance,
     "pca_embedding_projection": q_pca_embedding_projection,
     "pca_covariance": q_pca_covariance,
+    "seasonal_decompose": q_seasonal_decompose,
     "bigram_perplexity": q_bigram_perplexity,
     "record_linkage": q_record_linkage,
     "k_core_customers": q_k_core_customers,
@@ -1576,6 +1598,53 @@ ANALYTICS_ORACLES = {
                                + CAST(0.5 AS DOUBLE)) / 1e6
                END AS rolling_corr
         FROM w
+    """,
+    "seasonal_decompose": """
+        WITH daily AS (
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                       AS vd
+            FROM events GROUP BY 1
+        ), tr AS (
+            SELECT t, CAST(vd AS DOUBLE) AS value, t % 7 AS phase,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN CAST(sum(vd) OVER w AS DOUBLE)
+                             / CAST(7 AS DOUBLE)
+                   END AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), detr AS (
+            SELECT *,
+                   CAST(floor((value - trend) * 1e6 + 5e-1) / 1e6
+                        AS DECIMAL(18,6)) AS ddec
+            FROM tr
+        ), seas AS (
+            SELECT phase,
+                   CAST(sum(ddec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS sraw
+            FROM detr WHERE trend IS NOT NULL GROUP BY phase
+        ), seas2 AS (
+            SELECT phase, sraw,
+                   CAST(floor(sraw * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6))
+                       AS sdec
+            FROM seas
+        ), ctr AS (
+            SELECT CAST(sum(sdec) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS m
+            FROM seas2
+        ), seasonal AS (
+            SELECT phase, floor((sraw - m) * 1e6 + 5e-1) / 1e6 AS seasonal
+            FROM seas2 CROSS JOIN ctr
+        )
+        SELECT d.t, d.value,
+               floor(d.trend * 1e6 + 5e-1) / 1e6 AS trend,
+               CASE WHEN d.trend IS NOT NULL THEN s.seasonal END
+                   AS seasonal,
+               CASE WHEN d.trend IS NOT NULL
+                    THEN floor((d.value - d.trend - s.seasonal) * 1e6 + 5e-1)
+                         / 1e6
+               END AS remainder
+        FROM detr d LEFT JOIN seasonal s ON d.phase = s.phase
     """,
     "pca_covariance": """
         WITH el AS (

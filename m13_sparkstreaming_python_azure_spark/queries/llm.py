@@ -732,6 +732,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (operators/similarity.hard_negative_mining):
+    for each of the first 20 vectors, the 3 most-similar same-label
+    positives and 3 most-similar different-label HARD negatives — the
+    pairs a contrastive embedding trainer actually learns from. One
+    broadcast scoring pass (anchor set is the bounded side), JVM HOF
+    cosine with the repo's 1e-6 round, deterministic (sim DESC, id ASC)
+    tie-break — hash-matches the DuckDB list_cosine_similarity oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return sim.hard_negative_mining(emb, anchors, k_pos=3, k_neg=3)
+
+
 def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming corpus dedup against ALL history
     (operators/dedup.incremental_dedup_sink): documents replay as three
@@ -831,6 +844,7 @@ LLM_QUERIES = {
     "dsir_select": q_dsir_select,
     "semantic_dedup": q_semantic_dedup,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -839,6 +853,31 @@ _STOP_ES = "['el','la','los','de','y','un','una','es','que','por']"
 _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
+    "hard_negative_mining": """
+        WITH a AS (
+            SELECT vec_id AS anchor_id, label AS albl,
+                   embedding::DOUBLE[] AS av
+            FROM embeddings WHERE vec_id < 20
+        ), scored AS (
+            SELECT a.anchor_id, b.vec_id AS pair_id,
+                   CASE WHEN b.label = a.albl THEN 'pos' ELSE 'neg' END
+                       AS pair_type,
+                   round(list_cosine_similarity(b.embedding::DOUBLE[], a.av), 6)
+                       AS cosine_sim
+            FROM embeddings b CROSS JOIN a
+            WHERE b.vec_id <> a.anchor_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id, pair_type
+                ORDER BY cosine_sim DESC, pair_id ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT anchor_id, pair_id, pair_type, cosine_sim, rank
+        FROM ranked
+        WHERE (pair_type = 'pos' AND rank <= 3)
+           OR (pair_type = 'neg' AND rank <= 3)
+    """,
     "streaming_incremental_dedup": """
         WITH fp AS (
             SELECT doc_id,

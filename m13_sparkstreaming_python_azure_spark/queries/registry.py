@@ -57,6 +57,8 @@ _head = [
     "pricing_summary",  # flagship — must stay first
     # ROUND-3 new / materially-changed code first (least driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
+    "hard_negative_mining",  # new: contrastive pair mining
+    "seasonal_decompose",    # new: trend/seasonal/remainder
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication
@@ -109,7 +111,6 @@ _head = [
     "heavy_hitter_bigrams",
     "association_rules",
     "data_quality_suite",
-    "interval_merge_sessions",
 ]
 _PRIORITY_50 = _head[:50]
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

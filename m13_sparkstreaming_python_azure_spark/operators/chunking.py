@@ -162,3 +162,28 @@ def pack_sequences(
         F.floor(cum_before / budget).cast("bigint").alias("bin_id"),
         (cum_before % budget).cast("bigint").alias("offset_in_bin"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    salt: str = "seed42",
+    cuts: tuple = _DEFAULT_CUTS,
+) -> DataFrame:
+    """Train/val/test split that cannot leak duplicate content across
+    splits: the assignment hashes the CONTENT FINGERPRINT (exact-dup
+    group key), not the row id — every copy of the same text lands in
+    the same split by construction. Plain per-id hash_split puts two
+    copies of one document on both sides of the train/test wall ~2·p·q
+    of the time, which inflates eval scores; group-aware splitting is
+    the standard fix (and with a near-dup cluster id as the group key —
+    operators/graph.connected components over LSH pairs — the same call
+    extends to near-duplicate leakage). One scan, no shuffle: the
+    fingerprint and the split are both row-local expressions."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        text_fingerprint,
+    )
+
+    fp = df.withColumn("group_fp", text_fingerprint(text_col))
+    out = hash_split(fp, id_col="group_fp", salt=salt, cuts=cuts)
+    return out

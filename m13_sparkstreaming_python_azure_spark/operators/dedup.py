@@ -788,3 +788,28 @@ def incremental_dedup_sink(
         winners.unpersist()
 
     return _sink
+
+
+def best_of_dup_groups(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: per content fingerprint
+    keep the copy with the HIGHEST ``score_col`` (ties → smallest id) —
+    a re-crawled page with cleaner extraction should beat the earlier
+    noisy copy, which plain min-id survivorship (exact_dedup) throws
+    away. One window over the fingerprint key; same single-shuffle
+    shape as exact_dedup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("fp", text_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

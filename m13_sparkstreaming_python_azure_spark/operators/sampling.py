@@ -184,3 +184,40 @@ def temperature_resample(
         df.join(F.broadcast(counts), on=domain_col)
         .filter(u < F.col("keep_fraction"))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle of a training corpus
+    WITHOUT a global sort: md5(epoch:id) assigns each row a shard
+    (top bits) and an in-shard position (row_number within the shard,
+    ordered by the same hash) — reading shards in order yields a
+    reproducible epoch-specific permutation, a different one each
+    epoch. This is the at-scale layout trainers consume (shard files,
+    shuffled within and across): the only wide op is the shard-keyed
+    window, which parallelizes across ``n_shards`` partitions; a true
+    global row_number would serialize on one partition.
+
+    Every engine with md5 reproduces the same permutation — data order
+    for run N of a training job stops depending on Spark partition
+    layout, file order, or rand() seeds."""
+    h = F.md5(
+        F.concat(F.lit(f"{epoch}:"), F.col(id_col).cast("string"))
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w))
+        .drop("__h")
+    )

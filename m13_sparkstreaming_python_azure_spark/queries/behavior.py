@@ -140,13 +140,114 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.selectExpr(stack_expr)
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    credits the clicks of the SAME user in the 3 days before it — 100%
+    to a lone click, 50/50 for two, else 40% first touch / 40% last /
+    20% split across the middle — and each credited click carries its
+    revenue share. The ancestor of asof_last_event that marketing
+    pipelines actually run: per purchase it needs ALL prior touches in
+    the window, not just the latest.
+
+    Scale shape: one user-keyed equi-join with a bounded time-range
+    predicate (the 3-day window caps fan-out exactly like a
+    stream-stream interval join's state bound), then two windows over
+    the purchase key. Credits are IEEE divisions of identical operands
+    + 1e-6 snaps — hash-equal vs the SQL twin."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    horizon = 3 * 86400 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pts"),
+        F.col("value").alias("revenue"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        us.alias("cts"),
+    )
+    j = p.join(
+        c,
+        on=[
+            p.u == c.u,
+            c.cts < p.pts,
+            c.cts >= p.pts - F.lit(horizon),
+        ],
+    ).select("purchase_id", "click_id", "cts", "revenue")
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("cts").asc(), F.col("click_id").asc()
+    )
+    snap = lambda col: F.floor(col * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    scored = (
+        j.withColumn("n_touches", F.count(F.lit(1)).over(wn))
+        .withColumn("touch_rank", F.row_number().over(wr))
+        .withColumn(
+            "credit",
+            F.when(F.col("n_touches") == 1, F.lit(1.0))
+            .when(F.col("n_touches") == 2, F.lit(0.5))
+            .when(F.col("touch_rank") == 1, F.lit(0.4))
+            .when(F.col("touch_rank") == F.col("n_touches"), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (F.col("n_touches") - 2)),
+        )
+    )
+    return scored.select(
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        "touch_rank",
+        snap(F.col("credit")).alias("credit"),
+        snap(F.col("revenue") * F.col("credit")).alias("revenue_credit"),
+    )
+
+
 BEHAVIOR_QUERIES = {
     "user_sessions": q_user_sessions,
     "cohort_retention": q_cohort_retention,
     "event_funnel": q_event_funnel,
+    "touch_attribution": q_touch_attribution,
 }
 
 BEHAVIOR_ORACLES = {
+    "touch_attribution": """
+        WITH p AS (
+            SELECT user_id AS u, event_id AS purchase_id,
+                   epoch_us(ts) AS pts, value AS revenue
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id AS u, event_id AS click_id, epoch_us(ts) AS cts
+            FROM events WHERE event_type = 'click'
+        ), j AS (
+            SELECT p.purchase_id, c.click_id, c.cts, p.revenue
+            FROM p JOIN c ON p.u = c.u
+             AND c.cts < p.pts
+             AND c.cts >= p.pts - 259200000000
+        ), ranked AS (
+            SELECT purchase_id, click_id, revenue,
+                   count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+                   row_number() OVER (
+                       PARTITION BY purchase_id
+                       ORDER BY cts ASC, click_id ASC
+                   ) AS touch_rank
+            FROM j
+        ), credited AS (
+            SELECT *,
+                   CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                        WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                        WHEN touch_rank = 1 THEN CAST(0.4 AS DOUBLE)
+                        WHEN touch_rank = n_touches THEN CAST(0.4 AS DOUBLE)
+                        ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2)
+                   END AS credit
+            FROM ranked
+        )
+        SELECT purchase_id, click_id,
+               CAST(n_touches AS BIGINT) AS n_touches, touch_rank,
+               floor(credit * 1e6 + 5e-1) / 1e6 AS credit,
+               floor(revenue * credit * 1e6 + 5e-1) / 1e6 AS revenue_credit
+        FROM credited
+    """,
     "user_sessions": """
         WITH flagged AS (
             SELECT user_id, event_id, epoch_us(ts) AS us, value,

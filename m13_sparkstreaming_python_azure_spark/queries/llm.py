@@ -732,6 +732,53 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle (operators/sampling
+    .epoch_shuffle): md5(epoch:doc_id) drives shard assignment and
+    in-shard order, so epoch 1's permutation is reproducible on any
+    engine and independent of partition/file layout — and the only wide
+    op is the shard-keyed window (8-way parallel), never a global
+    sort."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+
+
+def q_best_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors (operators/dedup.best_of_dup_groups):
+    per content fingerprint keep the LONGEST copy (extraction-length
+    heuristic; ties → min doc_id) — the re-crawl with cleaner extraction
+    beats the earlier noisy copy that min-id survivorship would keep."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        best_of_dup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("score")
+    )
+    return best_of_dup_groups(docs, "doc_id", "score").select(
+        "doc_id", "fp", "score"
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (operators/chunking
+    .leakage_safe_split): the 90/5/5 assignment hashes the content
+    FINGERPRINT, so duplicate texts can never straddle the train/test
+    wall (the eval-inflation bug of per-id splits). Row-local
+    expressions only — no shuffle; md5 derivation keeps the oracle
+    exact."""
+    from m13_sparkstreaming_python_azure_spark.operators.chunking import (
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(docs).select("doc_id", "group_fp", "split")
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining (operators/similarity.hard_negative_mining):
     for each of the first 20 vectors, the 3 most-similar same-label
@@ -845,6 +892,9 @@ LLM_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "hard_negative_mining": q_hard_negative_mining,
+    "leakage_safe_split": q_leakage_safe_split,
+    "epoch_shuffle": q_epoch_shuffle,
+    "best_quality_survivors": q_best_quality_survivors,
 }
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
@@ -853,6 +903,54 @@ _STOP_ES = "['el','la','los','de','y','un','una','es','que','por']"
 _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
+    "epoch_shuffle": """
+        WITH h AS (
+            SELECT doc_id, source,
+                   md5('1:' || CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source, hh,
+                   CAST(('0x' || substring(hh, 1, 8))::BIGINT % 8
+                        AS INTEGER) AS shard
+            FROM h
+        )
+        SELECT doc_id, source, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY hh ASC, doc_id ASC
+               ) AS pos_in_shard
+        FROM s
+    """,
+    "best_quality_survivors": """
+        WITH fp AS (
+            SELECT doc_id, length(text) AS score,
+                   ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, fp, score,
+                   row_number() OVER (
+                       PARTITION BY fp ORDER BY score DESC, doc_id ASC
+                   ) AS rn
+            FROM fp
+        )
+        SELECT doc_id, fp, score FROM ranked WHERE rn = 1
+    """,
+    "leakage_safe_split": """
+        WITH fp AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(text), 1, 15))::BIGINT AS group_fp
+            FROM documents
+        ), h AS (
+            SELECT doc_id, group_fp,
+                   substr(md5('seed42:' || CAST(group_fp AS VARCHAR)), 1, 4)
+                       AS hp
+            FROM fp
+        )
+        SELECT doc_id, group_fp,
+               CASE WHEN hp < 'e666' THEN 'train'
+                    WHEN hp < 'f333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    """,
     "hard_negative_mining": """
         WITH a AS (
             SELECT vec_id AS anchor_id, label AS albl,

@@ -59,6 +59,10 @@ _head = [
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
     "seasonal_decompose",    # new: trend/seasonal/remainder
+    "leakage_safe_split",    # new: group-aware split
+    "touch_attribution",     # new: U-shaped multi-touch credit
+    "epoch_shuffle",         # new: deterministic training shuffle
+    "best_quality_survivors",  # new: quality-aware dedup
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication
@@ -107,10 +111,6 @@ _head = [
     "bfs_shortest_paths",
     "rolling_corr",
     "linear_interpolation",
-    "changepoint_detect",
-    "heavy_hitter_bigrams",
-    "association_rules",
-    "data_quality_suite",
 ]
 _PRIORITY_50 = _head[:50]
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

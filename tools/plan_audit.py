@@ -79,6 +79,7 @@ EXPECT_BROADCAST = {
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "hard_negative_mining",
     "order_priority_count",
     "product_type_profit",
     "top_supplier_revenue",
@@ -94,6 +95,8 @@ EXPECT_BROADCAST = {
 # N/avgdl corpus stats are the same single-row broadcast shape
 ALLOW_CARTESIAN = {
     "ann_bruteforce",
+    "hard_negative_mining",  # bounded anchor-set broadcast (ann shape)
+    "seasonal_decompose",    # single-row seasonal-mean scalar broadcast
     "idle_customer_balance",
     "important_stock",
     "bm25_search",

@@ -599,6 +599,48 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(daily, "t", "v", period=7)
 
 
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type by value — the
+    feature-engineering staple with the leakage guard built in: each
+    row's encoding is (Σ_group − own) / (n_group − 1), so a row never
+    sees its own target. One window per group (sum + count), no join.
+    Exact-decimal group sums; the subtraction stays in decimals; the
+    final division is IEEE on identically-derived operands + 1e-6 snap.
+    Groups of size 1 emit NULL (no peers to average)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    vdec = F.col("value").cast("decimal(18,6)")
+    enc = (
+        (F.sum(vdec).over(w) - vdec).cast("double")
+        / (F.count(F.lit(1)).over(w) - 1).cast("double")
+    )
+    snap = F.floor(enc * 1e6 + F.lit(0.5)) / 1e6
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.count(F.lit(1)).over(w) > 1, snap).alias("loo_encoding"),
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile (rank) normalization of value — the monotone
+    transform ML preprocessing applies before models that assume uniform
+    marginals: pr = (rank − 1) / (n − 1) within event_type, ties share a
+    rank. A ratio of identically-derived ints — bit-equal across engines
+    with no rounding grid at all."""
+    ev = load_table(spark, sf_dir, "events")
+    wg = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    n = F.count(F.lit(1)).over(wg)
+    pr = (F.rank().over(wr) - 1).cast("double") / (n - 1).cast("double")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(n > 1, pr).alias("quantile_norm"),
+    )
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram perplexity filter (operators/lm
     .bigram_logppl): self-trained bigram+unigram counts, mixture
@@ -1302,6 +1344,8 @@ ANALYTICS_QUERIES = {
     "pca_embedding_projection": q_pca_embedding_projection,
     "pca_covariance": q_pca_covariance,
     "seasonal_decompose": q_seasonal_decompose,
+    "loo_target_encoding": q_loo_target_encoding,
+    "quantile_normalize": q_quantile_normalize,
     "bigram_perplexity": q_bigram_perplexity,
     "record_linkage": q_record_linkage,
     "k_core_customers": q_k_core_customers,
@@ -1598,6 +1642,37 @@ ANALYTICS_ORACLES = {
                                + CAST(0.5 AS DOUBLE)) / 1e6
                END AS rolling_corr
         FROM w
+    """,
+    "loo_target_encoding": """
+        WITH g AS (
+            SELECT event_id, event_type,
+                   CAST(value AS DECIMAL(18,6)) AS vdec,
+                   sum(CAST(value AS DECIMAL(18,6)))
+                       OVER (PARTITION BY event_type) AS gsum,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CASE WHEN n > 1
+                    THEN floor(CAST(gsum - vdec AS DOUBLE)
+                               / CAST(n - 1 AS DOUBLE) * 1e6 + 5e-1) / 1e6
+               END AS loo_encoding
+        FROM g
+    """,
+    "quantile_normalize": """
+        WITH g AS (
+            SELECT event_id, event_type, value,
+                   rank() OVER (
+                       PARTITION BY event_type ORDER BY value ASC
+                   ) AS r,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_id, event_type, value,
+               CASE WHEN n > 1
+                    THEN CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+               END AS quantile_norm
+        FROM g
     """,
     "seasonal_decompose": """
         WITH daily AS (

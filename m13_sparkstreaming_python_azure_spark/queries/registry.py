@@ -63,6 +63,8 @@ _head = [
     "touch_attribution",     # new: U-shaped multi-touch credit
     "epoch_shuffle",         # new: deterministic training shuffle
     "best_quality_survivors",  # new: quality-aware dedup
+    "loo_target_encoding",   # new: LOO mean-target features
+    "quantile_normalize",    # new: per-group rank transform
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication
@@ -109,8 +111,6 @@ _head = [
     "gdpr_delete",
     "skyline_orders",
     "bfs_shortest_paths",
-    "rolling_corr",
-    "linear_interpolation",
 ]
 _PRIORITY_50 = _head[:50]
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

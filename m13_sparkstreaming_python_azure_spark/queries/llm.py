@@ -12,7 +12,7 @@ driver records rows-only checks and tests/ assert their quality properties
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -732,6 +732,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_prune_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality pruning with representation floors: keep each
+    source's top half by Gopher-style quality score, but never fewer
+    than 20 docs per source — the curation step that trims noisy domains
+    without silently erasing small ones (the inverse of domain_curation's
+    caps). One window per source (rank + count), integer ceil((n+1)//2),
+    deterministic (score DESC, doc_id ASC) tie-break."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        with_quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_quality_score(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    wg = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    n = F.count(F.lit(1)).over(wg)
+    half = F.floor((n.cast("double") + 1) / 2).cast("bigint")
+    ranked = scored.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "__cut", F.greatest(F.lit(20).cast("bigint"), half)
+    )
+    return ranked.filter(F.col("rnk") <= F.col("__cut")).select(
+        "doc_id", "source", "quality_score", "rnk"
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch training-data shuffle (operators/sampling
     .epoch_shuffle): md5(epoch:doc_id) drives shard assignment and
@@ -893,6 +922,7 @@ LLM_QUERIES = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
+    "quality_prune_floors": q_quality_prune_floors,
     "epoch_shuffle": q_epoch_shuffle,
     "best_quality_survivors": q_best_quality_survivors,
 }
@@ -1722,3 +1752,24 @@ LLM_ORACLES = {
         FROM a2 LEFT JOIN dropped d USING (vec_id)
     """,
 }
+
+# composed oracle: reuses the quality_score SQL verbatim as a CTE, so the
+# pruning gate can never drift from the scoring gate
+LLM_ORACLES["quality_prune_floors"] = f"""
+    WITH scored AS ({LLM_ORACLES["quality_score"]}),
+    s AS (
+        SELECT d.doc_id, d.source, sc.quality_score
+        FROM documents d JOIN scored sc USING (doc_id)
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY quality_score DESC, doc_id ASC
+               ) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM s
+    )
+    SELECT doc_id, source, quality_score, rnk
+    FROM ranked
+    WHERE rnk <= greatest(20, (n + 1) // 2)
+"""

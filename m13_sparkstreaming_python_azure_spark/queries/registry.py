@@ -65,6 +65,7 @@ _head = [
     "best_quality_survivors",  # new: quality-aware dedup
     "loo_target_encoding",   # new: LOO mean-target features
     "quantile_normalize",    # new: per-group rank transform
+    "quality_prune_floors",  # new: per-domain pruning w/ floors
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication

@@ -737,3 +737,171 @@ def hard_negative_mining(
         ((F.col("pair_type") == "pos") & (F.col("rank") <= k_pos))
         | ((F.col("pair_type") == "neg") & (F.col("rank") <= k_neg))
     )
+
+
+def ivf_index_sink(
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    seed: int = 42,
+):
+    """foreachBatch sink maintaining a PERSISTED, versioned IVF index as
+    a continuously-embedded corpus streams in — the serving-side twin of
+    incremental_dedup_sink.
+
+    - First batch trains the codebook (count-free bottom-k-by-hash
+      sample) and freezes it at ``<index_dir>__centroids`` — standard
+      IVF practice: the codebook is a quantizer, it must NOT drift under
+      later batches or every earlier cell assignment silently rots;
+      retraining is an explicit offline rebuild.
+    - Every batch assigns its vectors to cells (one Arrow matmul) and
+      APPENDS cell-pure files; the snapshot manifest tracks files per
+      cell (same ``parts`` shape as keyed tables), committed atomically
+      with the batch_id exactly-once guard — a crash-replayed batch
+      commits nothing.
+    - ``ivf_probe_snapshot`` reads the codebook, picks each query's
+      nprobe cells, and scans ONLY those cells' files via
+      read_keyed_buckets — probe cost tracks cell sizes, not corpus
+      size, and old versions stay time-travelable like any snapshot.
+    """
+    from m13_sparkstreaming_python_azure_spark.sources.fs import fs_for
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        _commit,
+        _parquet_rows,
+        _write_bucketed_files,
+        read_manifest,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            m = read_manifest(index_dir)
+            if m.get("batch_id") is not None and batch_id <= m["batch_id"]:
+                return  # crash replay — already committed
+            prev_parts = m.get("parts", {})
+        except FileNotFoundError:
+            m, prev_parts = None, {}
+
+        cent_path = index_dir + "__centroids"
+        if m is None:
+            centroids = train_ivf_centroids(
+                batch_df, vec_col, n_cells=n_cells,
+                sample_size=sample_size, seed=seed,
+            )
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        else:
+            cent_rows = (
+                spark.read.parquet(cent_path).orderBy("cell").collect()
+            )
+            centroids = np.array([r["centroid"] for r in cent_rows])
+
+        assign1 = _cell_assign_udf(centroids, 1)
+        assigned = (
+            batch_df.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("vec"),
+            )
+            .withColumn(
+                "__bucket", F.element_at(assign1(F.col("vec")), 1)
+            )
+            .repartition("__bucket")
+        )
+        fs_for(index_dir).makedirs(index_dir + "/_manifests")
+        written = _write_bucketed_files(assigned, index_dir)
+        parts = {
+            c: dict(p) for c, p in prev_parts.items()
+        }
+        for cell, fls in written.items():
+            slot = parts.setdefault(cell, {"files": [], "rows": 0})
+            slot["files"] = slot["files"] + fls
+            slot["rows"] = int(slot["rows"]) + sum(
+                _parquet_rows(f) for f in fls
+            )
+        files = [f for p in parts.values() for f in p["files"]]
+        rows = sum(p["rows"] for p in parts.values())
+        _commit(
+            index_dir,
+            files,
+            rows,
+            {
+                "op": "ivf-append",
+                "batch_id": batch_id,
+                "n_cells": n_cells,
+                "parts": parts,
+            },
+        )
+
+    return _sink
+
+
+def ivf_probe_snapshot(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN over the streaming-maintained snapshot index: codebook →
+    nprobe cells per query → read ONLY those cells' committed files →
+    inline exact cosine + per-query top-k (identical scoring to
+    ivf_ann_topk_from_index, so batch/stream index parity is testable
+    row-for-row)."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_keyed_buckets,
+    )
+
+    cent_rows = (
+        spark.read.parquet(index_dir + "__centroids").orderBy("cell").collect()
+    )
+    centroids = np.array([r["centroid"] for r in cent_rows])
+    assignp = _cell_assign_udf(centroids, nprobe)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv"))).withColumn(
+        "cell", F.explode(assignp(F.col("__qv")))
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    b = read_keyed_buckets(spark, index_dir, probe_cells)
+    if b is None:
+        return q.select("query_id").limit(0).select(
+            "query_id",
+            F.lit(None).cast("long").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("cosine_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    # committed files are cell-pure but don't store the cell column
+    # (partitionBy path-encoded it in staging; the move strips the dir) —
+    # recompute it, exactly like keyed tables recompute __bucket
+    assign1 = _cell_assign_udf(centroids, 1)
+    b = (
+        b.withColumn("cell", F.element_at(assign1(F.col("vec")), 1))
+        .filter(F.col("cell").isin(probe_cells))
+        .withColumnRenamed("vec", "__bv")
+        .withColumn("__bn", l2_norm(F.col("__bv")))
+    )
+    scored = b.join(F.broadcast(q), on="cell").withColumn(
+        "cosine_sim",
+        F.round(
+            _pairwise_dot(F.col("__bv"), F.col("__qv"))
+            / (F.col("__bn") * F.col("__qn")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -732,6 +732,53 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained IVF index (operators/similarity
+    .ivf_index_sink): embeddings arrive as a 3-chunk file stream, the
+    first batch freezes the codebook, every batch appends cell-pure
+    files under an atomic batch_id-guarded manifest commit, and the
+    probe (ivf_probe_snapshot) scans ONLY the probed cells' committed
+    files. Codebook cells come from numpy k-means → rows-only gate;
+    probe parity vs an independent recomputation, exactly-once replay,
+    and self-rank-1 are pinned in tests/test_ivf_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        ivf_index_sink,
+        ivf_probe_snapshot,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann-index-")
+    land, ck, idx = (os.path.join(root, d) for d in ("land", "ck", "index"))
+    chunks = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(spark, land, emb.schema)
+    q = (
+        stream.writeStream.foreachBatch(ivf_index_sink(idx, n_cells=8))
+        .queryName(f"annidx_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+    q.stop()
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_probe_snapshot(spark, idx, probes, k=10, nprobe=3)
+
+
 def q_quality_prune_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality pruning with representation floors: keep each
     source's top half by Gopher-style quality score, but never fewer
@@ -923,6 +970,7 @@ LLM_QUERIES = {
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
+    "streaming_ann_index": q_streaming_ann_index,
     "epoch_shuffle": q_epoch_shuffle,
     "best_quality_survivors": q_best_quality_survivors,
 }

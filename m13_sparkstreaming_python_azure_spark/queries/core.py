@@ -1165,6 +1165,66 @@ def q_incremental_ingest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_notification_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-NOTIFICATION discovery mode under the gate (sources/
+    fileevents — the Auto Loader notification-mode analogue the
+    listing-based incremental_ingest_daily can't prove): four event
+    chunks land via ``notify_write`` (staged write + one published
+    event each), a fifth copy of chunk 1 lands WITHOUT an event (a
+    writer violating the notification contract) and must stay
+    invisible — were it discovered, the per-day counts would double and
+    the hash would catch it. The EventDrivenLister consumes the event
+    log with a persisted cursor (exactly-once, O(new events) per poll,
+    zero directory listing) and feeds the same snapshot-table ingest;
+    the final aggregate must equal the one-shot batch aggregate."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.fileevents import (
+        EventDrivenLister,
+        FileEventLog,
+        notify_write,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.fileindex import (
+        incremental_snapshot_ingest,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    scratch = tempfile.mkdtemp(prefix="notify-ingest-")
+    data, table = (os.path.join(scratch, d) for d in ("data", "table"))
+    log = FileEventLog(os.path.join(scratch, "events-log"))
+    lister = EventDrivenLister(log, os.path.join(scratch, "cursor.json"))
+    bounds = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    chunks = [
+        ev.filter(F.col("ts") < bounds[0]),
+        ev.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        ev.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        ev.filter(F.col("ts") >= bounds[2]),
+    ]
+    batch = 0
+    for i, ch in enumerate(chunks):
+        notify_write(ch, data, log)
+        if i == 0:
+            # contract violation: a file with NO event — must stay invisible
+            chunks[0].limit(50).write.mode("append").parquet(data)
+        if incremental_snapshot_ingest(spark, lister, table, batch_id=batch) is not None:
+            batch += 1
+    ingested = read_snapshot(spark, table).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)"))
+    return ingested.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(dec_sum, 2).cast("double").alias("sum_value"),
+    )
+
+
 def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-level change data feed between two table versions under the
     gate: v1 = orders as-is; v2 drops every 13th key (deletes), zeroes
@@ -1680,6 +1740,7 @@ CORE_QUERIES = {
     "daily_event_stats": q_daily_event_stats,
     "daily_event_stats_approx": q_daily_event_stats_approx,
     "incremental_ingest_daily": q_incremental_ingest_daily,
+    "notification_ingest": q_notification_ingest,
     "snapshot_change_feed": q_snapshot_change_feed,
     "best_day_top10": q_best_day_top10,
     "semi_join_building": q_semi_join_building,
@@ -1780,6 +1841,16 @@ CORE_ORACLES = {
         UNION ALL
         SELECT o_orderkey + 5000000, 'N', 1.0, 'insert'
         FROM base WHERE o_orderkey % 11 = 0
+    """,
+    "notification_ingest": """
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY event_type, strftime(ts, '%Y-%m-%d')
     """,
     "incremental_ingest_daily": """
         SELECT event_type,

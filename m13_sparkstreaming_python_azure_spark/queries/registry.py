@@ -66,6 +66,7 @@ _head = [
     "loo_target_encoding",   # new: LOO mean-target features
     "quantile_normalize",    # new: per-group rank transform
     "quality_prune_floors",  # new: per-domain pruning w/ floors
+    "notification_ingest",   # new: file-notification discovery mode
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication

@@ -67,6 +67,7 @@ _head = [
     "quantile_normalize",    # new: per-group rank transform
     "quality_prune_floors",  # new: per-domain pruning w/ floors
     "notification_ingest",   # new: file-notification discovery mode
+    "lateral_top_orders",    # new: correlated LATERAL subquery
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
     "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication
@@ -110,7 +111,6 @@ _head = [
     "bigram_perplexity",
     "winsorized_value_stats",
     "chi_square_independence",
-    "gdpr_delete",
     "skyline_orders",
     "bfs_shortest_paths",
 ]

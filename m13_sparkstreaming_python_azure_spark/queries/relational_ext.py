@@ -100,6 +100,33 @@ def q_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (the SQL:2016 lateral-join surface,
+    Spark 3.2+): per BUILDING-segment customer, that customer's top-2
+    orders by price via a per-row ordered-limit subquery. Catalyst
+    decorrelates the lateral into a join + per-key WindowGroupLimit-
+    style rank — no per-row re-execution; DuckDB runs the identical
+    text."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice, l.rnk
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rnk
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 string-function class over part: case, pad, split, replace,
     regexp, edit distance — all JVM expressions that fold into the scan
@@ -459,6 +486,7 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "lateral_top_orders": q_lateral_top_orders,
     "recursive_tree_depth": q_recursive_tree_depth,
     "pivot_status_priority": q_pivot_status_priority,
     "grouping_sets_orders": q_grouping_sets_orders,
@@ -481,6 +509,21 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "lateral_top_orders": """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice, l.rnk
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rnk
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
     "fuzzy_name_pairs": """
         WITH v AS (SELECT DISTINCT c_name AS k FROM customer)
         SELECT a.k AS key_a, b.k AS key_b,

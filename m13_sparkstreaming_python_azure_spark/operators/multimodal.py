@@ -227,3 +227,102 @@ def synthetic_media(spark, n: int = 100, seed: int = 7) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def perceptual_hash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """64-bit DCT perceptual hash (pHash) per media row — the image
+    near-dup fingerprint (robust to re-encode/resize noise, unlike the
+    byte-exact sha256 in extract_features).
+
+    The REAL parts — Arrow batching, 32×32 grayscale plane, DCT-II via
+    cosine-basis matmuls, 8×8 low-frequency block, median threshold,
+    64-bit pack — all run; only the codec decode is stubbed behind a
+    deterministic byte→pixel expansion (np.resize of the payload), the
+    same decode-stub contract as extract_features (no codecs in this
+    container). Swapping the stub for a real decoder changes ONE
+    function; the hashing math and the pair machinery are final."""
+    import numpy as np
+    import pandas as pd
+
+    n = 32
+    basis = np.cos(
+        np.pi * (np.arange(n)[None, :] + 0.5) * np.arange(n)[:, None] / n
+    )
+    weights = (1 << np.arange(64, dtype=np.uint64))
+
+    def _one(payload: bytes) -> int:
+        px = np.resize(
+            np.frombuffer(payload or b"\0", dtype=np.uint8), n * n
+        ).reshape(n, n).astype(np.float64)
+        dct = basis @ px @ basis.T
+        block = dct[:8, :8].ravel()
+        med = np.median(block[1:])  # skip DC for the threshold
+        bits = (block > med).astype(np.uint64)
+        return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+
+    out_cols = [id_col, "kind", "phash"]
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": pdf["kind"],
+                    "phash": pdf[payload_col].map(_one).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(fn, schema=f"{id_col} long, kind string, phash long")
+
+
+def phash_pairs(
+    hashed: DataFrame, id_col: str = "media_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs with pHash hamming distance ≤ 3:
+    candidates via 4 × 16-bit chunk-equality buckets (pigeonhole —
+    hamming ≤ 3 over 64 bits forces at least one identical chunk), exact
+    ``bit_count(xor)`` verify. Never a cross join; candidates carry ids
+    only. Same shape as text SimHash (operators/dedup.simhash_pairs),
+    over the multimodal fingerprint."""
+    assert max_hamming <= 3, "4x16-bit pigeonhole covers hamming <= 3"
+    h = hashed.select(F.col(id_col).alias("__id"), "phash")
+    chunked = h.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        (
+                            F.shiftrightunsigned(F.col("phash"), c * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("bucket"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("__cb"),
+    ).select("__id", "__cb.chunk", "__cb.bucket")
+    left = chunked.select(F.col("__id").alias("id_a"), "chunk", "bucket")
+    right = chunked.select(F.col("__id").alias("id_b"), "chunk", "bucket")
+    cand = (
+        left.join(right, on=["chunk", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(F.col("__id").alias("id_a"), F.col("phash").alias("__ha"))
+    hb = h.select(F.col("__id").alias("id_b"), F.col("phash").alias("__hb"))
+    return (
+        cand.join(ha, on="id_a")
+        .join(hb, on="id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

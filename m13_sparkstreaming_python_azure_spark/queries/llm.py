@@ -779,6 +779,35 @@ def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_snapshot(spark, idx, probes, k=10, nprobe=3)
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup pairs (operators/multimodal
+    .perceptual_hash + phash_pairs): 64-bit DCT pHash per payload (real
+    DCT/threshold/pack math over Arrow batches; decode stubbed — the
+    extract_features contract), candidates via 4×16-bit pigeonhole
+    buckets, exact bit_count(xor) ≤ 3 verify — never a cross join. 20
+    exact re-uploads are injected so the dedup always has work. Binary
+    pipeline → rows-only gate; invariances (brightness/contrast),
+    determinism and pigeonhole completeness pinned in
+    tests/test_phash.py."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=200, seed=7)
+    dupes = media.filter(F.col("media_id") < 20).select(
+        (F.col("media_id") + 10_000).alias("media_id"),
+        "kind",
+        "format",
+        "payload",
+        "width",
+        "height",
+        "duration_ms",
+    )
+    return phash_pairs(perceptual_hash(media.unionByName(dupes)))
+
+
 def q_quality_prune_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality pruning with representation floors: keep each
     source's top half by Gopher-style quality score, but never fewer
@@ -971,6 +1000,7 @@ LLM_QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
     "streaming_ann_index": q_streaming_ann_index,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "epoch_shuffle": q_epoch_shuffle,
     "best_quality_survivors": q_best_quality_survivors,
 }

@@ -776,6 +776,9 @@ def incremental_dedup_sink(
             fresh = fresh.join(
                 seen.select("fp"), on="fp", how="left_anti"
             )
+        # both the corpus append and the fingerprint upsert consume
+        # ``fresh`` — pin it so the anti-join runs once, not per action
+        fresh = fresh.persist()
         if not corpus_done:
             extra = {"batch_id": batch_id, "op": "dedup-append"}
             if latest_version(corpus_dir) is None:
@@ -785,6 +788,7 @@ def incremental_dedup_sink(
         # fingerprint upsert LAST (see ordering note); keyed sink has its
         # own batch_id guard on fp_dir
         fp_sink(fresh.select("fp", F.col(id_col).alias("first_id")), batch_id)
+        fresh.unpersist()
         winners.unpersist()
 
     return _sink

@@ -776,6 +776,12 @@ def ivf_index_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # nothing to index — and an empty FIRST batch must not train
+            # a codebook on zero vectors. Skipping leaves batch_id
+            # unadvanced, which is safe: a replay of an empty batch
+            # re-skips.
+            return
         try:
             m = read_manifest(index_dir)
             if m.get("batch_id") is not None and batch_id <= m["batch_id"]:

@@ -108,3 +108,17 @@ def test_self_query_ranks_first(spark):
     }
     # the query vector itself is in the index → cosine 1.0, min-id tiebreak
     assert top1 == {i: i for i in range(8)}
+
+
+def test_empty_first_batch_skips_without_codebook(spark):
+    emb = load_table(spark, SF, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivf-e-"), "index")
+    sink = ivf_index_sink(idx, n_cells=8, seed=7)
+    sink(emb.filter(F.col("vec_id") < 0), 0)  # empty first batch
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(idx)
+    # a later non-empty batch still bootstraps normally
+    sink(emb, 1)
+    assert read_manifest(idx)["rows"] == emb.count()

@@ -67,23 +67,39 @@ def main() -> None:
             iqr[n] = 0.0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_iqr": iqr,
-                "reps": reps,
-                "sf": sf,
-                # normalization aids: the suite grows as coverage widens,
-                # so total wall-clock alone inflates round over round
-                "n_queries": len(timings),
-                "sec_per_query": round(total / max(len(timings), 1), 3),
-            }
-        )
-    )
+    # Full per-query detail goes to a side file; the stdout line must stay
+    # SHORT. The driver captures only the last ~2000 chars of stdout and
+    # parses the JSON out of that window — rounds 1-3 printed all 180+
+    # per-query timings on the line, overflowed the window, and were
+    # recorded as parsed:null. The printed "queries" dict therefore carries
+    # a fixed headline subset; BENCH_FULL.json has everything.
+    full = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_iqr": iqr,
+        "reps": reps,
+        "sf": sf,
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 3),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh)
+    headline = [
+        "pricing_summary", "streaming_daily_stats", "daily_event_stats",
+        "topk_orders", "user_sessions", "order_priority_count",
+        "exact_dedup_survivors", "minhash_dedup_pairs", "semantic_dedup",
+        "ann_ivf", "bm25_search", "curation_pipeline", "cdc_apply",
+        "streaming_sessions", "fuzzy_name_pairs", "triangle_counts",
+    ]
+    line = dict(full)
+    line.pop("queries_iqr")
+    line["queries"] = {n: timings[n] for n in headline if n in timings}
+    out = json.dumps(line)
+    assert len(out) < 1800, f"bench JSON line too long ({len(out)} chars)"
+    print(out)
     spark.stop()
 
 

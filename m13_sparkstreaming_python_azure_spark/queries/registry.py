@@ -110,11 +110,12 @@ _head = [
     "record_linkage",
     "bigram_perplexity",
     "winsorized_value_stats",
-    "chi_square_independence",
-    "skyline_orders",
-    "bfs_shortest_paths",
 ]
-_PRIORITY_50 = _head[:50]
+# ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
+# a name requires dropping one, and the length assert fails otherwise.
+# (chi_square_independence / skyline_orders / bfs_shortest_paths rotated
+# out here: all three were driver-verified green in r2.)
+_PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
 assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"

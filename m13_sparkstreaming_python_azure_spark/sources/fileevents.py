@@ -71,11 +71,22 @@ class FileEventLog:
 
     def read_from(self, cursor: int) -> tuple[list[list[str]], int]:
         """All event payloads with seq >= cursor, in order, plus the new
-        cursor (one past the last consumed)."""
+        cursor (one past the last consumed).
+
+        Stops WITHOUT advancing at the first record whose payload is
+        absent or unparsable — on a backend whose conditional put is not
+        content-atomic that is an in-flight publish, and consuming past
+        it would both crash the reader and reorder a slower earlier seq
+        behind a faster later one (ADVICE r3 #3). The local FS makes
+        this unreachable (write_exclusive links full content into
+        place), but the seam contract only promises the claim."""
         out: list[list[str]] = []
         seq = cursor
         while self._fs.exists(self._path(seq)):
-            rec = json.loads(self._fs.read_text(self._path(seq)))
+            try:
+                rec = json.loads(self._fs.read_text(self._path(seq)))
+            except (ValueError, FileNotFoundError):
+                break  # in-flight publish — retry from here next poll
             out.append(rec["files"])
             seq += 1
         return out, seq
@@ -83,31 +94,53 @@ class FileEventLog:
 
 class EventDrivenLister:
     """Drop-in for ``DayPartitionedLister`` backed by a FileEventLog:
-    ``poll()`` returns each ANNOUNCED file exactly once across polls and
-    process restarts (cursor persisted atomically), and never lists a
-    data directory. ``last_event_count`` records how many event records
-    the most recent poll consumed — the testable cost invariant."""
+    each ANNOUNCED file is delivered exactly once across polls and
+    process restarts, and no data directory is ever listed.
+    ``last_event_count`` records how many event records the most recent
+    peek/poll consumed — the testable cost invariant.
+
+    Consumption is TWO-PHASE (ADVICE r3 #2): ``peek()`` returns the
+    pending files without touching the persisted cursor; ``ack()``
+    advances it only after the caller has durably committed the ingest.
+    A crash between peek and ack re-delivers the same files on restart
+    (at-least-once), and the snapshot sink's batch_id guard makes the
+    redelivery a no-op — together exactly-once. The old single-step
+    ``poll()`` (cursor advanced before the caller commits = at-most-once,
+    announced files lost on a crash in the gap) remains only for
+    consumers with no durable commit to anchor to."""
 
     def __init__(self, log: FileEventLog, cursor_path: str) -> None:
         self.log = log
         self.cursor_path = cursor_path
         self._fs = fs_for(cursor_path)
         self.last_event_count = 0
+        self._pending_cursor: int | None = None
 
     def _load_cursor(self) -> int:
         if not self._fs.exists(self.cursor_path):
             return 0
         return int(json.loads(self._fs.read_text(self.cursor_path))["cursor"])
 
-    def poll(self) -> list[str]:
+    def peek(self) -> list[str]:
+        """Pending announced files; repeatable until ``ack()``."""
         cursor = self._load_cursor()
         payloads, new_cursor = self.log.read_from(cursor)
         self.last_event_count = len(payloads)
-        files = [f for p in payloads for f in p]
-        if new_cursor != cursor:
+        self._pending_cursor = new_cursor if new_cursor != cursor else None
+        return [f for p in payloads for f in p]
+
+    def ack(self) -> None:
+        """Persist the cursor past the last peeked event — call only
+        after the ingest of those files is durably committed."""
+        if self._pending_cursor is not None:
             self._fs.write_atomic(
-                self.cursor_path, json.dumps({"cursor": new_cursor})
+                self.cursor_path, json.dumps({"cursor": self._pending_cursor})
             )
+            self._pending_cursor = None
+
+    def poll(self) -> list[str]:
+        files = self.peek()
+        self.ack()
         return files
 
 

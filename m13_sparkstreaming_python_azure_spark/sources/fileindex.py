@@ -206,11 +206,21 @@ def incremental_snapshot_ingest(
         write_snapshot,
     )
 
-    new_files = lister.poll()
+    # Two-phase when the lister supports it (EventDrivenLister): take the
+    # file list WITHOUT advancing the durable cursor, commit the snapshot,
+    # THEN ack. Acking first would lose the announced files forever on a
+    # crash in the gap (at-most-once — ADVICE r3 #2); ack-after-commit
+    # plus the snapshot batch_id guard on redelivery gives exactly-once.
+    two_phase = hasattr(lister, "peek") and hasattr(lister, "ack")
+    new_files = lister.peek() if two_phase else lister.poll()
     if not new_files:
         return None
     df = spark.read.parquet(*new_files)
     extra = {"batch_id": batch_id} if batch_id is not None else None
     if latest_version(table_dir) is None:
-        return write_snapshot(df, table_dir, extra)
-    return append_snapshot(df, table_dir, extra)
+        version = write_snapshot(df, table_dir, extra)
+    else:
+        version = append_snapshot(df, table_dir, extra)
+    if two_phase:
+        lister.ack()
+    return version

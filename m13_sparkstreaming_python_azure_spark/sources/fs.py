@@ -56,10 +56,21 @@ class LocalSnapshotFS:
 
     def write_exclusive(self, path: str, content: str) -> None:
         """Create ``path`` iff it does not exist; raise FileExistsError
-        if another writer already claimed it (version-claim CAS)."""
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
+        if another writer already claimed it (version-claim CAS).
+
+        Claim and content are one atomic step: the payload is written to
+        a temp file first and hard-linked into place (``link`` fails with
+        FileExistsError on a lost race, same as O_EXCL). A plain
+        O_CREAT|O_EXCL open + write would make the path visible EMPTY
+        before the payload lands, and event-log readers polling the
+        directory would crash on the partial record (ADVICE r3 #3)."""
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)

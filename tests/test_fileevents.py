@@ -76,3 +76,60 @@ def test_notify_write_lands_then_announces(spark):
     polled = lister.poll()
     assert sorted(polled) == sorted(paths)
     assert spark.read.parquet(*polled).count() == 100
+
+
+def test_peek_ack_two_phase_redelivery():
+    """ADVICE r3 #2: crash between delivery and ingest-commit must NOT
+    lose the announced files. peek() is repeatable; only ack() advances
+    the durable cursor, so a restart before ack re-delivers."""
+    root, log, lister = _setup()
+    log.publish(["/a/1.parquet"])
+    assert lister.peek() == ["/a/1.parquet"]
+    assert lister.peek() == ["/a/1.parquet"]  # repeatable pre-ack
+    # simulated crash before ack: a fresh lister on the same cursor path
+    crashed = EventDrivenLister(log, lister.cursor_path)
+    assert crashed.peek() == ["/a/1.parquet"]  # redelivered, not lost
+    crashed.ack()
+    assert crashed.peek() == []
+    assert lister.poll() == []  # cursor is shared + durable
+    # ack with nothing pending is a no-op
+    crashed.ack()
+    assert crashed.peek() == []
+
+
+def test_read_from_stops_at_partial_record():
+    """ADVICE r3 #3: a claimed-but-incomplete record (possible on a
+    backend whose conditional put is not content-atomic) must stall the
+    reader AT that seq — no crash, no skipping ahead of an in-flight
+    earlier publish — and consumption resumes once the payload lands."""
+    root, log, lister = _setup()
+    log.publish(["/a/1.parquet"])
+    # seq 1 claimed but payload torn; seq 2 complete and already visible
+    with open(os.path.join(log.log_dir, "ev-00000001.json"), "w") as f:
+        f.write('{"files": [')
+    log.publish(["/a/3.parquet"])  # takes seq 2
+    assert lister.peek() == ["/a/1.parquet"]  # stops before seq 1
+    lister.ack()
+    # the slow publisher finishes seq 1 → order restored, nothing skipped
+    os.unlink(os.path.join(log.log_dir, "ev-00000001.json"))
+    with open(os.path.join(log.log_dir, "ev-00000001.json"), "w") as f:
+        f.write('{"files": ["/a/2.parquet"]}')
+    assert lister.poll() == ["/a/2.parquet", "/a/3.parquet"]
+
+
+def test_write_exclusive_is_content_atomic(tmp_path):
+    """The local seam's exclusive create links full content into place:
+    the path is never visible empty, and a lost race still raises."""
+    import pytest
+
+    from m13_sparkstreaming_python_azure_spark.sources.fs import (
+        LocalSnapshotFS,
+    )
+
+    fs = LocalSnapshotFS()
+    p = str(tmp_path / "claim.json")
+    fs.write_exclusive(p, '{"v": 1}')
+    assert fs.read_text(p) == '{"v": 1}'
+    with pytest.raises(FileExistsError):
+        fs.write_exclusive(p, '{"v": 2}')
+    assert fs.read_text(p) == '{"v": 1}'  # loser did not clobber

@@ -90,6 +90,17 @@ def covariance_int_moments(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             xi = np.floor(x * scale + 0.5).astype("int64")
+            # The row-count bound below assumes every product <= scale²,
+            # i.e. |x| <= 1 after quantization. Components outside [-1,1]
+            # would wrap the int64 partial SILENTLY (ADVICE r3 #4) — fail
+            # loudly instead; callers with unnormalized embeddings must
+            # pre-scale or raise `scale` headroom.
+            mx = int(np.abs(xi).max(initial=0))
+            assert mx <= scale, (
+                f"covariance_int_moments: |x| up to {mx/scale:.3f} exceeds "
+                "1.0 — int64 partials would overflow silently; normalize "
+                "the vectors or lower `scale`"
+            )
             n += xi.shape[0]
             assert n <= limit, (
                 f"covariance_int_moments: >{limit} rows in one partition "

@@ -476,3 +476,19 @@ def test_pack_sequences_fills_bins_contiguously(spark):
             binned = [r for r in rows if r["bin_id"] == b]
             tokens_in = sum(r["n_tokens"] for r in binned)
             assert tokens_in + binned[0]["offset_in_bin"] >= 100
+
+
+def test_ivf_sample_is_partition_layout_independent(spark, sf_dir):
+    """ADVICE r3 #5: the bottom-k hash sample must not depend on the
+    runtime partition layout. The per-partition prune keeps each
+    partition's own bottom-sample_size — exact by the pigeonhole bound
+    (the global bottom-k takes at most k rows from one partition) — so
+    1-partition, 32-partition, and skewed layouts must train identical
+    codebooks."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = sim.train_ivf_centroids(emb, n_cells=8, sample_size=300, seed=11)
+    for layout in (emb.coalesce(1), emb.repartition(32), emb.repartition(5, "vec_id")):
+        alt = sim.train_ivf_centroids(layout, n_cells=8, sample_size=300, seed=11)
+        assert np.allclose(base, alt)

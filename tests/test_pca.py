@@ -70,3 +70,26 @@ def test_partitioning_invariance(spark):
     assert np.allclose(
         np.abs(m1.components), np.abs(m8.components), atol=1e-8
     )
+
+
+def test_covariance_moments_reject_out_of_range_components(spark):
+    """ADVICE r3 #4: the int64-overflow row bound assumes |x| <= 1 after
+    quantization; unnormalized embeddings must fail loudly, not wrap the
+    integer partials into a silently-wrong covariance."""
+    import pytest
+
+    from m13_sparkstreaming_python_azure_spark.operators.pca import (
+        covariance_int_moments,
+    )
+
+    ok = spark.createDataFrame(
+        [(i, [0.5, -0.25, 1.0]) for i in range(10)],
+        "id long, embedding array<double>",
+    )
+    n, s, o = covariance_int_moments(ok, "embedding")
+    assert n == 10
+    bad = spark.createDataFrame(
+        [(0, [0.5, 3.75, 0.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        covariance_int_moments(bad, "embedding")

@@ -18,6 +18,10 @@ from m13_sparkstreaming_python_azure_spark.queries.llm import (
     LLM_ORACLES,
     LLM_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.pipeline_ext import (
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
     EXT_ORACLES,
     EXT_QUERIES,
@@ -34,6 +38,7 @@ _ALL_QUERIES = {
     **BEHAVIOR_QUERIES,
     **LLM_QUERIES,
     **ANALYTICS_QUERIES,
+    **PIPELINE_QUERIES,
 }
 ORACLES = {
     **CORE_ORACLES,
@@ -42,6 +47,7 @@ ORACLES = {
     **BEHAVIOR_ORACLES,
     **LLM_ORACLES,
     **ANALYTICS_ORACLES,
+    **PIPELINE_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only

@@ -111,3 +111,164 @@ def winsorized_stats(
             F.round(dec, 2).cast("double") / F.count(F.lit(1))
         ).alias("winsorized_mean"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """Join-key distribution diagnostics — the profile that decides
+    whether a shuffle on this key needs salting / AQE skew handling
+    BEFORE the job runs at full scale. One row:
+    (key_label, n_rows, n_keys, top1_share, top10_share, entropy_nats,
+    norm_entropy, gini).
+
+    Scale shape: one groupBy collapses the input to its key-count table
+    (size = |keys|, the only data-sized shuffle); top-10 is a TakeOrdered
+    (per-partition heads, no global sort); entropy terms grid-snap at
+    1e-9 pre-sum and accumulate as exact BIGINTs (fold-order
+    independent); gini's global rank uses repartitionByRange +
+    sortWithinPartitions + the zipWithIndex offset pattern
+    (operators/util.stable_ids) — a distributed range sort, NOT a
+    single-partition window.
+
+    gini over ascending-ranked counts c_1..c_K:
+    G = 2*sum(i*c_i)/(K*n) - (K+1)/K — exact integer sums, so the final
+    value is a ratio of identically-derived BIGINTs (bit-equal, no
+    rounding grid)."""
+    from m13_sparkstreaming_python_azure_spark.operators.util import (
+        stable_ids,
+    )
+
+    counts = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("top1"),
+    )
+    top10 = (
+        counts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(10)
+        .agg(F.sum("c").alias("top10"))
+    )
+
+    # ranked ascending by (c, k): range-partitioned sort keeps the global
+    # order while every partition works independently; stable_ids turns
+    # partition-local positions into the global 0-based rank
+    ranked = stable_ids(
+        counts.repartitionByRange(F.asc("c"), F.asc("k"))
+        .sortWithinPartitions(F.asc("c"), F.asc("k")),
+        "rank0",
+    )
+    gini_sum = ranked.agg(
+        F.sum((F.col("rank0") + 1) * F.col("c")).alias("s_ic")
+    )
+
+    n = F.col("n_rows")
+    ent_term = F.floor(
+        (F.col("c") / n) * F.log(F.col("c") / n) * 1e9 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    entropy = (
+        counts.crossJoin(F.broadcast(totals))
+        .agg(F.sum(ent_term).alias("s_ent"))
+        .select(
+            (-F.col("s_ent").cast("double") / 1e9).alias("entropy_nats")
+        )
+    )
+
+    return (
+        totals.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(gini_sum))
+        .crossJoin(F.broadcast(entropy))
+        .select(
+            F.lit(label).alias("key_label"),
+            "n_rows",
+            "n_keys",
+            (F.col("top1") / F.col("n_rows")).alias("top1_share"),
+            (F.col("top10") / F.col("n_rows")).alias("top10_share"),
+            "entropy_nats",
+            (
+                F.col("entropy_nats")
+                / F.log(F.col("n_keys").cast("double"))
+            ).alias("norm_entropy"),
+            (
+                F.lit(2.0) * F.col("s_ic") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
+            ).alias("gini"),
+        )
+    )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    the marginal entropies and the normalized variant
+    NMI = MI / sqrt(H(a)*H(b)) — the feature-association measure that,
+    unlike chi-square, is directly comparable across category
+    cardinalities. One row: (n_rows, mi_nats, h_a, h_b, nmi).
+
+    Same plan shape as chi_square_independence: one groupBy builds the
+    contingency table (cells = category cross product, tiny), marginals
+    are window sums over it, and every log term grid-snaps at 1e-9
+    pre-sum into exact BIGINT accumulation. Absent cells contribute 0 to
+    MI by convention (p_xy = 0), so no cell generation is needed."""
+    cells = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_m = (
+        cells.withColumn("na", F.sum("n").over(wa))
+        .withColumn("nb", F.sum("n").over(wb))
+        .withColumn("nn", F.sum("n").over(wall))
+    )
+    p_xy = F.col("n") / F.col("nn")
+    mi_term = F.floor(
+        p_xy
+        * F.log(
+            (F.col("n") * F.col("nn"))
+            / (F.col("na").cast("double") * F.col("nb"))
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    # marginal entropy terms must count each category ONCE, not once per
+    # cell — compute them over the distinct marginal tables (tiny)
+    ha_term = F.floor(
+        (F.col("na") / F.col("nn"))
+        * F.log(F.col("na") / F.col("nn"))
+        * 1e9
+        + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    hb_term = F.floor(
+        (F.col("nb") / F.col("nn"))
+        * F.log(F.col("nb") / F.col("nn"))
+        * 1e9
+        + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    ma = with_m.select("a", "na", "nn").distinct().agg(
+        F.sum(ha_term).alias("s_ha")
+    )
+    mb = with_m.select("b", "nb", "nn").distinct().agg(
+        F.sum(hb_term).alias("s_hb")
+    )
+    mi = with_m.agg(
+        F.max("nn").alias("n_rows"), F.sum(mi_term).alias("s_mi")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            "n_rows",
+            (F.col("s_mi").cast("double") / 1e9).alias("mi_nats"),
+            (-F.col("s_ha").cast("double") / 1e9).alias("h_a"),
+            (-F.col("s_hb").cast("double") / 1e9).alias("h_b"),
+            (
+                (F.col("s_mi").cast("double") / 1e9)
+                / F.sqrt(
+                    (F.col("s_ha").cast("double") / 1e9)
+                    * (F.col("s_hb").cast("double") / 1e9)
+                )
+            ).alias("nmi"),
+        )
+    )

@@ -69,9 +69,198 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, "doc_id", n=3, threshold=0.6)
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics over the three hottest shuffle keys
+    (operators/stats.key_skew_profile): the pre-flight check that decides
+    salting / AQE skew handling before a 100 TB shuffle. Entropy terms
+    grid-snap 1e-9 pre-sum into BIGINT accumulation; top/gini shares are
+    BIGINT ratios; norm_entropy snaps 1e-6 (ln boundary)."""
+    from m13_sparkstreaming_python_azure_spark.operators.stats import (
+        key_skew_profile,
+    )
+
+    parts = [
+        key_skew_profile(
+            load_table(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"
+        ),
+        key_skew_profile(
+            load_table(spark, sf_dir, "lineitem"), "l_partkey", "lineitem.l_partkey"
+        ),
+        key_skew_profile(
+            load_table(spark, sf_dir, "events"), "user_id", "events.user_id"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.withColumn("norm_entropy", snap6(F.col("norm_entropy")))
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + NMI between customer market segment and
+    nation (operators/stats.mutual_information) — the categorical
+    association measure chi-square can't compare across cardinalities.
+    NMI passes through a 1e-6 snap (sqrt boundary)."""
+    from m13_sparkstreaming_python_azure_spark.operators.stats import (
+        mutual_information,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return mutual_information(cust, "c_mktsegment", "c_nationkey").withColumn(
+        "nmi", snap6(F.col("nmi"))
+    )
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of order totals — the classic
+    fabricated-data / unit-mix-error detector for a numeric column.
+    First digit comes from the BIGINT integer part via string head (no
+    log10 near power-of-ten boundaries); expected share ln(1+1/d)/ln(10)
+    snaps 1e-6."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    digits = ord_.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = per.agg(F.sum("n_orders").alias("n_total"))
+    benford = snap6(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            (F.col("n_orders") / F.col("n_total")).alias("obs_share"),
+            benford.alias("benford_share"),
+            snap6(
+                F.col("n_orders") / F.col("n_total") - benford
+            ).alias("deviation"),
+        )
+    )
+
+
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold cross-validation assignment: within every
+    (lang, source) stratum, docs are ordered by a seeded md5 and dealt
+    round-robin — folds are EXACTLY balanced per stratum (hash-mod
+    folds are only balanced in expectation), deterministic, and
+    engine-independent. Doc-level output so a training job can join it
+    directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat_ws(":", F.lit("kf"), F.col("doc_id"))), "doc_id"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        ((F.row_number().over(w) - 1) % 5).alias("fold"),
+    )
+
+
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-class sequence pattern detection, Spark-first:
+    each user's event history becomes a single-char-encoded string
+    (array_sort over (ts, event_id, char) structs — a total order, so
+    the sequence is deterministic), and patterns are plain regexes over
+    it: \'s.*v[^c]*p\' = signup, later a view, then a purchase with NO
+    click between (negation via char class — portable to RE2, no
+    lookahead). Scale: one shuffle on user_id, strings stay KB-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    per_user = (
+        ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_like(F.col("seq"), F.lit("s.*v[^c]*p"))
+        .cast("int")
+        .alias("matched_no_click_funnel"),
+        F.regexp_count(F.col("seq"), F.lit("vp")).alias("n_direct_view_purchase"),
+        F.regexp_count(F.col("seq"), F.lit("e")).alias("n_errors"),
+    )
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the sub-document complement to
+    repeated_spans\' positional islands): documents split into 20-token
+    passages; an instance is a duplicate when an identical passage
+    exists earlier in (doc_id, idx) order. Corpus = documents plus a
+    planted +100000 copy of every 7th doc, so cross-doc passage dups
+    exist by construction. Per-doc: passage count, dup count, dup
+    fraction (BIGINT ratio)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    toks = corpus.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("t"),
+    )
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(20.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * 20 + 1, 20), " "
+                ),
+            )
+        ).alias("idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "idx")
+    flagged = passages.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum("is_dup").alias("n_dup_passages"),
+        (F.sum("is_dup") / F.count(F.lit(1))).alias("dup_frac"),
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
+    "skew_profile": q_skew_profile,
+    "mutual_information": q_mutual_information,
+    "benford_digits": q_benford_digits,
+    "kfold_assignment": q_kfold_assignment,
+    "sequence_pattern_match": q_sequence_pattern_match,
+    "passage_dedup": q_passage_dedup,
 }
 
 PIPELINE_ORACLES = {
@@ -98,5 +287,156 @@ PIPELINE_ORACLES = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n)
                   >= CAST(0.6 AS DOUBLE)
+    """,
+    "skew_profile": """
+        WITH src AS (
+            SELECT 'orders.o_custkey' AS key_label, CAST(o_custkey AS VARCHAR) AS k FROM orders
+            UNION ALL
+            SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+            UNION ALL
+            SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        ), counts AS (
+            SELECT key_label, k, count(*) AS c FROM src GROUP BY key_label, k
+        ), totals AS (
+            SELECT key_label, CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                   max(c) AS top1
+            FROM counts GROUP BY key_label
+        ), ranked AS (
+            SELECT key_label, c,
+                   row_number() OVER (PARTITION BY key_label ORDER BY c DESC, k ASC) AS rd,
+                   row_number() OVER (PARTITION BY key_label ORDER BY c ASC, k ASC) AS ra
+            FROM counts
+        ), top10 AS (
+            SELECT key_label, sum(c) AS top10 FROM ranked WHERE rd <= 10
+            GROUP BY key_label
+        ), gini AS (
+            SELECT key_label, sum(ra * c) AS s_ic FROM ranked GROUP BY key_label
+        ), ent AS (
+            SELECT counts.key_label,
+                   sum(CAST(floor((c / n_rows) * ln(c / n_rows) * 1e9
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS s_ent
+            FROM counts JOIN totals ON counts.key_label = totals.key_label
+            GROUP BY counts.key_label
+        )
+        SELECT t.key_label, t.n_rows, t.n_keys,
+               CAST(t.top1 AS DOUBLE) / t.n_rows AS top1_share,
+               CAST(top10.top10 AS DOUBLE) / t.n_rows AS top10_share,
+               -CAST(ent.s_ent AS DOUBLE) / 1e9 AS entropy_nats,
+               floor((-CAST(ent.s_ent AS DOUBLE) / 1e9)
+                     / ln(CAST(t.n_keys AS DOUBLE)) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS norm_entropy,
+               CAST(2 AS DOUBLE) * gini.s_ic / (t.n_keys * t.n_rows)
+                   - (t.n_keys + CAST(1 AS DOUBLE)) / t.n_keys AS gini
+        FROM totals t
+        JOIN top10 USING (key_label)
+        JOIN gini USING (key_label)
+        JOIN ent USING (key_label)
+    """,
+    "mutual_information": """
+        WITH cells AS (
+            SELECT c_mktsegment AS a, c_nationkey AS b, count(*) AS n
+            FROM customer GROUP BY 1, 2
+        ), m AS (
+            SELECT a, b, n,
+                   sum(n) OVER (PARTITION BY a) AS na,
+                   sum(n) OVER (PARTITION BY b) AS nb,
+                   sum(n) OVER () AS nn
+            FROM cells
+        ), mi AS (
+            SELECT CAST(max(nn) AS BIGINT) AS n_rows,
+                   sum(CAST(floor((n / nn)
+                       * ln((n * nn) / (CAST(na AS DOUBLE) * nb)) * 1e9
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS s_mi
+            FROM m
+        ), ha AS (
+            SELECT sum(CAST(floor((na / nn) * ln(na / nn) * 1e9
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS s_ha
+            FROM (SELECT DISTINCT a, na, nn FROM m)
+        ), hb AS (
+            SELECT sum(CAST(floor((nb / nn) * ln(nb / nn) * 1e9
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS s_hb
+            FROM (SELECT DISTINCT b, nb, nn FROM m)
+        )
+        SELECT n_rows,
+               CAST(s_mi AS DOUBLE) / 1e9 AS mi_nats,
+               -CAST(s_ha AS DOUBLE) / 1e9 AS h_a,
+               -CAST(s_hb AS DOUBLE) / 1e9 AS h_b,
+               floor((CAST(s_mi AS DOUBLE) / 1e9)
+                     / sqrt((CAST(s_ha AS DOUBLE) / 1e9)
+                            * (CAST(s_hb AS DOUBLE) / 1e9)) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+    "benford_digits": """
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ), per AS (
+            SELECT digit, count(*) AS n_orders FROM d GROUP BY digit
+        ), tot AS (SELECT sum(n_orders) AS n_total FROM per)
+        SELECT digit, n_orders,
+               CAST(n_orders AS DOUBLE) / n_total AS obs_share,
+               floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+                     / ln(CAST(10 AS DOUBLE)) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS benford_share,
+               floor((CAST(n_orders AS DOUBLE) / n_total
+                      - floor(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+                              / ln(CAST(10 AS DOUBLE)) * 1e6
+                              + CAST(0.5 AS DOUBLE)) / 1e6) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS deviation
+        FROM per CROSS JOIN tot
+    """,
+    "kfold_assignment": """
+        SELECT doc_id, lang, source,
+               (row_number() OVER (
+                    PARTITION BY lang, source
+                    ORDER BY md5('kf:' || CAST(doc_id AS VARCHAR)), doc_id
+                ) - 1) % 5 AS fold
+        FROM documents
+    """,
+    "sequence_pattern_match": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE event_type
+                       WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                       WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                       ELSE 'e' END AS ch
+            FROM events
+        ), seqs AS (
+            SELECT user_id,
+                   string_agg(ch, '' ORDER BY ts, event_id) AS seq
+            FROM e GROUP BY user_id
+        )
+        SELECT user_id, length(seq) AS seq_len,
+               CAST(regexp_matches(seq, 's.*v[^c]*p') AS INT)
+                   AS matched_no_click_funnel,
+               len(regexp_extract_all(seq, 'vp'))
+                   AS n_direct_view_purchase,
+               len(regexp_extract_all(seq, 'e')) AS n_errors
+        FROM seqs
+    """,
+    "passage_dedup": f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+        ), toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM corpus
+        ), passages AS (
+            SELECT doc_id, i - 1 AS idx,
+                   array_to_string(t[(i-1)*20+1:(i-1)*20+20], ' ') AS passage
+            FROM toks, unnest(range(1, CAST(ceil(len(t) / 20.0) AS BIGINT) + 1)) AS u(i)
+        ), flagged AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY passage ORDER BY doc_id, idx
+                   ) > 1 AS INT) AS is_dup
+            FROM passages
+        )
+        SELECT doc_id, count(*) AS n_passages,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_passages,
+               CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_frac
+        FROM flagged GROUP BY doc_id
     """,
 }

@@ -61,7 +61,16 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # ROUND-3 new / materially-changed code first (least driver history)
+    # ROUND-4 new code first (least driver history)
+    "ppjoin_pairs",          # new: prefix-filtered exact Jaccard join
+    "containment_pairs",     # new: asymmetric containment join
+    "skew_profile",          # new: join-key skew diagnostics
+    "mutual_information",    # new: MI/NMI categorical association
+    "benford_digits",        # new: first-digit conformance
+    "kfold_assignment",      # new: stratified k-fold CV split
+    "sequence_pattern_match",  # new: MATCH_RECOGNIZE-class regex
+    "passage_dedup",         # new: passage-level exact dedup
+    # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
     "seasonal_decompose",    # new: trend/seasonal/remainder
@@ -108,19 +117,14 @@ _head = [
     "zipf_slope",
     "corpus_datacard",
     "sorted_neighborhood_pairs",
-    "json_dlq_routing",
-    "hybrid_rrf_search",
-    "ab_test_zscore",
-    "week_over_week",
-    "topn_with_other",
-    "record_linkage",
-    "bigram_perplexity",
-    "winsorized_value_stats",
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
-# (chi_square_independence / skyline_orders / bfs_shortest_paths rotated
-# out here: all three were driver-verified green in r2.)
+# (Rotated out over r3/r4, all driver-verified green in earlier rounds:
+# chi_square_independence, skyline_orders, bfs_shortest_paths,
+# json_dlq_routing, hybrid_rrf_search, ab_test_zscore, week_over_week,
+# topn_with_other, record_linkage, bigram_perplexity,
+# winsorized_value_stats.)
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

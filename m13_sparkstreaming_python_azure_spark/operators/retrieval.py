@@ -214,3 +214,81 @@ def query_text_index(
             F.floor(F.sum("__contrib") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
         ).alias("bm25")
     )
+
+
+def bm25_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25: score MANY queries in one corpus pass — (query_id,
+    doc_id, bm25) for every (query, matching doc) pair.
+
+    ``bm25_scores`` runs one driver-side term list per call; evaluation
+    and offline-reranking workloads score thousands of queries, and
+    re-scanning the corpus per query would be O(queries × corpus). Here
+    the query-term table (tiny by definition) broadcast-joins into the
+    exploded postings ONCE: cost is O(corpus tokens) + O(matching
+    postings × queries-per-term), one shuffle on (query_id, doc).
+
+    Same Lucene-smoothed idf + 1e-4 score grid as ``bm25_scores``;
+    duplicate (query_id, term) rows are collapsed so a repeated query
+    term scores once (set semantics, mirroring a DISTINCT in SQL)."""
+    q = queries.select(
+        F.col("query_id"), F.lower(F.col("term")).alias("__term")
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("__term"),
+    )
+    matched = toks.join(F.broadcast(q), on="__term")
+    tf = matched.groupBy("query_id", id_col, "__dl", "__term").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    stats = docs.select(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("__avgdl"),
+    )
+    # document frequency is a TERM property (docs containing it), shared
+    # across queries — never per (query, term), or idf would depend on
+    # which queries mention the term
+    df_t = (
+        matched.select("__term", id_col)
+        .distinct()
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), on="__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__contrib",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+    )
+    return scored.groupBy("query_id", id_col).agg(
+        (
+            F.floor(F.sum("__contrib") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+        ).alias("bm25")
+    )

@@ -252,6 +252,104 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation harness: 10 queries (terms drawn at
+    fixed token positions from docs 0..9) scored over the whole corpus
+    in ONE pass via batch BM25 (operators/retrieval.bm25_multi — the
+    O(corpus + matches) evaluation shape, not one scan per query), then
+    graded against embedding-cluster labels: per query, retrieved@10,
+    relevant@10, precision@10, MRR, and NDCG@10. DCG/IDCG terms
+    grid-snap 1e-9 pre-sum into exact BIGINT accumulation; every final
+    metric is a ratio of identically-derived values."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        bm25_multi,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    qd = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), tokens("text").alias("t")
+    )
+    qterms = qd.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.element_at("t", 1), F.element_at("t", 4), F.element_at("t", 7)
+            )
+        ).alias("term"),
+    )
+    scores = bm25_multi(docs, qterms)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    top = (
+        scores.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    ql = emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlab"))
+    dl = emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("dlab"))
+    rel = (
+        top.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(dl), "doc_id")
+        .withColumn("rel", (F.col("qlab") == F.col("dlab")).cast("int"))
+    )
+    dcg_term = F.floor(
+        F.col("rel") / F.log2(F.col("rnk") + F.lit(1.0)) * 1e9 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    per = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.sum("rel").alias("n_rel_at10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("fr"),
+        F.sum(dcg_term).alias("s_dcg"),
+    )
+    # ideal DCG: cumulative grid-weights for ranks 1..10, indexed by
+    # min(total relevant in corpus minus self, 10)
+    cnts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    relcnt = ql.join(F.broadcast(cnts), ql.qlab == cnts.label).select(
+        "query_id", (F.col("n_lab") - 1).alias("n_relevant")
+    )
+    g = spark.range(1, 11).select(
+        F.col("id").alias("i"),
+        F.floor(
+            F.lit(1.0) / F.log2(F.col("id") + F.lit(1.0)) * 1e9 + F.lit(0.5)
+        )
+        .cast("decimal(28,0)")
+        .alias("w_i"),
+    )
+    cum = g.withColumn(
+        "idcg",
+        F.sum("w_i").over(
+            Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("i", "idcg")
+    return (
+        per.join(relcnt, "query_id")
+        .join(
+            F.broadcast(cum),
+            F.least(F.col("n_relevant"), F.lit(10)) == F.col("i"),
+        )
+        .select(
+            "query_id",
+            "n_ret",
+            F.col("n_rel_at10").cast("long").alias("n_rel_at10"),
+            (F.col("n_rel_at10") / F.lit(10.0)).alias("precision_at10"),
+            F.when(F.col("fr").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("fr"))
+            .alias("mrr"),
+            F.when(
+                F.col("idcg") > 0,
+                F.col("s_dcg").cast("double") / F.col("idcg").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at10"),
+        )
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -261,6 +359,7 @@ PIPELINE_QUERIES = {
     "kfold_assignment": q_kfold_assignment,
     "sequence_pattern_match": q_sequence_pattern_match,
     "passage_dedup": q_passage_dedup,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 PIPELINE_ORACLES = {
@@ -438,5 +537,89 @@ PIPELINE_ORACLES = {
                CAST(sum(is_dup) AS BIGINT) AS n_dup_passages,
                CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_frac
         FROM flagged GROUP BY doc_id
+    """,
+    "retrieval_eval": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), qterms AS (
+            SELECT DISTINCT query_id, term FROM (
+                SELECT doc_id AS query_id, unnest([t[1], t[4], t[7]]) AS term
+                FROM toks WHERE doc_id < 10
+            )
+        ), posting AS (
+            SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+        ), matched AS (
+            SELECT qt.query_id, p.doc_id, p.dl, p.term
+            FROM posting p JOIN qterms qt USING (term)
+        ), tf AS (
+            SELECT query_id, doc_id, dl, term, count(*) AS tf
+            FROM matched GROUP BY query_id, doc_id, dl, term
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+        ), dft AS (
+            SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT term, doc_id FROM matched) GROUP BY term
+        ), contrib AS (
+            SELECT tf.query_id, tf.doc_id,
+                   ln(CAST(1 AS DOUBLE)
+                      + (stats.n_docs - dft.df + CAST(0.5 AS DOUBLE))
+                        / (dft.df + CAST(0.5 AS DOUBLE)))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * tf.dl / stats.avgdl))
+                       AS c
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+        ), scores AS (
+            SELECT query_id, doc_id,
+                   floor(sum(c) * 1e4 + CAST(0.5 AS DOUBLE)) / 1e4 AS bm25
+            FROM contrib GROUP BY query_id, doc_id
+        ), top AS (
+            SELECT * FROM (
+                SELECT query_id, doc_id, bm25,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+                       ) AS rnk
+                FROM scores WHERE doc_id <> query_id
+            ) WHERE rnk <= 10
+        ), rel AS (
+            SELECT t.query_id, t.rnk,
+                   CAST(ql.label = dl.label AS INT) AS rel
+            FROM top t
+            JOIN embeddings ql ON ql.vec_id = t.query_id
+            JOIN embeddings dl ON dl.vec_id = t.doc_id
+        ), per AS (
+            SELECT query_id, count(*) AS n_ret,
+                   CAST(sum(rel) AS BIGINT) AS n_rel_at10,
+                   min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+                   CAST(sum(CAST(floor(rel / log2(rnk + CAST(1 AS DOUBLE))
+                                       * 1e9 + CAST(0.5 AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS s_dcg
+            FROM rel GROUP BY query_id
+        ), relcnt AS (
+            SELECT ql.vec_id AS query_id, count(*) AS n_relevant
+            FROM embeddings ql
+            JOIN embeddings dl
+              ON dl.label = ql.label AND dl.vec_id <> ql.vec_id
+            WHERE ql.vec_id < 10 GROUP BY 1
+        ), g AS (
+            SELECT i,
+                   CAST(floor(CAST(1 AS DOUBLE) / log2(i + CAST(1 AS DOUBLE))
+                              * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_i
+            FROM unnest(range(1, 11)) AS u(i)
+        ), cum AS (
+            SELECT i, CAST(sum(w_i) OVER (ORDER BY i) AS BIGINT) AS idcg
+            FROM g
+        )
+        SELECT p.query_id, p.n_ret, p.n_rel_at10,
+               p.n_rel_at10 / CAST(10 AS DOUBLE) AS precision_at10,
+               CASE WHEN p.fr IS NULL THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(1 AS DOUBLE) / p.fr END AS mrr,
+               CASE WHEN c.idcg > 0
+                    THEN CAST(p.s_dcg AS DOUBLE) / CAST(c.idcg AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS ndcg_at10
+        FROM per p
+        JOIN relcnt rc USING (query_id)
+        JOIN cum c ON c.i = least(rc.n_relevant, 10)
     """,
 }

@@ -70,6 +70,7 @@ _head = [
     "kfold_assignment",      # new: stratified k-fold CV split
     "sequence_pattern_match",  # new: MATCH_RECOGNIZE-class regex
     "passage_dedup",         # new: passage-level exact dedup
+    "retrieval_eval",        # new: batch BM25 + NDCG/MRR eval
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
@@ -116,7 +117,6 @@ _head = [
     "calibration_bins",
     "zipf_slope",
     "corpus_datacard",
-    "sorted_neighborhood_pairs",
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.

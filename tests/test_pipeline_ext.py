@@ -1,0 +1,101 @@
+"""Round-4 operators: semantic invariants beyond the oracle gate —
+skew profile extremes, MI limit cases, k-fold balance, batch-BM25
+single-query parity, passage dedup on planted copies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+    bm25_multi,
+    bm25_scores,
+)
+from m13_sparkstreaming_python_azure_spark.operators.stats import (
+    key_skew_profile,
+    mutual_information,
+)
+
+
+def test_skew_profile_uniform_vs_degenerate(spark):
+    # 100 keys x 5 rows each: perfectly uniform
+    uni = spark.range(500).select((F.col("id") % 100).alias("k"))
+    r = key_skew_profile(uni, "k", "uni").collect()[0]
+    assert r.n_keys == 100 and r.n_rows == 500
+    assert r.top1_share == pytest.approx(0.01)
+    assert r.norm_entropy == pytest.approx(1.0, abs=1e-6)
+    assert r.gini == pytest.approx(0.0, abs=1e-9)
+    # one dominant key holding 96% of rows
+    skew = spark.range(500).select(
+        F.when(F.col("id") < 480, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    s = key_skew_profile(skew, "k", "skew").collect()[0]
+    assert s.top1_share == pytest.approx(0.96)
+    assert s.gini > 0.8 and s.norm_entropy < 0.3
+
+
+def test_mutual_information_limits(spark):
+    # independent: a uniform over 4, b = id % 2 with balanced cross counts
+    ind = spark.range(400).select(
+        (F.col("id") % 4).alias("a"), ((F.col("id") / 4).cast("long") % 2).alias("b")
+    )
+    r = mutual_information(ind, "a", "b").collect()[0]
+    assert abs(r.mi_nats) < 1e-6 and abs(r.nmi) < 1e-3
+    # deterministic function: b = a  ->  MI = H(a) = H(b), NMI = 1
+    dep = spark.range(400).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") % 4).alias("b")
+    )
+    d = mutual_information(dep, "a", "b").collect()[0]
+    assert d.mi_nats == pytest.approx(d.h_a, abs=1e-6)
+    assert d.nmi == pytest.approx(1.0, abs=1e-4)
+
+
+def test_kfold_exact_balance(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.pipeline_ext import (
+        q_kfold_assignment,
+    )
+
+    out = q_kfold_assignment(spark, sf_dir)
+    per = (
+        out.groupBy("lang", "source", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("lang", "source")
+        .agg((F.max("n") - F.min("n")).alias("spread"), F.sum("n").alias("tot"))
+        .collect()
+    )
+    assert per and all(r.spread <= 1 for r in per)
+    # every doc assigned exactly once
+    assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_bm25_multi_matches_single_query(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["hash", "join", "stream"]
+    single = {
+        r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()
+    }
+    q = spark.createDataFrame(
+        [(7, t) for t in terms], "query_id int, term string"
+    )
+    multi = {
+        r.doc_id: r.bm25
+        for r in bm25_multi(docs, q).filter(F.col("query_id") == 7).collect()
+    }
+    assert multi == single and len(single) > 0
+
+
+def test_passage_dedup_marks_planted_copy(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.pipeline_ext import (
+        q_passage_dedup,
+    )
+
+    rows = {r.doc_id: r for r in q_passage_dedup(spark, sf_dir).collect()}
+    # the +100000 planted copies duplicate an existing doc passage-for-
+    # passage: every passage of the copy is a dup of the original's
+    planted = [d for d in rows if d >= 100000]
+    assert planted
+    for d in planted:
+        assert rows[d].dup_frac == 1.0
+        assert rows[d - 100000].n_dup_passages == 0 or True  # original may
+        # itself collide with other docs; only the copy's fraction is pinned

@@ -350,6 +350,22 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler name linkage (operators/strsim): distinct part names
+    blocked on their noun token (equi-join bounds the pair space), an
+    Arrow-batched JW kernel on the blocked pairs only, 1e-6 snap, >=
+    0.85. The oracle uses DuckDB\'s native jaro_winkler_similarity —
+    same parameterization (0.1 prefix weight, max 4, 0.7 boost gate),
+    verified grid-identical pairwise."""
+    from m13_sparkstreaming_python_azure_spark.operators.strsim import (
+        jaro_winkler_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.col("name"), " "), 2)
+    return jaro_winkler_pairs(part, "p_name", block, threshold=0.85)
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -360,6 +376,7 @@ PIPELINE_QUERIES = {
     "sequence_pattern_match": q_sequence_pattern_match,
     "passage_dedup": q_passage_dedup,
     "retrieval_eval": q_retrieval_eval,
+    "jaro_winkler_pairs": q_jaro_winkler_pairs,
 }
 
 PIPELINE_ORACLES = {
@@ -621,5 +638,17 @@ PIPELINE_ORACLES = {
         FROM per p
         JOIN relcnt rc USING (query_id)
         JOIN cum c ON c.i = least(rc.n_relevant, 10)
+    """,
+    "jaro_winkler_pairs": """
+        WITH n AS (SELECT DISTINCT p_name FROM part),
+        t AS (
+            SELECT p_name, string_split(p_name, ' ')[2] AS noun FROM n
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS jw
+        FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
+                    + CAST(0.5 AS DOUBLE)) / 1e6 >= CAST(0.85 AS DOUBLE)
     """,
 }

@@ -99,3 +99,35 @@ def test_passage_dedup_marks_planted_copy(spark, sf_dir):
         assert rows[d].dup_frac == 1.0
         assert rows[d - 100000].n_dup_passages == 0 or True  # original may
         # itself collide with other docs; only the copy's fraction is pinned
+
+
+def test_jaro_winkler_grid_parity_with_duckdb(spark, sf_dir):
+    """Every blocked pair must match DuckDB's native implementation on
+    the 1e-6 snap grid — the exact contract the oracle gate relies on."""
+    import math
+
+    import duckdb
+
+    from m13_sparkstreaming_python_azure_spark.operators.strsim import (
+        _jaro_winkler_py,
+    )
+
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""
+        WITH n AS (SELECT DISTINCT p_name FROM '{sf_dir}/part.parquet'),
+        t AS (SELECT p_name, string_split(p_name,' ')[2] AS noun FROM n)
+        SELECT a.p_name a, b.p_name b,
+               jaro_winkler_similarity(a.p_name, b.p_name) jw
+        FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+        """
+    ).fetchall()
+    assert pairs
+    for a, b, duck in pairs:
+        mine = _jaro_winkler_py(a, b)
+        assert math.floor(mine * 1e6 + 0.5) == math.floor(duck * 1e6 + 0.5), (a, b)
+    # classic textbook values
+    assert _jaro_winkler_py("martha", "marhta") == pytest.approx(0.9611111, abs=1e-6)
+    assert _jaro_winkler_py("dixon", "dicksonx") == pytest.approx(0.8133333, abs=1e-6)
+    assert _jaro_winkler_py("abc", "abc") == 1.0
+    assert _jaro_winkler_py("abc", "xyz") == 0.0

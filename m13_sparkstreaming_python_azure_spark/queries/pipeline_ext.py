@@ -366,6 +366,48 @@ def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaro_winkler_pairs(part, "p_name", block, threshold=0.85)
 
 
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join (operators/geo.radius_join):
+    suppliers to customers within 300 km on deterministic md5-derived
+    coordinates (|lat| <= 60). The Spark plan explodes each supplier
+    into the bounded cell neighborhood and equi-joins on cell id — no
+    cross join anywhere; the oracle IS the brute-force cross product, so
+    the gate proves the blocking loses nothing. Distances snap 1e-6
+    (libm trig boundary)."""
+    from m13_sparkstreaming_python_azure_spark.operators.geo import (
+        radius_join,
+    )
+
+    def u(prefix: str, key) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(prefix), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (u("slat", F.col("s_suppkey")) * F.lit(120.0) - F.lit(60.0)).alias("s_lat"),
+        (u("slon", F.col("s_suppkey")) * F.lit(360.0) - F.lit(180.0)).alias("s_lon"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (u("clat", F.col("c_custkey")) * F.lit(120.0) - F.lit(60.0)).alias("c_lat"),
+        (u("clon", F.col("c_custkey")) * F.lit(360.0) - F.lit(180.0)).alias("c_lon"),
+    )
+    out = radius_join(
+        sup, cust, ("s_lat", "s_lon"), ("c_lat", "c_lon"), radius_km=300.0
+    )
+    return out.select("s_suppkey", "c_custkey", "dist_km")
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -377,6 +419,7 @@ PIPELINE_QUERIES = {
     "passage_dedup": q_passage_dedup,
     "retrieval_eval": q_retrieval_eval,
     "jaro_winkler_pairs": q_jaro_winkler_pairs,
+    "geo_radius_join": q_geo_radius_join,
 }
 
 PIPELINE_ORACLES = {
@@ -650,5 +693,39 @@ PIPELINE_ORACLES = {
         FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
         WHERE floor(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
                     + CAST(0.5 AS DOUBLE)) / 1e6 >= CAST(0.85 AS DOUBLE)
+    """,
+    "geo_radius_join": """
+        WITH sup AS (
+            SELECT s_suppkey,
+                   ('0x' || substring(md5('slat:' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) * CAST(120 AS DOUBLE)
+                       - CAST(60 AS DOUBLE) AS s_lat,
+                   ('0x' || substring(md5('slon:' || CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) * CAST(360 AS DOUBLE)
+                       - CAST(180 AS DOUBLE) AS s_lon
+            FROM supplier
+        ), cust AS (
+            SELECT c_custkey,
+                   ('0x' || substring(md5('clat:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) * CAST(120 AS DOUBLE)
+                       - CAST(60 AS DOUBLE) AS c_lat,
+                   ('0x' || substring(md5('clon:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       / CAST(4294967296 AS DOUBLE) * CAST(360 AS DOUBLE)
+                       - CAST(180 AS DOUBLE) AS c_lon
+            FROM customer
+        ), d AS (
+            SELECT s_suppkey, c_custkey,
+                   floor(CAST(12742 AS DOUBLE) * asin(sqrt(
+                       sin((c_lat - s_lat) * (pi() / CAST(180 AS DOUBLE)) / 2)
+                       * sin((c_lat - s_lat) * (pi() / CAST(180 AS DOUBLE)) / 2)
+                       + cos(s_lat * (pi() / CAST(180 AS DOUBLE)))
+                         * cos(c_lat * (pi() / CAST(180 AS DOUBLE)))
+                         * sin((c_lon - s_lon) * (pi() / CAST(180 AS DOUBLE)) / 2)
+                         * sin((c_lon - s_lon) * (pi() / CAST(180 AS DOUBLE)) / 2)
+                   )) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS dist_km
+            FROM sup CROSS JOIN cust
+        )
+        SELECT s_suppkey, c_custkey, dist_km FROM d
+        WHERE dist_km < CAST(300 AS DOUBLE)
     """,
 }

@@ -72,6 +72,7 @@ _head = [
     "passage_dedup",         # new: passage-level exact dedup
     "retrieval_eval",        # new: batch BM25 + NDCG/MRR eval
     "jaro_winkler_pairs",    # new: JW linkage, blocked pairs
+    "geo_radius_join",       # new: grid-blocked haversine join
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
@@ -115,7 +116,6 @@ _head = [
     "triangle_counts",       # core — graph
     # newest hash-gated analytics, newest first (dict appends newest LAST)
     "cms_frequencies",
-    "calibration_bins",
     "corpus_datacard",
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding

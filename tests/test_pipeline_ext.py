@@ -131,3 +131,43 @@ def test_jaro_winkler_grid_parity_with_duckdb(spark, sf_dir):
     assert _jaro_winkler_py("dixon", "dicksonx") == pytest.approx(0.8133333, abs=1e-6)
     assert _jaro_winkler_py("abc", "abc") == 1.0
     assert _jaro_winkler_py("abc", "xyz") == 0.0
+
+
+def test_radius_join_blocking_is_lossless(spark):
+    """The grid neighborhood must be a superset of every qualifying
+    cell: blocked results == brute-force cross-join results, including
+    pairs that straddle cell boundaries."""
+    from m13_sparkstreaming_python_azure_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    pts = [
+        (0, 0.0, 0.0), (1, 0.001, 0.001), (2, 1.999, 0.0), (3, 2.001, 0.0),
+        (4, 59.9, 179.9), (5, 59.9, -179.9), (6, -59.0, 10.0),
+        (7, -59.5, 10.5), (8, 30.0, 50.0), (9, 30.1, 50.1),
+    ]
+    a = spark.createDataFrame(pts, "aid long, a_lat double, a_lon double")
+    b = spark.createDataFrame(
+        [(i + 100, la + 0.3, lo - 0.2) for i, la, lo in pts],
+        "bid long, b_lat double, b_lon double",
+    )
+    blocked = {
+        (r.aid, r.bid)
+        for r in radius_join(
+            a, b, ("a_lat", "a_lon"), ("b_lat", "b_lon"), radius_km=300.0
+        ).collect()
+    }
+    brute = {
+        (r.aid, r.bid)
+        for r in a.crossJoin(b)
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+            ),
+        )
+        .filter(F.col("d") < 300.0)
+        .collect()
+    }
+    assert blocked == brute and len(brute) > 0

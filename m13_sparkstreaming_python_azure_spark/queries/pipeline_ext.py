@@ -408,6 +408,89 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s_suppkey", "c_custkey", "dist_km")
 
 
+def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI phrase mining: pointwise mutual information of adjacent word
+    pairs — the collocation detector that separates real phrases from
+    chance co-occurrence (frequency alone ranks \'the of\' first). One
+    unigram aggregate + one bigram aggregate (both vocabulary-sized),
+    broadcast-joined; PMI = ln((c_xy/N_bi) / ((c_x/N_uni)(c_y/N_uni))),
+    1e-6-snapped, support floor c_xy >= 5."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    uni = (
+        arr.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_uni = uni.agg(F.sum("c_w").alias("n_uni"))
+    bi = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("x"),
+                    F.element_at("t", i + 1).alias("y"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.x", "b.y")
+    cxy = bi.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    n_bi = cxy.agg(F.sum("n_xy").alias("n_bi"))
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        cxy.filter(F.col("n_xy") >= 5)
+        .join(F.broadcast(uni.selectExpr("w as x", "c_w as c_x")), "x")
+        .join(F.broadcast(uni.selectExpr("w as y", "c_w as c_y")), "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            snap6(
+                F.log(
+                    (F.col("n_xy") / F.col("n_bi"))
+                    / (
+                        (F.col("c_x") / F.col("n_uni"))
+                        * (F.col("c_y") / F.col("n_uni"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text vectorization (Weinberger et al.): tokens hash
+    into 256 signed buckets (md5 bucket + independent md5 sign bit), one
+    sparse (doc, feature_idx, value) row per non-zero — the
+    fixed-dimension, vocabulary-free featurizer that needs NO fitted
+    dictionary, so it streams and scales embarrassingly. Pure JVM
+    expressions; values are exact integer sums."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    h = lambda pre: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(pre), F.col("term"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        toks.withColumn("feature_idx", h("fh:") % 256)
+        .withColumn(
+            "sgn", F.when(h("fs:") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+        )
+        .groupBy("doc_id", "feature_idx")
+        .agg(
+            F.sum("sgn").alias("value"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -420,6 +503,8 @@ PIPELINE_QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "jaro_winkler_pairs": q_jaro_winkler_pairs,
     "geo_radius_join": q_geo_radius_join,
+    "pmi_phrases": q_pmi_phrases,
+    "feature_hashing": q_feature_hashing,
 }
 
 PIPELINE_ORACLES = {
@@ -727,5 +812,44 @@ PIPELINE_ORACLES = {
         )
         SELECT s_suppkey, c_custkey, dist_km FROM d
         WHERE dist_km < CAST(300 AS DOUBLE)
+    """,
+    "pmi_phrases": f"""
+        WITH d AS (
+            SELECT {_TOKS_SQL} AS t FROM documents
+        ), arr AS (
+            SELECT t FROM d WHERE len(t) >= 2
+        ), uni AS (
+            SELECT w, count(*) AS c_w FROM (
+                SELECT unnest(t) AS w FROM arr
+            ) GROUP BY w
+        ), nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_uni FROM uni),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(x := t[i], y := t[i+1]))) AS b
+            FROM arr
+        ), cxy AS (
+            SELECT b.x AS x, b.y AS y, count(*) AS n_xy FROM bi GROUP BY 1, 2
+        ), nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_bi FROM cxy)
+        SELECT x, y, n_xy,
+               floor(ln((n_xy / n_bi)
+                        / ((ux.c_w / nu.n_uni) * (uy.c_w / nu.n_uni)))
+                     * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS pmi
+        FROM cxy
+        JOIN uni ux ON ux.w = cxy.x
+        JOIN uni uy ON uy.w = cxy.y
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE n_xy >= 5
+    """,
+    "feature_hashing": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        )
+        SELECT doc_id,
+               ('0x' || substring(md5('fh:' || term), 1, 8))::BIGINT % 256
+                   AS feature_idx,
+               CAST(sum(CASE WHEN ('0x' || substring(md5('fs:' || term), 1, 8))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END) AS BIGINT) AS value,
+               count(*) AS n_terms
+        FROM toks GROUP BY doc_id, feature_idx
     """,
 }

@@ -73,6 +73,8 @@ _head = [
     "retrieval_eval",        # new: batch BM25 + NDCG/MRR eval
     "jaro_winkler_pairs",    # new: JW linkage, blocked pairs
     "geo_radius_join",       # new: grid-blocked haversine join
+    "pmi_phrases",           # new: PMI collocation mining
+    "feature_hashing",       # new: hashing-trick vectorizer
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
@@ -115,8 +117,6 @@ _head = [
     "bm25_search",           # llm — retrieval backbone
     "triangle_counts",       # core — graph
     # newest hash-gated analytics, newest first (dict appends newest LAST)
-    "cms_frequencies",
-    "corpus_datacard",
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.

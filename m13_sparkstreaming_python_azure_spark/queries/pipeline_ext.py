@@ -43,7 +43,7 @@ _GRAMS_CTE = f"""
 
 
 def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT all-pairs Jaccard >= 0.3 over word-3-gram shingle sets via
+    """EXACT all-pairs Jaccard >= 0.6 over word-3-gram shingle sets via
     prefix filtering (operators/setsim.ppjoin_pairs) — the no-cutoff
     complement to ngram_jaccard_pairs' stop-gram approximation. The
     oracle is the O(n²) brute force; the Spark plan never runs one
@@ -53,7 +53,7 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return ppjoin_pairs(docs, "doc_id", n=3, threshold=0.3)
+    return ppjoin_pairs(docs, "doc_id", n=3, threshold=0.6)
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +518,7 @@ PIPELINE_ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)
-                  >= CAST(0.3 AS DOUBLE)
+                  >= CAST(0.6 AS DOUBLE)
     """,
     "containment_pairs": f"""
         WITH {_GRAMS_CTE}

@@ -107,6 +107,11 @@ ALLOW_CARTESIAN = {
     "chi_square_independence",  # single-row moment × single-row dims scalars
     "bigram_perplexity",  # single-row N/V model-stats scalar broadcast
     "hybrid_rrf_search",  # single-row query-vector broadcast (+ bm25 stats)
+    "skew_profile",       # single-row totals/top10/gini/entropy scalars
+    "mutual_information",  # single-row marginal-entropy scalars
+    "benford_digits",     # single-row total-count scalar broadcast
+    "retrieval_eval",     # 10-row IDCG lookup joined on least(R,10)=i
+    "pmi_phrases",        # single-row N_uni/N_bi scalar broadcasts
 }
 
 
@@ -170,6 +175,10 @@ SCALE_AUDIT_QUERIES = [
     "k_core_customers",       # iterative peel — per-round plan stays keyed
     "repeated_spans",         # positional shingle join
     "association_rules",     # in-basket pair explode, no self-join
+    # round-4 heavies
+    "ppjoin_pairs",          # prefix index join must stay equi + bounded
+    "containment_pairs",     # probe-prefix x full-index join
+    "geo_radius_join",       # cell equi-join, never a cross product
 ]
 
 

@@ -353,3 +353,67 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     return deg.filter(F.col("degree") >= k).select(
         F.col("src").alias("node"), "degree"
     )
+
+
+def link_prediction(
+    edges: DataFrame, max_degree: int | None = 64, min_common: int = 2
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction: score unconnected
+    node pairs at distance 2 by their shared neighborhood — CN = |N(a) ∩
+    N(b)|, AA = Σ_z 1/ln(deg z) over shared neighbors z (Adamic & Adar
+    2003; rarer mutual friends weigh more).
+
+    Plan: symmetrize once, one degree aggregate, wedge enumeration via a
+    single self-equi-join on the center node, an aggregate per end-pair,
+    and an anti-join against existing edges. Wedge fan-out is deg(z)² —
+    the classic hub blow-up — so ``max_degree`` drops super-hub centers
+    BEFORE the join (the standard exclusion: a celebrity node predicts
+    nothing anyway; at 100 TB this cap is what keeps the join linear).
+    AA terms grid-snap 1e-9 pre-sum into exact BIGINT accumulation (deg
+    z >= 2 for any wedge center, so ln > 0 always).
+
+    Returns (node_a, node_b, common_neighbors, adamic_adar) for pairs
+    with CN >= ``min_common``, node_a < node_b."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg if max_degree is None else deg.filter(F.col("deg") <= max_degree)
+    # wedges: a - z - b with both spokes incident to an allowed center z
+    spokes = sym.select(F.col("dst").alias("z"), F.col("src").alias("end")).join(
+        F.broadcast(centers.select(F.col("src").alias("z"), "deg")), on="z"
+    )
+    aa_term = F.floor(
+        F.lit(1.0) / F.log(F.col("l.deg").cast("double")) * 1e9 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    pairs = (
+        spokes.alias("l")
+        .join(spokes.alias("r"), on="z")
+        .filter(F.col("l.end") < F.col("r.end"))
+        .select(
+            F.col("l.end").alias("node_a"),
+            F.col("r.end").alias("node_b"),
+            aa_term.alias("t"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("t").alias("s_aa"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    existing = sym.select(
+        F.col("src").alias("node_a"), F.col("dst").alias("node_b")
+    )
+    return pairs.join(
+        existing, on=["node_a", "node_b"], how="left_anti"
+    ).select(
+        "node_a",
+        "node_b",
+        "common_neighbors",
+        (F.col("s_aa").cast("double") / 1e9).alias("adamic_adar"),
+    )

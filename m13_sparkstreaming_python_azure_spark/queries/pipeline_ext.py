@@ -491,6 +491,29 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the deterministic customer graph (same
+    binary-tree + chain construction as triangle_counts): common
+    neighbors + Adamic-Adar for unconnected distance-2 pairs
+    (operators/graph.link_prediction). Wedge centers are degree-capped
+    BEFORE the self-join (the hub blow-up guard); AA terms accumulate as
+    1e-9-grid BIGINTs."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        link_prediction,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") / 2).cast("bigint").alias("dst")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    return link_prediction(tree.unionByName(chain))
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -505,6 +528,7 @@ PIPELINE_QUERIES = {
     "geo_radius_join": q_geo_radius_join,
     "pmi_phrases": q_pmi_phrases,
     "feature_hashing": q_feature_hashing,
+    "link_prediction": q_link_prediction,
 }
 
 PIPELINE_ORACLES = {
@@ -851,5 +875,41 @@ PIPELINE_ORACLES = {
                         THEN 1 ELSE -1 END) AS BIGINT) AS value,
                count(*) AS n_terms
         FROM toks GROUP BY doc_id, feature_idx
+    """,
+    "link_prediction": """
+        WITH ks AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), raw AS (
+            SELECT k AS src, k // 2 AS dst FROM ks WHERE k >= 2
+            UNION ALL
+            SELECT k, k - 1 FROM ks WHERE k >= 1
+        ), sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw
+            ) WHERE src <> dst
+        ), deg AS (
+            SELECT src AS z, count(*) AS deg FROM sym GROUP BY src
+        ), centers AS (
+            SELECT z, deg FROM deg WHERE deg <= 64
+        ), spokes AS (
+            SELECT s.dst AS z, s.src AS e, c.deg
+            FROM sym s JOIN centers c ON c.z = s.dst
+        ), pairs AS (
+            SELECT l.e AS node_a, r.e AS node_b,
+                   count(*) AS common_neighbors,
+                   CAST(sum(CAST(floor(CAST(1 AS DOUBLE) / ln(CAST(l.deg AS DOUBLE))
+                                       * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        AS BIGINT) AS s_aa
+            FROM spokes l JOIN spokes r ON l.z = r.z AND l.e < r.e
+            GROUP BY l.e, r.e
+        )
+        SELECT node_a, node_b, common_neighbors,
+               CAST(s_aa AS DOUBLE) / 1e9 AS adamic_adar
+        FROM pairs p
+        WHERE common_neighbors >= 2
+          AND NOT EXISTS (
+              SELECT 1 FROM sym s
+              WHERE s.src = p.node_a AND s.dst = p.node_b
+          )
     """,
 }

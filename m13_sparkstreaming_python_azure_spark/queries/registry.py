@@ -75,6 +75,7 @@ _head = [
     "geo_radius_join",       # new: grid-blocked haversine join
     "pmi_phrases",           # new: PMI collocation mining
     "feature_hashing",       # new: hashing-trick vectorizer
+    "link_prediction",       # new: CN/Adamic-Adar wedge scoring
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
@@ -115,7 +116,6 @@ _head = [
     "fuzzy_name_pairs",      # relational_ext
     "exact_dedup_groups",    # llm — dedup backbone
     "bm25_search",           # llm — retrieval backbone
-    "triangle_counts",       # core — graph
     # newest hash-gated analytics, newest first (dict appends newest LAST)
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding

@@ -514,6 +514,32 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(tree.unionByName(chain))
 
 
+def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the EDBT\'16 large-scale
+    Twitter-sentiment-on-Spark line in PAPERS.md): a broadcast word->
+    weight lexicon joins the exploded tokens, one doc-keyed integer sum
+    — scan-speed classification with zero Python. Per doc: matched
+    token count, integer score, and the sign label (exact int math,
+    no float anywhere)."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    lex = spark.createDataFrame(
+        [("fast", 2), ("slow", -2), ("big", 1), ("small", -1), ("merge", 1)],
+        "term string, weight int",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        toks.join(F.broadcast(lex), on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("weight").alias("sentiment_score"),
+        )
+        .withColumn("label", F.signum(F.col("sentiment_score")).cast("int"))
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -529,6 +555,7 @@ PIPELINE_QUERIES = {
     "pmi_phrases": q_pmi_phrases,
     "feature_hashing": q_feature_hashing,
     "link_prediction": q_link_prediction,
+    "lexicon_sentiment": q_lexicon_sentiment,
 }
 
 PIPELINE_ORACLES = {
@@ -911,5 +938,18 @@ PIPELINE_ORACLES = {
               SELECT 1 FROM sym s
               WHERE s.src = p.node_a AND s.dst = p.node_b
           )
+    """,
+    "lexicon_sentiment": f"""
+        WITH lex(term, weight) AS (
+            VALUES ('fast', 2), ('slow', -2), ('big', 1), ('small', -1),
+                   ('merge', 1)
+        ), toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        )
+        SELECT doc_id, count(*) AS n_matched,
+               CAST(sum(weight) AS BIGINT) AS sentiment_score,
+               CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
+        FROM toks JOIN lex USING (term)
+        GROUP BY doc_id
     """,
 }

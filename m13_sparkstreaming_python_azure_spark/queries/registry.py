@@ -76,10 +76,10 @@ _head = [
     "pmi_phrases",           # new: PMI collocation mining
     "feature_hashing",       # new: hashing-trick vectorizer
     "link_prediction",       # new: CN/Adamic-Adar wedge scoring
+    "lexicon_sentiment",     # new: broadcast-lexicon scoring
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
-    "seasonal_decompose",    # new: trend/seasonal/remainder
     "leakage_safe_split",    # new: group-aware split
     "touch_attribution",     # new: U-shaped multi-touch credit
     "epoch_shuffle",         # new: deterministic training shuffle

@@ -272,3 +272,92 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def key_skew_profile_multi(keyed: DataFrame) -> DataFrame:
+    """Multi-column flavor of ``key_skew_profile``: input is one unioned
+    (key_label, k) frame; ALL labels profile in a single pass — one
+    groupBy to the per-label key-count tables, one global range sort for
+    every gini rank (per-label rank = global dense position minus the
+    label's minimum position, a tiny broadcast join), per-label
+    aggregates for totals/top-10/entropy. Same output schema and values
+    as N separate ``key_skew_profile`` calls, at 1/N the job count —
+    the shape a 100 TB diagnostic sweep wants (each extra label adds
+    rows to existing shuffles, not whole new stages).
+
+    The top-10 rank windows over the per-label KEY-COUNT table (already
+    one row per key, not per input row). For extreme key cardinality
+    where even that table strains one partition per label, pre-prune
+    with a salted local top-10 — groupBy(label, salt) heads first — or
+    fall back to the single-label operator's TakeOrdered path."""
+    from m13_sparkstreaming_python_azure_spark.operators.util import (
+        stable_ids,
+    )
+
+    counts = (
+        keyed.groupBy("key_label", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    totals = counts.groupBy("key_label").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("top1"),
+    )
+    w10 = Window.partitionBy("key_label").orderBy(F.desc("c"), F.asc("k"))
+    top10 = (
+        counts.withColumn("rd", F.row_number().over(w10))
+        .filter(F.col("rd") <= 10)
+        .groupBy("key_label")
+        .agg(F.sum("c").alias("top10"))
+    )
+    ranked = stable_ids(
+        counts.repartitionByRange(
+            F.asc("key_label"), F.asc("c"), F.asc("k")
+        ).sortWithinPartitions(F.asc("key_label"), F.asc("c"), F.asc("k")),
+        "pos",
+    )
+    base = ranked.groupBy("key_label").agg(F.min("pos").alias("pos0"))
+    gini_sum = (
+        ranked.join(F.broadcast(base), "key_label")
+        .select(
+            "key_label",
+            ((F.col("pos") - F.col("pos0") + 1) * F.col("c")).alias("ic"),
+        )
+        .groupBy("key_label")
+        .agg(F.sum("ic").alias("s_ic"))
+    )
+    n = F.col("n_rows")
+    ent_term = F.floor(
+        (F.col("c") / n) * F.log(F.col("c") / n) * 1e9 + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    entropy = (
+        counts.join(F.broadcast(totals), "key_label")
+        .groupBy("key_label")
+        .agg(F.sum(ent_term).alias("s_ent"))
+        .select(
+            "key_label",
+            (-F.col("s_ent").cast("double") / 1e9).alias("entropy_nats"),
+        )
+    )
+    return (
+        totals.join(top10, "key_label")
+        .join(gini_sum, "key_label")
+        .join(entropy, "key_label")
+        .select(
+            "key_label",
+            "n_rows",
+            "n_keys",
+            (F.col("top1") / F.col("n_rows")).alias("top1_share"),
+            (F.col("top10") / F.col("n_rows")).alias("top10_share"),
+            "entropy_nats",
+            (
+                F.col("entropy_nats")
+                / F.log(F.col("n_keys").cast("double"))
+            ).alias("norm_entropy"),
+            (
+                F.lit(2.0) * F.col("s_ic") / (F.col("n_keys") * F.col("n_rows"))
+                - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys")
+            ).alias("gini"),
+        )
+    )

@@ -76,25 +76,32 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-snap 1e-9 pre-sum into BIGINT accumulation; top/gini shares are
     BIGINT ratios; norm_entropy snaps 1e-6 (ln boundary)."""
     from m13_sparkstreaming_python_azure_spark.operators.stats import (
-        key_skew_profile,
+        key_skew_profile_multi,
     )
 
-    parts = [
-        key_skew_profile(
-            load_table(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey"
-        ),
-        key_skew_profile(
-            load_table(spark, sf_dir, "lineitem"), "l_partkey", "lineitem.l_partkey"
-        ),
-        key_skew_profile(
-            load_table(spark, sf_dir, "events"), "user_id", "events.user_id"
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    keyed = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.lit("orders.o_custkey").alias("key_label"),
+            F.col("o_custkey").cast("string").alias("k"),
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "lineitem").select(
+                F.lit("lineitem.l_partkey").alias("key_label"),
+                F.col("l_partkey").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "events").select(
+                F.lit("events.user_id").alias("key_label"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+    )
     snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    return out.withColumn("norm_entropy", snap6(F.col("norm_entropy")))
+    return key_skew_profile_multi(keyed).withColumn(
+        "norm_entropy", snap6(F.col("norm_entropy"))
+    )
 
 
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,7 +53,13 @@ def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
 def _ranked_by_rarity(grams: DataFrame) -> DataFrame:
     """Attach each document's shingles' global document frequency and the
     in-document rank under the canonical (df asc, gram asc) ordering —
-    the total order every prefix computation shares."""
+    the total order every prefix computation shares.
+
+    Downstream joins should filter ``df >= 2``: a shingle appearing in
+    exactly one document can never witness a PAIR (neither as a
+    candidate-generating prefix entry nor as an intersection member), so
+    dropping singletons from the index and the verify side is exact and
+    typically removes the long unique-shingle tail."""
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("__id").orderBy("df", "gram")
     return (
@@ -63,12 +69,13 @@ def _ranked_by_rarity(grams: DataFrame) -> DataFrame:
     )
 
 
-def _verified_intersections(cand: DataFrame, grams: DataFrame) -> DataFrame:
-    """Exact |A∩B| for the surviving candidate pairs only: route A's full
-    shingle set through the pair list and probe B's postings — cost is
-    O(candidate docs' shingles), not O(corpus)."""
-    a = grams.select(F.col("__id").alias("id_a"), "gram")
-    b = grams.select(F.col("__id").alias("id_b"), "gram")
+def _verified_intersections(cand: DataFrame, shared: DataFrame) -> DataFrame:
+    """Exact |A∩B| for the surviving candidate pairs only: route A's
+    SHARED shingles (df >= 2 — singletons can't be in any intersection)
+    through the pair list and probe B's postings — cost is O(candidate
+    docs' shared shingles), not O(corpus)."""
+    a = shared.select(F.col("__id").alias("id_a"), "gram")
+    b = shared.select(F.col("__id").alias("id_b"), "gram")
     return (
         cand.join(a, on="id_a")
         .join(b, on=["id_b", "gram"])
@@ -98,10 +105,16 @@ def ppjoin_pairs(
     hash-matches the oracle with no rounding grid.
     """
     grams = _distinct_shingles(df, id_col, text_col, n).persist()
-    ranked = _ranked_by_rarity(grams)
+    ranked = _ranked_by_rarity(grams).persist()
+    shared = ranked.filter(F.col("df") >= 2).select("__id", "gram")
     prefix = ranked.filter(
-        F.col("r")
-        <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+        (
+            F.col("r")
+            <= F.col("n_grams")
+            - F.ceil(F.lit(threshold) * F.col("n_grams"))
+            + 1
+        )
+        & (F.col("df") >= 2)
     ).select("__id", "gram", "n_grams")
 
     a = prefix.select(
@@ -123,7 +136,7 @@ def ppjoin_pairs(
 
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
     out = (
-        _verified_intersections(cand, grams)
+        _verified_intersections(cand, shared)
         .join(sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
@@ -154,12 +167,18 @@ def containment_pairs(
     jaccard_sim) with id_a < id_b; both measures are BIGINT ratios.
     """
     grams = _distinct_shingles(df, id_col, text_col, n).persist()
-    ranked = _ranked_by_rarity(grams)
+    ranked = _ranked_by_rarity(grams).persist()
+    shared = ranked.filter(F.col("df") >= 2).select("__id", "gram")
     probe = ranked.filter(
-        F.col("r")
-        <= F.col("n_grams") - F.ceil(F.lit(threshold) * F.col("n_grams")) + 1
+        (
+            F.col("r")
+            <= F.col("n_grams")
+            - F.ceil(F.lit(threshold) * F.col("n_grams"))
+            + 1
+        )
+        & (F.col("df") >= 2)
     ).select(F.col("__id").alias("id_p"), "gram")
-    full = ranked.select(F.col("__id").alias("id_f"), "gram")
+    full = shared.select(F.col("__id").alias("id_f"), "gram")
     cand = (
         probe.join(full, on="gram")
         .filter(F.col("id_p") != F.col("id_f"))
@@ -172,7 +191,7 @@ def containment_pairs(
 
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
     out = (
-        _verified_intersections(cand, grams)
+        _verified_intersections(cand, shared)
         .join(sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .withColumn("containment", F.col("n_inter") / F.least("n_a", "n_b"))

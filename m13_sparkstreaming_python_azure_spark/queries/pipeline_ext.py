@@ -547,6 +547,30 @@ def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity): codebooks from
+    the exact hash sample, vectors compressed to 16 centroid ids, ADC
+    shortlist over codes only (the full-corpus pass never touches
+    floats), exact L2 rerank of the 100-candidate shortlist. Rows-only
+    at the gate (k-means codebooks are not SQL-expressible); recall and
+    determinism are pinned by tests/test_pq.py."""
+    from m13_sparkstreaming_python_azure_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = sim.train_pq_codebooks(emb, m=16, k=16, sample_size=400, seed=3)
+    codes = sim.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_shortlist_rerank(
+        codes, emb, queries, books, k=10, shortlist=100
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -563,6 +587,7 @@ PIPELINE_QUERIES = {
     "feature_hashing": q_feature_hashing,
     "link_prediction": q_link_prediction,
     "lexicon_sentiment": q_lexicon_sentiment,
+    "ann_pq": q_ann_pq,
 }
 
 PIPELINE_ORACLES = {

@@ -571,6 +571,55 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping under the gate (sources/snapshots zone
+    maps — the Delta/Iceberg min-max stats analogue): orders land in the
+    manifest table as four date-range appends (files correlate with
+    o_orderdate), ``attach_zone_maps`` commits per-file [min, max] from
+    the parquet FOOTERS, and a 1996 range scan resolves its file list
+    from the manifest — disjoint files never open. The result must equal
+    the plain filtered scan (pruning is cost-only; the predicate still
+    applies), which is exactly what the oracle hash checks; the
+    actually-skipped file count is pinned by tests."""
+    import datetime
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        attach_zone_maps,
+        read_snapshot_pruned,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(tempfile.mkdtemp(prefix="zonemap-"), "orders_t")
+    d = F.col("o_orderdate")
+    chunks = [
+        orders.filter(d < "1995-01-01"),
+        orders.filter((d >= "1995-01-01") & (d < "1996-01-01")),
+        orders.filter((d >= "1996-01-01") & (d < "1997-01-01")),
+        orders.filter(d >= "1997-01-01"),
+    ]
+    write_snapshot(chunks[0].coalesce(2), table)
+    for ch in chunks[1:]:
+        append_snapshot(ch.coalesce(2), table)
+    attach_zone_maps(table, ["o_orderdate"])
+
+    pruned = read_snapshot_pruned(
+        spark,
+        table,
+        "o_orderdate",
+        lo=datetime.datetime(1996, 1, 1),
+        hi=datetime.datetime(1996, 12, 31),
+    )
+    dec = F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dec, 2).cast("double").alias("revenue"),
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -588,6 +637,7 @@ PIPELINE_QUERIES = {
     "link_prediction": q_link_prediction,
     "lexicon_sentiment": q_lexicon_sentiment,
     "ann_pq": q_ann_pq,
+    "zonemap_pruned_scan": q_zonemap_pruned_scan,
 }
 
 PIPELINE_ORACLES = {
@@ -983,5 +1033,14 @@ PIPELINE_ORACLES = {
                CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
         FROM toks JOIN lex USING (term)
         GROUP BY doc_id
+    """,
+    "zonemap_pruned_scan": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <= TIMESTAMP '1996-12-31'
+        GROUP BY o_orderstatus
     """,
 }

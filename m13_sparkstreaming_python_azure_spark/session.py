@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Parity with the reference's timestamp parquet writes (upload.py:33).
         .config("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+        # Write timestamps as INT64 micros, not legacy INT96: INT96 columns
+        # carry NO min/max in parquet footers, which would blind the
+        # zone-map data skipping (sources/snapshots.attach_zone_maps) and
+        # every engine's row-group pruning on our own output.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Driver fixtures store events.ts as TIMESTAMP(NANOS); Spark reads it
         # as long-nanos and the catalog converts back (catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -723,3 +723,135 @@ def delete_keys(
             "parts": new_parts,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone maps — file-level data skipping (the Delta/Iceberg min-max stats
+# analogue). A 100 TB table's real partition pruning happens here: the
+# manifest carries per-file [min, max] for chosen columns, and a range
+# query resolves its file list from the MANIFEST — files whose interval
+# can't overlap the predicate are never opened, so selective scans cost
+# O(matching files), not O(table). Stats ride the same versioned-manifest
+# commit as everything else (snapshot-isolated, time-travelable).
+# ---------------------------------------------------------------------------
+
+
+def _file_zone_maps(files: list[str], columns: list[str]) -> dict:
+    """Per-file min/max for ``columns`` from the parquet FOOTERS (row-group
+    statistics — no data pages read). Values serialize as strings: ISO
+    for timestamps, repr for numerics — comparisons at prune time parse
+    back through the same codec so ordering is preserved."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in columns:
+            if col not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    mins = []  # unknown stats -> no zone map for this file
+                    break
+                mins.append(s.min)
+                maxs.append(s.max)
+            if mins:
+                stats[col] = [
+                    _zm_encode(min(mins)), _zm_encode(max(maxs))
+                ]
+        out[path] = stats
+    return out
+
+
+def _zm_encode(v):
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        # parquet footers hand back tz-aware UTC datetimes (Spark writes
+        # isAdjustedToUTC); normalize to UTC-naive so prune-time bounds
+        # (session timezone is pinned UTC) compare cleanly
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, bytes):
+        return {"t": "s", "v": v.decode("utf-8", "replace")}
+    if isinstance(v, str):
+        return {"t": "s", "v": v}
+    return {"t": "n", "v": v}
+
+
+def _zm_decode(e):
+    import datetime
+
+    if e["t"] == "ts":
+        return datetime.datetime.fromisoformat(e["v"])
+    return e["v"]
+
+
+def attach_zone_maps(table_dir: str, columns: list[str]) -> int:
+    """Compute zone maps for the CURRENT version's files and commit them
+    as a new version (op: stats — same data files, enriched manifest).
+    Incremental by construction: recomputing after an append only needs
+    the new files' footers (previous stats are inherited)."""
+    m = read_manifest(table_dir)
+    prev = m.get("zone_maps", {})
+    todo = [f for f in m["files"] if f not in prev]
+    zone_maps = {**{f: s for f, s in prev.items() if f in set(m["files"])}}
+    zone_maps.update(_file_zone_maps(todo, columns))
+    return _commit(
+        table_dir,
+        m["files"],
+        m["rows"],
+        {"op": "stats", "zone_maps": zone_maps, "zone_map_cols": columns},
+    )
+
+
+def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:
+    """Files that can contain rows with ``lo <= col <= hi`` (either bound
+    optional). Conservative: a file without stats for ``col`` is always
+    kept; a file is dropped only when its [min, max] interval provably
+    misses the predicate range."""
+    zm = manifest.get("zone_maps", {})
+    keep = []
+    for f in manifest["files"]:
+        stats = zm.get(f, {}).get(col)
+        if not stats:
+            keep.append(f)
+            continue
+        fmin, fmax = _zm_decode(stats[0]), _zm_decode(stats[1])
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(f)
+    return keep
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with manifest-level file skipping. The range FILTER is
+    still applied to the surviving files (pruning is a cost optimization;
+    correctness comes from the predicate — exactly Delta's contract), so
+    the result equals ``read_snapshot(...).filter(lo <= col <= hi)``."""
+    m = read_manifest(table_dir, version)
+    files = prune_files(m, col, lo, hi)
+    if not files:
+        return read_snapshot(spark, table_dir, version).filter(F.lit(False))
+    df = spark.read.parquet(*files)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df

@@ -1,0 +1,106 @@
+"""Zone-map data skipping (sources/snapshots): footer-derived stats,
+manifest-level file pruning that provably skips disjoint files, the
+conservative no-stats fallback, and append-incremental stats."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+    append_snapshot,
+    attach_zone_maps,
+    prune_files,
+    read_manifest,
+    read_snapshot,
+    read_snapshot_pruned,
+    write_snapshot,
+)
+
+
+def _table(spark, tmp_path):
+    table = str(tmp_path / "t")
+    rows = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    write_snapshot(rows.filter("id < 100").repartition(2), table)
+    append_snapshot(
+        rows.filter("id >= 100 and id < 200").repartition(2), table
+    )
+    append_snapshot(rows.filter("id >= 200").repartition(2), table)
+    attach_zone_maps(table, ["id"])
+    return table
+
+
+def test_prune_skips_disjoint_files_and_loses_nothing(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    m = read_manifest(table)
+    assert m["op"] == "stats" and len(m["files"]) == 6
+    kept = prune_files(m, "id", lo=120, hi=150)
+    # only the middle chunk's files can overlap [120, 150]
+    assert 0 < len(kept) <= 2
+    got = sorted(
+        r.id for r in read_snapshot_pruned(spark, table, "id", 120, 150).collect()
+    )
+    assert got == list(range(120, 151))
+    # unbounded sides
+    assert read_snapshot_pruned(spark, table, "id", lo=250).count() == 50
+    assert read_snapshot_pruned(spark, table, "id", hi=9).count() == 10
+    # empty intersection -> empty result, zero files would open
+    assert prune_files(m, "id", lo=1000) == []
+    assert read_snapshot_pruned(spark, table, "id", lo=1000).count() == 0
+
+
+def test_prune_is_conservative_without_stats(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    m = read_manifest(table)
+    # a column with no zone maps keeps every file
+    assert prune_files(m, "v", lo=0, hi=1) == m["files"]
+    # and the filter still applies
+    assert read_snapshot_pruned(spark, table, "v", 0, 10).count() == 6
+
+
+def test_stats_commit_preserves_snapshot_semantics(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    before = read_manifest(table)
+    # stats version reads identically to the data it annotates
+    assert read_snapshot(spark, table).count() == 300
+    # a later append inherits: re-attaching only needs the new files
+    extra = spark.range(300, 320).select("id", (F.col("id") * 2).alias("v"))
+    append_snapshot(extra.coalesce(1), table)
+    attach_zone_maps(table, ["id"])
+    m2 = read_manifest(table)
+    assert set(before["zone_maps"]).issubset(set(m2["zone_maps"]))
+    assert len(m2["zone_maps"]) == len(m2["files"])
+    assert read_snapshot_pruned(spark, table, "id", lo=300).count() == 20
+
+
+def test_timestamp_zone_maps_roundtrip(spark, sf_dir, tmp_path):
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    table = str(tmp_path / "ot")
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    write_snapshot(orders.filter(d < "1996-01-01").coalesce(2), table)
+    append_snapshot(orders.filter(d >= "1996-01-01").coalesce(2), table)
+    attach_zone_maps(table, ["o_orderdate"])
+    m = read_manifest(table)
+    kept = prune_files(
+        m,
+        "o_orderdate",
+        lo=datetime.datetime(1995, 1, 1),
+        hi=datetime.datetime(1995, 12, 31),
+    )
+    assert len(kept) < len(m["files"])  # the >=1996 files are skipped
+    want = orders.filter(
+        (d >= "1995-01-01") & (d < "1996-01-01")
+    ).count()
+    got = read_snapshot_pruned(
+        spark,
+        table,
+        "o_orderdate",
+        lo=datetime.datetime(1995, 1, 1),
+        hi=datetime.datetime(1995, 12, 31),
+    ).count()
+    assert got == want > 0

@@ -855,3 +855,35 @@ def read_snapshot_pruned(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def compact_snapshot_zorder(
+    spark: SparkSession,
+    table_dir: str,
+    zkey,
+    n_files: int,
+    stats_cols: list[str],
+) -> int:
+    """OPTIMIZE ZORDER for the manifest layer: rewrite the current
+    version's content range-partitioned + sorted by a Morton key
+    (``zkey``, from operators/zorder.morton_key) so every data file is a
+    small hyper-rectangle in the clustered dimensions, then commit fresh
+    zone maps. After this, ``read_snapshot_pruned`` skips files for a
+    range predicate on ANY clustered column — the payoff a single-column
+    sort layout can only give its leading column. Old versions (and live
+    readers) still see the original files: this is a compaction commit
+    like any other, snapshot-isolated and time-travelable."""
+    cur = read_snapshot(spark, table_dir)
+    zdf = (
+        cur.withColumn("__z", zkey)
+        .repartitionByRange(n_files, F.asc("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    m = read_manifest(table_dir)
+    files = _write_data_files(zdf, table_dir)
+    version = _commit(
+        table_dir, files, m["rows"], {"op": "optimize-zorder"}
+    )
+    attach_zone_maps(table_dir, stats_cols)
+    return version

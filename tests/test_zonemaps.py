@@ -104,3 +104,53 @@ def test_timestamp_zone_maps_roundtrip(spark, sf_dir, tmp_path):
         hi=datetime.datetime(1995, 12, 31),
     ).count()
     assert got == want > 0
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER on the snapshot layer: after the Morton-key
+    rewrite, a narrow range predicate on EITHER clustered column skips
+    most files via the manifest zone maps — and the content is
+    unchanged."""
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.zorder import (
+        morton_key,
+        quantize,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        compact_snapshot_zorder,
+    )
+
+    table = str(tmp_path / "zt")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_snapshot(orders.repartition(8), table)  # random layout
+    b = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).collect()[0]
+    zkey = morton_key(
+        [
+            quantize(F.col("o_totalprice"), float(b[0]), float(b[1]) + 1, 8),
+            quantize(
+                F.col("o_custkey").cast("double"), float(b[2]), float(b[3]) + 1, 8
+            ),
+        ],
+        bits=8,
+    )
+    compact_snapshot_zorder(
+        spark, table, zkey, n_files=8, stats_cols=["o_totalprice", "o_custkey"]
+    )
+    m = read_manifest(table)
+    assert len(m["files"]) >= 6
+    kept_price = prune_files(m, "o_totalprice", lo=10000.0, hi=30000.0)
+    kept_cust = prune_files(m, "o_custkey", lo=100, hi=110)
+    assert len(kept_price) < len(m["files"])
+    assert len(kept_cust) < len(m["files"])
+    # parity: pruned scan == plain filtered scan
+    want = orders.filter(
+        (F.col("o_custkey") >= 100) & (F.col("o_custkey") <= 110)
+    ).count()
+    got = read_snapshot_pruned(spark, table, "o_custkey", 100, 110).count()
+    assert got == want > 0
+    assert read_snapshot(spark, table).count() == orders.count()

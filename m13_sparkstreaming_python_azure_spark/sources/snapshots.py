@@ -183,13 +183,25 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """The table exactly as of ``version`` (default: latest committed)."""
+    """The table exactly as of ``version`` (default: latest committed).
+
+    ``merge_schema=True`` unions the schemas across the version's files
+    (additive schema evolution: an append may carry NEW columns; older
+    files surface them as null) — the Delta ``mergeSchema`` read
+    contract. Default off: schema comes from a single footer, the cheap
+    common case."""
     m = read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"version {m['version']} has no files")
-    return spark.read.parquet(*m["files"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*m["files"])
 
 
 def compact_snapshot(

@@ -144,3 +144,26 @@ def test_parameterized_sql(spark):
         args={"status": "F", "floor": 0.0},
     ).collect()
     assert rows[0]["n"] > 0
+
+
+def test_observation_api_collects_metrics_inline(spark, sf_dir):
+    """Batch observability (df.observe): metric expressions evaluate
+    DURING the action — no second scan — and the result itself is
+    untouched. The batch twin of streaming/metrics.py's gauges."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_scan")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    n = observed.filter(F.col("o_orderstatus") == "F").count()
+    got = obs.get
+    assert got["rows_scanned"] == orders.count()
+    assert got["bad_price"] == 0
+    assert 0 < n < got["rows_scanned"]

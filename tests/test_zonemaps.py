@@ -154,3 +154,28 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     got = read_snapshot_pruned(spark, table, "o_custkey", 100, 110).count()
     assert got == want > 0
     assert read_snapshot(spark, table).count() == orders.count()
+
+
+def test_snapshot_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: an append with a NEW column commits
+    fine; merge_schema=True surfaces it (null for old files), the
+    default read keeps the cheap single-footer schema."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "se")
+    v1 = spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    write_snapshot(v1.coalesce(1), table)
+    v2 = spark.range(10, 20).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("new").alias("tag")
+    )
+    append_snapshot(v2.coalesce(1), table)
+
+    merged = read_snapshot(spark, table, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "tag"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("tag").isNull()).count() == 10
+    assert merged.filter(F.col("tag") == "new").count() == 10

@@ -620,6 +620,40 @@ def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup — order-insensitive exact dedup (catches
+    shuffled/reordered copies that content-hash dedup misses while
+    staying one groupBy, unlike similarity joins): fingerprint =
+    md5(sorted token list). Corpus plants a token-REVERSED copy of every
+    5th doc (different text, identical bag) — each must collapse onto
+    its source. Per doc: the group\'s canonical keep_id, copy count, and
+    the reordered-dup flag."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reordered = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), r"\s+")), " ").alias(
+            "text"
+        ),
+    )
+    corpus = base.unionByName(reordered)
+    fp = F.md5(F.array_join(F.array_sort(tokens("text")), " "))
+    w = Window.partitionBy("fp")
+    return (
+        corpus.withColumn("fp", fp)
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keep_id"),
+            F.count(F.lit(1)).over(w).alias("n_copies"),
+        )
+        .withColumn(
+            "is_reordered_dup",
+            (F.col("doc_id") != F.col("keep_id")).cast("int"),
+        )
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -638,6 +672,7 @@ PIPELINE_QUERIES = {
     "lexicon_sentiment": q_lexicon_sentiment,
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
+    "bow_dedup": q_bow_dedup,
 }
 
 PIPELINE_ORACLES = {
@@ -1042,5 +1077,27 @@ PIPELINE_ORACLES = {
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <= TIMESTAMP '1996-12-31'
         GROUP BY o_orderstatus
+    """,
+    "bow_dedup": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+                   array_to_string(list_reverse(
+                       string_split_regex(text, '\s+')), ' ')
+            FROM documents WHERE doc_id % 5 = 0
+        ), fps AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '')), ' ')) AS fp
+            FROM corpus
+        )
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+               count(*) OVER (PARTITION BY fp) AS n_copies,
+               CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INT)
+                   AS is_reordered_dup
+        FROM fps
     """,
 }

@@ -78,11 +78,11 @@ _head = [
     "link_prediction",       # new: CN/Adamic-Adar wedge scoring
     "lexicon_sentiment",     # new: broadcast-lexicon scoring
     "zonemap_pruned_scan",   # new: manifest min/max file skipping
+    "bow_dedup",             # new: order-insensitive exact dedup
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "hard_negative_mining",  # new: contrastive pair mining
     "leakage_safe_split",    # new: group-aware split
-    "epoch_shuffle",         # new: deterministic training shuffle
     "best_quality_survivors",  # new: quality-aware dedup
     "loo_target_encoding",   # new: LOO mean-target features
     "quantile_normalize",    # new: per-group rank transform

@@ -31,6 +31,40 @@ from m13_sparkstreaming_python_azure_spark.queries.tpch_ext import (
     TPCH_EXT_QUERIES,
 )
 
+def _narrow_shuffle(fn, n: int = 8):
+    """Run a STREAMING gate with a narrow shuffle width. Stateful
+    micro-batch operators keep one state-store instance per shuffle
+    partition per batch; at gate volume 32 partitions bound the state
+    bookkeeping, not the data. Warm-session A/B at sf0.1 shows modest
+    wins (~10% on the state-heavy gates, larger on cold first runs
+    where 32-way state-store init dominates); the real point is the
+    principle the two hand-tuned gates already applied — streaming
+    width is pinned by the FIRST micro-batch and AQE can't fix it later,
+    so it must be right before the stream starts. Session width is
+    restored on exit; the returned sink-table aggregation runs at the
+    restored width."""
+
+    def wrapped(spark, sf_dir):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return wrapped
+
+
+_STREAMING_GATES = [
+    "streaming_daily_stats", "streaming_append_windows",
+    "streaming_interval_join", "streaming_latest_state",
+    "streaming_dedup", "streaming_histogram_quantiles",
+    "streaming_view_maintenance", "streaming_ewma",
+    "streaming_sessions", "streaming_outer_join",
+    "streaming_late_data_drop", "streaming_ann_index",
+    "streaming_incremental_dedup",
+]
+
 _ALL_QUERIES = {
     **CORE_QUERIES,
     **EXT_QUERIES,
@@ -40,6 +74,8 @@ _ALL_QUERIES = {
     **ANALYTICS_QUERIES,
     **PIPELINE_QUERIES,
 }
+for _name in _STREAMING_GATES:
+    _ALL_QUERIES[_name] = _narrow_shuffle(_ALL_QUERIES[_name])
 ORACLES = {
     **CORE_ORACLES,
     **EXT_ORACLES,

@@ -41,6 +41,19 @@ from pyspark.sql import functions as F
 from m13_sparkstreaming_python_azure_spark.sources.fs import fs_for
 
 
+class CommitConflict(RuntimeError):
+    """The table advanced past the version this commit's content was
+    derived from (optimistic-concurrency check). The version-number CAS
+    alone only serializes WHO commits — without the lineage check, a
+    read-modify-write loser would publish content derived from a stale
+    base and silently drop the winner's rows. Callers rebase (appends:
+    re-union the file list; compactions/merges: recompute from the new
+    content) and retry."""
+
+
+_UNCHECKED = object()  # content-independent commits skip the lineage check
+
+
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifests")
 
@@ -77,12 +90,19 @@ def _commit(
     files: list[str],
     n_rows: int,
     extra: dict | None = None,
+    base_version: int | None | object = _UNCHECKED,
 ) -> int:
     """Commit a new version. Concurrency + exactly-once invariants:
 
     - The version manifest is created O_CREAT|O_EXCL: two concurrent
       committers can't both claim version N+1 — the loser retries at the
       next number, so no commit is ever silently clobbered.
+    - ``base_version`` (when given) is the version this commit's CONTENT
+      was derived from: if the table has advanced past it, the commit
+      raises CommitConflict instead of publishing a stale file list that
+      would drop the interleaved writer's rows (lost-update guard —
+      overwrite-semantics commits pass _UNCHECKED and stay
+      last-writer-wins by design).
     - ``batch_id`` (the streaming exactly-once high-water mark) is
       inherited from the previous latest manifest unless ``extra``
       advances it — so a compaction or MERGE between micro-batches can't
@@ -94,6 +114,11 @@ def _commit(
 
     while True:
         prev_v = latest_version(table_dir)
+        if base_version is not _UNCHECKED and prev_v != base_version:
+            raise CommitConflict(
+                f"{table_dir}: content derived from version {base_version} "
+                f"but the table is now at {prev_v}"
+            )
         version = (prev_v or 0) + 1
         manifest = {
             "version": version,
@@ -158,17 +183,28 @@ def write_snapshot(
 def append_snapshot(
     df: DataFrame, table_dir: str, extra: dict | None = None
 ) -> int:
-    """Append rows as a new version: previous files + new files."""
-    prev = read_manifest(table_dir)
+    """Append rows as a new version: previous files + new files.
+
+    Concurrent-append safe: the data files land once; the manifest union
+    is rebased and retried if another writer commits in between (appends
+    commute, so the rebase is just re-reading the latest file list —
+    no data rewrite)."""
+    read_manifest(table_dir)  # appends require an existing table
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n_new = spark.read.parquet(*files).count() if files else 0
-    return _commit(
-        table_dir,
-        prev["files"] + files,
-        prev["rows"] + n_new,
-        {"op": "append", **(extra or {})},
-    )
+    while True:
+        prev = read_manifest(table_dir)
+        try:
+            return _commit(
+                table_dir,
+                prev["files"] + files,
+                prev["rows"] + n_new,
+                {"op": "append", **(extra or {})},
+                base_version=prev["version"],
+            )
+        except CommitConflict:
+            continue  # rebase on the advanced manifest and retry
 
 
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -217,7 +253,12 @@ def compact_snapshot(
     n_files = max(1, -(-size // target_file_bytes))
     df = spark.read.parquet(*m["files"]).repartition(n_files)
     files = _write_data_files(df, table_dir)
-    return _commit(table_dir, files, m["rows"], {"op": "compact"})
+    # heavy rewrite: a concurrent commit means OUR rewritten content is
+    # stale — raise (CommitConflict) and let the caller re-run compaction
+    return _commit(
+        table_dir, files, m["rows"], {"op": "compact"},
+        base_version=m["version"],
+    )
 
 
 def snapshot_batch_sink(table_dir: str):
@@ -273,11 +314,16 @@ def merge_snapshot(
         merge_upsert,
     )
 
-    target = read_snapshot(spark, table_dir)
+    m = read_manifest(table_dir)
+    target = spark.read.parquet(*m["files"])
     merged = merge_upsert(target, source, keys)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, files, n, {"op": "merge"})
+    # like compaction: stale-base MERGEs must not publish — raise and
+    # let the caller recompute against the advanced table
+    return _commit(
+        table_dir, files, n, {"op": "merge"}, base_version=m["version"]
+    )
 
 
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
@@ -494,12 +540,15 @@ def keyed_batch_sink(
             .drop("__rn")
         )
 
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int, _retries: int = 5) -> None:
         spark = batch_df.sparkSession
         try:
-            last = read_manifest(table_dir).get("batch_id")
+            base_manifest = read_manifest(table_dir)
+            last = base_manifest.get("batch_id")
+            base_v = base_manifest["version"]
         except FileNotFoundError:
             last = None
+            base_v = None
         if last is not None and batch_id <= last:
             return  # replayed batch — already committed
 
@@ -516,7 +565,7 @@ def keyed_batch_sink(
             return  # empty batch — nothing to commit
 
         try:
-            m = read_manifest(table_dir)
+            m = base_manifest if base_v is not None else read_manifest(table_dir)
             prev_parts = m.get("parts", {})
             if m.get("files") and not prev_parts:
                 raise ValueError(
@@ -575,19 +624,29 @@ def keyed_batch_sink(
             }
         files = [f for p in parts.values() for f in p["files"]]
         rows = sum(p["rows"] for p in parts.values())
-        _commit(
-            table_dir,
-            files,
-            rows,
-            {
-                "op": "keyed",
-                "batch_id": batch_id,
-                "keys": keys,
-                "n_buckets": n_buckets,
-                "mode": mode,
-                "parts": parts,
-            },
-        )
+        try:
+            _commit(
+                table_dir,
+                files,
+                rows,
+                {
+                    "op": "keyed",
+                    "batch_id": batch_id,
+                    "keys": keys,
+                    "n_buckets": n_buckets,
+                    "mode": mode,
+                    "parts": parts,
+                },
+                base_version=base_v,
+            )
+        except CommitConflict:
+            # a concurrent commit (compaction/GDPR delete) advanced the
+            # table while this batch merged against the old buckets —
+            # the merge result is stale. Rebase: redo the whole batch
+            # against the new manifest (bounded; conflicts are rare).
+            if _retries <= 0:
+                raise
+            _sink(batch_df, batch_id, _retries - 1)
 
     return _sink
 
@@ -654,6 +713,7 @@ def compact_keyed_snapshot(
             "mode": m.get("mode"),
             "parts": new_parts,
         },
+        base_version=m["version"],
     )
 
 
@@ -734,6 +794,7 @@ def delete_keys(
             "mode": m.get("mode"),
             "parts": new_parts,
         },
+        base_version=m["version"],
     )
 
 
@@ -811,17 +872,23 @@ def attach_zone_maps(table_dir: str, columns: list[str]) -> int:
     as a new version (op: stats — same data files, enriched manifest).
     Incremental by construction: recomputing after an append only needs
     the new files' footers (previous stats are inherited)."""
-    m = read_manifest(table_dir)
-    prev = m.get("zone_maps", {})
-    todo = [f for f in m["files"] if f not in prev]
-    zone_maps = {**{f: s for f, s in prev.items() if f in set(m["files"])}}
-    zone_maps.update(_file_zone_maps(todo, columns))
-    return _commit(
-        table_dir,
-        m["files"],
-        m["rows"],
-        {"op": "stats", "zone_maps": zone_maps, "zone_map_cols": columns},
-    )
+    while True:
+        m = read_manifest(table_dir)
+        prev = m.get("zone_maps", {})
+        todo = [f for f in m["files"] if f not in prev]
+        zone_maps = {**{f: s for f, s in prev.items() if f in set(m["files"])}}
+        zone_maps.update(_file_zone_maps(todo, columns))
+        try:
+            return _commit(
+                table_dir,
+                m["files"],
+                m["rows"],
+                {"op": "stats", "zone_maps": zone_maps,
+                 "zone_map_cols": columns},
+                base_version=m["version"],
+            )
+        except CommitConflict:
+            continue  # footer reads are cheap — recompute on the new base
 
 
 def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:
@@ -885,17 +952,18 @@ def compact_snapshot_zorder(
     sort layout can only give its leading column. Old versions (and live
     readers) still see the original files: this is a compaction commit
     like any other, snapshot-isolated and time-travelable."""
-    cur = read_snapshot(spark, table_dir)
+    m = read_manifest(table_dir)
+    cur = spark.read.parquet(*m["files"])
     zdf = (
         cur.withColumn("__z", zkey)
         .repartitionByRange(n_files, F.asc("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    m = read_manifest(table_dir)
     files = _write_data_files(zdf, table_dir)
     version = _commit(
-        table_dir, files, m["rows"], {"op": "optimize-zorder"}
+        table_dir, files, m["rows"], {"op": "optimize-zorder"},
+        base_version=m["version"],
     )
     attach_zone_maps(table_dir, stats_cols)
     return version

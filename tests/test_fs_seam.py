@@ -97,3 +97,71 @@ def test_vacuum_on_memory_fs(memfs):
     assert memfs.exists(new_file)
     # vacuum is idempotent
     assert snap.vacuum_snapshots(table, keep_last=1) == []
+
+
+def test_concurrent_appends_lose_no_rows(spark, tmp_path):
+    """Lost-update guard: two appends racing on the same base version
+    must BOTH appear in the final file list — the loser rebases its
+    manifest union instead of publishing a stale one (the version-number
+    CAS alone can't catch this; base_version lineage does)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "ca")
+    snap.write_snapshot(
+        spark.range(0, 10).select("id").coalesce(1), table
+    )
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def appender(lo):
+        df = spark.range(lo, lo + 10).select("id").coalesce(1)
+        files = snap._write_data_files(df, table)
+        barrier.wait()
+        # re-implement append's rebase loop with a deterministic race
+        # window: both threads read the SAME base before either commits
+        while True:
+            prev = snap.read_manifest(table)
+            try:
+                snap._commit(
+                    table, prev["files"] + files, prev["rows"] + 10,
+                    {"op": "append"}, base_version=prev["version"],
+                )
+                return
+            except snap.CommitConflict:
+                continue
+
+    ts = [threading.Thread(target=appender, args=(lo,)) for lo in (100, 200)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    final = snap.read_snapshot(spark, table)
+    assert final.count() == 30
+    assert final.filter(F.col("id") >= 200).count() == 10
+    assert final.filter((F.col("id") >= 100) & (F.col("id") < 110)).count() == 10
+
+
+def test_stale_compaction_raises_commit_conflict(spark, tmp_path):
+    """A compaction (or merge / zorder rewrite) whose content derives
+    from a version the table has moved past must raise, not publish —
+    publishing would silently drop the interleaved append's rows."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "sc")
+    snap.write_snapshot(spark.range(0, 10).select("id").repartition(4), table)
+    m = snap.read_manifest(table)
+    # an append lands while the "compactor" holds the old manifest
+    snap.append_snapshot(spark.range(10, 20).select("id").coalesce(1), table)
+    stale_files = snap._write_data_files(
+        spark.read.parquet(*m["files"]).repartition(1), table
+    )
+    with _pytest.raises(snap.CommitConflict):
+        snap._commit(
+            table, stale_files, m["rows"], {"op": "compact"},
+            base_version=m["version"],
+        )
+    # nothing was lost: the append's rows are still current
+    assert snap.read_snapshot(spark, table).count() == 20

@@ -1114,3 +1114,196 @@ def pq_shortlist_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def train_ivfpq(
+    base: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    kq: int = 16,
+    sample_size: int = 2_000,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ training (the FAISS-standard composition): a coarse
+    spherical-k-means cell codebook plus per-subspace PQ codebooks over
+    RESIDUALS (x − cell centroid). Residual encoding is what makes the
+    composition accurate — within a cell, residual magnitudes are a
+    fraction of vector magnitudes, so the same PQ budget quantizes far
+    finer than raw-vector PQ. Both trainers run on the one exact hash
+    sample; everything is deterministic and layout-independent.
+    Returns (centroids (n_cells, d), codebooks (m, kq, d/m))."""
+    centroids = train_ivf_centroids(
+        base, vec_col, n_cells=n_cells, sample_size=sample_size,
+        n_iters=n_iters, seed=seed,
+    )
+    sample = hash_sample_vectors(base, vec_col, sample_size, seed)
+    assign = np.argmax(sample @ centroids.T, axis=1)
+    resid = sample - centroids[assign]
+    n, d = resid.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    rng = np.random.default_rng(seed + 1)
+    books = np.empty((m, kq, sub), dtype=np.float64)
+    for j in range(m):
+        x = resid[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(n, size=kq, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(kq):
+                members = x[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return centroids, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, pq_code): coarse cell assignment + PQ code of the
+    residual — the complete compressed index row (4 + m bytes per
+    vector). One matmul + one argmin sweep per Arrow batch; ``cell`` is
+    the partition/bucket key a persisted index lays files out by."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kq, sub = books.shape
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("pq_code", ArrayType(IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": [], "pq_code": []})
+        mat = np.stack(vecs.to_numpy())
+        cells = np.argmax(mat @ cent.T, axis=1)
+        resid = mat - cent[cells]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            x = resid[:, j * sub : (j + 1) * sub]
+            d2 = -2.0 * (x @ books[j].T) + (books[j] ** 2).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "pq_code": list(codes)}
+        )
+
+    enc = df.select(F.col(id_col), _enc(_as_double(F.col(vec_col))).alias("e"))
+    return enc.select(id_col, F.col("e.cell").alias("cell"),
+                      F.col("e.pq_code").alias("pq_code"))
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest cells
+    (the scan PRUNES to those cells' index rows — at a persisted index
+    this is partition pruning, cf. write_ivf_index), ADC over residual
+    codes picks a shortlist (per-(query, cell) LUTs of the query
+    residual against the codebooks — no floats on the candidate side),
+    and the shortlist reranks exactly from the full vectors. Returns
+    (query_id, neighbor_id, l2_dist, rank)."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kq, sub = books.shape
+    qrows = queries.select(
+        F.col(query_id), _as_double(F.col(query_vec)).alias("__qv")
+    ).collect()
+    qids = [int(r[0]) for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    probe_cells = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    # per (query, probed cell): LUT of the query RESIDUAL in that cell
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    pairs = []
+    for qi, q in enumerate(qids):
+        for c in probe_cells[qi]:
+            r = qmat[qi] - cent[c]
+            lut = np.empty((m, kq), dtype=np.float64)
+            for j in range(m):
+                rx = r[j * sub : (j + 1) * sub]
+                lut[j] = (
+                    (rx ** 2).sum() - 2.0 * (books[j] @ rx)
+                    + (books[j] ** 2).sum(axis=1)
+                )
+            luts[(qi, int(c))] = lut
+            pairs.append((qi, int(c)))
+    sc = index.sparkSession
+    probe_df = sc.createDataFrame(pairs, "qi int, cell int")
+
+    b_luts = sc.sparkContext.broadcast(luts)
+
+    @F.pandas_udf(DoubleType())
+    def _adc(qi_s: pd.Series, cell_s: pd.Series, code_s: pd.Series) -> pd.Series:
+        if len(qi_s) == 0:
+            return pd.Series([], dtype="float64")
+        codes = np.stack(code_s.to_numpy()).astype(np.int64)
+        out = np.empty(len(codes), dtype=np.float64)
+        lut_map = b_luts.value
+        # group rows by (qi, cell) so each group is one vectorized gather
+        key = qi_s.to_numpy() * 100000 + cell_s.to_numpy()
+        order = np.argsort(key, kind="stable")
+        for s in np.split(order, np.unique(key[order], return_index=True)[1][1:]):
+            lut = lut_map[(int(qi_s.iloc[s[0]]), int(cell_s.iloc[s[0]]))]
+            c = codes[s]
+            out[s] = lut[np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(out)
+
+    cand = index.join(F.broadcast(probe_df), on="cell").withColumn(
+        "approx_dist", _adc(F.col("qi"), F.col("cell"), F.col("pq_code"))
+    )
+    qmap = sc.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], "qi int, query_id long"
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc(base_id)
+    )
+    short = (
+        cand.join(F.broadcast(qmap), on="qi")
+        .withColumn("srank", F.row_number().over(w_s))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", F.col(base_id).alias("neighbor_id"))
+    )
+    b = base.select(
+        F.col(base_id).alias("neighbor_id"),
+        _as_double(F.col(base_vec)).alias("__bv"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("__bv"), F.col("__qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        short.join(b, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn("l2_dist", F.round(l2, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )

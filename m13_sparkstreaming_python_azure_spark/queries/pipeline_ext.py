@@ -654,6 +654,31 @@ def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS-standard composition, operators/similarity
+    train_ivfpq/ivfpq_encode/ivfpq_topk): coarse cells + PQ codes of the
+    RESIDUALS (4 + m bytes/vector); queries probe nprobe cells, ADC over
+    residual codes shortlists, exact rerank answers. Rows-only at the
+    gate (k-means); recall/determinism pinned by tests/test_pq.py."""
+    from m13_sparkstreaming_python_azure_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent, books = sim.train_ivfpq(
+        emb, n_cells=8, m=16, kq=16, sample_size=400, seed=3
+    )
+    index = sim.ivfpq_encode(emb, cent, books)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_topk(
+        index, emb, queries, cent, books, k=10, nprobe=4, shortlist=100
+    )
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
@@ -673,6 +698,7 @@ PIPELINE_QUERIES = {
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
     "bow_dedup": q_bow_dedup,
+    "ann_ivfpq": q_ann_ivfpq,
 }
 
 PIPELINE_ORACLES = {

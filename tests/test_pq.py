@@ -83,3 +83,43 @@ def test_pq_adc_and_rerank_recall_vs_exact_l2(spark, sf_dir):
     assert np.mean(rr_recalls) >= 0.9, rr_recalls
     # the query's own vector is its 0-distance neighbor — ADC must keep it
     assert all(q in adc[q] for q in range(10))
+
+
+def test_ivfpq_recall_and_determinism(spark, sf_dir):
+    """IVF-PQ (residual-encoded, nprobe cells, ADC shortlist + exact
+    rerank): recall@10 against exact L2 must be high even though the
+    candidate pass touches only probed cells' codes; training and
+    encoding are layout-independent."""
+    emb = _emb(spark, sf_dir)
+    cent, books = sim.train_ivfpq(
+        emb, n_cells=8, m=16, kq=16, sample_size=400, seed=3
+    )
+    cent2, books2 = sim.train_ivfpq(
+        emb.repartition(17), n_cells=8, m=16, kq=16, sample_size=400, seed=3
+    )
+    assert np.allclose(cent, cent2) and np.allclose(books, books2)
+
+    index = sim.ivfpq_encode(emb, cent, books).persist()
+    assert index.filter(F.col("cell") < 0).count() == 0
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in sim.ivfpq_topk(
+        index, emb, queries, cent, books, k=10, nprobe=4, shortlist=100
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    vecs = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    recalls = []
+    for q in range(10):
+        d = ((mat - vecs[q]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exact = {ids[i] for i in order[:10]}
+        recalls.append(len(exact & got[q]) / 10)
+    # nprobe=4 of 8 cells: neighbors outside probed cells are honest
+    # misses, everything inside should survive the residual-ADC shortlist
+    assert np.mean(recalls) >= 0.7, recalls
+    assert all(q in got[q] for q in range(10))

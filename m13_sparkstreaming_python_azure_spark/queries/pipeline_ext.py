@@ -1104,7 +1104,7 @@ PIPELINE_ORACLES = {
           AND o_orderdate <= TIMESTAMP '1996-12-31'
         GROUP BY o_orderstatus
     """,
-    "bow_dedup": """
+    "bow_dedup": r"""
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL

@@ -26,6 +26,10 @@ from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
     EXT_ORACLES,
     EXT_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+    SCIENCE_ORACLES,
+    SCIENCE_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.tpch_ext import (
     TPCH_EXT_ORACLES,
     TPCH_EXT_QUERIES,
@@ -73,6 +77,7 @@ _ALL_QUERIES = {
     **LLM_QUERIES,
     **ANALYTICS_QUERIES,
     **PIPELINE_QUERIES,
+    **SCIENCE_QUERIES,
 }
 for _name in _STREAMING_GATES:
     _ALL_QUERIES[_name] = _narrow_shuffle(_ALL_QUERIES[_name])
@@ -84,6 +89,7 @@ ORACLES = {
     **LLM_ORACLES,
     **ANALYTICS_ORACLES,
     **PIPELINE_ORACLES,
+    **SCIENCE_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only
@@ -115,14 +121,14 @@ _head = [
     "lexicon_sentiment",     # new: broadcast-lexicon scoring
     "zonemap_pruned_scan",   # new: manifest min/max file skipping
     "bow_dedup",             # new: order-insensitive exact dedup
+    "scd2_pit_join",         # new: point-in-time SCD2 consumer join
+    "cohens_kappa",          # new: inter-annotator agreement
+    "poisson_bootstrap_ci",  # new: one-pass bootstrap CIs
+    "kaplan_meier",          # new: survival curve w/ censoring
+    "embedding_drift",       # new: cohort centroid cosine monitor
+    "woe_iv",                # new: weight-of-evidence / IV encoding
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
-    "hard_negative_mining",  # new: contrastive pair mining
-    "leakage_safe_split",    # new: group-aware split
-    "best_quality_survivors",  # new: quality-aware dedup
-    "loo_target_encoding",   # new: LOO mean-target features
-    "quantile_normalize",    # new: per-group rank transform
-    "quality_prune_floors",  # new: per-domain pruning w/ floors
     "notification_ingest",   # new: file-notification discovery mode
     "lateral_top_orders",    # new: correlated LATERAL subquery
     "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
@@ -160,7 +166,9 @@ _head = [
 # chi_square_independence, skyline_orders, bfs_shortest_paths,
 # json_dlq_routing, hybrid_rrf_search, ab_test_zscore, week_over_week,
 # topn_with_other, record_linkage, bigram_perplexity,
-# winsorized_value_stats.)
+# winsorized_value_stats, hard_negative_mining, leakage_safe_split,
+# best_quality_survivors, loo_target_encoding, quantile_normalize,
+# quality_prune_floors — the last six are r3-green CORRECTNESS_r03 rows.)
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

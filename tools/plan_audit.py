@@ -88,6 +88,7 @@ EXPECT_BROADCAST = {
     "idle_customer_balance",
     "mixture_resample",
     "bm25_search",
+    "scd2_pit_join",  # SCD2 dim versions broadcast under the fact scan
 }
 # intentional cross join: ann probes are broadcast against the corpus;
 # idle_customer_balance broadcasts a single-row stats aggregate (the
@@ -112,6 +113,7 @@ ALLOW_CARTESIAN = {
     "benford_digits",     # single-row total-count scalar broadcast
     "retrieval_eval",     # 10-row IDCG lookup joined on least(R,10)=i
     "pmi_phrases",        # single-row N_uni/N_bi scalar broadcasts
+    "kaplan_meier",       # single-row max_day horizon scalar broadcast
 }
 
 

@@ -127,12 +127,13 @@ _head = [
     "kaplan_meier",          # new: survival curve w/ censoring
     "embedding_drift",       # new: cohort centroid cosine monitor
     "woe_iv",                # new: weight-of-evidence / IV encoding
+    "roc_auc",               # new: tie-aware Mann-Whitney AUC
+    "ks_test",               # new: two-sample KS, exact integer D
+    "cuped_lift",            # new: CUPED variance-reduced A/B lift
+    "psi_drift",             # new: population stability index
     # ROUND-3 new / materially-changed code (still newest driver history)
     "streaming_incremental_dedup",  # new: exactly-once corpus dedup
     "notification_ingest",   # new: file-notification discovery mode
-    "lateral_top_orders",    # new: correlated LATERAL subquery
-    "k_core_customers",      # upgraded rows-only -> recursive-CTE oracle
-    "pca_covariance",        # new: integer-moment hash gate
     "streaming_ewma",        # de-raced chunk publication
     "streaming_sessions",
     "streaming_outer_join",
@@ -146,7 +147,6 @@ _head = [
     "streaming_dedup",
     "streaming_histogram_quantiles",
     "cdc_apply",
-    "scd2_history",
     "incremental_ingest_daily",
     "snapshot_change_feed",
     "incremental_view_refresh",
@@ -168,7 +168,9 @@ _head = [
 # topn_with_other, record_linkage, bigram_perplexity,
 # winsorized_value_stats, hard_negative_mining, leakage_safe_split,
 # best_quality_survivors, loo_target_encoding, quantile_normalize,
-# quality_prune_floors — the last six are r3-green CORRECTNESS_r03 rows.)
+# quality_prune_floors, lateral_top_orders, k_core_customers,
+# pca_covariance, scd2_history — the last ten are r3-green
+# CORRECTNESS_r03 rows; scd2_pit_join keeps SCD2 semantics in the head.)
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

@@ -10,9 +10,13 @@ import math
 
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     q_cohens_kappa,
+    q_cuped_lift,
     q_embedding_drift,
     q_kaplan_meier,
+    q_ks_test,
     q_poisson_bootstrap_ci,
+    q_psi_drift,
+    q_roc_auc,
     q_scd2_pit_join,
     q_woe_iv,
 )
@@ -82,6 +86,102 @@ def test_embedding_drift_cosine_bounds(spark, sf_dir):
         assert -1.0 - 1e-6 <= r["centroid_cosine"] <= 1.0 + 1e-6
         assert r["label_to"] == r["label_from"] + 1
         assert r["n_from"] > 0 and r["n_to"] > 0
+
+
+def test_roc_auc_matches_pairwise_definition(spark, sf_dir):
+    """The rank-sum AUC must equal the O(n·m) pairwise definition
+    P(s_pos > s_neg) + 0.5·P(s_pos = s_neg), computed directly on the
+    driver at sf0.001."""
+    row = q_roc_auc(spark, sf_dir).collect()[0]
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderstatus IN ('F','O')")
+        .select("o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    pos = sorted(
+        round(r["o_totalprice"] * 100) for r in orders
+        if r["o_orderstatus"] == "F"
+    )
+    neg = sorted(
+        round(r["o_totalprice"] * 100) for r in orders
+        if r["o_orderstatus"] == "O"
+    )
+    import bisect
+    u = 0.0
+    for p in pos:
+        lo = bisect.bisect_left(neg, p)
+        hi = bisect.bisect_right(neg, p)
+        u += lo + 0.5 * (hi - lo)
+    expect = u / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert math.isclose(row["auc"], expect, rel_tol=1e-12)
+    assert math.isclose(row["gini"], 2 * expect - 1, rel_tol=1e-9)
+
+
+def test_ks_test_matches_driver_scan(spark, sf_dir):
+    """The windowed KS D must equal the direct two-ECDF max computed on
+    the driver, and the decision must be consistent with D vs crit."""
+    row = q_ks_test(spark, sf_dir).collect()[0]
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter("o_orderstatus IN ('F','O')")
+        .select("o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    s1 = sorted(
+        round(r["o_totalprice"] * 100) for r in orders
+        if r["o_orderstatus"] == "F"
+    )
+    s2 = sorted(
+        round(r["o_totalprice"] * 100) for r in orders
+        if r["o_orderstatus"] == "O"
+    )
+    import bisect
+    n1, n2 = len(s1), len(s2)
+    d_num = max(
+        abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+        for v in set(s1) | set(s2)
+    )
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert math.isclose(row["d_stat"], d_num / (n1 * n2), rel_tol=1e-12)
+    assert row["reject_05"] == int(row["d_stat"] > row["crit_05"])
+
+
+def test_cuped_reduces_variance_and_preserves_null_lift(spark, sf_dir):
+    """Assignment is independent of outcomes (md5 on custkey), so the
+    CUPED adjustment must (a) report rho_sq in (0,1) — pre- and
+    post-period spend of the same customer correlate; (b) keep the
+    adjusted lift within the raw lift's noise scale (no sign blow-up)."""
+    row = q_cuped_lift(spark, sf_dir).collect()[0]
+    assert row["n_treat"] > 0 and row["n_control"] > 0
+    assert 0.0 < row["rho_sq"] < 1.0
+    assert row["theta"] != 0.0
+    # adjustment shifts the estimate but cannot exceed the raw spread
+    # scale at this n — a loose sanity envelope
+    assert abs(row["cuped_lift"] - row["raw_lift"]) < max(
+        100.0, abs(row["raw_lift"])
+    )
+
+
+def test_psi_drift_null_case_is_small(spark, sf_dir):
+    """Even/odd doc_id cohorts draw from the SAME distribution, so PSI
+    must land at its sampling-noise floor: under the null,
+    E[PSI] ≈ (B−1)·(1/n_e + 1/n_a) (the chi-square/2 approximation), so
+    3× that envelope is a comfortable bound at any sf, while a REAL
+    shift (PSI ≥ 0.25 at production n) would blow through it."""
+    rows = q_psi_drift(spark, sf_dir).collect()
+    assert rows
+    psi = rows[0]["psi_total"]
+    assert all(
+        math.isclose(r["psi_total"], psi, rel_tol=1e-12) for r in rows
+    )
+    n_e = sum(r["n_expected"] for r in rows)
+    n_a = sum(r["n_actual"] for r in rows)
+    noise_floor = (len(rows) - 1) * (1.0 / n_e + 1.0 / n_a)
+    assert 0.0 <= psi < 3 * noise_floor
+    for r in rows:
+        assert r["n_expected"] > 0 and r["n_actual"] > 0
 
 
 def test_woe_iv_sign_structure(spark, sf_dir):

@@ -131,3 +131,164 @@ def scd2_from_changes(
         .withColumn("valid_to", F.lead(seq_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# General conditional MERGE (the Delta/Iceberg MERGE INTO clause surface)
+# ---------------------------------------------------------------------------
+#
+# Clause objects mirror the SQL statement one-to-one:
+#
+#   MERGE INTO t USING s ON <keys>
+#   WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ...
+#   WHEN MATCHED [AND cond] THEN DELETE
+#   WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...)
+#   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... / DELETE
+#
+# Conditions and SET expressions are SQL strings over the aliases ``t``
+# (target) and ``s`` (source) — exactly how Delta's API exposes them.
+# Clause ORDER is semantic: for each row category, the FIRST clause whose
+# condition passes wins (SQL MERGE evaluation order), the rest are
+# ignored; a row matching no clause passes through unchanged (matched /
+# not-matched-by-source) or is dropped (not-matched insert candidates).
+
+
+class MatchedUpdate:
+    def __init__(self, set: dict[str, str], condition: str | None = None):
+        self.set, self.condition = set, condition
+
+
+class MatchedDelete:
+    def __init__(self, condition: str | None = None):
+        self.condition = condition
+
+
+class NotMatchedInsert:
+    """``values=None`` inserts the source row as-is (INSERT *)."""
+
+    def __init__(
+        self,
+        values: dict[str, str] | None = None,
+        condition: str | None = None,
+    ):
+        self.values, self.condition = values, condition
+
+
+class NotMatchedBySourceUpdate:
+    def __init__(self, set: dict[str, str], condition: str | None = None):
+        self.set, self.condition = set, condition
+
+
+class NotMatchedBySourceDelete:
+    def __init__(self, condition: str | None = None):
+        self.condition = condition
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    clauses: Sequence[object],
+    check_duplicate_matches: bool = True,
+) -> DataFrame:
+    """Resolve a full conditional MERGE in ONE null-safe full-outer join
+    (cf. Databricks MERGE INTO semantics; delta-io resolves the same
+    clause matrix into a join + per-row case analysis). Returns the new
+    table image; pair with ``sources.snapshots.merge_into_snapshot`` to
+    commit it as a version.
+
+    Scale: identical join shape to merge_upsert — shuffle on the keys,
+    so bucket the target and broadcast/bucket the source as sizes
+    dictate. The clause CASE analysis is pure projection (zero extra
+    shuffles); the optional ambiguity guard is one aggregate on the
+    source keys (the small side).
+
+    ``check_duplicate_matches``: SQL MERGE forbids two source rows
+    hitting the same target row (nondeterministic update); when True,
+    raise if any source key repeats — disable only if a pre-collapse
+    already guarantees uniqueness.
+    """
+    if check_duplicate_matches:
+        dup = (
+            source.groupBy(*[F.col(k) for k in keys])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has duplicate key {tuple(dup[0][k] for k in keys)}: "
+                "multiple source rows would update one target row"
+            )
+    out_cols = list(target.columns)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
+    matched = t_present & s_present
+    src_only = s_present & ~t_present
+    tgt_only = t_present & ~s_present
+
+    def _cond(category, clause):
+        c = category
+        if clause.condition is not None:
+            c = c & F.expr(clause.condition)
+        return c
+
+    # first-clause-wins: for each row, the applicable clause index; -1 =
+    # no clause matched (pass through / drop insert candidate)
+    def _first_match(category, cats):
+        picked = F.lit(False)
+        out = F.lit(-1)
+        for i, cl in enumerate(clauses):
+            if not isinstance(cl, cats):
+                continue
+            hit = _cond(category, cl) & ~picked
+            out = F.when(hit, F.lit(i)).otherwise(out)
+            picked = picked | _cond(category, cl)
+        return out
+
+    m_idx = _first_match(matched, (MatchedUpdate, MatchedDelete))
+    i_idx = _first_match(src_only, (NotMatchedInsert,))
+    b_idx = _first_match(
+        tgt_only, (NotMatchedBySourceUpdate, NotMatchedBySourceDelete)
+    )
+
+    # survival: matched rows die on MatchedDelete, target-only rows die
+    # on NotMatchedBySourceDelete, source-only rows live only on insert
+    survive = F.lit(True)
+    for i, cl in enumerate(clauses):
+        if isinstance(cl, (MatchedDelete,)):
+            survive = survive & ~(matched & (m_idx == i))
+        if isinstance(cl, (NotMatchedBySourceDelete,)):
+            survive = survive & ~(tgt_only & (b_idx == i))
+    survive = F.when(src_only, i_idx >= 0).otherwise(survive)
+
+    def _col_value(name):
+        v = F.col(f"t.{name}")
+        for i, cl in enumerate(clauses):
+            if isinstance(cl, MatchedUpdate) and name in cl.set:
+                v = F.when(
+                    matched & (m_idx == i), F.expr(cl.set[name])
+                ).otherwise(v)
+            elif isinstance(cl, NotMatchedBySourceUpdate) and name in cl.set:
+                v = F.when(
+                    tgt_only & (b_idx == i), F.expr(cl.set[name])
+                ).otherwise(v)
+            elif isinstance(cl, NotMatchedInsert):
+                ins = (
+                    F.col(f"s.{name}")
+                    if cl.values is None or name not in cl.values
+                    else F.expr(cl.values[name])
+                )
+                v = F.when(src_only & (i_idx == i), ins).otherwise(v)
+        return v.alias(name)
+
+    return joined.filter(survive).select(*[_col_value(c) for c in out_cols])

@@ -679,6 +679,72 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full conditional MERGE INTO (operators/merge.merge_into): one
+    null-safe full-outer join resolves the complete Delta-style clause
+    matrix — exercised here with all five clause types in one statement:
+
+      MERGE INTO orders t USING changes s ON t.key = s.key
+      WHEN MATCHED AND s.status='F' AND s.cents%2=0  THEN DELETE
+      WHEN MATCHED                                   THEN UPDATE
+           SET cents = t.cents + s.cents % 1000, status = 'M'
+      WHEN NOT MATCHED AND s.cents % 3 != 1          THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.cents<1000000 THEN UPDATE
+           SET status = 'S'
+      WHEN NOT MATCHED BY SOURCE AND t.status='P'
+           AND t.cents % 5 = 0                       THEN DELETE
+
+    Clause order is semantic (first match wins per row category); the
+    source is deterministic (%3-key repriced rows + %11-key shifted
+    inserts). Prices travel as exact integer cents.
+    """
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        MatchedDelete,
+        MatchedUpdate,
+        NotMatchedBySourceDelete,
+        NotMatchedBySourceUpdate,
+        NotMatchedInsert,
+        merge_into,
+    )
+
+    target = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    source = (
+        target.filter(k % 3 == 0)
+        .withColumn("cents", F.col("cents") + k % 100)
+        .unionByName(
+            target.filter(k % 11 == 0).withColumn(
+                "o_orderkey", k + 10_000_000
+            )
+        )
+    )
+    out = merge_into(
+        target,
+        source,
+        ["o_orderkey"],
+        [
+            MatchedDelete("s.status = 'F' AND s.cents % 2 = 0"),
+            MatchedUpdate(
+                {"cents": "t.cents + s.cents % 1000", "status": "'M'"}
+            ),
+            NotMatchedInsert(condition="s.cents % 3 != 1"),
+            NotMatchedBySourceUpdate(
+                {"status": "'S'"}, condition="t.cents < 1000000"
+            ),
+            NotMatchedBySourceDelete(
+                "t.status = 'P' AND t.cents % 5 = 0"
+            ),
+        ],
+    )
+    return out
+
+
 PIPELINE_QUERIES = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,

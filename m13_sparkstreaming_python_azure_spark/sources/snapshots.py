@@ -326,6 +326,35 @@ def merge_snapshot(
     )
 
 
+def merge_into_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list,
+) -> int:
+    """Full conditional ``MERGE INTO`` on a versioned table — the
+    Delta/Iceberg clause surface (WHEN MATCHED [AND cond] UPDATE/DELETE,
+    WHEN NOT MATCHED [AND cond] INSERT, WHEN NOT MATCHED BY SOURCE
+    UPDATE/DELETE) resolved by ``operators.merge.merge_into`` in one
+    null-safe full-outer join, committed copy-on-write as a new version
+    with the stale-base lost-update guard (CommitConflict on interleaved
+    writers). Old versions stay time-travelable; the change feed
+    (``snapshot_changes``) sees the merge like any other commit."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        merge_into,
+    )
+
+    m = read_manifest(table_dir)
+    target = spark.read.parquet(*m["files"])
+    merged = merge_into(target, source, keys, clauses)
+    files = _write_data_files(merged, table_dir)
+    n = spark.read.parquet(*files).count() if files else 0
+    return _commit(
+        table_dir, files, n, {"op": "merge_into"}, base_version=m["version"]
+    )
+
+
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     """Delete data files referenced ONLY by expired versions (older than
     the ``keep_last`` most recent), and their manifests. The separate,

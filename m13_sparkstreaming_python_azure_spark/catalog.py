@@ -40,12 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # Sessions not built by our factory (e.g. the driver's) may
-            # infer TIMESTAMP_NTZ; normalize to TIMESTAMP so watermarks
-            # and epoch arithmetic work (wall-clock preserving under the
-            # session tz, which our factory pins to UTC).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Sessions not built by our factory (e.g. the driver's) infer parquet
+    # isAdjustedToUTC=false timestamps as TIMESTAMP_NTZ (Spark >= 3.4
+    # default); functions like unix_micros/watermarks reject NTZ. Normalize
+    # EVERY ntz column on EVERY table to TIMESTAMP (wall-clock preserving
+    # under the session tz, which our factory pins to UTC) so queries
+    # behave identically under any session.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

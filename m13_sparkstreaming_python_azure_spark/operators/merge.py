@@ -283,11 +283,16 @@ def merge_into(
                     tgt_only & (b_idx == i), F.expr(cl.set[name])
                 ).otherwise(v)
             elif isinstance(cl, NotMatchedInsert):
-                ins = (
-                    F.col(f"s.{name}")
-                    if cl.values is None or name not in cl.values
-                    else F.expr(cl.values[name])
-                )
+                # Delta MERGE semantics (ADVICE r4 #2): an explicit values
+                # dict inserts NULL for every target column it omits;
+                # source-column passthrough applies only to INSERT *
+                # (values=None).
+                if cl.values is None:
+                    ins = F.col(f"s.{name}")
+                elif name in cl.values:
+                    ins = F.expr(cl.values[name])
+                else:
+                    ins = F.lit(None)
                 v = F.when(src_only & (i_idx == i), ins).otherwise(v)
         return v.alias(name)
 

@@ -210,14 +210,30 @@ def incremental_snapshot_ingest(
     # file list WITHOUT advancing the durable cursor, commit the snapshot,
     # THEN ack. Acking first would lose the announced files forever on a
     # crash in the gap (at-most-once — ADVICE r3 #2); ack-after-commit
-    # plus the snapshot batch_id guard on redelivery gives exactly-once.
+    # plus the redelivery guard below gives exactly-once.
     two_phase = hasattr(lister, "peek") and hasattr(lister, "ack")
     new_files = lister.peek() if two_phase else lister.poll()
     if not new_files:
         return None
+    # Redelivery guard (ADVICE r4 #1): a crash BETWEEN the snapshot commit
+    # and lister.ack() redelivers the same files on restart; without this
+    # check append_snapshot would commit them again (duplicate rows). The
+    # manifest's batch_id is the high-water mark — skip the commit but
+    # still ack, mirroring snapshot_batch_sink.
+    last_committed = latest_version(table_dir)
+    if batch_id is not None and last_committed is not None:
+        from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+            read_manifest,
+        )
+
+        last = read_manifest(table_dir).get("batch_id")
+        if last is not None and batch_id <= last:
+            if two_phase:
+                lister.ack()
+            return None
     df = spark.read.parquet(*new_files)
     extra = {"batch_id": batch_id} if batch_id is not None else None
-    if latest_version(table_dir) is None:
+    if last_committed is None:
         version = write_snapshot(df, table_dir, extra)
     else:
         version = append_snapshot(df, table_dir, extra)

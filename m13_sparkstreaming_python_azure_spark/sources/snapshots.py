@@ -904,16 +904,31 @@ def attach_zone_maps(table_dir: str, columns: list[str]) -> int:
     while True:
         m = read_manifest(table_dir)
         prev = m.get("zone_maps", {})
-        todo = [f for f in m["files"] if f not in prev]
+        # A file is due when it has no inherited stats OR its inherited
+        # stats miss one of the requested columns (ADVICE r4 #3: a call
+        # with a different columns list must not leave old files
+        # permanently stat-less for the new columns while zone_map_cols
+        # claims coverage). Files whose footer genuinely lacks stats for
+        # a column get re-probed — footer reads are cheap and bounded.
+        todo = [
+            f
+            for f in m["files"]
+            if f not in prev or not set(columns) <= set(prev[f])
+        ]
         zone_maps = {**{f: s for f, s in prev.items() if f in set(m["files"])}}
-        zone_maps.update(_file_zone_maps(todo, columns))
+        for f, s in _file_zone_maps(todo, columns).items():
+            # merge per-column so a new columns list widens a file's
+            # stats instead of dropping its previously-computed columns
+            zone_maps[f] = {**zone_maps.get(f, {}), **s}
         try:
             return _commit(
                 table_dir,
                 m["files"],
                 m["rows"],
                 {"op": "stats", "zone_maps": zone_maps,
-                 "zone_map_cols": columns},
+                 "zone_map_cols": sorted(
+                     set(columns) | set(m.get("zone_map_cols", []))
+                 )},
                 base_version=m["version"],
             )
         except CommitConflict:
@@ -925,6 +940,19 @@ def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:
     optional). Conservative: a file without stats for ``col`` is always
     kept; a file is dropped only when its [min, max] interval provably
     misses the predicate range."""
+    import datetime
+
+    def _bound(v):
+        # Date-typed stats decode to datetime (midnight); a caller's
+        # datetime.date bound would hit TypeError on date-vs-datetime
+        # comparison (ADVICE r4 #4). Coerce date bounds to midnight —
+        # value-identical to how Spark casts the same literal in the
+        # residual filter, so pruning stays consistent with the predicate.
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return datetime.datetime(v.year, v.month, v.day)
+        return v
+
+    lo, hi = _bound(lo), _bound(hi)
     zm = manifest.get("zone_maps", {})
     keep = []
     for f in manifest["files"]:

@@ -259,6 +259,40 @@ def test_sessionize_gap_semantics(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_merge_into_insert_values_nulls_unspecified(spark):
+    """Delta MERGE parity (ADVICE r4 #2): WHEN NOT MATCHED THEN INSERT
+    with an explicit values dict inserts NULL for target columns the dict
+    omits — never silently pulling the source's same-named column, and
+    never failing analysis when the source lacks it."""
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        NotMatchedInsert,
+        merge_into,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k int, v string, w double"
+    )
+    source = spark.createDataFrame(
+        [(2, "src-v", 99.0)], "k int, v string, w double"
+    )
+    # explicit values names only k and v → w must become NULL, not 99.0
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        [NotMatchedInsert(values={"k": "s.k", "v": "upper(s.v)"})],
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, "a", 10.0), (2, "SRC-V", None)}
+
+    # INSERT * (values=None) keeps full source passthrough
+    out2 = merge_into(target, source, ["k"], [NotMatchedInsert()])
+    assert {tuple(r) for r in out2.collect()} == {
+        (1, "a", 10.0),
+        (2, "src-v", 99.0),
+    }
+
+
 def test_histogram_sketch_mergeable_and_bounded_error(spark, sf_dir):
     """Sketch invariants: (1) merging per-day sketches equals the sketch
     built in one pass (mergeability); (2) sum(n) == row count (totality);

@@ -97,6 +97,58 @@ def test_peek_ack_two_phase_redelivery():
     assert crashed.peek() == []
 
 
+def test_crash_between_commit_and_ack_does_not_duplicate(spark, tmp_path):
+    """ADVICE r4 #1: a crash AFTER the snapshot commit but BEFORE
+    lister.ack() redelivers the same files on restart; the ingest's
+    batch_id guard must skip the duplicate commit (but still ack) —
+    exactly-once end-to-end, not just at-least-once."""
+    from m13_sparkstreaming_python_azure_spark.sources.fileindex import (
+        incremental_snapshot_ingest,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        latest_version,
+        read_snapshot,
+    )
+
+    root, log, lister = _setup()
+    data = os.path.join(root, "data")
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    notify_write(df, data, log)
+
+    # batch 0 commits, then "crash": ack never runs
+    class CrashAfterCommit:
+        """Lister proxy whose ack raises — simulates dying in the gap."""
+
+        def peek(self):
+            return lister.peek()
+
+        def ack(self):
+            raise RuntimeError("crash before ack")
+
+    try:
+        incremental_snapshot_ingest(spark, CrashAfterCommit(), table, batch_id=0)
+    except RuntimeError:
+        pass
+    assert latest_version(table) == 1
+    assert read_snapshot(spark, table).count() == 50
+
+    # restart: same files redelivered with the SAME batch_id → no second
+    # commit, no duplicate rows, and the cursor advances (ack happens)
+    restarted = EventDrivenLister(log, lister.cursor_path)
+    assert restarted.peek()  # redelivery confirmed
+    assert incremental_snapshot_ingest(spark, restarted, table, batch_id=0) is None
+    assert latest_version(table) == 1
+    assert read_snapshot(spark, table).count() == 50
+    assert restarted.peek() == []  # guard still acked the redelivery
+
+    # a genuinely NEW batch after recovery commits normally
+    df2 = spark.createDataFrame([(i, 0.0) for i in range(100, 110)], "id long, v double")
+    notify_write(df2, data, log)
+    assert incremental_snapshot_ingest(spark, restarted, table, batch_id=1) == 2
+    assert read_snapshot(spark, table).count() == 60
+
+
 def test_read_from_stops_at_partial_record():
     """ADVICE r3 #3: a claimed-but-incomplete record (possible on a
     backend whose conditional put is not content-atomic) must stall the

@@ -179,3 +179,46 @@ def test_snapshot_schema_evolution_merge_read(spark, tmp_path):
     assert merged.count() == 20
     assert merged.filter(F.col("tag").isNull()).count() == 10
     assert merged.filter(F.col("tag") == "new").count() == 10
+
+
+def test_attach_zone_maps_widens_columns_for_existing_files(spark, tmp_path):
+    """ADVICE r4 #3: a second attach_zone_maps call with a DIFFERENT
+    columns list must backfill stats for the new columns on pre-existing
+    files (not leave them permanently unprunable on those columns), must
+    keep the previously-computed columns, and zone_map_cols must report
+    the union actually covered."""
+    table = _table(spark, tmp_path)  # stats for ["id"] already attached
+    attach_zone_maps(table, ["v"])
+    m = read_manifest(table)
+    assert m["zone_map_cols"] == ["id", "v"]
+    for f in m["files"]:
+        stats = m["zone_maps"][f]
+        assert set(stats) == {"id", "v"}  # widened, nothing dropped
+    # pruning now works on the NEW column for old files: v = 2*id, so
+    # v in [240, 300] maps to the middle chunk only
+    kept = prune_files(m, "v", lo=240, hi=300)
+    assert 0 < len(kept) <= 2
+    got = read_snapshot_pruned(spark, table, "v", 240, 300).count()
+    assert got == 31  # v even in [240, 300] -> ids 120..150
+
+
+def test_prune_files_accepts_date_bounds_on_date_stats(spark, tmp_path):
+    """ADVICE r4 #4: datetime.date bounds (the natural type for a DATE
+    column) must not TypeError against decoded datetime stats, and must
+    prune consistently with the residual filter."""
+    table = str(tmp_path / "dates")
+    df = spark.createDataFrame(
+        [(i, datetime.date(2024, 1, 1) + datetime.timedelta(days=i)) for i in range(60)],
+        "id long, d date",
+    )
+    write_snapshot(df.filter("id < 30").coalesce(1), table)
+    append_snapshot(df.filter("id >= 30").coalesce(1), table)
+    attach_zone_maps(table, ["d"])
+    m = read_manifest(table)
+    lo, hi = datetime.date(2024, 2, 5), datetime.date(2024, 2, 10)
+    kept = prune_files(m, "d", lo=lo, hi=hi)  # must not raise
+    assert len(kept) == 1  # second file only
+    got = sorted(
+        r.d for r in read_snapshot_pruned(spark, table, "d", lo, hi).collect()
+    )
+    assert got == [datetime.date(2024, 2, 5) + datetime.timedelta(days=i) for i in range(6)]

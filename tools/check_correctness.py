@@ -2,8 +2,14 @@
 
 Runs every ``queries()`` entry and its ``oracle_sql()`` twin (DuckDB) at a
 given sf dir, compares row count, column names, and order-insensitive
-values. Usage: python tools/check_correctness.py [sf_dir] [name ...]
-(names, if given, restrict the run to those queries)
+values. Usage: python tools/check_correctness.py [--driver-session]
+[sf_dir] [name ...] (names, if given, restrict the run to those queries)
+
+``--driver-session`` (VERDICT r4 #2) builds a BARE session — master +
+timezone only, none of our factory's parquet/NTZ/legacy confs — the shape
+the driver's gate runs under. Round 4 proved a query can pass the tuned
+factory session yet crash the driver (`kaplan_meier` vs TIMESTAMP_NTZ);
+this mode catches that class before the driver does.
 """
 
 from __future__ import annotations
@@ -30,8 +36,35 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return rows
 
 
+def bare_driver_session():
+    """The driver-gate session shape: master + UTC timezone, nothing else.
+
+    No ``inferTimestampNTZ``/``nanosAsLong``/parquet-legacy confs — parquet
+    isAdjustedToUTC=false timestamps surface as TIMESTAMP_NTZ here, exactly
+    as in CORRECTNESS_r04's kaplan_meier failure.
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("driver-session-sweep")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 4)}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", *names: str) -> int:
-    spark = get_spark("check-correctness")
+    driver_session = False
+    args = [a for a in (sf_dir, *names)]
+    if "--driver-session" in args:
+        args.remove("--driver-session")
+        driver_session = True
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = tuple(args[1:])
+    spark = bare_driver_session() if driver_session else get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -817,3 +817,238 @@ def best_of_dup_groups(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def md5_minhash_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Engine-independent MinHash LSH index rows: returns
+    ``(shingles, banded)`` where shingles is (id, __shingles) for docs
+    with a non-empty shingle set and banded is (id, bkt) — one row per
+    band, ``bkt`` a 16-hex-char digest of the band's signature slice.
+
+    Unlike the xxhash64 family used by ``minhash_lsh_pairs``, every hash
+    here derives from md5 (the repo's cross-engine derivation rule:
+    ``h_i(s) = int(md5(i ‖ ':' ‖ s)[:15hex], 16)``), so a SQL oracle can
+    reproduce the exact signatures, buckets, candidate set, and
+    survivors — which is what lets the STREAMING near-dup gate be
+    hash-checked rather than rows-only. Costs ~2× xxhash64; at 100 TB
+    you'd flip the family back to xxhash64 (same shapes, same plan)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(text_col, shingle_k).alias("__shingles"),
+    ).filter(F.size("__shingles") > 0)
+    hashed = sh.select(
+        "__id", F.explode("__shingles").alias("__sh")
+    ).select(
+        "__id",
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sigs = hashed.groupBy("__id").agg(
+        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    banded = sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.lit(str(b)),
+                                *[
+                                    F.col(f"__h{i}").cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ),
+                        1,
+                        16,
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bkt"),
+    )
+    return sh, banded
+
+
+def streaming_minhash_dedup_sink(
+    corpus_dir: str,
+    bands_dir: str,
+    shingles_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 16,
+):
+    """foreachBatch sink for streaming NEAR-duplicate corpus dedup
+    against ALL history (VERDICT r4 #7) — the MinHash-LSH analogue of
+    ``incremental_dedup_sink``'s exact-fingerprint dedup: each
+    micro-batch's docs probe only their own (band, bucket) keys against
+    the persisted band index, verify exact shingle Jaccard on the
+    candidates, and drop any doc with a verified partner of smaller id
+    (in history or in the batch). Survivors append to a versioned corpus
+    snapshot; EVERY batch doc's bands + shingles append to the index
+    (pair-rule semantics: a dropped near-dup still blocks later copies
+    of itself), via ``keyed_append_sink`` — no existing index data is
+    ever read when writing.
+
+    Scale shape — O(batch), never O(corpus): the band probe reads only
+    the hash-buckets of the batch's own ``bkt`` keys
+    (``read_keyed_buckets``); the verify join reads only candidate
+    partner ids' shingle buckets; the corpus is never re-read. With
+    id-ordered arrival (the replay contract) the result equals the batch
+    pair-rule: doc X is dropped iff some doc Y with Y.id < X.id has
+    verified Jaccard ≥ threshold with X.
+
+    Crash safety: corpus commits FIRST (batch_id high-water mark), then
+    the two index appends (each with its own guard). A replay after any
+    crash point recomputes the same survivor set — the batch's own bands
+    may already be in history, but self-pairs (equal id) are excluded
+    and batch-mate pairs dedup against the within-batch candidate set.
+    """
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        keyed_append_sink,
+        latest_version,
+        read_keyed_buckets,
+        read_manifest,
+        write_snapshot,
+    )
+
+    bands_sink = keyed_append_sink(bands_dir, keys=["bkt"], n_buckets=n_buckets)
+    sh_sink = keyed_append_sink(shingles_dir, keys=["__id"], n_buckets=n_buckets)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            last = read_manifest(corpus_dir).get("batch_id")
+        except FileNotFoundError:
+            last = None
+        corpus_done = last is not None and batch_id <= last
+
+        sh, banded = md5_minhash_banded(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_k
+        )
+        sh = sh.persist()
+        banded = banded.persist()
+
+        # candidate pairs, batch-batch: banded self-join, ids only
+        left = banded.select(F.col("__id").alias("id_a"), "bkt")
+        right = banded.select(F.col("__id").alias("id_b"), "bkt")
+        batch_pairs = (
+            left.join(right, on="bkt")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+        # candidate pairs, history-batch: probe ONLY touched band buckets
+        touched = sorted(
+            r["b"]
+            for r in banded.select(
+                F.pmod(F.xxhash64("bkt"), F.lit(n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        hist_bands = (
+            read_keyed_buckets(spark, bands_dir, touched) if touched else None
+        )
+        if hist_bands is not None:
+            hist_pairs = (
+                hist_bands.select(F.col("__id").alias("id_a"), "bkt")
+                .join(banded.select(F.col("__id").alias("id_b"), "bkt"), on="bkt")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            cand = batch_pairs.unionByName(hist_pairs).distinct()
+        else:
+            cand = batch_pairs
+        cand = cand.persist()
+
+        # partner (id_a) shingle arrays: batch docs from sh, history docs
+        # from the pruned shingle store (only candidate ids' buckets)
+        hist_ids = cand.select(F.col("id_a").alias("__id")).distinct().join(
+            sh.select("__id"), on="__id", how="left_anti"
+        )
+        id_buckets = sorted(
+            r["b"]
+            for r in hist_ids.select(
+                F.pmod(F.xxhash64("__id"), F.lit(n_buckets)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        hist_sh = (
+            read_keyed_buckets(spark, shingles_dir, id_buckets)
+            if id_buckets
+            else None
+        )
+        partner_sh = sh if hist_sh is None else sh.unionByName(
+            hist_sh.join(hist_ids, on="__id", how="left_semi")
+        )
+
+        verified = (
+            cand.join(
+                partner_sh.select(
+                    F.col("__id").alias("id_a"),
+                    F.col("__shingles").alias("__sh_a"),
+                ),
+                on="id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("__id").alias("id_b"),
+                    F.col("__shingles").alias("__sh_b"),
+                ),
+                on="id_b",
+            )
+            .filter(jaccard(F.col("__sh_a"), F.col("__sh_b")) >= threshold)
+        )
+        dup_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(dup_ids, on=id_col, how="left_anti").persist()
+
+        if not corpus_done:
+            extra = {"batch_id": batch_id, "op": "near-dup-append"}
+            if latest_version(corpus_dir) is None:
+                write_snapshot(survivors, corpus_dir, extra)
+            else:
+                append_snapshot(survivors, corpus_dir, extra)
+        # index appends LAST (same ordering argument as
+        # incremental_dedup_sink); each sink has its own batch_id guard
+        bands_sink(banded, batch_id)
+        sh_sink(sh, batch_id)
+        survivors.unpersist()
+        cand.unpersist()
+        banded.unpersist()
+        sh.unpersist()
+
+    return _sink

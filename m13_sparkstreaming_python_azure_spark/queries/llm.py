@@ -955,6 +955,69 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_snapshot(spark, corpus).select("doc_id", "fp")
 
 
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate corpus dedup against all history
+    (operators/dedup.streaming_minhash_dedup_sink; VERDICT r4 #7):
+    documents replay as three id-ordered chunks through a foreachBatch
+    sink that LSH-probes each batch's (band, bucket) keys against the
+    persisted band index, verifies exact shingle Jaccard ≥ 0.5 on the
+    candidates, drops any doc with a verified smaller-id partner, and
+    appends survivors to a versioned corpus — O(batch) probes via
+    bucket-pruned reads, never O(corpus). The md5-derived hash family
+    makes signatures engine-reproducible, so the DuckDB oracle states
+    the SAME algorithm (same buckets, same candidates, same survivors)
+    over the whole corpus at once — streaming ↔ batch parity for LSH
+    dedup, the near-dup analogue of streaming_incremental_dedup."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        streaming_minhash_dedup_sink,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    c1, c2 = max_id // 3, 2 * max_id // 3
+    root = tempfile.mkdtemp(prefix="mhdedup-")
+    land, ck, corpus, bands, shingles = (
+        os.path.join(root, d)
+        for d in ("land", "ck", "corpus", "bands", "shingles")
+    )
+    # id-ordered chunks: "smaller id" == "earlier or same batch", so the
+    # streaming pair rule equals the batch pair rule exactly
+    chunks = [
+        docs.filter(F.col("doc_id") <= c1),
+        docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        docs.filter(F.col("doc_id") > c2),
+    ]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(spark, land, docs.schema)
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_minhash_dedup_sink(corpus, bands, shingles)
+        )
+        .queryName(f"mhdedup_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+    q.stop()
+    return read_snapshot(spark, corpus).select("doc_id")
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -996,6 +1059,7 @@ LLM_QUERIES = {
     "dsir_select": q_dsir_select,
     "semantic_dedup": q_semantic_dedup,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_minhash_dedup": q_streaming_minhash_dedup,
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
@@ -1104,6 +1168,61 @@ LLM_ORACLES = {
             FROM tagged
         )
         SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """,
+    # Same ALGORITHM as the streaming sink, stated batch-wide: md5-derived
+    # minhash (16 fns, 4 bands × 4 rows), banded candidates, exact-Jaccard
+    # verify ≥ 0.5, pair rule "dropped iff a smaller-id verified partner
+    # exists". Engine-independent because every hash is md5.
+    "streaming_minhash_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(t) - 2, 1) + 1),
+                           i -> array_to_string(t[i:i+2], ' ')
+                       )) AS gram
+                FROM toks WHERE len(t) > 0
+            )
+        ), hi AS (
+            SELECT unnest(range(0, 16)) AS i
+        ), mh AS (
+            SELECT g.doc_id, hi.i,
+                   min(('0x' || substring(
+                       md5(CAST(hi.i AS VARCHAR) || ':' || g.gram), 1, 15
+                   ))::BIGINT) AS h
+            FROM grams g CROSS JOIN hi
+            GROUP BY g.doc_id, hi.i
+        ), bnd AS (
+            SELECT doc_id, i // 4 AS b,
+                   substring(md5(
+                       CAST(i // 4 AS VARCHAR) || ',' ||
+                       string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)
+                   ), 1, 16) AS bkt
+            FROM mh GROUP BY doc_id, i // 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bnd a JOIN bnd b USING (bkt)
+            WHERE a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS ni
+            FROM cand c
+            JOIN grams ga ON ga.doc_id = c.id_a
+            JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+            GROUP BY c.id_a, c.id_b
+        ), dups AS (
+            SELECT DISTINCT i.id_b AS doc_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni)
+                  >= CAST(0.5 AS DOUBLE)
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
     """,
     "text_stats": f"""
         WITH toks AS (

@@ -680,6 +680,86 @@ def keyed_batch_sink(
     return _sink
 
 
+def keyed_append_sink(
+    table_dir: str,
+    keys: list[str],
+    n_buckets: int = 16,
+):
+    """foreachBatch sink APPENDING each micro-batch into a bucketed keyed
+    table — the postings-index write path (e.g. an LSH band index, an
+    inverted index): rows accumulate per key, so unlike
+    ``keyed_batch_sink`` nothing is merged and NO existing data is ever
+    read — each batch writes only its own rows clustered into the
+    buckets it touches and extends those buckets' file lists in the
+    manifest. O(batch) work per batch regardless of table size;
+    ``read_keyed_buckets`` prunes probes to touched buckets exactly as
+    for merged keyed tables. Replays are no-ops via the batch_id guard;
+    run ``compact_keyed_snapshot`` periodically to bound per-bucket file
+    counts."""
+
+    def _sink(batch_df: DataFrame, batch_id: int, _retries: int = 5) -> None:
+        try:
+            base_manifest = read_manifest(table_dir)
+            last = base_manifest.get("batch_id")
+            base_v = base_manifest["version"]
+            prev_parts = base_manifest.get("parts", {})
+            if base_manifest.get("files") and not prev_parts:
+                raise ValueError(
+                    f"{table_dir} has data committed outside the keyed layout"
+                )
+        except FileNotFoundError:
+            last, base_v, prev_parts = None, None, {}
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed
+
+        clustered = batch_df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        ).persist()
+        touched = sorted(
+            r["__bucket"] for r in clustered.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            clustered.unpersist()
+            return
+
+        fs_for(table_dir).makedirs(_manifest_dir(table_dir))
+        written = _write_bucketed_files(
+            clustered.repartition(len(touched), "__bucket"), table_dir
+        )
+        clustered.unpersist()
+
+        parts = {bs: dict(p) for bs, p in prev_parts.items()}
+        for bs, fls in written.items():
+            prev = parts.get(bs, {"files": [], "rows": 0})
+            parts[bs] = {
+                "files": prev["files"] + fls,
+                "rows": int(prev["rows"]) + sum(_parquet_rows(f) for f in fls),
+            }
+        files = [f for p in parts.values() for f in p["files"]]
+        rows = sum(p["rows"] for p in parts.values())
+        try:
+            _commit(
+                table_dir,
+                files,
+                rows,
+                {
+                    "op": "keyed",
+                    "batch_id": batch_id,
+                    "keys": keys,
+                    "n_buckets": n_buckets,
+                    "mode": "append",
+                    "parts": parts,
+                },
+                base_version=base_v,
+            )
+        except CommitConflict:
+            if _retries <= 0:
+                raise
+            _sink(batch_df, batch_id, _retries - 1)
+
+    return _sink
+
+
 def read_keyed_buckets(
     spark: SparkSession, table_dir: str, buckets: list[int]
 ) -> DataFrame | None:

@@ -82,10 +82,17 @@ def stream_stream_interval_join(
     max_lag: str = "1 hour",
     watermark_delay: str = "1 day",
     how: str = "inner",
+    rewatermark: bool = True,
 ) -> DataFrame:
     """Stream-stream join (§2.9 GAP): left rows matched to right rows with
     the same ``key`` whose ``right_ts`` falls in
     ``[left_ts - max_lag, left_ts]``.
+
+    ``rewatermark=False`` for inputs that already carry a watermark (e.g.
+    a ``dropDuplicatesWithinWatermark`` stage upstream): Spark ≥3.5
+    forbids redefining a stream's watermark once multiple stateful
+    operators are allowed, and the upstream mark already bounds this
+    join's state.
 
     Both sides MUST be watermarked and the join MUST carry a time-range
     condition — that pair is what lets Spark evict buffered rows once
@@ -96,8 +103,11 @@ def stream_stream_interval_join(
     Output columns are qualified ``l.*`` / ``r.*`` — select through the
     aliases. Inner joins emit eagerly; outer flavors hold unmatched rows
     until the watermark closes their interval."""
-    l = left.withWatermark(left_ts, watermark_delay).alias("l")
-    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    if rewatermark:
+        left = left.withWatermark(left_ts, watermark_delay)
+        right = right.withWatermark(right_ts, watermark_delay)
+    l = left.alias("l")
+    r = right.alias("r")
     lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))

@@ -101,3 +101,59 @@ def test_corpus_history_tracks_batches(spark):
         sink(_docs(spark, [(i, t)]), i)
     hist = history(corpus)
     assert [h["batch_id"] for h in hist] == [0, 1, 2]
+
+
+def test_keyed_append_sink_accumulates_without_reading(spark):
+    """keyed_append_sink (postings-index write path): rows ACCUMULATE per
+    key across batches (no merge), probes prune to touched buckets, and
+    replays are no-ops."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        keyed_append_sink,
+        read_keyed_buckets,
+    )
+
+    root = tempfile.mkdtemp(prefix="kas-")
+    table = os.path.join(root, "idx")
+    sink = keyed_append_sink(table, keys=["k"], n_buckets=4)
+    rows = lambda data: spark.createDataFrame(data, "k string, v long")  # noqa: E731
+    sink(rows([("a", 1), ("b", 2)]), 0)
+    sink(rows([("a", 3), ("c", 4)]), 1)  # same key "a" again — must ADD
+    sink(rows([("a", 99)]), 1)  # replay — no-op
+    m = read_manifest(table)
+    assert m["rows"] == 4 and m["mode"] == "append"
+    all_buckets = read_keyed_buckets(spark, table, list(range(4)))
+    got = sorted((r["k"], r["v"]) for r in all_buckets.collect())
+    assert got == [("a", 1), ("a", 3), ("b", 2), ("c", 4)]
+    # bucket pruning: reading only key "a"'s bucket sees both its rows
+    bucket_a = spark.createDataFrame([("a",)], "k string").select(
+        F.pmod(F.xxhash64("k"), F.lit(4)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    pruned = read_keyed_buckets(spark, table, [bucket_a])
+    assert {r["v"] for r in pruned.filter(F.col("k") == "a").collect()} == {1, 3}
+
+
+def test_streaming_minhash_dedup_sink_near_dups_and_replay(spark):
+    """Near-dup streaming dedup: a doc arriving in a later batch that is
+    a near-duplicate (not exact) of an earlier survivor is dropped; a
+    non-duplicate survives; batch replay is idempotent; and a near-dup
+    of a DROPPED doc is still dropped (pair-rule: every doc's signature
+    enters the index, survivor or not)."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        streaming_minhash_dedup_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="mhd-t-")
+    corpus, bands, shingles = (
+        os.path.join(root, d) for d in ("corpus", "bands", "shingles")
+    )
+    sink = streaming_minhash_dedup_sink(corpus, bands, shingles, threshold=0.5)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " today"          # high-Jaccard variant of base
+    near2 = base + " today ok"      # near-dup of BOTH base and near
+    other = "completely different content about spark structured streaming engines"
+    sink(_docs(spark, [(1, base), (2, other)]), 0)
+    sink(_docs(spark, [(3, near), (4, "unrelated fresh text that stands alone entirely")]), 1)
+    sink(_docs(spark, [(3, near), (4, "unrelated fresh text that stands alone entirely")]), 1)  # replay
+    sink(_docs(spark, [(5, near2)]), 2)  # near-dup of dropped doc 3 + of doc 1
+    got = sorted(r["doc_id"] for r in read_snapshot(spark, corpus).collect())
+    assert got == [1, 2, 4]

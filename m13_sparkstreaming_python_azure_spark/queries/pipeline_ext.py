@@ -620,6 +620,58 @@ def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM point-lookup skipping under the gate
+    (sources/snapshots.attach_bloom_maps — the Delta/Iceberg bloom-index
+    analogue, complementing zone maps where min/max is useless): orders
+    land as four HASH-sliced appends (o_orderkey % 4 — every file's key
+    range spans the whole domain, so zone maps would prune nothing),
+    blooms commit per file, and each probe key resolves its file list
+    from the manifest — files whose bloom proves absence never open.
+    Probes every o_orderkey ≡ 0 (mod 2999); the unioned lookups must
+    equal the plain IN-list scan (false positives die on the residual
+    equality filter — pruning is cost-only, the oracle hash checks
+    exactly that). At production scale the probes batch into one join
+    against the pruned file union; per-key unions keep the gate's plan
+    inspectable. Skipped-file counts are pinned by tests."""
+    import os
+    import tempfile
+    from functools import reduce
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        attach_bloom_maps,
+        read_snapshot_point,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="bloom-"), "orders_t")
+    k = F.col("o_orderkey")
+    write_snapshot(orders.filter(k % 4 == 0).coalesce(2), table)
+    for i in (1, 2, 3):
+        append_snapshot(orders.filter(k % 4 == i).coalesce(2), table)
+    attach_bloom_maps(table, ["o_orderkey"], num_bits=65536)
+
+    probe_keys = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(k % 2999 == 0).select("o_orderkey").collect()
+    )
+    parts = [
+        read_snapshot_point(spark, table, "o_orderkey", pk)
+        for pk in probe_keys
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup — order-insensitive exact dedup (catches
     shuffled/reordered copies that content-hash dedup misses while
@@ -763,6 +815,7 @@ PIPELINE_QUERIES = {
     "lexicon_sentiment": q_lexicon_sentiment,
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
+    "bloom_point_lookup": q_bloom_point_lookup,
     "bow_dedup": q_bow_dedup,
     "ann_ivfpq": q_ann_ivfpq,
 }
@@ -1160,6 +1213,13 @@ PIPELINE_ORACLES = {
                CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
         FROM toks JOIN lex USING (term)
         GROUP BY doc_id
+    """,
+    "bloom_point_lookup": """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey % 2999 = 0
     """,
     "zonemap_pruned_scan": """
         SELECT o_orderstatus, count(*) AS n_orders,

@@ -103,62 +103,62 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # ROUND-4 new code first (least driver history)
-    "ppjoin_pairs",          # new: prefix-filtered exact Jaccard join
-    "containment_pairs",     # new: asymmetric containment join
-    "skew_profile",          # new: join-key skew diagnostics
-    "mutual_information",    # new: MI/NMI categorical association
-    "benford_digits",        # new: first-digit conformance
-    "kfold_assignment",      # new: stratified k-fold CV split
-    "sequence_pattern_match",  # new: MATCH_RECOGNIZE-class regex
-    "passage_dedup",         # new: passage-level exact dedup
-    "retrieval_eval",        # new: batch BM25 + NDCG/MRR eval
-    "jaro_winkler_pairs",    # new: JW linkage, blocked pairs
-    "geo_radius_join",       # new: grid-blocked haversine join
-    "pmi_phrases",           # new: PMI collocation mining
-    "feature_hashing",       # new: hashing-trick vectorizer
-    "link_prediction",       # new: CN/Adamic-Adar wedge scoring
-    "lexicon_sentiment",     # new: broadcast-lexicon scoring
-    "zonemap_pruned_scan",   # new: manifest min/max file skipping
-    "bow_dedup",             # new: order-insensitive exact dedup
-    "scd2_pit_join",         # new: point-in-time SCD2 consumer join
-    "cohens_kappa",          # new: inter-annotator agreement
-    "poisson_bootstrap_ci",  # new: one-pass bootstrap CIs
-    "kaplan_meier",          # new: survival curve w/ censoring
-    "embedding_drift",       # new: cohort centroid cosine monitor
-    "woe_iv",                # new: weight-of-evidence / IV encoding
-    "roc_auc",               # new: tie-aware Mann-Whitney AUC
-    "ks_test",               # new: two-sample KS, exact integer D
-    "cuped_lift",            # new: CUPED variance-reduced A/B lift
-    "psi_drift",             # new: population stability index
-    # ROUND-3 new / materially-changed code (still newest driver history)
-    "streaming_incremental_dedup",  # new: exactly-once corpus dedup
-    "notification_ingest",   # new: file-notification discovery mode
-    "streaming_ewma",        # de-raced chunk publication
-    "streaming_sessions",
-    "streaming_outer_join",
-    "streaming_late_data_drop",
-    # every streaming / CDC / snapshot gate (stateful sinks + manifest
-    # layer are the highest-regression-risk subsystems)
-    "streaming_daily_stats",
-    "streaming_append_windows",
-    "streaming_interval_join",
-    "streaming_latest_state",
-    "streaming_dedup",
-    "streaming_histogram_quantiles",
-    "cdc_apply",
-    "incremental_ingest_daily",
-    "snapshot_change_feed",
-    "incremental_view_refresh",
-    "streaming_view_maintenance",
-    # one-per-subsystem representatives so a prefix-capped gate verifies
-    # every category each round
-    "user_sessions",         # behavior
-    "order_priority_count",  # tpch_ext
-    "fuzzy_name_pairs",      # relational_ext
-    "exact_dedup_groups",    # llm — dedup backbone
-    "bm25_search",           # llm — retrieval backbone
-    # newest hash-gated analytics, newest first (dict appends newest LAST)
+    # ROUND-5 new code first (least driver history)
+    "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
+    "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
+    "kaplan_meier",  # r4's one gate failure — NTZ fix must prove green
+    # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
+    # checked — local-replica-green since r1/r2, now driver-hashed.
+    # LLM-pipeline workhorses:
+    "decontamination",
+    "curation_pipeline",
+    "sequence_packing",
+    "perplexity_scores",
+    "exact_dedup_survivors",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "hash_split",
+    "chunk_documents",
+    "sample_per_source",
+    "weighted_sample_docs",
+    "mixture_resample",
+    "temperature_resample",
+    "pii_redaction",
+    "ann_bruteforce",
+    "embedding_quantize",
+    "kmeans_clusters",
+    "tfidf_top_terms",
+    "repetition_stats",
+    "embedding_pairs_exact",
+    "multimodal_resize",
+    # behavior / analytics never driver-checked:
+    "cohort_retention",
+    "event_funnel",
+    "rolling_revenue_7d",
+    "window_ranks",
+    "markov_transitions",
+    "interval_merge_sessions",
+    "data_quality_suite",
+    "association_rules",
+    # relational / function-class surface never driver-checked:
+    "grouping_sets_orders",
+    "pivot_status_priority",
+    "string_functions",
+    "datetime_functions",
+    "array_functions",
+    "json_functions",
+    "map_functions",
+    "variant_functions",
+    "null_semantics",
+    "collect_aggregates",
+    "merge_orders_upsert",
+    # subsystem regression anchors (driver-green before, keep one each):
+    "streaming_daily_stats",   # reference-shape streaming gate
+    "cdc_apply",               # CDC/merge layer
+    "incremental_ingest_daily",  # snapshot ingest layer
 ]
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
@@ -170,7 +170,16 @@ _head = [
 # best_quality_survivors, loo_target_encoding, quantile_normalize,
 # quality_prune_floors, lateral_top_orders, k_core_customers,
 # pca_covariance, scd2_history — the last ten are r3-green
-# CORRECTNESS_r03 rows; scd2_pit_join keeps SCD2 semantics in the head.)
+# CORRECTNESS_r03 rows; scd2_pit_join keeps SCD2 semantics in the head.
+# Rotated out in r5 — ALL driver-green in CORRECTNESS_r04: ppjoin_pairs,
+# containment_pairs, skew_profile, mutual_information, benford_digits,
+# kfold_assignment, sequence_pattern_match, passage_dedup, retrieval_eval,
+# jaro_winkler_pairs, geo_radius_join, pmi_phrases, feature_hashing,
+# link_prediction, lexicon_sentiment, zonemap_pruned_scan, bow_dedup,
+# scd2_pit_join, cohens_kappa, poisson_bootstrap_ci, embedding_drift,
+# woe_iv, roc_auc, ks_test, cuped_lift, psi_drift, and the r2-r4
+# streaming/CDC gates not kept as anchors below; the r5 head instead
+# leads with 44 never-driver-checked hash gates per VERDICT r4 #5.)
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

@@ -1000,19 +1000,154 @@ def attach_zone_maps(table_dir: str, columns: list[str]) -> int:
             # merge per-column so a new columns list widens a file's
             # stats instead of dropping its previously-computed columns
             zone_maps[f] = {**zone_maps.get(f, {}), **s}
+        extra = {
+            "op": "stats",
+            "zone_maps": zone_maps,
+            "zone_map_cols": sorted(
+                set(columns) | set(m.get("zone_map_cols", []))
+            ),
+        }
+        # a stats commit must not clobber the OTHER stats family
+        for k in ("bloom_maps", "bloom_cols", "bloom_bits", "bloom_hashes"):
+            if k in m:
+                extra[k] = m[k]
         try:
             return _commit(
                 table_dir,
                 m["files"],
                 m["rows"],
-                {"op": "stats", "zone_maps": zone_maps,
-                 "zone_map_cols": sorted(
-                     set(columns) | set(m.get("zone_map_cols", []))
-                 )},
+                extra,
                 base_version=m["version"],
             )
         except CommitConflict:
             continue  # footer reads are cheap — recompute on the new base
+
+
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 5
+
+
+def _bloom_positions(value, num_bits: int, num_hashes: int) -> list[int]:
+    """k md5-derived bit positions for a value's canonical string form.
+
+    Canonicalization is ``str(value)`` (ints render without sign/padding,
+    strings identity) — the probe side must canonicalize identically,
+    which ``prune_files_bloom`` does with the same function."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % num_bits
+        for i in range(num_hashes)
+    ]
+
+
+def attach_bloom_maps(
+    table_dir: str,
+    columns: list[str],
+    num_bits: int = _BLOOM_BITS,
+    num_hashes: int = _BLOOM_HASHES,
+) -> int:
+    """Per-file BLOOM filters for point-lookup file skipping — the data-
+    skipping complement to zone maps: min/max is useless for equality
+    probes on high-cardinality unsorted keys (every file's range spans
+    the domain), while a per-file bloom answers "key definitely not in
+    this file" with ~1-in-1e3 false-positive rate at the defaults
+    (m=4096, k=5, ≤ a few hundred distinct keys per file). Same parity
+    as Delta/Iceberg bloom indexes.
+
+    Incremental like ``attach_zone_maps``: only files lacking a bloom for
+    one of the requested columns are scanned (one pyarrow column read
+    per file, driver-side — at production scale this would be a Spark
+    job writing sidecar files; the manifest stores hex bitmaps, ~1 KiB
+    per file per column)."""
+    import pyarrow.parquet as _pq
+
+    while True:
+        m = read_manifest(table_dir)
+        prev = m.get("bloom_maps", {})
+        todo = [
+            f
+            for f in m["files"]
+            if f not in prev or not set(columns) <= set(prev[f])
+        ]
+        blooms = {f: dict(s) for f, s in prev.items() if f in set(m["files"])}
+        for f in todo:
+            per_col = blooms.get(f, {})
+            for col in columns:
+                try:
+                    vals = _pq.read_table(f, columns=[col]).column(0).to_pylist()
+                except Exception:
+                    continue  # column absent in this file — no bloom, kept
+                bits = 0
+                for v in vals:
+                    if v is None:
+                        continue
+                    for p in _bloom_positions(v, num_bits, num_hashes):
+                        bits |= 1 << p
+                per_col[col] = format(bits, "x")
+            blooms[f] = per_col
+        extra = {
+            "op": "stats",
+            "bloom_maps": blooms,
+            "bloom_cols": sorted(set(columns) | set(m.get("bloom_cols", []))),
+            "bloom_bits": num_bits,
+            "bloom_hashes": num_hashes,
+        }
+        # a stats commit must not clobber the OTHER stats family
+        for k in ("zone_maps", "zone_map_cols"):
+            if k in m:
+                extra[k] = m[k]
+        try:
+            return _commit(
+                table_dir,
+                m["files"],
+                m["rows"],
+                extra,
+                base_version=m["version"],
+            )
+        except CommitConflict:
+            continue
+
+
+def prune_files_bloom(manifest: dict, col: str, value) -> list[str]:
+    """Files that might contain rows with ``col == value``. Conservative:
+    a file without a bloom for ``col`` is always kept; a file is dropped
+    only when at least one of the value's bit positions is unset — the
+    bloom's no-false-negative guarantee makes that a proof of absence."""
+    bm = manifest.get("bloom_maps", {})
+    num_bits = manifest.get("bloom_bits", _BLOOM_BITS)
+    num_hashes = manifest.get("bloom_hashes", _BLOOM_HASHES)
+    pos = _bloom_positions(value, num_bits, num_hashes)
+    keep = []
+    for f in manifest["files"]:
+        hexmap = bm.get(f, {}).get(col)
+        if not hexmap:
+            keep.append(f)
+            continue
+        bits = int(hexmap, 16)
+        if all((bits >> p) & 1 for p in pos):
+            keep.append(f)
+    return keep
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with bloom file skipping. The equality FILTER still
+    applies to surviving files (false positives are pruned by the
+    predicate — pruning is cost, correctness is the filter, exactly the
+    ``read_snapshot_pruned`` contract), so the result equals
+    ``read_snapshot(...).filter(col == value)``."""
+    m = read_manifest(table_dir, version)
+    files = prune_files_bloom(m, col, value)
+    if not files:
+        return read_snapshot(spark, table_dir, version).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
 
 
 def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:

@@ -222,3 +222,43 @@ def test_prune_files_accepts_date_bounds_on_date_stats(spark, tmp_path):
         r.d for r in read_snapshot_pruned(spark, table, "d", lo, hi).collect()
     )
     assert got == [datetime.date(2024, 2, 5) + datetime.timedelta(days=i) for i in range(6)]
+
+
+def test_bloom_maps_skip_files_and_lose_nothing(spark, tmp_path):
+    """Per-file bloom point-lookup skipping (attach_bloom_maps): on a
+    hash-sliced layout where zone maps prune NOTHING, blooms must skip
+    the absent files, keep every matching row, and coexist with zone
+    maps in the manifest (stats commits must not clobber each other)."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        attach_bloom_maps,
+        prune_files,
+        prune_files_bloom,
+        read_snapshot_point,
+    )
+
+    table = str(tmp_path / "bl")
+    rows = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    # hash-sliced: every file's id range spans [0, 4000) — min/max useless
+    write_snapshot(rows.filter("id % 4 = 0").coalesce(1), table)
+    for i in (1, 2, 3):
+        append_snapshot(rows.filter(f"id % 4 = {i}").coalesce(1), table)
+    attach_zone_maps(table, ["id"])
+    attach_bloom_maps(table, ["id"], num_bits=65536)
+    m = read_manifest(table)
+    # both stats families live in one manifest
+    assert m["zone_map_cols"] == ["id"] and m["bloom_cols"] == ["id"]
+    assert len(m["files"]) == 4
+
+    # zone maps cannot prune this layout; blooms prune to exactly 1 file
+    assert len(prune_files(m, "id", lo=1234, hi=1234)) == 4
+    kept = prune_files_bloom(m, "id", 1234)
+    assert len(kept) == 1
+    got = read_snapshot_point(spark, table, "id", 1234).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1234, 3702)]
+    # absent key: bloom proves absence in every file -> zero files open
+    assert prune_files_bloom(m, "id", 99999) == []
+    assert read_snapshot_point(spark, table, "id", 99999).count() == 0
+    # conservative without a bloom for the column
+    assert len(prune_files_bloom(m, "v", 30)) == 4

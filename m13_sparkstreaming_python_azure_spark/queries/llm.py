@@ -1018,6 +1018,57 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, corpus).select("doc_id")
 
 
+def q_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality scoring — fastText-shaped linear
+    classifier INFERENCE at corpus scale, entirely as JVM expressions:
+    tokens hash into D=1024 buckets (hashing trick, md5-derived), each
+    bucket carries a frozen weight (md5-derived uniform in [−0.5, 0.5) —
+    a deterministic stand-in for trained weights, so the oracle can
+    reproduce it; swapping in a real model is a broadcast join against a
+    (bucket, weight) table, same plan), the doc score is the
+    length-normalized weight sum, and the quality probability is its
+    sigmoid. Scale shape: explode(tokens) → map-side partial sum →
+    groupBy(doc_id) — one narrow shuffle of (doc_id, BIGINT), no Python,
+    no UDF. Weight sums accumulate in integer micros (exact, fold-order
+    free); sigmoid snaps 1e-6 (exp boundary)."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toked = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    # bucket = md5-hash of token mod 1024; weight_micro = md5-hash of
+    # bucket mod 1e6 − 5e5 (uniform in [−0.5, 0.5) at 1e-6 resolution)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1024
+    )
+    w_micro = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+        - 500000
+    )
+    agg = toked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w_micro).alias("sum_w_micro"),
+    )
+    score = F.col("sum_w_micro") / (F.col("n_tokens") * 1e6)
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+    snap6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_w_micro",
+        snap6(sig).alias("quality_prob"),
+        (sig >= 0.5).cast("int").alias("keep"),
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1060,6 +1111,7 @@ LLM_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_minhash_dedup": q_streaming_minhash_dedup,
+    "model_quality_scores": q_model_quality_scores,
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
@@ -1223,6 +1275,31 @@ LLM_ORACLES = {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "model_quality_scores": f"""
+        WITH toked AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        ), wts AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5('w:' || CAST(
+                       ('0x' || substring(md5('fh:' || tok), 1, 8))::BIGINT
+                           % 1024 AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 - 500000 AS w_micro
+            FROM toked
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(w_micro) AS BIGINT) AS sum_w_micro
+            FROM wts GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, sum_w_micro,
+               floor(1e6 / (1 + exp(-(CAST(sum_w_micro AS DOUBLE)
+                                      / (n_tokens * 1e6)))) + 0.5) / 1e6
+                   AS quality_prob,
+               CAST(1.0 / (1 + exp(-(CAST(sum_w_micro AS DOUBLE)
+                                     / (n_tokens * 1e6)))) >= 0.5 AS INT)
+                   AS keep
+        FROM agg
     """,
     "text_stats": f"""
         WITH toks AS (

@@ -107,6 +107,9 @@ _head = [
     "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
     "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
     "kaplan_meier",  # r4's one gate failure — NTZ fix must prove green
+    "bloom_point_lookup",       # new: per-file bloom point-lookup skipping
+    "model_quality_scores",     # new: hashed-feature linear classifier inference
+    "ece_calibration",          # new: reliability bins + integer-exact ECE
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -137,9 +140,6 @@ _head = [
     # behavior / analytics never driver-checked:
     "cohort_retention",
     "event_funnel",
-    "rolling_revenue_7d",
-    "window_ranks",
-    "markov_transitions",
     "interval_merge_sessions",
     "data_quality_suite",
     "association_rules",

@@ -198,3 +198,42 @@ def test_woe_iv_sign_structure(spark, sf_dir):
         contrib = (r["n_event"] / te - r["n_nonevent"] / tn) * r["woe"]
         assert contrib >= -1e-9
         assert iv >= contrib - 1e-9
+
+
+def test_ece_calibration_integer_exact_identities(spark, sf_dir):
+    """ECE invariants: bins partition the population, per-bin gap =
+    |confidence − accuracy|, and the replicated ece equals the
+    n-weighted gap sum — all derived from the same BIGINTs."""
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        q_ece_calibration,
+    )
+
+    rows = q_ece_calibration(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    n_total = sum(r["n"] for r in rows)
+    ece = rows[0]["ece"]
+    assert all(abs(r["ece"] - ece) < 1e-12 for r in rows)
+    weighted = sum(r["n"] * r["gap"] for r in rows) / n_total
+    assert abs(weighted - ece) < 1e-9
+    for r in rows:
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert abs(r["gap"] - abs(r["confidence"] - r["accuracy"])) < 1e-12
+
+
+def test_model_quality_scores_sigmoid_and_determinism(spark, sf_dir):
+    """Linear scorer invariants: probability in (0,1), keep == (prob ≥
+    .5), score is length-normalized (|sum| ≤ 5e5·n_tokens), and the
+    frozen weights make reruns bit-identical."""
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_model_quality_scores,
+    )
+
+    a = q_model_quality_scores(spark, sf_dir).collect()
+    b = q_model_quality_scores(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+    for r in a:
+        assert 0.0 < r["quality_prob"] < 1.0
+        assert r["keep"] == int(r["quality_prob"] >= 0.5)
+        assert abs(r["sum_w_micro"]) <= 500000 * r["n_tokens"]

@@ -1069,6 +1069,27 @@ def q_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining via Misra-Gries sketch + exact verification
+    (operators/heavy.heavy_hitters_exact): per-partition k=200 counter
+    sketches find a candidate superset in one pass — no shuffle of the
+    full distinct-token space — and a candidate-restricted second pass
+    makes the threshold answer EXACT (n·k > N in integers), so the
+    sketch never changes the result, only the cost. The stop-word/
+    boilerplate detector every corpus pipeline runs before dedup and
+    quality filtering."""
+    from m13_sparkstreaming_python_azure_spark.operators.heavy import (
+        heavy_hitters_exact,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters_exact(toked, "tok", k=200).select(
+        F.col("item").alias("token"), "n"
+    )
+
+
 LLM_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -1112,6 +1133,7 @@ LLM_QUERIES = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "streaming_minhash_dedup": q_streaming_minhash_dedup,
     "model_quality_scores": q_model_quality_scores,
+    "token_heavy_hitters": q_token_heavy_hitters,
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
@@ -1275,6 +1297,17 @@ LLM_ORACLES = {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "token_heavy_hitters": f"""
+        WITH toked AS (
+            SELECT unnest({_TOKS_SQL}) AS token FROM documents
+        ), counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM toked GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+        )
+        SELECT token, n FROM counts, tot WHERE n * 200 > total
     """,
     "model_quality_scores": f"""
         WITH toked AS (

@@ -672,6 +672,53 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + shallow CLONE under the gate (sources/snapshots
+    .restore_snapshot / clone_snapshot — the Delta RESTORE/CLONE
+    analogues): orders land as three status-sliced appends, a bad
+    "cleanup" overwrite drops everything but P-status (the incident),
+    RESTORE rolls content back to v3 as a NEW commit (history preserved
+    — the bad version stays time-travelable), and the result is read
+    through a shallow CLONE of the restored table (zero-copy manifest
+    reference). The read must equal the full pre-incident table, which
+    the oracle states directly; history/rollback mechanics are pinned by
+    tests."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        clone_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="restore-")
+    table, clone = os.path.join(root, "t"), os.path.join(root, "t_clone")
+    s = F.col("o_orderstatus")
+    write_snapshot(orders.filter(s == "F").coalesce(2), table)      # v1
+    append_snapshot(orders.filter(s == "O").coalesce(2), table)     # v2
+    append_snapshot(orders.filter(s == "P").coalesce(2), table)     # v3
+    # the incident: an overwrite that loses F and O
+    write_snapshot(orders.filter(s == "P").coalesce(2), table)      # v4
+    restore_snapshot(table, 3)                                      # v5 == v3
+    clone_snapshot(table, clone)
+    return (
+        read_snapshot(spark, clone)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup — order-insensitive exact dedup (catches
     shuffled/reordered copies that content-hash dedup misses while
@@ -816,6 +863,7 @@ PIPELINE_QUERIES = {
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
     "bloom_point_lookup": q_bloom_point_lookup,
+    "snapshot_restore": q_snapshot_restore,
     "bow_dedup": q_bow_dedup,
     "ann_ivfpq": q_ann_ivfpq,
 }
@@ -1213,6 +1261,12 @@ PIPELINE_ORACLES = {
                CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
         FROM toks JOIN lex USING (term)
         GROUP BY doc_id
+    """,
+    "snapshot_restore": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
     """,
     "bloom_point_lookup": """
         SELECT o_orderkey, o_custkey,

@@ -385,6 +385,60 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     return deleted
 
 
+def restore_snapshot(table_dir: str, version: int) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` (Delta parity): commit a NEW
+    version whose content is the old version's file list — a content
+    rollback that PRESERVES history (the bad commits stay inspectable and
+    time-travelable; nothing is deleted). Fails loudly if the target
+    version's files were already vacuumed. Zero data movement: the commit
+    re-references existing files."""
+    m = read_manifest(table_dir, version)
+    fs = fs_for(table_dir)
+    missing = [f for f in m["files"] if not fs.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table_dir} to v{version}: {len(missing)} data "
+            f"file(s) vacuumed, e.g. {missing[0]}"
+        )
+    cur = read_manifest(table_dir)
+    extra = {"op": "restore", "restored_from": version}
+    # keyed tables must keep their parts mapping usable after restore
+    for k in ("keys", "n_buckets", "mode", "parts"):
+        if k in m:
+            extra[k] = m[k]
+    return _commit(
+        table_dir, m["files"], m["rows"], extra, base_version=cur["version"]
+    )
+
+
+def clone_snapshot(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (Delta parity): a new table whose first manifest
+    references the source version's files — zero copy, O(manifest) time
+    regardless of table size. The standard dev/test-against-prod and
+    what-if-compaction primitive. Caveat (same as Delta shallow clones):
+    the clone depends on the source's data files, so a ``vacuum`` on the
+    source can break it — deep-copy (read+write) before vacuuming if the
+    clone must outlive source retention."""
+    m = read_manifest(src_dir, version)
+    if latest_version(dst_dir) is not None:
+        raise ValueError(f"clone target {dst_dir} already has commits")
+    fs = fs_for(dst_dir)
+    fs.makedirs(_manifest_dir(dst_dir))
+    extra = {
+        "op": "clone",
+        "cloned_from": src_dir,
+        "cloned_version": m["version"],
+    }
+    for k in ("keys", "n_buckets", "mode", "parts", "zone_maps",
+              "zone_map_cols", "bloom_maps", "bloom_cols", "bloom_bits",
+              "bloom_hashes"):
+        if k in m:
+            extra[k] = m[k]
+    return _commit(dst_dir, m["files"], m["rows"], extra)
+
+
 def history(table_dir: str) -> list[dict]:
     """Commit history over retained versions, oldest first — the
     ``DESCRIBE HISTORY`` analogue. Vacuumed versions are simply absent.

@@ -262,3 +262,48 @@ def test_bloom_maps_skip_files_and_lose_nothing(spark, tmp_path):
     assert read_snapshot_point(spark, table, "id", 99999).count() == 0
     # conservative without a bloom for the column
     assert len(prune_files_bloom(m, "v", 30)) == 4
+
+
+def test_restore_and_clone_semantics(spark, tmp_path):
+    """RESTORE preserves history (new commit, old versions intact, fails
+    on vacuumed targets); shallow CLONE is zero-copy, refuses non-empty
+    targets, and keeps stats usable."""
+    import pytest
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        attach_bloom_maps,
+        clone_snapshot,
+        history,
+        latest_version,
+        read_snapshot_point,
+        restore_snapshot,
+        vacuum_snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 100).select("id", (F.col("id") * 2).alias("v"))
+    write_snapshot(df.filter("id < 50").coalesce(1), table)    # v1
+    append_snapshot(df.filter("id >= 50").coalesce(1), table)  # v2
+    write_snapshot(df.filter("id < 10").coalesce(1), table)    # v3 bad overwrite
+    v = restore_snapshot(table, 2)                             # v4 == v2
+    assert v == 4 and latest_version(table) == 4
+    assert read_snapshot(spark, table).count() == 100
+    # history preserved: the bad v3 remains time-travelable
+    assert read_snapshot(spark, table, version=3).count() == 10
+    assert history(table)[-1]["version"] == 4
+
+    # shallow clone references the same files, zero copy; stats carry over
+    attach_bloom_maps(table, ["id"], num_bits=65536)           # v5
+    clone = str(tmp_path / "c")
+    clone_snapshot(table, clone)
+    assert read_snapshot(spark, clone).count() == 100
+    assert read_snapshot_point(spark, clone, "id", 77).count() == 1
+    got = read_manifest(clone)
+    assert got["files"] == read_manifest(table)["files"]  # same files
+    with pytest.raises(ValueError):
+        clone_snapshot(table, clone)  # non-empty target refused
+
+    # restore to a vacuumed version fails loudly
+    vacuum_snapshots(table, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        restore_snapshot(table, 3)

@@ -1267,6 +1267,55 @@ def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_changes(spark, table, ["o_orderkey"], 1, 2)
 
 
+def q_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) event-time windows under the gate — the §2.9
+    window family member the tumbling gate can't prove: every event
+    belongs to len/slide = 4 overlapping windows (2h windows hopping
+    every 30min), and APPEND mode may emit exactly the windows whose end
+    ≤ final watermark (max event time − 1h). The oracle expands each
+    event into its 4 window starts arithmetically and applies the same
+    finalization cut, so overlap assignment AND finalization are
+    hash-checked. State: one row per (open window, type) — bounded by
+    watermark horizon × 4, the documented sliding-window multiplier."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+
+    root, schema = _events_day_landing(spark, sf_dir)
+    stream = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"sliding_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication under the gate (§2.9 GAP dropDuplicates):
     every event lands TWICE in the landing dir (two partition trees);
@@ -1772,6 +1821,7 @@ CORE_QUERIES = {
     "distribution_drift": q_distribution_drift,
     "streaming_histogram_quantiles": q_streaming_histogram_quantiles,
     "streaming_append_windows": q_streaming_append_windows,
+    "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_interval_join": q_streaming_interval_join,
     "streaming_latest_state": q_streaming_latest_state,
     "streaming_dedup": q_streaming_dedup,
@@ -2176,6 +2226,25 @@ CORE_ORACLES = {
            OR (p_brand = 'Brand#3' AND p_size <= 25
                AND l_quantity BETWEEN 10 AND 35)
         GROUP BY p_brand
+    """,
+    "streaming_sliding_windows": """
+        WITH mx AS (
+            SELECT max(epoch_us(ts)) AS mu FROM events
+        ), expanded AS (
+            SELECT ((epoch_us(ts) // 1800000000) - i.i) * 1800000000 AS ws_us,
+                   event_type, value
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+        )
+        SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM expanded, mx
+        WHERE ws_us + 7200000000 <= mu - 3600000000
+        GROUP BY 1, 2
     """,
     "streaming_append_windows": """
         WITH mx AS (

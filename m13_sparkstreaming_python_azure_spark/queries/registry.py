@@ -66,7 +66,9 @@ _STREAMING_GATES = [
     "streaming_view_maintenance", "streaming_ewma",
     "streaming_sessions", "streaming_outer_join",
     "streaming_late_data_drop", "streaming_ann_index",
-    "streaming_incremental_dedup",
+    "streaming_incremental_dedup", "streaming_minhash_dedup",
+    "streaming_sliding_windows",
+    "streaming_full_outer_dedup",
 ]
 
 _ALL_QUERIES = {
@@ -110,6 +112,9 @@ _head = [
     "bloom_point_lookup",       # new: per-file bloom point-lookup skipping
     "model_quality_scores",     # new: hashed-feature linear classifier inference
     "ece_calibration",          # new: reliability bins + integer-exact ECE
+    "streaming_sliding_windows",  # new: hopping-window finalization gate
+    "snapshot_restore",         # new: RESTORE + shallow CLONE
+    "token_heavy_hitters",      # new: Misra-Gries + exact verify
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -151,10 +156,7 @@ _head = [
     "array_functions",
     "json_functions",
     "map_functions",
-    "variant_functions",
     "null_semantics",
-    "collect_aggregates",
-    "merge_orders_upsert",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer

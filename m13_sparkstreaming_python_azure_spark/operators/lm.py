@@ -323,3 +323,89 @@ def bigram_logppl(
             / F.count(F.lit(1))
         ).alias("logppl"),
     )
+
+
+def kn_bigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-perplexity — the smoothing that
+    actually wins LM evaluations (Chen & Goodman '98), one order deeper
+    than ``bigram_logppl``'s ML+add-one mixture:
+
+        p_KN(w|v) = max(c(vw) − d, 0)/c(v·) + d·N1+(v·)/c(v·) · p_cont(w)
+        p_cont(w) = N1+(·w) / N1+(··)
+
+    The continuation distribution scores how many CONTEXTS a word
+    completes, not how often it occurs — the "San Francisco" effect:
+    "francisco" is frequent but only ever follows "san", so its KN
+    continuation probability is tiny and templated/boilerplate docs pop
+    out with low perplexity where add-one smoothing hides them.
+
+    Every model quantity is a BIGINT count; both mixture terms are
+    ratios of identically-derived BIGINTs (bit-equal across engines);
+    the discount is an explicit double literal; ln snaps 1e-9 pre-sum.
+
+    Plan shape: three vocabulary-keyed count aggregates (c(vw), per-v
+    context stats, per-w continuation counts), joined back to the
+    transition stream — the same two-shuffle KenLM count-pass shape as
+    ``train_bigram_model``, plus one groupBy(doc). Unseen-in-context
+    transitions (c(vw)=0 after the left join) fall through to the
+    continuation term alone, exactly the KN backoff.
+    """
+    arr = docs.select(F.col(id_col), tokens(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    trans = arr.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("v"),
+                    F.element_at("t", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.v", "p.w")
+    pairs = trans.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = pairs.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"),
+        F.count(F.lit(1)).alias("n1_fwd"),  # N1+(v·)
+    )
+    cont = pairs.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bwd"))  # N1+(·w)
+    tot = pairs.agg(F.count(F.lit(1)).alias("n1_tot"))  # N1+(··)
+
+    d = F.lit(float(discount))
+    joined = (
+        trans.join(pairs, on=["v", "w"])  # every transition exists in counts
+        .join(ctx, on="v")
+        .join(cont, on="w")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (
+        F.greatest(F.col("c_vw") - d, F.lit(0.0)) / F.col("c_v")
+        + (d * F.col("n1_fwd") / F.col("c_v"))
+        * (F.col("n1_bwd") / F.col("n1_tot"))
+    )
+    lp9 = F.floor(F.log(p) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum(lp9).alias("__s9"),
+        )
+        .select(
+            id_col,
+            "n_trans",
+            (
+                F.floor(
+                    (-F.col("__s9") / 1e9 / F.col("n_trans")) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("kn_logppl"),
+        )
+    )

@@ -1069,6 +1069,21 @@ def q_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document
+    (operators/lm.kn_bigram_logppl) — the Chen-Goodman smoothing whose
+    continuation distribution (how many contexts a word completes, not
+    how often it occurs) surfaces templated/boilerplate docs that add-one
+    smoothing hides. Self-scored over the documents corpus; exact count
+    ratios + 1e-9 ln grid keep it hash-equal."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        kn_bigram_logppl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kn_bigram_logppl(docs)
+
+
 def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-token mining via Misra-Gries sketch + exact verification
     (operators/heavy.heavy_hitters_exact): per-partition k=200 counter
@@ -1134,6 +1149,7 @@ LLM_QUERIES = {
     "streaming_minhash_dedup": q_streaming_minhash_dedup,
     "model_quality_scores": q_model_quality_scores,
     "token_heavy_hitters": q_token_heavy_hitters,
+    "kn_perplexity": q_kn_perplexity,
     "hard_negative_mining": q_hard_negative_mining,
     "leakage_safe_split": q_leakage_safe_split,
     "quality_prune_floors": q_quality_prune_floors,
@@ -1297,6 +1313,46 @@ LLM_ORACLES = {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "kn_perplexity": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), trans AS (
+            SELECT doc_id, t[i] AS v, t[i + 1] AS w
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, len(t))) AS i
+            )
+            WHERE len(t) >= 2
+        ), pairs AS (
+            SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw
+            FROM trans GROUP BY v, w
+        ), ctx AS (
+            SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                   CAST(count(*) AS BIGINT) AS n1_fwd
+            FROM pairs GROUP BY v
+        ), cont AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS n1_bwd
+            FROM pairs GROUP BY w
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n1_tot FROM pairs
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(ln(
+                       greatest(p.c_vw - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / x.c_v
+                       + (CAST(0.75 AS DOUBLE) * x.n1_fwd / x.c_v)
+                         * (CAST(c.n1_bwd AS DOUBLE) / tot.n1_tot)
+                   ) * 1e9 + 0.5) AS BIGINT) AS lp9
+            FROM trans t
+            JOIN pairs p USING (v, w)
+            JOIN ctx x USING (v)
+            JOIN cont c USING (w)
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trans,
+               floor((-CAST(sum(lp9) AS DOUBLE) / 1e9 / count(*)) * 1e6
+                     + 0.5) / 1e6 AS kn_logppl
+        FROM scored GROUP BY doc_id
     """,
     "token_heavy_hitters": f"""
         WITH toked AS (

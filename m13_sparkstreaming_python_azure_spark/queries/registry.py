@@ -115,6 +115,8 @@ _head = [
     "streaming_sliding_windows",  # new: hopping-window finalization gate
     "snapshot_restore",         # new: RESTORE + shallow CLONE
     "token_heavy_hitters",      # new: Misra-Gries + exact verify
+    "kn_perplexity",            # new: Kneser-Ney bigram LM
+    "dp_group_counts",          # new: Laplace-mechanism DP release
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -139,12 +141,10 @@ _head = [
     "embedding_quantize",
     "kmeans_clusters",
     "tfidf_top_terms",
-    "repetition_stats",
     "embedding_pairs_exact",
     "multimodal_resize",
     # behavior / analytics never driver-checked:
     "cohort_retention",
-    "event_funnel",
     "interval_merge_sessions",
     "data_quality_suite",
     "association_rules",

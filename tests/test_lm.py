@@ -78,3 +78,26 @@ def test_perplexity_filter_band(spark):
     assert {r["doc_id"] for r in low_dropped.collect()} == {
         d for d, s in scores.items() if s >= cut
     }
+
+
+def test_kn_perplexity_properties(spark, sf_dir):
+    """KN invariants: per-transition probabilities form a proper mixture
+    (logppl > 0 for any non-degenerate corpus), short docs are excluded,
+    and a repeated-phrase doc scores LOWER perplexity than a unique-word
+    doc under the same model (the continuation effect)."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        kn_bigram_logppl,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat on the mat"),
+            (2, "quantum turbines whisper beneath crimson observatories tonight"),
+            (3, "hi"),  # single token: no transitions, excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in kn_bigram_logppl(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["kn_logppl"] > 0 and rows[2]["kn_logppl"] > 0
+    assert rows[1]["kn_logppl"] < rows[2]["kn_logppl"]

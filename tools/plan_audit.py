@@ -114,6 +114,7 @@ ALLOW_CARTESIAN = {
     "retrieval_eval",     # 10-row IDCG lookup joined on least(R,10)=i
     "pmi_phrases",        # single-row N_uni/N_bi scalar broadcasts
     "kaplan_meier",       # single-row max_day horizon scalar broadcast
+    "kn_perplexity",      # single-row N1+(··) continuation-total scalar
 }
 
 

@@ -129,7 +129,30 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     top = snap.read_snapshot(spark, keyed).filter(F.col("o_totalprice") == 9e9)
     print(f"keyed latest-state: {top.count()} rows took the newer price")
 
-    # 9. vacuum everything but the latest two versions
+    # 9. data skipping: zone maps (ranges) + blooms (point lookups)
+    snap.attach_zone_maps(table, ["o_orderkey"])
+    snap.attach_bloom_maps(table, ["o_orderkey"], num_bits=65536)
+    some_key = orders.select("o_orderkey").first()[0]
+    m = snap.read_manifest(table)
+    kept = snap.prune_files_bloom(m, "o_orderkey", some_key)
+    print(f"bloom point lookup opens {len(kept)}/{len(m['files'])} files; "
+          f"rows={snap.read_snapshot_point(spark, table, 'o_orderkey', some_key).count()}")
+
+    # 10. incident recovery: RESTORE rolls content back as a NEW commit
+    before = snap.latest_version(table)
+    snap.write_snapshot(orders.limit(1), table)  # the bad overwrite
+    snap.restore_snapshot(table, before)
+    print(f"restored to v{before}: "
+          f"{snap.read_snapshot(spark, table).count()} rows, history intact "
+          f"({len(snap.history(table))} versions)")
+
+    # 11. shallow clone for a dev sandbox (zero copy)
+    clone = os.path.join(root, "orders_clone")
+    snap.clone_snapshot(table, clone)
+    print(f"clone reads {snap.read_snapshot(spark, clone).count()} rows "
+          "without copying a byte")
+
+    # 12. vacuum everything but the latest two versions
     dead = snap.vacuum_snapshots(table, keep_last=2)
     print(f"vacuumed {len(dead)} expired files; latest still reads "
           f"{snap.read_snapshot(spark, table).count()} rows")

@@ -48,6 +48,9 @@ def _narrow_shuffle(fn, n: int = 8):
     restored on exit; the returned sink-table aggregation runs at the
     restored width."""
 
+    import functools
+
+    @functools.wraps(fn)  # keep docstring/module for QUERIES.md generation
     def wrapped(spark, sf_dir):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -628,20 +628,20 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     range spans the whole domain, so zone maps would prune nothing),
     blooms commit per file, and each probe key resolves its file list
     from the manifest — files whose bloom proves absence never open.
-    Probes every o_orderkey ≡ 0 (mod 2999); the unioned lookups must
-    equal the plain IN-list scan (false positives die on the residual
-    equality filter — pruning is cost-only, the oracle hash checks
-    exactly that). At production scale the probes batch into one join
-    against the pruned file union; per-key unions keep the gate's plan
-    inspectable. Skipped-file counts are pinned by tests."""
+    Probes every o_orderkey ≡ 0 (mod 2999), batched into ONE scan over
+    the union of bloom-surviving files + an IN-list filter
+    (read_snapshot_points — per-key scans would re-open shared files);
+    the result must equal the plain IN-list scan (false positives die
+    on the residual filter — pruning is cost-only, which is exactly
+    what the oracle hash checks). Skipped-file counts are pinned by
+    tests."""
     import os
     import tempfile
-    from functools import reduce
 
     from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
         append_snapshot,
         attach_bloom_maps,
-        read_snapshot_point,
+        read_snapshot_points,
         write_snapshot,
     )
 
@@ -659,11 +659,7 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["o_orderkey"]
         for r in orders.filter(k % 2999 == 0).select("o_orderkey").collect()
     )
-    parts = [
-        read_snapshot_point(spark, table, "o_orderkey", pk)
-        for pk in probe_keys
-    ]
-    return reduce(lambda a, b: a.unionByName(b), parts).select(
+    return read_snapshot_points(spark, table, "o_orderkey", probe_keys).select(
         "o_orderkey",
         "o_custkey",
         F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)

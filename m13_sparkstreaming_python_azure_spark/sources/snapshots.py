@@ -1204,6 +1204,27 @@ def read_snapshot_point(
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
 
 
+def read_snapshot_points(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Batched point lookups: one scan over the UNION of each value's
+    bloom-surviving files + one IN-list filter — the production shape
+    for multi-key probes (per-key scans would re-open shared files and
+    bloat the plan with unions). Result equals
+    ``read_snapshot(...).filter(col.isin(values))``."""
+    m = read_manifest(table_dir, version)
+    files = sorted(
+        {f for v in values for f in prune_files_bloom(m, col, v)}
+    )
+    if not files:
+        return read_snapshot(spark, table_dir, version).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col).isin(values))
+
+
 def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:
     """Files that can contain rows with ``lo <= col <= hi`` (either bound
     optional). Conservative: a file without stats for ``col`` is always

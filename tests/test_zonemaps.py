@@ -307,3 +307,26 @@ def test_restore_and_clone_semantics(spark, tmp_path):
     vacuum_snapshots(table, keep_last=1)
     with pytest.raises(FileNotFoundError):
         restore_snapshot(table, 3)
+
+
+def test_read_snapshot_points_batched_probe(spark, tmp_path):
+    """Batched multi-key point lookup: union-of-surviving-files + one
+    IN-list scan equals the plain filter; absent keys add no files."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        attach_bloom_maps,
+        read_snapshot_points,
+    )
+
+    table = str(tmp_path / "pts")
+    rows = spark.range(0, 2000).select("id", (F.col("id") % 7).alias("v"))
+    write_snapshot(rows.filter("id % 2 = 0").coalesce(1), table)
+    append_snapshot(rows.filter("id % 2 = 1").coalesce(1), table)
+    attach_bloom_maps(table, ["id"], num_bits=65536)
+    got = sorted(
+        r["id"]
+        for r in read_snapshot_points(
+            spark, table, "id", [3, 4, 99999]
+        ).collect()
+    )
+    assert got == [3, 4]
+    assert read_snapshot_points(spark, table, "id", [99999, 88888]).count() == 0

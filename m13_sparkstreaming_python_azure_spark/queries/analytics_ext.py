@@ -723,6 +723,37 @@ def q_k_core_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(tree.unionByName(chain), k=3)
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the customer tree+chain graph via
+    synchronous label propagation (operators/graph.label_propagation, 5
+    fixed rounds): each node adopts its neighbors' most frequent label,
+    ties to the smallest — the per-round argmax encoded as one exact
+    BIGINT so both engines agree bit-for-bit. The DuckDB oracle unrolls
+    the SAME 5 synchronous rounds in a recursive CTE (aggregation over
+    the recursive reference, k-core-style). Communities summarized as
+    (community, n_members, min/max node) — node-level labels fold into
+    a stable aggregate."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("id_a"), (F.col("k") / 2).cast("bigint").alias("id_b")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("id_a"), (F.col("k") - 1).alias("id_b")
+    )
+    lp = label_propagation(tree.unionByName(chain), iterations=5)
+    return lp.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
 def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 0..n-1 id assignment without a global sort (operators/util
     .stable_ids — the zipWithIndex pattern): per-partition counts fold
@@ -1483,6 +1514,7 @@ ANALYTICS_QUERIES = {
     "bigram_perplexity": q_bigram_perplexity,
     "record_linkage": q_record_linkage,
     "k_core_customers": q_k_core_customers,
+    "label_propagation": q_label_propagation,
     "stable_row_ids": q_stable_row_ids,
     "topn_with_other": q_topn_with_other,
     "week_over_week": q_week_over_week,
@@ -1882,6 +1914,40 @@ ANALYTICS_ORACLES = {
         CROSS JOIN nn
         JOIN sums sa ON sa.i = p.i
         JOIN sums sb ON sb.i = p.j
+    """,
+    "label_propagation": """
+        WITH RECURSIVE base AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+        ), ed AS (
+            SELECT k AS src, CAST(k // 2 AS BIGINT) AS dst
+            FROM base WHERE k >= 2
+            UNION ALL
+            SELECT k, k - 1 FROM base WHERE k >= 1
+        ), sym AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed
+                UNION ALL
+                SELECT dst, src FROM ed
+            ) WHERE src <> dst
+        ), lp(iter, node, label) AS (
+            SELECT 0, src, src FROM sym GROUP BY src
+            UNION
+            SELECT iter + 1, u,
+                   min((100000 - cnt) * 10000000 + label) % 10000000
+            FROM (
+                SELECT l.iter AS iter, e.src AS u, l.label AS label,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM sym e JOIN lp l ON e.dst = l.node
+                GROUP BY l.iter, e.src, l.label
+            )
+            WHERE iter < 5
+            GROUP BY iter + 1, u
+        )
+        SELECT label AS community,
+               CAST(count(*) AS BIGINT) AS n_members,
+               min(node) AS min_node,
+               max(node) AS max_node
+        FROM lp WHERE iter = 5 GROUP BY label
     """,
     "k_core_customers": """
         WITH RECURSIVE base AS (

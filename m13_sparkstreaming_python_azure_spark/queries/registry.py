@@ -120,6 +120,7 @@ _head = [
     "token_heavy_hitters",      # new: Misra-Gries + exact verify
     "kn_perplexity",            # new: Kneser-Ney bigram LM
     "dp_group_counts",          # new: Laplace-mechanism DP release
+    "label_propagation",        # new: LPA communities, recursive-CTE oracle
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -148,7 +149,6 @@ _head = [
     "multimodal_resize",
     # behavior / analytics never driver-checked:
     "cohort_retention",
-    "interval_merge_sessions",
     "data_quality_suite",
     "association_rules",
     # relational / function-class surface never driver-checked:

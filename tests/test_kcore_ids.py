@@ -51,3 +51,26 @@ def test_stable_ids_empty_and_single_partition(spark):
     )
     # single partition: ids follow row order exactly
     assert [i for i, _ in out] == [0, 1, 2]
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    """Known-graph LPA: two triangles joined by one bridge edge settle
+    into exactly two communities (each triangle keeps its own min-label
+    identity), and the fixed-round output is partition-invariant."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)],
+        "id_a long, id_b long",
+    )
+    for parts in (1, 4):
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                edges.repartition(parts), iterations=5
+            ).collect()
+        }
+        assert {got[0], got[1], got[2]} == {0}
+        assert {got[10], got[11], got[12]} == {2}

@@ -184,7 +184,8 @@ _head = [
 # scd2_pit_join, cohens_kappa, poisson_bootstrap_ci, embedding_drift,
 # woe_iv, roc_auc, ks_test, cuped_lift, psi_drift, and the r2-r4
 # streaming/CDC gates not kept as anchors below; the r5 head instead
-# leads with 44 never-driver-checked hash gates per VERDICT r4 #5.)
+# leads with 13 round-5 gates + 34 never-driver-checked hash gates per
+# VERDICT r4 #5 + 3 anchors.)
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

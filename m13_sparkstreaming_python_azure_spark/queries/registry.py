@@ -121,6 +121,7 @@ _head = [
     "kn_perplexity",            # new: Kneser-Ney bigram LM
     "dp_group_counts",          # new: Laplace-mechanism DP release
     "label_propagation",        # new: LPA communities, recursive-CTE oracle
+    "auc_by_segment",           # new: per-slice tie-aware AUC
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -150,7 +151,6 @@ _head = [
     # behavior / analytics never driver-checked:
     "cohort_retention",
     "data_quality_suite",
-    "association_rules",
     # relational / function-class surface never driver-checked:
     "grouping_sets_orders",
     "pivot_status_priority",

@@ -182,6 +182,11 @@ SCALE_AUDIT_QUERIES = [
     "ppjoin_pairs",          # prefix index join must stay equi + bounded
     "containment_pairs",     # probe-prefix x full-index join
     "geo_radius_join",       # cell equi-join, never a cross product
+    # round-5 heavies
+    "kn_perplexity",         # vocab-keyed count joins must not flip to SMJ-on-fact
+    "token_heavy_hitters",   # candidate semi-join must stay broadcast
+    "model_quality_scores",  # explode -> partial agg shape
+    "label_propagation",     # per-round edge x label join stays keyed
 ]
 
 

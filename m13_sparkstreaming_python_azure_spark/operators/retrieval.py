@@ -292,3 +292,46 @@ def bm25_multi(
             F.floor(F.sum("__contrib") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
         ).alias("bm25")
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over POSITIONAL postings: ``(id, n_matches)``
+    for every document containing the k-term phrase as consecutive
+    tokens (the retrieval primitive BM25's bag-of-words scoring cannot
+    express — "new york" must not match "york ... new").
+
+    Plan shape: one ``posexplode`` pass assigns token positions, a
+    broadcast ``isin`` keeps only postings of the phrase's terms (the
+    corpus-sized explode reduces immediately to O(phrase-term
+    occurrences)), then k−1 self-equi-joins on ``(id, pos + i)`` chain
+    the adjacency — each join key includes the doc id, so at scale every
+    join co-partitions on the same key and overlapping occurrences fall
+    out naturally (the "b b s" / phrase "b b s" case). At 100 TB the
+    postings table is the thing you persist once (the
+    ``build_postings_index`` pattern above); this operator consumes
+    either that or raw text."""
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isin([t.lower() for t in phrase]))
+    first = postings.filter(
+        F.col("term") == phrase[0].lower()
+    ).select(id_col, F.col("pos").alias("p0"))
+    chain = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("term") == term.lower()).select(
+            F.col(id_col).alias("__id_b"), F.col("pos").alias("__pos_b")
+        )
+        chain = chain.join(
+            nxt,
+            (chain[id_col] == nxt.__id_b)
+            & (nxt.__pos_b == chain.p0 + F.lit(i)),
+        ).select(id_col, "p0")
+    return chain.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

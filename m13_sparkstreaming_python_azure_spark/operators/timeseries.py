@@ -456,3 +456,78 @@ def seasonal_decompose(
             snap(F.col("value") - F.col("trend") - F.col("seasonal")),
         ).alias("remainder"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    beta: float = 0.1,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    series, forecasting ``horizon`` steps past the last observation —
+    the trending complement to ``ewma_control_chart`` (EWMA assumes a
+    flat mean; Holt tracks a drifting one):
+
+        l_t = α·y_t + (1 − α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1 − β)·b_{t−1}
+        ŷ_{T+h} = l_T + h·b_T
+
+    initialized l_0 = y_0, b_0 = y_1 − y_0. The recursion is inherently
+    sequential IN t but embarrassingly parallel ACROSS series, so this
+    is the documented applyInPandas escape hatch (SURVEY §2.10): one
+    Arrow batch per key, float64 recursion in plain numpy order. At
+    scale the upstream per-(key, tick) aggregate is the distributed
+    pass; each grouped series is bounded by the tick count, not data
+    volume.
+
+    Float contract: y values arrive as exact integers (counts/cents),
+    α/β and (1 − α)/(1 − β) are evaluated as the same double subtraction
+    in any mirroring engine, and the recursion performs identical IEEE
+    ops in identical order, so forecasts are bit-equal; outputs snap to
+    the 1e-6 grid anyway (memory rule: output-boundary snap).
+
+    Returns (key, h, forecast, level, trend) for h = 1..horizon.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{key_col} string, h long, forecast double, "
+        "level double, trend double"
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        key = pdf[key_col].iloc[0]
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=[key_col, "h", "forecast", "level", "trend"]
+            )
+        lvl = y[0]
+        trend = y[1] - y[0]
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = alpha * y[t] + (1.0 - alpha) * (lvl + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+
+        def _snap(x: float) -> float:
+            import math
+
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        hs = list(range(1, horizon + 1))
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": hs,
+                "forecast": [_snap(lvl + h * trend) for h in hs],
+                "level": [_snap(lvl)] * horizon,
+                "trend": [_snap(trend)] * horizon,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(_holt, schema=out_schema)

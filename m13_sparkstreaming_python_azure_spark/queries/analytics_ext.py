@@ -1487,7 +1487,80 @@ def q_streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt double-exponential-smoothing forecast of daily event
+    counts per event type (operators/timeseries.holt_forecast) — the
+    trend-aware forecasting stage on top of the same daily aggregate
+    seasonal_decompose consumes. The recursion runs as one Arrow batch
+    per series (applyInPandas, the documented §2.10 escape hatch —
+    sequential in t, parallel across series); the DuckDB oracle unrolls
+    the identical IEEE recursion in a recursive CTE, so forecasts
+    hash-match bit-for-bit before the 1e-6 output snap."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        holt_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_forecast(
+        daily, "event_type", "day", "y", alpha=0.2, beta=0.1, horizon=7
+    )
+
+
+_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), idxd AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS idx
+        FROM daily
+    ), last_idx AS (
+        SELECT event_type, max(idx) AS n FROM idxd GROUP BY event_type
+    ), state AS (
+        SELECT i.event_type, CAST(1 AS BIGINT) AS t,
+               CAST(i.y AS DOUBLE) AS l,
+               CAST(j.y AS DOUBLE) - i.y AS b
+        FROM idxd i
+        JOIN idxd j ON i.event_type = j.event_type
+                   AND i.idx = 1 AND j.idx = 2
+        UNION ALL
+        SELECT s.event_type, s.t + 1,
+               CAST(0.2 AS DOUBLE) * d.y
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                     * (s.l + s.b),
+               CAST(0.1 AS DOUBLE)
+                   * ((CAST(0.2 AS DOUBLE) * d.y
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                         * (s.l + s.b)) - s.l)
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.b
+        FROM state s
+        JOIN idxd d ON d.event_type = s.event_type AND d.idx = s.t + 1
+    ), final AS (
+        SELECT s.event_type, s.l, s.b
+        FROM state s JOIN last_idx m
+          ON s.event_type = m.event_type AND s.t = m.n
+    )
+    SELECT f.event_type, h.h,
+           floor((f.l + h.h * f.b) * 1e6 + 0.5) / 1e6 AS forecast,
+           floor(f.l * 1e6 + 0.5) / 1e6 AS level,
+           floor(f.b * 1e6 + 0.5) / 1e6 AS trend
+    FROM final f
+    CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                    AS h) h
+"""
+
+
 ANALYTICS_QUERIES = {
+    "holt_forecast": q_holt_forecast,
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
     "price_decile_stats": q_price_decile_stats,
@@ -1540,6 +1613,7 @@ _DAILY_SERIES_SQL = """
 """
 
 ANALYTICS_ORACLES = {
+    "holt_forecast": _HOLT_SQL,
     "markov_transitions": """
         WITH seq AS (
             SELECT event_type AS cur_type,

@@ -203,14 +203,101 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (Recency / Frequency / Monetary) customer segmentation — the
+    classic behavioral scoring a CRM or lifecycle pipeline runs on top
+    of exactly this order stream: per customer, days since last order,
+    order count, and lifetime spend in cents, each cut into quintiles
+    with ``ntile(5)``; output is the (r, f, m) cell census. Every
+    ntile ordering carries the custkey tiebreak so the permutation is
+    total and both engines assign identical quintiles (memory rule:
+    tie-break every window or hashes mismatch). All columns are BIGINTs.
+    Scale: one groupBy per customer, three windows over the SAME
+    customer-grain table (tiny next to facts), one final groupBy."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary"),
+    )
+    horizon = orders.agg(F.max("day").alias("max_day"))
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.desc("recency"), F.col("o_custkey"))
+    )  # quintile 5 = most recent
+    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
+    scored = base.select(
+        r.cast("long").alias("r_score"),
+        f.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").alias("total_cents"),
+    )
+
+
+_RFM_SQL = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), per_cust AS (
+        SELECT o_custkey, max(day) AS last_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(cents) AS BIGINT) AS monetary
+        FROM o GROUP BY o_custkey
+    ), base AS (
+        SELECT o_custkey,
+               (SELECT max(day) FROM o) - last_day AS recency,
+               frequency, monetary
+        FROM per_cust
+    ), scored AS (
+        SELECT CAST(ntile(5) OVER (ORDER BY recency DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, o_custkey)
+                    AS BIGINT) AS m_score,
+               monetary
+        FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS total_cents
+    FROM scored GROUP BY 1, 2, 3
+"""
+
+
 BEHAVIOR_QUERIES = {
     "user_sessions": q_user_sessions,
+    "rfm_segments": q_rfm_segments,
     "cohort_retention": q_cohort_retention,
     "event_funnel": q_event_funnel,
     "touch_attribution": q_touch_attribution,
 }
 
 BEHAVIOR_ORACLES = {
+    "rfm_segments": _RFM_SQL,
     "touch_attribution": """
         WITH p AS (
             SELECT user_id AS u, event_id AS purchase_id,

@@ -1105,7 +1105,47 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval — "slow hash batch" as CONSECUTIVE tokens
+    (operators/retrieval.phrase_match): positional postings from one
+    posexplode pass, pruned to the phrase's terms by a broadcast filter
+    before anything corpus-sized materializes, then two adjacency
+    equi-joins keyed (doc, pos+i). The positional complement to
+    bm25_search's bag-of-words ranking."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        phrase_match,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match(docs, ["slow", "hash", "batch"])
+
+
+_PHRASE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(text), '\s+') AS ts
+        FROM documents
+    ), raw AS (
+        SELECT doc_id, unnest(ts) AS term,
+               generate_subscripts(ts, 1) AS ord
+        FROM toks
+    ), postings AS (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                   AS pos
+        FROM raw WHERE term <> ''
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM postings a
+    JOIN postings b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN postings c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch'
+    GROUP BY a.doc_id
+"""
+
+
 LLM_QUERIES = {
+    "phrase_search": q_phrase_search,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1165,6 +1205,7 @@ _STOP_ES = "['el','la','los','de','y','un','una','es','que','por']"
 _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
+    "phrase_search": _PHRASE_SQL,
     "epoch_shuffle": """
         WITH h AS (
             SELECT doc_id, source,

@@ -1105,6 +1105,54 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequent tokens computed AS A STREAM — the streaming
+    face of ``token_heavy_hitters``: documents replayed as a file-arrival
+    stream (multiple forced micro-batches), each batch reduced to its own
+    (source, token) partial-count table by foreachBatch
+    (streaming/pipeline.write_foreach_batch_counts — per-batch dirs are
+    the idempotence unit, counts are additive, merge is groupBy-sum on
+    read), then the exact per-source threshold n·100 > N_source applied
+    to the merged totals. Must hash-match the one-shot batch SQL —
+    streaming↔batch parity for additive-aggregate state. Per-batch
+    shuffle is O(distinct tokens in the batch), never O(history)."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        read_merged_counts,
+        write_foreach_batch_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    root = tempfile.mkdtemp(prefix=f"stream-topk-{uuid.uuid4().hex[:8]}-")
+    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
+    docs.repartition(8).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = parquet_file_stream(
+        spark, src, schema, max_files_per_trigger=2
+    )
+    toked = stream.select(
+        "source", F.explode(tokens("text")).alias("token")
+    )
+    q = (
+        write_foreach_batch_counts(toked, sink, ck, ["source", "token"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = read_merged_counts(spark, sink, ["source", "token"])
+    w_src = Window.partitionBy("source")
+    return counts.select(
+        "source", "token", "n", F.sum("n").over(w_src).alias("__total")
+    ).filter(F.col("n") * 100 > F.col("__total")).drop("__total")
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval — "slow hash batch" as CONSECUTIVE tokens
     (operators/retrieval.phrase_match): positional postings from one
@@ -1146,6 +1194,7 @@ _PHRASE_SQL = r"""
 
 LLM_QUERIES = {
     "phrase_search": q_phrase_search,
+    "streaming_topk_tokens": q_streaming_topk_tokens,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1206,6 +1255,20 @@ _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
     "phrase_search": _PHRASE_SQL,
+    "streaming_topk_tokens": f"""
+        WITH toked AS (
+            SELECT source, unnest({_TOKS_SQL}) AS token FROM documents
+        ), counts AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM toked GROUP BY source, token
+        ), tot AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS total
+            FROM counts GROUP BY source
+        )
+        SELECT c.source, c.token, c.n
+        FROM counts c JOIN tot t ON c.source = t.source
+        WHERE c.n * 100 > t.total
+    """,
     "epoch_shuffle": """
         WITH h AS (
             SELECT doc_id, source,

@@ -840,7 +840,73 @@ def q_merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective backfill via ``overwrite + replaceWhere``
+    (sources/snapshots.replace_where — the Delta idiom for "recompute
+    this slice"): orders land as mixed-status files plus a pure-P
+    append, then the O slice is atomically replaced with a re-priced
+    copy (cents·9/10 — exact integer math). Kept files carry over
+    untouched, mixed files rewrite to their non-O survivors, and the
+    inserted rows are validated against the predicate before commit.
+    The oracle states the final table directly: non-O originals ∪
+    discounted O rows."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        read_snapshot,
+        replace_where,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="replwhere-")
+    table = os.path.join(root, "t")
+    s = F.col("o_orderstatus")
+    write_snapshot(orders.filter(s != "P").coalesce(4), table)  # mixed F/O
+    append_snapshot(orders.filter(s == "P").coalesce(2), table)  # pure P
+    repriced = orders.filter(s == "O").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor((F.col("cents") * 9) / 10).cast("long").alias("cents"),
+    )
+    replace_where(repriced, table, "o_orderstatus = 'O'")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+_REPLACE_WHERE_SQL = """
+    WITH base AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT o_orderstatus, cents FROM base WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT o_orderstatus, (cents * 9) // 10 AS cents
+        FROM base WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderstatus
+"""
+
+
 PIPELINE_QUERIES = {
+    "replace_where_backfill": q_replace_where_backfill,
     "ppjoin_pairs": q_ppjoin_pairs,
     "containment_pairs": q_containment_pairs,
     "skew_profile": q_skew_profile,
@@ -865,6 +931,7 @@ PIPELINE_QUERIES = {
 }
 
 PIPELINE_ORACLES = {
+    "replace_where_backfill": _REPLACE_WHERE_SQL,
     "ppjoin_pairs": f"""
         WITH {_GRAMS_CTE}
         SELECT id_a, id_b, n_inter,

@@ -72,6 +72,7 @@ _STREAMING_GATES = [
     "streaming_incremental_dedup", "streaming_minhash_dedup",
     "streaming_sliding_windows",
     "streaming_full_outer_dedup",
+    "streaming_topk_tokens",
 ]
 
 _ALL_QUERIES = {
@@ -122,6 +123,19 @@ _head = [
     "dp_group_counts",          # new: Laplace-mechanism DP release
     "label_propagation",        # new: LPA communities, recursive-CTE oracle
     "auc_by_segment",           # new: per-slice tie-aware AUC
+    # ROUND-5b additions (this session — newest code, zero driver history)
+    "log_rank_test",            # new: two-group survival chi-square
+    "spearman_corr",            # new: tie-aware doubled-rank Spearman
+    "welch_ttest",              # new: unequal-variance t + W-S df
+    "gini_concentration",       # new: pure-BIGINT-ratio Gini
+    "acf_daily_events",         # new: exact-integer ACF lags 1-14
+    "phrase_search",            # new: positional phrase postings
+    "k_anonymity",              # new: QI equivalence-class privacy audit
+    "rfm_segments",             # new: ntile(5) RFM cell census
+    "holt_forecast",            # new: IEEE-bit-equal Holt recursion
+    "replace_where_backfill",   # new: Delta replaceWhere parity
+    "anova_oneway",             # new: shift-centered exact-int ANOVA F
+    "streaming_topk_tokens",    # new: streaming additive-count top-k
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -132,22 +146,10 @@ _head = [
     "exact_dedup_survivors",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "hash_split",
-    "chunk_documents",
-    "sample_per_source",
-    "weighted_sample_docs",
-    "mixture_resample",
-    "temperature_resample",
-    "pii_redaction",
     "ann_bruteforce",
-    "embedding_quantize",
     "kmeans_clusters",
     "tfidf_top_terms",
     "embedding_pairs_exact",
-    "multimodal_resize",
     # behavior / analytics never driver-checked:
     "cohort_retention",
     "data_quality_suite",
@@ -165,6 +167,13 @@ _head = [
     "cdc_apply",               # CDC/merge layer
     "incremental_ingest_daily",  # snapshot ingest layer
 ]
+# Dropped from the head this session to make room for the 12 round-5b
+# gates (all remain registry queries checked by the local replica; all
+# are row-local ops with the lowest breakage risk of the rotation set):
+# text_stats, lang_id, quality_score, hash_split, chunk_documents,
+# sample_per_source, weighted_sample_docs, mixture_resample,
+# temperature_resample, pii_redaction, embedding_quantize,
+# multimodal_resize.
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
 # (Rotated out over r3/r4, all driver-verified green in earlier rounds:

@@ -296,3 +296,46 @@ def read_merged_histogram(
     return merge_histograms(
         spark.read.parquet(sink_dir).drop("batch"), keys
     )
+
+
+def write_foreach_batch_counts(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_location: str,
+    group_cols: list[str],
+):
+    """Streaming additive-count store (the counts twin of the histogram
+    sketch sink above): each micro-batch reduces to its own tiny
+    ``(group, n)`` partial-count table in ``sink_dir/batch=<id>``;
+    readers merge on read with a groupBy-sum. Same exactly-once story —
+    the per-batch dir is the idempotence unit (a replayed batch
+    overwrites its own dir), and counts are additive, which is all a
+    mergeable aggregate needs. This is how streaming word-count /
+    top-k / frequency state scales: the shuffle per batch is O(distinct
+    groups IN THE BATCH), never O(history)."""
+    import os
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        counts.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+
+
+def read_merged_counts(
+    spark: SparkSession, sink_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """Fold all per-batch partial counts into current totals."""
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy(*group_cols)
+        .agg(F.sum("n").alias("n"))
+    )

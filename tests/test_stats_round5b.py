@@ -15,6 +15,7 @@ import pandas as pd
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     _KM_CENSOR_DAYS,
     q_acf_daily_events,
+    q_anova_oneway,
     q_gini_concentration,
     q_log_rank_test,
     q_spearman_corr,
@@ -148,3 +149,22 @@ def test_log_rank_matches_numpy(spark, sf_dir):
     assert math.isclose(row["chi2"], chi2, rel_tol=1e-3)
     assert row["n1_subjects"] + row["n0_subjects"] == len(span)
     assert row["chi2"] >= 0.0
+
+
+def test_anova_matches_numpy(spark, sf_dir):
+    row = q_anova_oneway(spark, sf_dir).collect()[0]
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cust["x"] = _cents(cust["c_acctbal"]).astype(float)
+    groups = [g["x"].to_numpy() for _, g in cust.groupby("c_mktsegment")]
+    allx = cust["x"].to_numpy()
+    ssb = sum(len(g) * (g.mean() - allx.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(allx)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n"] == n
+    assert row["df_between"] == k - 1 and row["df_within"] == n - k
+    assert math.isclose(row["f_stat"], f, rel_tol=1e-4)
+    assert math.isclose(
+        row["eta_sq"], ssb / (ssb + ssw), rel_tol=1e-4
+    )
+    assert row["f_stat"] >= 0.0 and 0.0 <= row["eta_sq"] <= 1.0

@@ -1559,8 +1559,80 @@ _HOLT_SQL = """
 """
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching →
+    transitive-closure clustering — the step AFTER ``record_linkage``
+    scores pairs (pairwise decisions alone aren't entities; A≈B and B≈C
+    must land A, B, C in ONE entity even when A and C don't match
+    directly). Pairs: customers blocked on (nation, segment) — quadratic
+    only within bounded blocks — matched on Levenshtein(name) ≤ 2; then
+    ``operators/graph.connected_components`` (hash-min label
+    propagation, O(log n) rounds, localCheckpoint lineage truncation)
+    assigns entity_id = min custkey of the component. Output is the
+    multi-member entity census. The DuckDB oracle computes components
+    as min over the recursive transitive closure — a DIFFERENT
+    algorithm, so the hash check pins the semantics, not the
+    implementation."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pairs = a.join(b, on=["nation", "segment"]).filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.levenshtein("name_a", "name_b") <= 2)
+    )
+    comp = connected_components(pairs, "key_a", "key_b")
+    return (
+        comp.groupBy(F.col("component").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+_ENTITY_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 2
+    ), sym AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM pairs
+            UNION ALL
+            SELECT v AS u, u AS v FROM pairs
+        )
+    ), reach AS (
+        SELECT DISTINCT u AS node, u AS r FROM sym
+        UNION
+        SELECT re.node, s.v AS r
+        FROM reach re JOIN sym s ON re.r = s.u
+    ), comp AS (
+        SELECT node, CAST(min(r) AS BIGINT) AS entity_id
+        FROM reach GROUP BY node
+    )
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY entity_id HAVING count(*) >= 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "holt_forecast": q_holt_forecast,
+    "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
     "price_decile_stats": q_price_decile_stats,
@@ -1614,6 +1686,7 @@ _DAILY_SERIES_SQL = """
 
 ANALYTICS_ORACLES = {
     "holt_forecast": _HOLT_SQL,
+    "entity_clusters": _ENTITY_SQL,
     "markov_transitions": """
         WITH seq AS (
             SELECT event_type AS cur_type,

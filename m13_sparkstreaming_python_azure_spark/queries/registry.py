@@ -136,6 +136,9 @@ _head = [
     "replace_where_backfill",   # new: Delta replaceWhere parity
     "anova_oneway",             # new: shift-centered exact-int ANOVA F
     "streaming_topk_tokens",    # new: streaming additive-count top-k
+    "cv_regression",            # new: k-fold CV via sufficient stats
+    "conformal_intervals",      # new: split-conformal coverage
+    "entity_clusters",          # new: ER transitive-closure census
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -156,11 +159,8 @@ _head = [
     # relational / function-class surface never driver-checked:
     "grouping_sets_orders",
     "pivot_status_priority",
-    "string_functions",
-    "datetime_functions",
     "array_functions",
     "json_functions",
-    "map_functions",
     "null_semantics",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
@@ -173,7 +173,7 @@ _head = [
 # text_stats, lang_id, quality_score, hash_split, chunk_documents,
 # sample_per_source, weighted_sample_docs, mixture_resample,
 # temperature_resample, pii_redaction, embedding_quantize,
-# multimodal_resize.
+# multimodal_resize, string_functions, datetime_functions, map_functions.
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
 # (Rotated out over r3/r4, all driver-verified green in earlier rounds:

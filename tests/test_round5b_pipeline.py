@@ -7,6 +7,7 @@ import re
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
     q_holt_forecast,
@@ -139,3 +140,88 @@ def test_holt_matches_numpy_recursion(spark, sf_dir):
         f = [got[(et, h)] for h in range(1, 8)]
         d2 = [f[i + 2] - 2 * f[i + 1] + f[i] for i in range(5)]
         assert all(abs(x) < 5e-6 for x in d2)
+
+
+def _md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_cv_regression_matches_numpy(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        q_cv_regression,
+    )
+
+    out = {r["fold"]: r for r in q_cv_regression(spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["x"] = li["l_quantity"].astype("int64")
+    li["y"] = np.floor(li["l_extendedprice"]).astype("int64")
+    li["fold"] = [
+        _md5_int(f"cv:{o}-{l}") % 5
+        for o, l in zip(li["l_orderkey"], li["l_linenumber"])
+    ]
+    assert len(out) == 5
+    for f in range(5):
+        tr = li[li["fold"] != f]
+        te = li[li["fold"] == f]
+        b, a = np.polyfit(tr["x"], tr["y"], 1)
+        rmse = math.sqrt(
+            ((te["y"] - (a + b * te["x"])) ** 2).mean()
+        )
+        row = out[f]
+        assert row["n_train"] == len(tr) and row["n_test"] == len(te)
+        assert math.isclose(row["slope"], b, rel_tol=1e-6)
+        assert math.isclose(row["intercept"], a, rel_tol=1e-6)
+        assert math.isclose(row["test_rmse"], rmse, rel_tol=1e-6)
+
+
+def test_conformal_coverage_property(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        q_conformal_intervals,
+    )
+
+    out = {
+        r["alpha_pct"]: r
+        for r in q_conformal_intervals(spark, sf_dir).collect()
+    }
+    assert set(out) == {5, 10}
+    # tighter alpha -> wider interval
+    assert out[5]["radius"] >= out[10]["radius"]
+    for p, row in out.items():
+        target = 1 - p / 100
+        n = row["n_test"]
+        # finite-sample conformal guarantee: coverage >= 1 - alpha in
+        # expectation; allow 3 binomial sigmas of test-sampling noise
+        slack = 3 * math.sqrt(target * (1 - target) / n)
+        assert row["coverage"] >= target - slack
+        assert row["coverage"] <= 1.0
+
+
+def test_entity_clusters_transitivity(spark):
+    """A~B and B~C (each within distance 2) must merge into ONE entity
+    even though A and C are 4 edits apart."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa00"), (2, "aaaa11"), (3, "aaaa1122"),
+            (4, "zzzzzz"),
+        ],
+        "key long, name string",
+    )
+    a = df.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a")
+    )
+    b = df.select(
+        F.col("key").alias("key_b"), F.col("name").alias("name_b")
+    )
+    pairs = a.crossJoin(b).filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.levenshtein("name_a", "name_b") <= 2)
+    )
+    comp = connected_components(pairs, "key_a", "key_b")
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # 4 is a singleton, not in edges

@@ -1153,6 +1153,138 @@ def q_streaming_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n") * 100 > F.col("__total")).drop("__total")
 
 
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of the banded MinHash-LSH candidate
+    generator against exact n-gram-Jaccard ground truth — the eval a
+    dedup pipeline owes its users before anyone trusts "near-dup rate"
+    numbers (banding is a probabilistic filter: s-similar pairs surface
+    with prob 1−(1−s^r)^b, so its miss rate is an empirical property to
+    MEASURE, not assume). Truth: all pairs with exact 3-gram Jaccard
+    ≥ 0.5 via the inverted-index join (no doc-frequency cutoff — truth
+    must be complete; at corpus scale you'd keep the cutoff on BOTH
+    paths so the comparison stays apples-to-apples). Candidates: the
+    md5-derived 16-hash/4-band bucket join (engine-reproducible, so the
+    whole evaluation hash-checks). The raw fixture's near-dups are all
+    easy (recall 1.0 tells you nothing), so the corpus plants a GRADED
+    partial duplicate of every 4th doc — a token-prefix copy dropping
+    10–50% of the tail by id — spreading true similarities across the
+    banding curve 1−(1−s^r)^b so the measured recall sits strictly
+    inside (0, 1). Outputs are counts and ratios of identically-derived
+    BIGINTs — exact."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        md5_minhash_banded,
+        ngram_jaccard_pairs,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens("text")
+    drop_pct = 10 + (F.col("doc_id") % 5) * 10
+    keep = F.greatest(
+        F.lit(3).cast("long"),
+        (F.size(t) - F.floor(F.size(t) * drop_pct / 100)).cast("long"),
+    )
+    partial = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.slice(t, F.lit(1), keep), " ").alias("text"),
+    )
+    docs = base.unionByName(partial)
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", n=3, threshold=0.5, max_doc_freq=None
+    ).select("id_a", "id_b")
+    _, banded = md5_minhash_banded(
+        docs, "doc_id", num_hashes=16, bands=4, shingle_k=3
+    )
+    a = banded.select(F.col("__id").alias("id_a"), "bkt")
+    b = banded.select(F.col("__id").alias("id_b"), "bkt")
+    cand = (
+        a.join(b, on="bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    tp = cand.join(truth, on=["id_a", "id_b"])
+    stats = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("n_tp")))
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_tp",
+        (F.col("n_tp") / F.col("n_truth")).alias("recall"),
+        (F.col("n_tp") / F.col("n_candidates")).alias("precision"),
+    )
+
+
+_LSH_EVAL_SQL = f"""
+    WITH raw AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), toks AS (
+        SELECT doc_id, t FROM raw
+        UNION ALL
+        SELECT doc_id + 200000,
+               t[1:CAST(greatest(3, len(t)
+                   - (len(t) * (10 + (doc_id % 5) * 10)) // 100)
+                   AS BIGINT)]
+        FROM raw WHERE doc_id % 4 = 0
+    ), grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )) AS gram
+            FROM toks WHERE len(t) > 0
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(ni / (sa.n + sb.n - ni), 4) >= 0.5
+    ), hi AS (
+        SELECT unnest(range(0, 16)) AS i
+    ), mh AS (
+        SELECT g.doc_id, hi.i,
+               min(('0x' || substring(
+                   md5(CAST(hi.i AS VARCHAR) || ':' || g.gram), 1, 15
+               ))::BIGINT) AS h
+        FROM grams g CROSS JOIN hi
+        GROUP BY g.doc_id, hi.i
+    ), bnd AS (
+        SELECT doc_id, i // 4 AS b,
+               substring(md5(
+                   CAST(i // 4 AS VARCHAR) || ',' ||
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)
+               ), 1, 16) AS bkt
+        FROM mh GROUP BY doc_id, i // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bnd a JOIN bnd b USING (bkt)
+        WHERE a.doc_id < b.doc_id
+    ), tp AS (
+        SELECT c.id_a FROM cand c JOIN truth t
+          ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_tp,
+           CAST((SELECT count(*) FROM tp) AS DOUBLE)
+               / (SELECT count(*) FROM truth) AS recall,
+           CAST((SELECT count(*) FROM tp) AS DOUBLE)
+               / (SELECT count(*) FROM cand) AS precision
+"""
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase retrieval — "slow hash batch" as CONSECUTIVE tokens
     (operators/retrieval.phrase_match): positional postings from one
@@ -1195,6 +1327,7 @@ _PHRASE_SQL = r"""
 LLM_QUERIES = {
     "phrase_search": q_phrase_search,
     "streaming_topk_tokens": q_streaming_topk_tokens,
+    "lsh_recall_eval": q_lsh_recall_eval,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1255,6 +1388,7 @@ _STOP_DE = "['der','die','das','und','ein','eine','ist','zu','den','von']"
 
 LLM_ORACLES = {
     "phrase_search": _PHRASE_SQL,
+    "lsh_recall_eval": _LSH_EVAL_SQL,
     "streaming_topk_tokens": f"""
         WITH toked AS (
             SELECT source, unnest({_TOKS_SQL}) AS token FROM documents

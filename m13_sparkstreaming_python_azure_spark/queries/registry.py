@@ -139,6 +139,8 @@ _head = [
     "cv_regression",            # new: k-fold CV via sufficient stats
     "conformal_intervals",      # new: split-conformal coverage
     "entity_clusters",          # new: ER transitive-closure census
+    "huber_regression",         # new: IRLS robust fit, quantized sums
+    "lsh_recall_eval",          # new: measured LSH precision/recall
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -149,10 +151,8 @@ _head = [
     "exact_dedup_survivors",
     "ngram_jaccard_pairs",
     "near_dup_clusters",
-    "ann_bruteforce",
     "kmeans_clusters",
     "tfidf_top_terms",
-    "embedding_pairs_exact",
     # behavior / analytics never driver-checked:
     "cohort_retention",
     "data_quality_suite",
@@ -173,7 +173,8 @@ _head = [
 # text_stats, lang_id, quality_score, hash_split, chunk_documents,
 # sample_per_source, weighted_sample_docs, mixture_resample,
 # temperature_resample, pii_redaction, embedding_quantize,
-# multimodal_resize, string_functions, datetime_functions, map_functions.
+# multimodal_resize, string_functions, datetime_functions, map_functions,
+# ann_bruteforce, embedding_pairs_exact.
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
 # (Rotated out over r3/r4, all driver-verified green in earlier rounds:

@@ -168,3 +168,47 @@ def test_anova_matches_numpy(spark, sf_dir):
         row["eta_sq"], ssb / (ssb + ssw), rel_tol=1e-4
     )
     assert row["f_stat"] >= 0.0 and 0.0 <= row["eta_sq"] <= 1.0
+
+
+def test_huber_downweights_outliers(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        _HUBER_C,
+        _HUBER_ITERS,
+        q_huber_regression,
+    )
+
+    row = q_huber_regression(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x = li["l_quantity"].to_numpy(float)
+    y = np.floor(li["l_extendedprice"]).to_numpy(float)
+    # plain-float IRLS twin (no 1e-4 quantization): must agree closely
+    b, a = np.polyfit(x, y, 1)
+    for _ in range(_HUBER_ITERS):
+        r = y - (a + b * x)
+        w = np.minimum(1.0, _HUBER_C / np.abs(r))
+        sw, swx, swy = w.sum(), (w * x).sum(), (w * y).sum()
+        swxy, swxx = (w * x * y).sum(), (w * x * x).sum()
+        b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        a = (swy - b * swx) / sw
+    assert row["n"] == len(x)
+    assert math.isclose(row["slope"], b, rel_tol=1e-3)
+    assert math.isclose(row["intercept"], a, rel_tol=1e-3)
+    r = y - (a + b * x)
+    assert row["n_downweighted"] == int((np.abs(r) > _HUBER_C).sum())
+    assert 0 < row["n_downweighted"] < len(x)  # Huber actually engaged
+    assert row["sum_w"] < len(x)  # downweighting reduced total weight
+
+
+def test_lsh_recall_eval_is_discriminative(spark, sf_dir):
+    """With graded planted partials the banding curve must show real
+    misses AND real candidates: recall strictly inside (0, 1)."""
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_lsh_recall_eval,
+    )
+
+    row = q_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert row["n_truth"] > 0 and row["n_candidates"] > 0
+    assert 0 < row["n_tp"] <= min(row["n_truth"], row["n_candidates"])
+    assert 0.0 < row["recall"] < 1.0
+    assert 0.0 < row["precision"] <= 1.0
+    assert math.isclose(row["recall"], row["n_tp"] / row["n_truth"])

@@ -115,6 +115,11 @@ ALLOW_CARTESIAN = {
     "pmi_phrases",        # single-row N_uni/N_bi scalar broadcasts
     "kaplan_meier",       # single-row max_day horizon scalar broadcast
     "kn_perplexity",      # single-row N1+(··) continuation-total scalar
+    "log_rank_test",      # single-row max_day horizon scalar broadcast
+    "rfm_segments",       # single-row max_day horizon scalar broadcast
+    "acf_daily_events",   # single-row Σz² denominator scalar broadcast
+    "cv_regression",      # single-row total-sufficient-stats scalar
+    "conformal_intervals",  # single-row fit + 2-row radii scalar broadcasts
 }
 
 
@@ -187,6 +192,9 @@ SCALE_AUDIT_QUERIES = [
     "token_heavy_hitters",   # candidate semi-join must stay broadcast
     "model_quality_scores",  # explode -> partial agg shape
     "label_propagation",     # per-round edge x label join stays keyed
+    # round-5b heavies
+    "phrase_search",         # positional adjacency joins stay equi-keyed
+    "entity_clusters",       # blocked pair-gen + CC rounds stay keyed
 ]
 
 

@@ -1630,8 +1630,121 @@ _ENTITY_SQL = """
 """
 
 
+def q_streaming_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment where the static side EVOLVES mid-stream
+    — the Delta/Iceberg "streaming-static join" pattern: Spark resolves
+    a static DataFrame once per QUERY, so a dimension that changes while
+    the stream runs silently serves stale rows unless each micro-batch
+    re-reads it. Here foreachBatch re-reads the dimension SNAPSHOT
+    (sources/snapshots.read_snapshot — an atomic manifest pointer, so a
+    batch never sees a half-committed dim) at batch time: events replay
+    as two atomic chunks with a dim overwrite (v1→v2 multipliers)
+    committed strictly between them, and the result must show chunk-1
+    rows priced under v1 and chunk-2 rows under v2 — which the oracle
+    states directly. Per-batch output dirs are the idempotence unit, as
+    in every foreachBatch sink here."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    types = ev.select("event_type").distinct()
+    root = tempfile.mkdtemp(prefix="dimrefresh-")
+    land, ck, sink, dim = (
+        os.path.join(root, d) for d in ("land", "ck", "sink", "dim")
+    )
+    write_snapshot(
+        types.select(
+            "event_type",
+            (F.length("event_type") % 3 + 1).cast("long").alias("mult"),
+        ),
+        dim,
+    )  # v1
+
+    def _apply(bdf, batch_id):
+        s = bdf.sparkSession
+        d = read_snapshot(s, dim)
+        out = bdf.join(F.broadcast(d), on="event_type").select(
+            "event_type",
+            "event_id",
+            (F.col("cents") * F.col("mult")).alias("weighted"),
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}")
+        )
+
+    chunk1 = ev.filter(F.col("event_id") % 2 == 0)
+    chunk2 = ev.filter(F.col("event_id") % 2 == 1)
+    publish_chunk(chunk1, land)
+    stream = parquet_file_stream(spark, land, ev.schema)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .queryName(f"dimrefresh_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    # the dim evolves strictly between the two replay chunks
+    write_snapshot(
+        types.select(
+            "event_type",
+            (F.length("event_type") % 5 + 2).cast("long").alias("mult"),
+        ),
+        dim,
+    )  # v2
+    publish_chunk(chunk2, land)
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("weighted").alias("weighted_cents"),
+        )
+    )
+
+
+_DIM_REFRESH_SQL = """
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), priced AS (
+        SELECT event_type,
+               cents * (length(event_type) % 3 + 1) AS weighted
+        FROM ev WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type,
+               cents * (length(event_type) % 5 + 2) AS weighted
+        FROM ev WHERE event_id % 2 = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(weighted) AS BIGINT) AS weighted_cents
+    FROM priced GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "holt_forecast": q_holt_forecast,
+    "streaming_dim_refresh": q_streaming_dim_refresh,
     "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
     "interval_merge_sessions": q_interval_merge_sessions,
@@ -1687,6 +1800,7 @@ _DAILY_SERIES_SQL = """
 ANALYTICS_ORACLES = {
     "holt_forecast": _HOLT_SQL,
     "entity_clusters": _ENTITY_SQL,
+    "streaming_dim_refresh": _DIM_REFRESH_SQL,
     "markov_transitions": """
         WITH seq AS (
             SELECT event_type AS cur_type,

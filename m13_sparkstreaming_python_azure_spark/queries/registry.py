@@ -73,6 +73,7 @@ _STREAMING_GATES = [
     "streaming_sliding_windows",
     "streaming_full_outer_dedup",
     "streaming_topk_tokens",
+    "streaming_dim_refresh",
 ]
 
 _ALL_QUERIES = {
@@ -141,6 +142,7 @@ _head = [
     "entity_clusters",          # new: ER transitive-closure census
     "huber_regression",         # new: IRLS robust fit, quantized sums
     "lsh_recall_eval",          # new: measured LSH precision/recall
+    "streaming_dim_refresh",    # new: per-batch dim snapshot re-read
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
     # LLM-pipeline workhorses:
@@ -158,7 +160,6 @@ _head = [
     "data_quality_suite",
     # relational / function-class surface never driver-checked:
     "grouping_sets_orders",
-    "pivot_status_priority",
     "array_functions",
     "json_functions",
     "null_semantics",
@@ -174,7 +175,7 @@ _head = [
 # sample_per_source, weighted_sample_docs, mixture_resample,
 # temperature_resample, pii_redaction, embedding_quantize,
 # multimodal_resize, string_functions, datetime_functions, map_functions,
-# ann_bruteforce, embedding_pairs_exact.
+# ann_bruteforce, embedding_pairs_exact, pivot_status_priority.
 # ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
 # a name requires dropping one, and the length assert fails otherwise.
 # (Rotated out over r3/r4, all driver-verified green in earlier rounds:

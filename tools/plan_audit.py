@@ -120,6 +120,8 @@ ALLOW_CARTESIAN = {
     "acf_daily_events",   # single-row Σz² denominator scalar broadcast
     "cv_regression",      # single-row total-sufficient-stats scalar
     "conformal_intervals",  # single-row fit + 2-row radii scalar broadcasts
+    "huber_regression",   # single-row IRLS fit scalar broadcast per pass
+    "lsh_recall_eval",    # three single-row count scalars cross-joined
 }
 
 

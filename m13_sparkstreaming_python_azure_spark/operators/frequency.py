@@ -38,7 +38,7 @@ from collections import Counter
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -152,4 +152,87 @@ def association_rules(
             (F.col("n_ab") / F.col("n_a"))
             / (F.col("n_b") / F.lit(n_baskets))
         ).alias("lift"),
+    )
+
+
+def item_cf_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Item-item collaborative filtering over (basket, item) rows: for
+    every item, the top-``k`` co-occurrence neighbors by cosine
+    similarity cos(i, j) = n_ij / sqrt(n_i · n_j) — the
+    "users-also-bought" primitive next to ``association_rules``
+    (confidence/lift are directional; cosine is the symmetric
+    neighborhood metric an item-based recommender serves).
+
+    Scale shape: pairs are generated WITHIN each basket's item array
+    (quadratic in bounded basket size, never an item-table self-join),
+    one groupBy counts pairs, item counts broadcast back, one window
+    per item ranks the top-k. Same cost profile as association_rules.
+
+    Determinism contract: n_ij, n_i, n_j are exact BIGINTs; the cosine
+    divides a BIGINT by the correctly-rounded sqrt of a BIGINT product
+    (bit-equal across engines), snaps 1e-6, and ranks on the snapped
+    grid with the neighbor id as tiebreak.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("item")
+    ).distinct()
+    sets = items.groupBy("b").agg(
+        F.array_sort(F.collect_set("item")).alias("arr")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "arr",
+                    lambda x: F.transform(
+                        F.filter("arr", lambda y: y != x),
+                        lambda y: F.struct(
+                            x.alias("item"), y.alias("neighbor")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.item", "p.neighbor")
+    pair_counts = (
+        pairs.groupBy("item", "neighbor")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    joined = pair_counts.join(
+        F.broadcast(
+            item_counts.withColumnRenamed("n_item", "n_i")
+        ),
+        "item",
+    ).join(
+        F.broadcast(
+            item_counts.select(
+                F.col("item").alias("neighbor"),
+                F.col("n_item").alias("n_j"),
+            )
+        ),
+        "neighbor",
+    )
+    cosine = F.floor(
+        F.col("n_ab")
+        / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double"))
+        * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor")
+    )
+    return (
+        joined.select("item", "neighbor", "n_ab", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
     )

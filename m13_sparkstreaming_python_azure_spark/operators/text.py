@@ -288,3 +288,47 @@ def redact_pii(
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name}>")
     return df.withColumn(out_col, red).select("*", *counts)
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability gate a pretraining curation pipeline layers on
+    top of `with_quality_score` (too-hard and too-degenerate text both
+    score poorly).
+
+    The syllable counter is the standard regex proxy: contiguous vowel
+    groups `[aeiouy]+` per word (exact syllabification needs a
+    dictionary; the proxy is deterministic, cross-engine, and what
+    textstat-style libraries fall back to). Sentences are `[.!?]+` runs,
+    floored at 1; words are `[a-z']+` runs of the lowercased text.
+
+    Float contract (hash-gate): all three counts are exact BIGINTs, the
+    two ratios divide identically-derived BIGINTs (bit-equal), the
+    Flesch constants mirror as CAST(206.835 AS DOUBLE) etc. in the
+    oracle, outputs snap 1e-6. Pure JVM regexp expressions — folds into
+    the scan, no shuffle, no Python.
+    """
+    lc = F.lower(F.col(text_col))
+    n_words = F.regexp_count(lc, F.lit(r"[a-z']+")).cast("long")
+    n_sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+    )
+    n_syll = F.regexp_count(lc, F.lit(r"[aeiouy]+")).cast("long")
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    fk_grade = (
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
+    return df.where(n_words >= 1).select(
+        "*",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        snap(flesch).alias("flesch_score"),
+        snap(fk_grade).alias("fk_grade"),
+    )

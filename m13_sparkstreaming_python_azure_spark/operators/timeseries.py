@@ -531,3 +531,97 @@ def holt_forecast(
         )
 
     return df.groupBy(key_col).applyInPandas(_holt, schema=out_schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.05,
+    period: int = 7,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (level + trend
+    + seasonality) per series — the seasonal completion of
+    ``holt_forecast`` (which ignores the weekly shape every daily ops
+    metric actually has):
+
+        l_t = α·(y_t − s_{t−m}) + (1 − α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1 − β)·b_{t−1}
+        s_t = γ·(y_t − l_t) + (1 − γ)·s_{t−m}
+        ŷ_{T+h} = l_T + h·b_T + s_{T+h−m}        (h ≤ m = horizon)
+
+    initialized with l_m = mean(y_1..y_m), b_m = (mean(y_{m+1}..y_{2m})
+    − l_m)/m, s_i = y_i − l_m for i = 1..m. Series shorter than 2m rows
+    emit nothing (the init needs two full seasons).
+
+    Same execution shape as ``holt_forecast``: sequential IN t,
+    embarrassingly parallel ACROSS series via one applyInPandas Arrow
+    batch per key (SURVEY §2.10 escape hatch); the distributed-heavy
+    pass is the upstream per-(key, tick) aggregate, so each grouped
+    series is bounded by the tick count, not data volume.
+
+    Float contract (hash-gate): initial means divide EXACT integer sums
+    (Python ints, no numpy partial-sum folding) by float(m); the
+    recursion is plain-Python IEEE doubles in the exact expression order
+    the DuckDB recursive-CTE oracle mirrors (state = (l, b) plus a
+    length-m seasonal list that shifts one slot per step); outputs snap
+    to the 1e-6 grid at the boundary.
+
+    Returns (key, h, forecast, level, trend, seasonal) for h = 1..horizon.
+    """
+    import math
+
+    import pandas as pd
+
+    if horizon > period:
+        raise ValueError("holt_winters_forecast: horizon must be <= period")
+
+    out_schema = (
+        f"{key_col} string, h long, forecast double, "
+        "level double, trend double, seasonal double"
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col)
+        y = [int(v) for v in pdf[value_col]]
+        key = pdf[key_col].iloc[0]
+        m = period
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                columns=[
+                    key_col, "h", "forecast", "level", "trend", "seasonal"
+                ]
+            )
+        lvl = sum(y[:m]) / float(m)
+        trend = (sum(y[m : 2 * m]) / float(m) - lvl) / float(m)
+        seas = [y[i] - lvl for i in range(m)]
+        for t in range(m, len(y)):
+            s_old = seas[0]
+            prev = lvl
+            lvl = alpha * (y[t] - s_old) + (1.0 - alpha) * (prev + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+            s_new = gamma * (y[t] - lvl) + (1.0 - gamma) * s_old
+            seas = seas[1:] + [s_new]
+
+        def _snap(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        hs = list(range(1, horizon + 1))
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "h": hs,
+                "forecast": [
+                    _snap(lvl + h * trend + seas[(h - 1) % m]) for h in hs
+                ],
+                "level": [_snap(lvl)] * horizon,
+                "trend": [_snap(trend)] * horizon,
+                "seasonal": [_snap(seas[(h - 1) % m]) for h in hs],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(_hw, schema=out_schema)

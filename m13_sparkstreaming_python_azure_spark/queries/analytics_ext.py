@@ -163,6 +163,57 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(baskets, "basket", "p_brand", 300)
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/frequency.
+    item_cf_topk): orders are baskets, part brands are items; top-5
+    cosine neighbors per item for pairs co-occurring in >= 8 baskets —
+    the "users-also-bought" recommendation primitive. Pairs explode
+    within the per-basket array (bounded basket size, never an
+    item-table self-join); cosine divides BIGINT co-counts by the
+    correctly-rounded sqrt of a BIGINT product, so the oracle
+    hash-matches bit-for-bit."""
+    from m13_sparkstreaming_python_azure_spark.operators.frequency import (
+        item_cf_topk,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand"))
+    return item_cf_topk(baskets, "basket", "p_brand", k=5, min_pair_count=8)
+
+
+_ITEM_CF_SQL = """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), ic AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM items GROUP BY item
+    ), pc AS (
+        SELECT a.item AS item, c.item AS neighbor,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items c ON a.b = c.b AND a.item <> c.item
+        GROUP BY 1, 2 HAVING count(*) >= 8
+    ), sc AS (
+        SELECT pc.item, pc.neighbor, pc.n_ab,
+               floor(pc.n_ab / sqrt(CAST(ia.n_item * ja.n_item AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS cosine
+        FROM pc
+        JOIN ic ia ON ia.item = pc.item
+        JOIN ic ja ON ja.item = pc.neighbor
+    )
+    SELECT item, neighbor, n_ab, cosine, rk FROM (
+        SELECT item, neighbor, n_ab, cosine,
+               CAST(row_number() OVER (PARTITION BY item
+                    ORDER BY cosine DESC, neighbor) AS INT) AS rk
+        FROM sc
+    ) WHERE rk <= 5
+"""
+
+
 def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters (operators/frequency.heavy_hitters) over the
     document word-bigram stream: bigrams with global share >= phi.
@@ -1559,6 +1610,112 @@ _HOLT_SQL = """
 """
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day Holt-Winters ADDITIVE seasonal forecast of daily event
+    counts per event type (operators/timeseries.holt_winters_forecast,
+    α=0.3 β=0.1 γ=0.05, weekly period m=7) — the seasonal upgrade of
+    ``holt_forecast`` for the metric every ops dashboard actually has
+    (weekday shape). The recursion runs one Arrow batch per series
+    (applyInPandas — sequential in t, parallel across series); the
+    DuckDB oracle replays the IDENTICAL IEEE expression tree in a
+    recursive CTE whose state carries (level, trend) plus the length-7
+    seasonal list shifted one slot per step, so forecasts hash-match
+    bit-for-bit before the 1e-6 output snap."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        holt_winters_forecast,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_winters_forecast(
+        daily, "event_type", "day", "y",
+        alpha=0.3, beta=0.1, gamma=0.05, period=7, horizon=7,
+    )
+
+
+# State recursion mirrors operators/timeseries.holt_winters_forecast
+# term for term: l' = α(y − s[1]) + (1−α)(l + b) appears three times
+# (level, inside trend, inside seasonal) exactly as the Python local
+# `lvl` is reused — DuckDB folds the common subexpression; either way
+# the value is the same double. s[2:7] || [s_new] is the one-slot shift.
+_HW_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), idxd AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY day) AS BIGINT) AS idx
+        FROM daily
+    ), last_idx AS (
+        SELECT event_type, max(idx) AS n FROM idxd
+        GROUP BY event_type HAVING max(idx) >= 14
+    ), l0 AS (
+        SELECT event_type, sum(y) / CAST(7 AS DOUBLE) AS l
+        FROM idxd WHERE idx <= 7 GROUP BY event_type
+    ), b0 AS (
+        SELECT i.event_type,
+               (sum(i.y) / CAST(7 AS DOUBLE) - l0.l) / CAST(7 AS DOUBLE)
+                   AS b
+        FROM idxd i JOIN l0 ON l0.event_type = i.event_type
+        WHERE i.idx BETWEEN 8 AND 14 GROUP BY i.event_type, l0.l
+    ), s0 AS (
+        SELECT i.event_type, list(i.y - l0.l ORDER BY i.idx) AS s
+        FROM idxd i JOIN l0 ON l0.event_type = i.event_type
+        WHERE i.idx <= 7 GROUP BY i.event_type
+    ), init AS (
+        SELECT l0.event_type, CAST(7 AS BIGINT) AS t, l0.l, b0.b, s0.s
+        FROM l0
+        JOIN b0 ON b0.event_type = l0.event_type
+        JOIN s0 ON s0.event_type = l0.event_type
+        JOIN last_idx m ON m.event_type = l0.event_type
+    ), state AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT s.event_type, s.t + 1,
+               CAST(0.3 AS DOUBLE) * (d.y - s.s[1])
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                     * (s.l + s.b),
+               CAST(0.1 AS DOUBLE)
+                   * ((CAST(0.3 AS DOUBLE) * (d.y - s.s[1])
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (s.l + s.b)) - s.l)
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * s.b,
+               s.s[2:7] || [
+                   CAST(0.05 AS DOUBLE)
+                       * (d.y - (CAST(0.3 AS DOUBLE) * (d.y - s.s[1])
+                           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                             * (s.l + s.b)))
+                   + (CAST(1.0 AS DOUBLE) - CAST(0.05 AS DOUBLE)) * s.s[1]
+               ]
+        FROM state s
+        JOIN idxd d ON d.event_type = s.event_type AND d.idx = s.t + 1
+    ), final AS (
+        SELECT s.event_type, s.l, s.b, s.s
+        FROM state s JOIN last_idx m
+          ON s.event_type = m.event_type AND s.t = m.n
+    )
+    SELECT f.event_type, h.h,
+           floor((f.l + h.h * f.b
+                  + f.s[CAST((h.h - 1) % 7 AS INT) + 1]) * 1e6 + 0.5)
+               / 1e6 AS forecast,
+           floor(f.l * 1e6 + 0.5) / 1e6 AS level,
+           floor(f.b * 1e6 + 0.5) / 1e6 AS trend,
+           floor(f.s[CAST((h.h - 1) % 7 AS INT) + 1] * 1e6 + 0.5) / 1e6
+               AS seasonal
+    FROM final f
+    CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                    AS h) h
+"""
+
+
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: blocked fuzzy matching →
     transitive-closure clustering — the step AFTER ``record_linkage``
@@ -1744,6 +1901,8 @@ _DIM_REFRESH_SQL = """
 
 ANALYTICS_QUERIES = {
     "holt_forecast": q_holt_forecast,
+    "holt_winters": q_holt_winters,
+    "item_cf_recommend": q_item_cf,
     "streaming_dim_refresh": q_streaming_dim_refresh,
     "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
@@ -1799,6 +1958,8 @@ _DAILY_SERIES_SQL = """
 
 ANALYTICS_ORACLES = {
     "holt_forecast": _HOLT_SQL,
+    "holt_winters": _HW_SQL,
+    "item_cf_recommend": _ITEM_CF_SQL,
     "entity_clusters": _ENTITY_SQL,
     "streaming_dim_refresh": _DIM_REFRESH_SQL,
     "markov_transitions": """

@@ -78,6 +78,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_quality_score(docs).select("doc_id", "quality_score", "quality_keep")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document
+    (operators/text.with_readability) — the readability axis of the
+    curation suite (text_stats/quality_score measure degeneracy; this
+    measures difficulty). Vowel-group syllable proxy, [.!?]+ sentences
+    floored at 1, exact BIGINT counts, BIGINT-ratio floats (bit-equal),
+    constants mirrored as CAST(… AS DOUBLE) in the oracle."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        with_readability,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_readability(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_score",
+        "fk_grade",
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64-based — Spark-specific values, rows-only driver check;
     tests assert the dedup-key property (equal text ⇔ equal fp_exact)."""
@@ -1329,6 +1351,7 @@ LLM_QUERIES = {
     "streaming_topk_tokens": q_streaming_topk_tokens,
     "lsh_recall_eval": q_lsh_recall_eval,
     "text_stats": q_text_stats,
+    "readability_scores": q_readability,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
@@ -1627,6 +1650,38 @@ LLM_ORACLES = {
                                      / (n_tokens * 1e6)))) >= 0.5 AS INT)
                    AS keep
         FROM agg
+    """,
+    "readability_scores": """
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z'']+'))
+                        AS BIGINT) AS n_words,
+                   greatest(
+                       CAST(1 AS BIGINT),
+                       CAST(len(regexp_extract_all(text, '[.!?]+'))
+                            AS BIGINT)) AS n_sentences,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               floor((CAST(206.835 AS DOUBLE)
+                      - CAST(1.015 AS DOUBLE)
+                        * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                      - CAST(84.6 AS DOUBLE)
+                        * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                   AS flesch_score,
+               floor((CAST(0.39 AS DOUBLE)
+                      * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                      + CAST(11.8 AS DOUBLE)
+                        * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                      - CAST(15.59 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                   AS fk_grade
+        FROM c WHERE n_words >= 1
     """,
     "text_stats": f"""
         WITH toks AS (

@@ -1,0 +1,122 @@
+"""Independent-recomputation tests for the round-5c additions:
+Holt-Winters seasonal forecasting (more queries join this file as the
+session lands them)."""
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+    q_holt_winters,
+)
+
+
+def test_holt_winters_matches_python_recursion(spark, sf_dir):
+    out = q_holt_winters(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    micros = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(day=micros // 86_400_000_000)
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    alpha, beta, gamma, m = 0.3, 0.1, 0.05, 7
+    expected = {}
+    for et, grp in daily.groupby("event_type"):
+        y = [int(v) for v in grp.sort_values("day")["y"]]
+        if len(y) < 2 * m:
+            continue
+        lvl = sum(y[:m]) / float(m)
+        trend = (sum(y[m : 2 * m]) / float(m) - lvl) / float(m)
+        seas = [y[i] - lvl for i in range(m)]
+        for t in range(m, len(y)):
+            s_old = seas[0]
+            prev = lvl
+            lvl = alpha * (y[t] - s_old) + (1.0 - alpha) * (prev + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+            seas = seas[1:] + [gamma * (y[t] - lvl) + (1.0 - gamma) * s_old]
+        for h in range(1, 8):
+            expected[(et, h)] = math.floor(
+                (lvl + h * trend + seas[(h - 1) % m]) * 1e6 + 0.5
+            ) / 1e6
+    got = {(r["event_type"], r["h"]): r["forecast"] for r in out}
+    assert got == expected
+    # seasonal effects repeat with period 7, so forecast minus the
+    # seasonal column must be linear in h (second differences vanish)
+    des = {
+        (r["event_type"], r["h"]): r["forecast"] - r["seasonal"]
+        for r in out
+    }
+    for et in {k[0] for k in got}:
+        f = [des[(et, h)] for h in range(1, 8)]
+        d2 = [f[i + 2] - 2 * f[i + 1] + f[i] for i in range(5)]
+        assert all(abs(x) < 5e-6 for x in d2)
+
+
+def test_holt_winters_short_series_emit_nothing(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        holt_winters_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, 5) for t in range(13)], "k string, t long, y long"
+    )
+    assert (
+        holt_winters_forecast(df, "k", "t", "y", period=7).count() == 0
+    )
+
+
+def test_readability_matches_python(spark, sf_dir):
+    import re as _re
+
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_readability,
+    )
+
+    out = {r["doc_id"]: r for r in q_readability(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert len(out) > 0
+    for doc_id, text in list(zip(docs["doc_id"], docs["text"]))[:50]:
+        lc = text.lower()
+        w = len(_re.findall(r"[a-z']+", lc))
+        if w == 0:
+            assert doc_id not in out
+            continue
+        s = max(1, len(_re.findall(r"[.!?]+", text)))
+        syl = len(_re.findall(r"[aeiouy]+", lc))
+        r = out[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            w, s, syl
+        )
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        assert r["flesch_score"] == math.floor(flesch * 1e6 + 0.5) / 1e6
+
+
+def test_item_cf_matches_pandas(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+        q_item_cf,
+    )
+
+    rows = q_item_cf(spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pa = pd.read_parquet(f"{sf_dir}/part.parquet")
+    m = li.merge(pa, left_on="l_partkey", right_on="p_partkey")
+    items = m[["l_orderkey", "p_brand"]].drop_duplicates()
+    n_item = items.groupby("p_brand").size().to_dict()
+    pairs = items.merge(items, on="l_orderkey")
+    pairs = pairs[pairs["p_brand_x"] != pairs["p_brand_y"]]
+    n_ab = pairs.groupby(["p_brand_x", "p_brand_y"]).size().to_dict()
+    # every emitted neighbor's cosine is exact; top-5 rank respected
+    by_item = {}
+    for r in rows:
+        exp = n_ab[(r["item"], r["neighbor"])] / math.sqrt(
+            n_item[r["item"]] * n_item[r["neighbor"]]
+        )
+        assert r["cosine"] == math.floor(exp * 1e6 + 0.5) / 1e6
+        assert r["n_ab"] == n_ab[(r["item"], r["neighbor"])]
+        by_item.setdefault(r["item"], []).append(r)
+    for item, rs in by_item.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)

@@ -479,3 +479,45 @@ def label_propagation(
     return labels.select(
         F.col("id").alias("node"), F.col("label").alias("community")
     )
+
+
+def bellman_ford_distances(
+    edges: DataFrame, source: int, max_hops: int = 6
+) -> DataFrame:
+    """Single-source WEIGHTED shortest-path distances (Bellman-Ford,
+    ``max_hops`` synchronous relaxation rounds) over a directed edge
+    list with a BIGINT ``w`` weight column — the weighted sibling of
+    ``bfs_distances`` (hop count is cost there; here each edge carries
+    its own cost). Returns (node, dist) = min total weight over all
+    paths from ``source`` of at most ``max_hops`` edges; unreachable
+    nodes are absent.
+
+    Scale design: each round is ONE equi-join dist⋈edges on the source
+    key plus ONE min-aggregate on node — the Pregel superstep plan, all
+    shuffles on node keys. localCheckpoint truncates lineage per round
+    (iterative-join rule). The round count is FIXED, not converged, so
+    the plan is deterministic and the oracle can mirror it exactly: a
+    recursive CTE enumerating (node, dist, hop) states with UNION dedup
+    and taking min(dist) per node at the end.
+
+    Determinism contract: weights are BIGINTs, so distances are exact
+    integer sums — no float exposure anywhere.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst", "w").distinct().persist()
+    dist = spark.createDataFrame(
+        [(source, 0)], "node bigint, dist bigint"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        cand = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

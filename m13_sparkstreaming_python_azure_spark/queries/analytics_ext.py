@@ -360,6 +360,64 @@ def q_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(sym, source=1, max_hops=6)
 
 
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (operators/graph.
+    bellman_ford_distances, 6 relaxation rounds) over the deterministic
+    customer tree+chain graph (same construction as bfs_shortest_paths),
+    symmetrized, with BIGINT edge weight w = (src + dst) % 7 + 1 —
+    symmetric in (src, dst), so both directions of an undirected edge
+    carry the same cost. Distances are exact integer sums; the oracle
+    enumerates (node, dist, hop) states in a recursive CTE with UNION
+    dedup and takes min(dist) per node."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        bellman_ford_distances,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") / 2).cast("bigint").alias("dst")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    ed = tree.unionByName(chain)
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn(
+        "w", F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + F.lit(1)
+    )
+    return bellman_ford_distances(sym, source=1, max_hops=6)
+
+
+_BELLMAN_SQL = """
+    WITH RECURSIVE ed AS (
+        SELECT src, dst FROM (
+            SELECT c_custkey AS src, c_custkey // 2 AS dst
+            FROM customer WHERE c_custkey >= 2
+            UNION ALL
+            SELECT c_custkey AS src, c_custkey - 1 AS dst
+            FROM customer WHERE c_custkey >= 1
+        )
+    ), sym AS (
+        SELECT DISTINCT src, dst, (src + dst) % 7 + 1 AS w FROM (
+            SELECT src, dst FROM ed
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM ed
+        )
+    ), walk AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+               0 AS hop
+        UNION
+        SELECT e.dst, w.dist + e.w, w.hop + 1
+        FROM walk w JOIN sym e ON e.src = w.node
+        WHERE w.hop < 6
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+"""
+
+
 def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (operators/skyline.skyline_2d): orders not
     dominated on (minimize totalprice, minimize orderdate) — cheapest-
@@ -1903,6 +1961,7 @@ ANALYTICS_QUERIES = {
     "holt_forecast": q_holt_forecast,
     "holt_winters": q_holt_winters,
     "item_cf_recommend": q_item_cf,
+    "bellman_ford_paths": q_bellman_ford,
     "streaming_dim_refresh": q_streaming_dim_refresh,
     "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
@@ -1960,6 +2019,7 @@ ANALYTICS_ORACLES = {
     "holt_forecast": _HOLT_SQL,
     "holt_winters": _HW_SQL,
     "item_cf_recommend": _ITEM_CF_SQL,
+    "bellman_ford_paths": _BELLMAN_SQL,
     "entity_clusters": _ENTITY_SQL,
     "streaming_dim_refresh": _DIM_REFRESH_SQL,
     "markov_transitions": """

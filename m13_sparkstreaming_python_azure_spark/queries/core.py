@@ -1017,6 +1017,67 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join under the oracle gate
+    (§2.9 GAP — the existence-check flavor: inner emits one row PER
+    matching pair, semi emits each left row ONCE if ANY match exists,
+    which is what funnel/eligibility pipelines actually want):
+    purchases that had at least one same-user click in the preceding
+    24 h, both sides replayed as 2-micro-batch file streams, quiesced
+    with availableNow. Same eviction math as the interval join — the
+    90-day watermark delay exceeds the fixture span so no match can
+    drop; at production scale the delay shrinks to the real late-data
+    bound and per-side state stays rate × (delay + lag). The oracle is
+    the batch EXISTS twin; each purchase counting exactly once (never
+    once per click) is exactly what the hash pins."""
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    root, schema = _events_day_landing(spark, sf_dir)
+    s1 = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
+    s2 = parquet_file_stream(spark, root, schema, max_files_per_trigger=16)
+    joined = stream_stream_interval_join(
+        s1.filter(F.col("event_type") == "purchase"),
+        s2.filter(F.col("event_type") == "click"),
+        key="user_id",
+        max_lag="24 hours",
+        watermark_delay="90 days",
+        how="left_semi",
+    ).select(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("purchase_date"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+    )
+    name = f"sssj_gate_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("purchase_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def q_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming latest-state materialization under the gate: events
     replayed as a 2-micro-batch file stream, folded by foreachBatch into
@@ -1823,6 +1884,7 @@ CORE_QUERIES = {
     "streaming_append_windows": q_streaming_append_windows,
     "streaming_sliding_windows": q_streaming_sliding_windows,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_semi_join": q_streaming_semi_join,
     "streaming_latest_state": q_streaming_latest_state,
     "streaming_dedup": q_streaming_dedup,
     "salted_revenue_join": q_salted_revenue_join,
@@ -2081,6 +2143,21 @@ CORE_ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 480000
         GROUP BY o_orderpriority
+    """,
+    "streaming_semi_join": """
+        SELECT strftime(p.ts, '%Y-%m-%d') AS purchase_date,
+               count(*) AS n_purchases,
+               count(DISTINCT p.user_id) AS n_users
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 24 HOUR
+                AND c.ts <= p.ts
+          )
+        GROUP BY 1
     """,
     "streaming_interval_join": """
         SELECT strftime(l.ts, '%Y-%m-%d') AS purchase_date,

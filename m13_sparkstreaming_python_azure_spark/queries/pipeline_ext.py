@@ -620,6 +620,67 @@ def q_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located star join under the gate (sources/bucketing —
+    the SURVEY §7 shuffle-elimination design, exercised end-to-end
+    where the driver can hash it): orders and lineitem are persisted
+    bucketed+sorted by order key into the SAME bucket count, the join
+    plans as a SortMergeJoin with NO Exchange on either side — the
+    query RAISES if one appears, so a planner regression fails the gate
+    rather than silently shuffling — and revenue rolls up per order
+    priority. At 100 TB this is the recurring-join shape: the one-time
+    bucketed write amortizes the fact-table shuffle out of every later
+    join. The oracle is the plain (shuffled) join — bucketing must be
+    cost-only."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="bucketed-gate-")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    write_bucketed(
+        orders, "gate_bkt_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        lineitem, "gate_bkt_lineitem", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"], path=os.path.join(base, "lineitem"),
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = co_located_join(
+            spark, "gate_bkt_orders", "gate_bkt_lineitem", "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "SortMergeJoin" not in plan:
+            raise AssertionError(
+                f"bucketed join must be an exchange-free SMJ:\n{plan}"
+            )
+        dec = F.sum(
+            (
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).cast("decimal(18,6)")
+        )
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(dec, 2).cast("double").alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file BLOOM point-lookup skipping under the gate
     (sources/snapshots.attach_bloom_maps — the Delta/Iceberg bloom-index
@@ -924,6 +985,7 @@ PIPELINE_QUERIES = {
     "lexicon_sentiment": q_lexicon_sentiment,
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
+    "bucketed_join_revenue": q_bucketed_join,
     "bloom_point_lookup": q_bloom_point_lookup,
     "snapshot_restore": q_snapshot_restore,
     "bow_dedup": q_bow_dedup,
@@ -1324,6 +1386,15 @@ PIPELINE_ORACLES = {
                CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
         FROM toks JOIN lex USING (term)
         GROUP BY doc_id
+    """,
+    "bucketed_join_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
     """,
     "snapshot_restore": """
         SELECT o_orderstatus, count(*) AS n_orders,

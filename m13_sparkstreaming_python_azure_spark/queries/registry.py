@@ -74,6 +74,7 @@ _STREAMING_GATES = [
     "streaming_full_outer_dedup",
     "streaming_topk_tokens",
     "streaming_dim_refresh",
+    "streaming_semi_join",
 ]
 
 _ALL_QUERIES = {

@@ -360,6 +360,103 @@ def q_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(sym, source=1, max_hops=6)
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the corpus word-adjacency graph — words are nodes, adjacent
+    token pairs are (symmetrized) edges — surfacing the top-20 global
+    keywords. Reuses operators/graph.pagerank wholesale (5 power
+    iterations, 1e9 per-iteration grid — the supplier_pagerank
+    determinism contract), so the oracle unrolls the identical five
+    iterations as CTEs over SQL-built bigram edges. Edge generation is
+    one groupBy-free pass: per-document token arrays explode to
+    adjacent pairs inside codegen (same shape as heavy_hitter_bigrams),
+    then distinct — never a token self-join."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        pagerank,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("src"),
+                    F.element_at("t", i + 1).alias("dst"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst").filter(F.col("src") != F.col("dst"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranked = pagerank(sym, iterations=5).select(
+        F.col("node").alias("word"), "rank"
+    )
+    w = Window.orderBy(F.col("rank").desc(), F.col("word"))
+    return (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_TEXTRANK_ITER = """
+            SELECT e.dst AS node,
+                   floor((0.15 + 0.85 * CAST(sum(CAST(r.rank / deg.d
+                              AS DECIMAL(27,12))) AS DOUBLE)) * 1e9 + 0.5)
+                       / 1e9 AS rank
+            FROM edges e
+            JOIN r{prev} r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+"""
+
+_TEXTRANK_SQL = (
+    """
+    WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(src := t[i], dst := t[i+1]))) AS p
+        FROM d WHERE len(t) >= 2
+    ), e0 AS (
+        SELECT p.src AS src, p.dst AS dst FROM bg WHERE p.src <> p.dst
+    ), edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        )
+    ), deg AS (
+        SELECT src, count(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS rank
+        FROM edges
+    ), r1 AS ("""
+    + _TEXTRANK_ITER.format(prev=0)
+    + "), r2 AS ("
+    + _TEXTRANK_ITER.format(prev=1)
+    + "), r3 AS ("
+    + _TEXTRANK_ITER.format(prev=2)
+    + "), r4 AS ("
+    + _TEXTRANK_ITER.format(prev=3)
+    + "), r5 AS ("
+    + _TEXTRANK_ITER.format(prev=4)
+    + """)
+    SELECT word, rank, rk FROM (
+        SELECT node AS word, rank,
+               CAST(row_number() OVER (ORDER BY rank DESC, node) AS INT)
+                   AS rk
+        FROM r5
+    ) WHERE rk <= 20
+"""
+)
+
+
 def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source WEIGHTED shortest paths (operators/graph.
     bellman_ford_distances, 6 relaxation rounds) over the deterministic
@@ -1962,6 +2059,7 @@ ANALYTICS_QUERIES = {
     "holt_winters": q_holt_winters,
     "item_cf_recommend": q_item_cf,
     "bellman_ford_paths": q_bellman_ford,
+    "textrank_keywords": q_textrank_keywords,
     "streaming_dim_refresh": q_streaming_dim_refresh,
     "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
@@ -2020,6 +2118,7 @@ ANALYTICS_ORACLES = {
     "holt_winters": _HW_SQL,
     "item_cf_recommend": _ITEM_CF_SQL,
     "bellman_ford_paths": _BELLMAN_SQL,
+    "textrank_keywords": _TEXTRANK_SQL,
     "entity_clusters": _ENTITY_SQL,
     "streaming_dim_refresh": _DIM_REFRESH_SQL,
     "markov_transitions": """

@@ -776,6 +776,64 @@ def q_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM under the gate (sources/snapshots.vacuum_snapshots — the
+    Delta VACUUM analogue, the retention step every snapshot table
+    eventually needs or storage grows without bound): orders land as
+    two status appends, compaction rewrites them into one optimized
+    commit (superseding the small files), and vacuum with keep_last=1
+    physically deletes the files now referenced only by expired
+    versions. The query RAISES unless vacuum actually deleted files,
+    the expired manifests are gone, and every retained file still
+    exists — then reads the surviving latest version, which must equal
+    the plain filtered scan (vacuum is storage-only; content must be
+    untouched). That content equality is what the oracle hashes."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        read_manifest,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(tempfile.mkdtemp(prefix="vacuum-"), "t")
+    s = F.col("o_orderstatus")
+    write_snapshot(orders.filter(s == "F").coalesce(4), table)   # v1
+    append_snapshot(orders.filter(s == "O").coalesce(4), table)  # v2
+    compact_snapshot(spark, table)                               # v3
+    deleted = vacuum_snapshots(table, keep_last=1)
+    if not deleted:
+        raise AssertionError("vacuum deleted nothing — retention broken")
+    if any(os.path.exists(f) for f in deleted):
+        raise AssertionError("vacuum reported files it did not delete")
+    live = read_manifest(table, 3)["files"]
+    if not all(os.path.exists(f) for f in live):
+        raise AssertionError("vacuum deleted a retained file")
+    for expired in (1, 2):
+        try:
+            read_manifest(table, expired)
+        except FileNotFoundError:
+            continue
+        raise AssertionError(f"expired manifest v{expired} survived vacuum")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup — order-insensitive exact dedup (catches
     shuffled/reordered copies that content-hash dedup misses while
@@ -986,6 +1044,7 @@ PIPELINE_QUERIES = {
     "ann_pq": q_ann_pq,
     "zonemap_pruned_scan": q_zonemap_pruned_scan,
     "bucketed_join_revenue": q_bucketed_join,
+    "snapshot_vacuum": q_snapshot_vacuum,
     "bloom_point_lookup": q_bloom_point_lookup,
     "snapshot_restore": q_snapshot_restore,
     "bow_dedup": q_bow_dedup,
@@ -1386,6 +1445,14 @@ PIPELINE_ORACLES = {
                CAST(sign(CAST(sum(weight) AS BIGINT)) AS INT) AS label
         FROM toks JOIN lex USING (term)
         GROUP BY doc_id
+    """,
+    "snapshot_vacuum": """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus
     """,
     "bucketed_join_revenue": """
         SELECT o.o_orderpriority,

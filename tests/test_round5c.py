@@ -195,3 +195,104 @@ def test_bucketed_join_gate_plan_is_exchange_free(spark, sf_dir):
     m = li.merge(ords, left_on="l_orderkey", right_on="o_orderkey")
     exp_n = m.groupby("o_orderpriority").size().to_dict()
     assert {k: r["n_items"] for k, r in out.items()} == exp_n
+
+
+def test_snapshot_vacuum_content_and_counts(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.pipeline_ext import (
+        q_snapshot_vacuum,
+    )
+
+    out = {r["o_orderstatus"]: r["n_orders"]
+           for r in q_snapshot_vacuum(spark, sf_dir).collect()}
+    ords = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    exp = ords[ords["o_orderstatus"].isin(["F", "O"])].groupby(
+        "o_orderstatus"
+    ).size().to_dict()
+    assert out == exp
+
+
+def test_textrank_matches_python_power_iteration(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+        q_textrank_keywords,
+    )
+
+    rows = q_textrank_keywords(spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    edges = set()
+    for text in docs["text"]:
+        t = [x for x in text.lower().split() if x]
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    deg = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {a: 1.0 for a, _ in edges}
+    for _ in range(5):
+        contrib = {}
+        for a, b in edges:
+            contrib.setdefault(b, []).append(rank[a] / deg[a])
+        # the engines cast each contribution to DECIMAL(27,12) before
+        # summing — mirror with Decimal half-up quantization per term
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-12)
+        rank = {
+            b: math.floor(
+                (
+                    0.15
+                    + 0.85
+                    * float(
+                        sum(
+                            Decimal(c).quantize(q, rounding=ROUND_HALF_UP)
+                            for c in cs
+                        )
+                    )
+                )
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+            for b, cs in contrib.items()
+        }
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["word"], r["rank"]) for r in sorted(rows, key=lambda r: r["rk"])]
+    assert got == top
+
+
+def test_logistic_gd_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        q_logistic_gd,
+    )
+
+    r = q_logistic_gd(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    y = (li["l_returnflag"] == "R").astype("int64").to_numpy()
+    x1 = li["l_quantity"].astype("int64").to_numpy() / 50.0
+    x2 = np.floor(li["l_discount"].to_numpy() * 100 + 0.5).astype(
+        "int64"
+    ) / 10.0
+    n = len(y)
+    w0 = w1 = w2 = 0.0
+    for _ in range(3):
+        z = w0 + w1 * x1 + w2 * x2
+        p = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e9 + 0.5) / 1e9
+        e = p - y
+        s0 = int(np.floor(e * 1e9 + 0.5).sum())
+        s1 = int(np.floor(e * x1 * 1e9 + 0.5).sum())
+        s2 = int(np.floor(e * x2 * 1e9 + 0.5).sum())
+        w0 -= 0.5 * (s0 / 1e9 / n)
+        w1 -= 0.5 * (s1 / 1e9 / n)
+        w2 -= 0.5 * (s2 / 1e9 / n)
+    z = w0 + w1 * x1 + w2 * x2
+    p = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e9 + 0.5) / 1e9
+    n_correct = int(((p >= 0.5).astype("int64") == y).sum())
+    assert r["n"] == n and r["n_correct"] == n_correct
+    for got, exp in [(r["w0"], w0), (r["w1"], w1), (r["w2"], w2)]:
+        assert got == math.floor(exp * 1e6 + 0.5) / 1e6
+    # the trained model must beat the majority-class baseline
+    assert r["n_correct"] / r["n"] >= max(y.mean(), 1 - y.mean())

@@ -178,3 +178,59 @@ def refresh_view_snapshot(
     return snap.write_snapshot(
         refreshed, view_dir, {"base_version": base_latest, "op": "view_refresh"}
     )
+
+
+def join_view_refresh(
+    prev_view: DataFrame,
+    a_old: DataFrame,
+    a_new: DataFrame,
+    b_old: DataFrame,
+    b_new: DataFrame,
+    a_key: str,
+    b_key: str,
+    join_col: str,
+    view_rows=None,
+) -> DataFrame:
+    """Incrementally maintain a JOIN view V = A ⋈ B (A's ``join_col``
+    equi-joins B's unique ``b_key``; ``a_key`` uniquely identifies view
+    rows — the fact⋈dimension shape) across a change in BOTH base
+    tables: delta-detect on each side, then repair ONLY the affected
+    view keys with a keyed partial recompute:
+
+        changed_a = keys with any A-side insert/update/delete
+        changed_b = B keys with any insert/update/delete
+        affected  = changed_a ∪ {a-keys of old/new rows joining changed_b}
+        V_new     = (V_old ⟕anti affected) ∪ (A_new⟨affected⟩ ⋈ B_new)
+
+    Equivalent, row for row, to recomputing A_new ⋈ B_new — but the
+    full tables are only touched by the (semi-join-pruned) affected
+    slice; everything else is the change-feed diff. The pure signed
+    delta algebra (ΔA⋈B_new ∪ A_old⋈ΔB) maintains multisets; with a
+    unique view key the keyed repair is the same cost without the
+    double-counting corner when one order's fact AND dimension both
+    change in one batch.
+
+    Scale shape: the diffs are key-partitioned full-outer joins of two
+    versions (what table_changes_images does); `affected` is a set of
+    ids semi-joined back — cost O(|changes|) plus the repair join on
+    only those ids, never a view rebuild.
+
+    ``view_rows(a, b) -> DataFrame`` projects view rows from base
+    slices; the SAME callable must have produced ``prev_view`` (from
+    the old states) so kept and repaired rows union by name."""
+    da = table_changes_images(a_old, a_new, [a_key]).select(a_key)
+    db = table_changes_images(b_old, b_new, [b_key]).select(b_key)
+    via_b = (
+        a_old.select(a_key, join_col)
+        .unionByName(a_new.select(a_key, join_col))
+        .join(
+            db.withColumnRenamed(b_key, join_col), on=join_col, how="left_semi"
+        )
+        .select(a_key)
+    )
+    affected = da.unionByName(via_b).distinct()
+    kept = prev_view.join(affected, on=a_key, how="left_anti")
+    repaired = view_rows(
+        a_new.join(affected, on=a_key, how="left_semi"), b_new
+    )
+    return kept.unionByName(repaired)

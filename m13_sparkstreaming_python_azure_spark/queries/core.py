@@ -820,6 +820,66 @@ def q_frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/ivm.
+    join_view_refresh — the join sibling of incremental_view_refresh's
+    aggregate IVM): the orders⋈customer view advances across a batch
+    that inserts orders (the %97 slice appears), deletes orders (the
+    %89 slice vanishes), AND updates the customer dimension (+100
+    balance for nation 5) — fact and dimension changing in the same
+    refresh, the corner that breaks naive delta joins. Delta-detect on
+    both sides, repair only the affected view keys via a semi-join-
+    pruned keyed recompute; the result must equal the full A_new⋈B_new
+    join row for row, which is exactly what the oracle states. Cost is
+    O(|changes|), never a view rebuild — at 100 TB the view survives
+    arbitrarily many refreshes without ever being rebuilt."""
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        join_view_refresh,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    a_old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    a_new = orders.filter(F.col("o_orderkey") % 89 != 0)
+    b_old = customer
+    b_new = customer.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_nationkey") == 5, F.col("c_acctbal") + F.lit(100.0)
+        ).otherwise(F.col("c_acctbal")),
+    )
+
+    def view_rows(a, b):
+        return a.join(b, a["o_custkey"] == b["c_custkey"]).select(
+            "o_orderkey",
+            F.floor("o_totalprice").cast("long").alias("price"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor("c_acctbal").cast("long").alias("bal"),
+        )
+
+    v_old = view_rows(a_old, b_old)
+    return join_view_refresh(
+        v_old, a_old, a_new, b_old, b_new,
+        "o_orderkey", "c_custkey", "o_custkey", view_rows,
+    )
+
+
+CORE_ORACLES_IVM_JOIN = """
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice) AS BIGINT) AS price,
+           c.c_mktsegment AS segment,
+           CAST(CASE WHEN c.c_nationkey = 5
+                     THEN floor(c.c_acctbal + CAST(100.0 AS DOUBLE))
+                     ELSE floor(c.c_acctbal) END AS BIGINT) AS bal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 89 <> 0
+"""
+
+
 def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier co-occurrence graph (suppliers linked
     when they serve the same order) — the iterative-join algorithm class,
@@ -1898,6 +1958,7 @@ CORE_QUERIES = {
     "supplier_pagerank": q_supplier_pagerank,
     "triangle_counts": q_triangle_counts,
     "incremental_view_refresh": q_incremental_view_refresh,
+    "ivm_join_refresh": q_ivm_join_refresh,
     "robust_outlier_stats": q_robust_outlier_stats,
     "streaming_view_maintenance": q_streaming_view_maintenance,
     "zorder_key": q_zorder_key,
@@ -2645,6 +2706,7 @@ CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
     "histogram_quantiles"
 ]
 
+CORE_ORACLES["ivm_join_refresh"] = CORE_ORACLES_IVM_JOIN
 CORE_ORACLES["incremental_view_refresh"] = """
         WITH v1 AS (
             SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p

@@ -100,6 +100,24 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join
+    (operators/retrieval.tfidf_cosine_pairs): document pairs sharing
+    >= 5 indexed 3-gram shingles with cosine >= 0.35, over a
+    stop-term-capped (df <= N/4) inverted index (shingle terms — the
+    fixture's unigram vocabulary is ~31 words, which degenerates a
+    unigram index toward all-pairs; shingles re-sparsify it) — the weighted near-dup/similarity
+    primitive between ngram_jaccard_pairs (unweighted) and
+    semantic_dedup (dense embeddings). Posting-list join, never
+    doc×doc; 1e-4 BIGINT weight grids make dots and norms exact."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, shingle_size=3)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64-based — Spark-specific values, rows-only driver check;
     tests assert the dedup-key property (equal text ⇔ equal fp_exact)."""
@@ -1352,6 +1370,7 @@ LLM_QUERIES = {
     "lsh_recall_eval": q_lsh_recall_eval,
     "text_stats": q_text_stats,
     "readability_scores": q_readability,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
@@ -1650,6 +1669,52 @@ LLM_ORACLES = {
                                      / (n_tokens * 1e6)))) >= 0.5 AS INT)
                    AS keep
         FROM agg
+    """,
+    "tfidf_cosine_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), flat AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS term
+            FROM toks WHERE len(t) >= 3
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM flat GROUP BY doc_id, term
+        ), dfx AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ), posting AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(floor(tf.tf * (floor(ln(CAST(nn.n AS DOUBLE)
+                        / dfx.df) * 1e6 + 0.5) / 1e6) * 1e4
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qw
+            FROM tf JOIN dfx USING (term) CROSS JOIN nn
+            WHERE dfx.df <= nn.n * CAST(0.25 AS DOUBLE)
+        ), norms AS (
+            SELECT doc_id, CAST(sum(qw * qw) AS BIGINT) AS norm2
+            FROM posting GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.qw * b.qw) AS BIGINT) AS dot,
+                   CAST(count(*) AS BIGINT) AS shared_terms
+            FROM posting a JOIN posting b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        )
+        SELECT p.doc_a, p.doc_b, p.shared_terms,
+               floor(p.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                              * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS cosine
+        FROM pairs p
+        JOIN norms na ON na.doc_id = p.doc_a
+        JOIN norms nb ON nb.doc_id = p.doc_b
+        WHERE floor(p.dot / (sqrt(CAST(na.norm2 AS DOUBLE))
+                             * sqrt(CAST(nb.norm2 AS DOUBLE)))
+                    * 1e6 + 0.5) / 1e6 >= CAST(0.35 AS DOUBLE)
     """,
     "readability_scores": """
         WITH c AS (

@@ -111,7 +111,20 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # ROUND-5 new code first (least driver history)
+    # ROUND-5c additions (this session — newest code, zero driver history)
+    "holt_winters",             # new: seasonal triple smoothing, list-state CTE oracle
+    "ivm_join_refresh",         # new: join-view IVM, fact+dim same-batch changes
+    "logistic_gd",              # new: GD-trained logistic classifier
+    "tfidf_cosine_pairs",       # new: shingle TF-IDF cosine posting join
+    "streaming_semi_join",      # new: stream-stream LEFT SEMI interval join
+    "bucketed_join_revenue",    # new: exchange-free co-located bucket join
+    "snapshot_vacuum",          # new: retention vacuum, content-only hash
+    "textrank_keywords",        # new: PageRank keyword extraction
+    "bellman_ford_paths",       # new: weighted shortest paths
+    "item_cf_recommend",        # new: item-item cosine CF top-k
+    "dp_sum_clipped",           # new: DP clipped-sum release
+    "readability_scores",       # new: Flesch/FK readability
+    # ROUND-5 new code (least driver history)
     "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
     "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
     "kaplan_meier",  # r4's one gate failure — NTZ fix must prove green
@@ -146,28 +159,13 @@ _head = [
     "streaming_dim_refresh",    # new: per-batch dim snapshot re-read
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
-    # LLM-pipeline workhorses:
     "decontamination",
     "curation_pipeline",
     "sequence_packing",
     "perplexity_scores",
-    "exact_dedup_survivors",
-    "ngram_jaccard_pairs",
-    "near_dup_clusters",
-    "kmeans_clusters",
-    "tfidf_top_terms",
-    # behavior / analytics never driver-checked:
-    "cohort_retention",
-    "data_quality_suite",
-    # relational / function-class surface never driver-checked:
-    "grouping_sets_orders",
-    "array_functions",
-    "json_functions",
-    "null_semantics",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer
-    "incremental_ingest_daily",  # snapshot ingest layer
 ]
 # Dropped from the head this session to make room for the 12 round-5b
 # gates (all remain registry queries checked by the local replica; all

@@ -296,3 +296,84 @@ def test_logistic_gd_matches_numpy(spark, sf_dir):
         assert got == math.floor(exp * 1e6 + 0.5) / 1e6
     # the trained model must beat the majority-class baseline
     assert r["n_correct"] / r["n"] >= max(y.mean(), 1 - y.mean())
+
+
+def test_ivm_join_refresh_equals_recompute_and_prunes(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.core import (
+        q_ivm_join_refresh,
+    )
+
+    rows = q_ivm_join_refresh(spark, sf_dir).collect()
+    ords = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    a_new = ords[ords["o_orderkey"] % 89 != 0]
+    m = a_new.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    exp = {
+        int(r.o_orderkey): (
+            int(math.floor(r.o_totalprice)),
+            r.c_mktsegment,
+            int(math.floor(r.c_acctbal + 100.0))
+            if r.c_nationkey == 5
+            else int(math.floor(r.c_acctbal)),
+        )
+        for r in m.itertuples()
+    }
+    got = {
+        r["o_orderkey"]: (r["price"], r["segment"], r["bal"]) for r in rows
+    }
+    assert got == exp
+    # the repair slice must be a small fraction of the view: only the
+    # %97/%89 order slices and nation-5 customers' orders are affected
+    n_affected = len(
+        set(ords[ords["o_orderkey"] % 97 == 0]["o_orderkey"])
+        | set(ords[ords["o_orderkey"] % 89 == 0]["o_orderkey"])
+        | set(
+            m[m["c_nationkey"] == 5]["o_orderkey"]
+        )
+    )
+    assert n_affected < 0.25 * len(ords)
+
+
+def test_tfidf_cosine_pairs_matches_python(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_tfidf_cosine_pairs,
+    )
+
+    rows = q_tfidf_cosine_pairs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tf = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        t = [x for x in text.lower().split() if x]
+        for i in range(len(t) - 2):
+            sh = " ".join(t[i : i + 3])
+            tf.setdefault(doc_id, {})[sh] = tf.get(doc_id, {}).get(sh, 0) + 1
+    n = len(docs)
+    df = {}
+    for d in tf.values():
+        for term in d:
+            df[term] = df.get(term, 0) + 1
+    post = {
+        doc: {
+            term: math.floor(
+                c * (math.floor(math.log(n / df[term]) * 1e6 + 0.5) / 1e6)
+                * 1e4
+                + 0.5
+            )
+            for term, c in d.items()
+            if df[term] <= n * 0.25
+        }
+        for doc, d in tf.items()
+    }
+    norm2 = {doc: sum(q * q for q in d.values()) for doc, d in post.items()}
+    for r in rows:
+        a, b = post[r["doc_a"]], post[r["doc_b"]]
+        shared = set(a) & set(b)
+        assert len(shared) == r["shared_terms"] >= 5
+        dot = sum(a[t] * b[t] for t in shared)
+        cos = math.floor(
+            dot / (math.sqrt(norm2[r["doc_a"]]) * math.sqrt(norm2[r["doc_b"]]))
+            * 1e6
+            + 0.5
+        ) / 1e6
+        assert r["cosine"] == cos >= 0.35

@@ -409,3 +409,104 @@ def kn_bigram_logppl(
             ).alias("kn_logppl"),
         )
     )
+
+
+def jm_trigram_logppl(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Jelinek-Mercer interpolated TRIGRAM log-perplexity — one order
+    deeper than ``kn_bigram_logppl``, with the linear-interpolation
+    smoothing every KenLM-style pipeline starts from:
+
+        p(w|u,v) = λ₃·c(uvw)/c(uv·) + λ₂·c(vw)/c(v·) + λ₁·c(w)/N
+
+    Trigram context counts come from the trigram stream (c(uv·) sums
+    over completions, so the top term is a proper distribution), bigram
+    and unigram counts from their own streams. Repetitive/templated
+    text scores LOW logppl under the sharp trigram term; incoherent
+    word soup falls through to the unigram floor — the separation axis
+    a quality filter wants.
+
+    Determinism contract: every count is a BIGINT; each mixture term is
+    a λ-literal (mirrored CAST(… AS DOUBLE)) times a ratio of
+    identically-derived BIGINTs; ln snaps to the 1e-9 grid BEFORE the
+    per-doc sum (fold-order immunity), and the final average is a
+    mirrored double ratio snapped 1e-6.
+
+    Plan shape: three vocabulary-keyed count aggregates joined back to
+    the per-doc trigram stream (broadcast for the scalar N), one
+    groupBy(doc) — the KenLM count-pass shape, one order up.
+    """
+    l3, l2, l1 = (F.lit(float(x)) for x in lambdas)
+    arr = docs.select(F.col(id_col), tokens(text_col).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    tris = arr.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("u"),
+                    F.element_at("t", i + 1).alias("v"),
+                    F.element_at("t", i + 2).alias("w"),
+                ),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.u", "p.v", "p.w")
+    c_uvw = tris.groupBy("u", "v", "w").agg(
+        F.count(F.lit(1)).alias("c_uvw")
+    )
+    c_uv = c_uvw.groupBy("u", "v").agg(F.sum("c_uvw").alias("c_uv"))
+    bis = arr.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("v"),
+                    F.element_at("t", i + 1).alias("w"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.v", "p.w")
+    c_vw = bis.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    c_v = c_vw.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    unis = arr.select(F.explode("t").alias("w"))
+    c_w = unis.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_tot = unis.agg(F.count(F.lit(1)).alias("n_tot"))
+
+    joined = (
+        tris.join(c_uvw, on=["u", "v", "w"])
+        .join(c_uv, on=["u", "v"])
+        .join(c_vw, on=["v", "w"])
+        .join(c_v, on="v")
+        .join(c_w, on="w")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p = (
+        l3 * (F.col("c_uvw") / F.col("c_uv"))
+        + l2 * (F.col("c_vw") / F.col("c_v"))
+        + l1 * (F.col("c_w") / F.col("n_tot"))
+    )
+    lp9 = F.floor(F.log(p) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum(lp9).alias("__s9"),
+        )
+        .select(
+            id_col,
+            "n_trans",
+            (
+                F.floor(
+                    (-F.col("__s9") / 1e9 / F.col("n_trans")) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jm_logppl"),
+        )
+    )

@@ -692,6 +692,83 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(ev, "event_type", "dow")
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group — the order statistic
+    value_percentiles can't express (each row counts with its weight:
+    the median unit shipped, not the median line item): per return
+    flag, the lower weighted median of extended price (integer cents)
+    weighted by quantity. Selection is PURE integers: sort by (cents,
+    orderkey, linenumber) — a total order, so ties are deterministic —
+    take the first row whose doubled cumulative weight reaches the
+    group total. One shuffle on the group key; the running sum and the
+    pick ride the same per-group sort. All-BIGINT output — bit-equal
+    with no snapping."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_order = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("flag")
+    scored = li.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_run).alias("cum_w"),
+        F.sum("w").over(w_all).alias("total_w"),
+        F.count(F.lit(1)).over(w_all).alias("n_rows"),
+        F.row_number().over(w_order).alias("rn"),
+    ).filter(F.lit(2) * F.col("cum_w") >= F.col("total_w"))
+    w_pick = Window.partitionBy("flag").orderBy("rn")
+    return (
+        scored.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "flag",
+            F.col("cents").alias("median_cents"),
+            "total_w",
+            "n_rows",
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+    WITH li AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+                    AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ), scored AS (
+        SELECT flag, cents,
+               sum(w) OVER (PARTITION BY flag
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               sum(w) OVER (PARTITION BY flag) AS total_w,
+               count(*) OVER (PARTITION BY flag) AS n_rows,
+               row_number() OVER (PARTITION BY flag
+                   ORDER BY cents, l_orderkey, l_linenumber) AS rn
+        FROM li
+    )
+    SELECT flag, CAST(cents AS BIGINT) AS median_cents,
+           CAST(total_w AS BIGINT) AS total_w,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (
+        SELECT flag, cents, total_w, n_rows,
+               row_number() OVER (PARTITION BY flag ORDER BY rn) AS pick
+        FROM scored WHERE 2 * cum_w >= total_w
+    ) WHERE pick = 1
+"""
+
+
 def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized per-type mean (operators/stats.winsorized_stats):
     values clip at the exact interpolated [p05, p95] before averaging —
@@ -2060,6 +2137,7 @@ ANALYTICS_QUERIES = {
     "item_cf_recommend": q_item_cf,
     "bellman_ford_paths": q_bellman_ford,
     "textrank_keywords": q_textrank_keywords,
+    "weighted_median": q_weighted_median,
     "streaming_dim_refresh": q_streaming_dim_refresh,
     "entity_clusters": q_entity_clusters,
     "markov_transitions": q_markov_transitions,
@@ -2119,6 +2197,7 @@ ANALYTICS_ORACLES = {
     "item_cf_recommend": _ITEM_CF_SQL,
     "bellman_ford_paths": _BELLMAN_SQL,
     "textrank_keywords": _TEXTRANK_SQL,
+    "weighted_median": _WMEDIAN_SQL,
     "entity_clusters": _ENTITY_SQL,
     "streaming_dim_refresh": _DIM_REFRESH_SQL,
     "markov_transitions": """

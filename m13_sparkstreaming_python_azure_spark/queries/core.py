@@ -880,6 +880,73 @@ CORE_ORACLES_IVM_JOIN = """
 """
 
 
+def q_change_feed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post-image change data feed between two table versions
+    (operators/ivm.table_changes_images — the Delta CDF
+    ``_change_type`` + both-images shape downstream IVM consumes):
+    version A drops the %83 order slice (later inserts), version B
+    drops the %79 slice (deletes) and reprices open orders +10
+    (updates). One key-partitioned full-outer join classifies every
+    changed key; unchanged rows never leave the diff. The oracle
+    states the same classification as a FULL OUTER CASE join."""
+    from m13_sparkstreaming_python_azure_spark.operators.ivm import (
+        table_changes_images,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    old = base.filter(F.col("o_orderkey") % 83 != 0)
+    new = base.filter(F.col("o_orderkey") % 79 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("price")
+            + F.when(F.col("o_orderstatus") == "O", F.lit(10)).otherwise(
+                F.lit(0)
+            )
+        ).alias("price"),
+    )
+    images = table_changes_images(old, new, ["o_orderkey"])
+    return images.select(
+        "o_orderkey",
+        "_change_type",
+        F.col("__old")["price"].alias("old_price"),
+        F.col("__new")["price"].alias("new_price"),
+    )
+
+
+CORE_ORACLES_CDF_IMAGES = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice) AS BIGINT) AS price
+        FROM orders
+    ), old AS (
+        SELECT * FROM base WHERE o_orderkey % 83 <> 0
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               price + CASE WHEN o_orderstatus = 'O' THEN 10 ELSE 0 END
+                   AS price
+        FROM base WHERE o_orderkey % 79 <> 0
+    ), j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.price AS old_price, n.price AS new_price,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.price <> n.price
+                         OR o.o_orderstatus <> n.o_orderstatus
+                        THEN 'update'
+               END AS _change_type
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, _change_type, old_price, new_price
+    FROM j WHERE _change_type IS NOT NULL
+"""
+
+
 def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier co-occurrence graph (suppliers linked
     when they serve the same order) — the iterative-join algorithm class,
@@ -1959,6 +2026,7 @@ CORE_QUERIES = {
     "triangle_counts": q_triangle_counts,
     "incremental_view_refresh": q_incremental_view_refresh,
     "ivm_join_refresh": q_ivm_join_refresh,
+    "change_feed_images": q_change_feed_images,
     "robust_outlier_stats": q_robust_outlier_stats,
     "streaming_view_maintenance": q_streaming_view_maintenance,
     "zorder_key": q_zorder_key,
@@ -2707,6 +2775,7 @@ CORE_ORACLES["streaming_histogram_quantiles"] = CORE_ORACLES[
 ]
 
 CORE_ORACLES["ivm_join_refresh"] = CORE_ORACLES_IVM_JOIN
+CORE_ORACLES["change_feed_images"] = CORE_ORACLES_CDF_IMAGES
 CORE_ORACLES["incremental_view_refresh"] = """
         WITH v1 AS (
             SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p

@@ -100,6 +100,20 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated trigram perplexity per document
+    (operators/lm.jm_trigram_logppl, λ = 0.6/0.3/0.1) — one order
+    deeper than kn_perplexity; the sharp trigram term pulls templated
+    text low while word soup falls to the unigram floor. Exact count
+    ratios, mirrored λ literals, 1e-9 ln grid pre-sum."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        jm_trigram_logppl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return jm_trigram_logppl(docs)
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity join
     (operators/retrieval.tfidf_cosine_pairs): document pairs sharing
@@ -1371,6 +1385,7 @@ LLM_QUERIES = {
     "text_stats": q_text_stats,
     "readability_scores": q_readability,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "jm_trigram_perplexity": q_jm_trigram_perplexity,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
@@ -1593,6 +1608,61 @@ LLM_ORACLES = {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "jm_trigram_perplexity": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+        ), tris AS (
+            SELECT doc_id, t[i] AS u, t[i + 1] AS v, t[i + 2] AS w
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, len(t) - 1)) AS i
+            )
+            WHERE len(t) >= 3
+        ), c3 AS (
+            SELECT u, v, w, CAST(count(*) AS BIGINT) AS c_uvw
+            FROM tris GROUP BY u, v, w
+        ), c2ctx AS (
+            SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv
+            FROM c3 GROUP BY u, v
+        ), bis AS (
+            SELECT t[i] AS v, t[i + 1] AS w
+            FROM toks, LATERAL (
+                SELECT unnest(range(1, len(t))) AS i
+            )
+            WHERE len(t) >= 3
+        ), c2 AS (
+            SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw
+            FROM bis GROUP BY v, w
+        ), c1 AS (
+            SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v
+            FROM c2 GROUP BY v
+        ), unis AS (
+            SELECT unnest(t) AS w FROM toks WHERE len(t) >= 3
+        ), cw AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS c_w
+            FROM unis GROUP BY w
+        ), nt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tot FROM unis
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(floor(ln(
+                       CAST(0.6 AS DOUBLE) * (a.c_uvw / b.c_uv)
+                       + CAST(0.3 AS DOUBLE) * (d.c_vw / e.c_v)
+                       + CAST(0.1 AS DOUBLE) * (f.c_w / nt.n_tot)
+                   ) * 1e9 + 0.5) AS BIGINT) AS lp9
+            FROM tris t
+            JOIN c3 a USING (u, v, w)
+            JOIN c2ctx b USING (u, v)
+            JOIN c2 d USING (v, w)
+            JOIN c1 e USING (v)
+            JOIN cw f USING (w)
+            CROSS JOIN nt
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trans,
+               floor((-CAST(sum(lp9) AS DOUBLE) / 1e9 / count(*)) * 1e6
+                     + 0.5) / 1e6 AS jm_logppl
+        FROM scored GROUP BY doc_id
     """,
     "kn_perplexity": f"""
         WITH toks AS (

@@ -124,6 +124,9 @@ _head = [
     "item_cf_recommend",        # new: item-item cosine CF top-k
     "dp_sum_clipped",           # new: DP clipped-sum release
     "readability_scores",       # new: Flesch/FK readability
+    "weighted_median",          # new: exact weighted median, pure integers
+    "jm_trigram_perplexity",    # new: JM-interpolated trigram LM
+    "change_feed_images",       # new: CDF pre/post images
     # ROUND-5 new code (least driver history)
     "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
     "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
@@ -159,10 +162,7 @@ _head = [
     "streaming_dim_refresh",    # new: per-batch dim snapshot re-read
     # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
     # checked — local-replica-green since r1/r2, now driver-hashed.
-    "decontamination",
     "curation_pipeline",
-    "sequence_packing",
-    "perplexity_scores",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer

@@ -377,3 +377,72 @@ def test_tfidf_cosine_pairs_matches_python(spark, sf_dir):
             + 0.5
         ) / 1e6
         assert r["cosine"] == cos >= 0.35
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+        q_weighted_median,
+    )
+
+    rows = {r["flag"]: r for r in q_weighted_median(spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["cents"] = (li["l_extendedprice"] * 100 + 0.5).apply(math.floor)
+    li["w"] = li["l_quantity"].astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values(["cents", "l_orderkey", "l_linenumber"])
+        total = int(g["w"].sum())
+        cum = 0
+        for _, r in g.iterrows():
+            cum += int(r["w"])
+            if 2 * cum >= total:
+                assert rows[flag]["median_cents"] == int(r["cents"])
+                break
+        assert rows[flag]["total_w"] == total
+        assert rows[flag]["n_rows"] == len(g)
+
+
+def test_jm_trigram_orders_soup_vs_template(spark):
+    # a templated doc repeating one trigram scores lower logppl than a
+    # doc of the same vocabulary scrambled into unseen trigrams
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        jm_trigram_logppl,
+    )
+
+    template = " ".join(["alpha beta gamma"] * 30)
+    soup = " ".join(
+        ["alpha beta gamma", "beta alpha alpha", "gamma gamma beta"] * 10
+    )
+    df = spark.createDataFrame(
+        [("t", template), ("s", soup)], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r["jm_logppl"] for r in jm_trigram_logppl(df).collect()}
+    assert out["t"] < out["s"]
+
+
+def test_change_feed_images_classification(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.core import (
+        q_change_feed_images,
+    )
+
+    rows = q_change_feed_images(spark, sf_dir).collect()
+    ords = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    keys = ords["o_orderkey"].astype("int64")
+    n_ins = int(((keys % 83 == 0) & (keys % 79 != 0)).sum())
+    n_del = int(((keys % 79 == 0) & (keys % 83 != 0)).sum())
+    open_upd = int(
+        (
+            (keys % 83 != 0)
+            & (keys % 79 != 0)
+            & (ords["o_orderstatus"] == "O")
+        ).sum()
+    )
+    got = {}
+    for r in rows:
+        got[r["_change_type"]] = got.get(r["_change_type"], 0) + 1
+        if r["_change_type"] == "insert":
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["_change_type"] == "delete":
+            assert r["new_price"] is None and r["old_price"] is not None
+        else:
+            assert r["new_price"] == r["old_price"] + 10
+    assert got == {"insert": n_ins, "delete": n_del, "update": open_upd}

@@ -100,6 +100,64 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between each source's token
+    distribution P and the rest-of-corpus distribution Q — the
+    symmetric, bounded ([0, ln 2]) drift metric a mixture-curation
+    pipeline uses to spot sources whose language shifted away from the
+    pool (KL alone is asymmetric and infinite on disjoint support).
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q), over the full
+    source×vocab grid (absent terms contribute the Q side — skipping
+    them understates divergence).
+
+    Determinism contract: p, q are ratios of BIGINT counts; each
+    p·ln(p/m) / q·ln(q/m) term quantizes to a 1e-9 BIGINT grid BEFORE
+    the per-source sum; the ½ factor and output snap mirror. Scale:
+    the grid is |sources|·|vocab| — AFTER a df cap or top-V vocab
+    truncation at real scale; here the fixture vocab is tiny."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    c_st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    c_t = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    n_s = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    n_tot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    grid = (
+        n_s.crossJoin(F.broadcast(c_t))
+        .crossJoin(F.broadcast(n_tot))
+        .join(c_st, on=["source", "term"], how="left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    p = F.col("c") / F.col("ns")
+    q = (F.col("ct") - F.col("c")) / (F.col("nt") - F.col("ns"))
+    m = F.lit(0.5) * (p + q)
+    term = F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("ct") - F.col("c") > 0, q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    t9 = F.floor(term * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.first("ns").alias("n_tokens"),
+            F.sum(t9).alias("__s9"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.floor(
+                    (F.lit(0.5) * (F.col("__s9") / F.lit(1e9))) * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jsd"),
+        )
+    )
+
+
 def q_jm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jelinek-Mercer interpolated trigram perplexity per document
     (operators/lm.jm_trigram_logppl, λ = 0.6/0.3/0.1) — one order
@@ -1386,6 +1444,7 @@ LLM_QUERIES = {
     "readability_scores": q_readability,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "jm_trigram_perplexity": q_jm_trigram_perplexity,
+    "source_jsd": q_source_jsd,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "fingerprints": q_fingerprints,
@@ -1608,6 +1667,48 @@ LLM_ORACLES = {
         )
         SELECT d.doc_id FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    "source_jsd": f"""
+        WITH tok AS (
+            SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+        ), c_st AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, term
+        ), c_t AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS ct
+            FROM tok GROUP BY term
+        ), n_s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS ns
+            FROM tok GROUP BY source
+        ), n_tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS nt FROM tok
+        ), grid AS (
+            SELECT s.source, s.ns, t.term, t.ct, n.nt,
+                   coalesce(x.c, 0) AS c
+            FROM n_s s CROSS JOIN c_t t CROSS JOIN n_tot n
+            LEFT JOIN c_st x ON x.source = s.source AND x.term = t.term
+        ), scored AS (
+            SELECT source, ns,
+                   CAST(floor((
+                       CASE WHEN c > 0
+                            THEN (c / ns) * ln((c / ns)
+                                 / (CAST(0.5 AS DOUBLE)
+                                    * (c / ns + (ct - c) / (nt - ns))))
+                            ELSE CAST(0.0 AS DOUBLE) END
+                       + CASE WHEN ct - c > 0
+                              THEN ((ct - c) / (nt - ns))
+                                   * ln(((ct - c) / (nt - ns))
+                                   / (CAST(0.5 AS DOUBLE)
+                                      * (c / ns + (ct - c) / (nt - ns))))
+                              ELSE CAST(0.0 AS DOUBLE) END
+                   ) * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t9
+            FROM grid
+        )
+        SELECT source,
+               CAST(min(ns) AS BIGINT) AS n_tokens,
+               floor((CAST(0.5 AS DOUBLE) * (CAST(sum(t9) AS DOUBLE) / 1e9))
+                     * 1e6 + 0.5) / 1e6 AS jsd
+        FROM scored GROUP BY source
     """,
     "jm_trigram_perplexity": f"""
         WITH toks AS (

@@ -127,6 +127,8 @@ _head = [
     "weighted_median",          # new: exact weighted median, pure integers
     "jm_trigram_perplexity",    # new: JM-interpolated trigram LM
     "change_feed_images",       # new: CDF pre/post images
+    "lad_regression",           # new: L1/median regression via IRLS
+    "source_jsd",               # new: per-source Jensen-Shannon drift
     # ROUND-5 new code (least driver history)
     "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
     "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
@@ -138,7 +140,6 @@ _head = [
     "snapshot_restore",         # new: RESTORE + shallow CLONE
     "token_heavy_hitters",      # new: Misra-Gries + exact verify
     "kn_perplexity",            # new: Kneser-Ney bigram LM
-    "dp_group_counts",          # new: Laplace-mechanism DP release
     "label_propagation",        # new: LPA communities, recursive-CTE oracle
     "auc_by_segment",           # new: per-slice tie-aware AUC
     # ROUND-5b additions (this session — newest code, zero driver history)
@@ -160,9 +161,9 @@ _head = [
     "huber_regression",         # new: IRLS robust fit, quantized sums
     "lsh_recall_eval",          # new: measured LSH precision/recall
     "streaming_dim_refresh",    # new: per-batch dim snapshot re-read
-    # ROTATION (VERDICT r4 #5): hash-gated queries the driver has NEVER
-    # checked — local-replica-green since r1/r2, now driver-hashed.
-    "curation_pipeline",
+    # (dp_group_counts and curation_pipeline rotated out for the two
+    # newest gates; dp_sum_clipped exercises the same md5-Laplace
+    # machinery plus clipping, and both remain replica-checked.)
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer

@@ -446,3 +446,71 @@ def test_change_feed_images_classification(spark, sf_dir):
         else:
             assert r["new_price"] == r["old_price"] + 10
     assert got == {"insert": n_ins, "delete": n_del, "update": open_upd}
+
+
+def test_lad_regression_matches_numpy_and_is_robust(spark, sf_dir):
+    import numpy as np
+
+    from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
+        q_lad_regression,
+    )
+
+    r = q_lad_regression(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x = li["l_quantity"].astype("int64").to_numpy()
+    y = np.floor(li["l_extendedprice"]).astype("int64").to_numpy()
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    for _ in range(3):
+        resid = y - (a + b * x)
+        w = 1.0 / np.maximum(np.abs(resid), 100.0)
+        qw = int(np.floor(w * 1e6 + 0.5).sum())
+        qwx = int(np.floor(w * x * 1e6 + 0.5).sum())
+        qwy = int(np.floor(w * y * 1e6 + 0.5).sum())
+        qwxy = int(np.floor(w * x * y * 1e6 + 0.5).sum())
+        qwxx = int(np.floor(w * x * x * 1e6 + 0.5).sum())
+        sw, swx, swy = qw / 1e6, qwx / 1e6, qwy / 1e6
+        swxy, swxx = qwxy / 1e6, qwxx / 1e6
+        b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        a = (swy - b * swx) / sw
+    assert r["slope"] == math.floor(b * 1e6 + 0.5) / 1e6
+    assert r["intercept"] == math.floor(a * 1e6 + 0.5) / 1e6
+    resid = y - (a + b * x)
+    mar = int(np.floor(np.abs(resid) * 1e2 + 0.5).sum()) / 1e2 / n
+    assert r["mean_abs_resid"] == math.floor(mar * 1e6 + 0.5) / 1e6
+
+
+def test_source_jsd_matches_python_and_bounds(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        q_source_jsd,
+    )
+
+    rows = {r["source"]: r for r in q_source_jsd(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counts, totals = {}, {}
+    for src, text in zip(docs["source"], docs["text"]):
+        for t in [x for x in text.lower().split() if x]:
+            counts.setdefault(src, {})[t] = counts.get(src, {}).get(t, 0) + 1
+            totals[src] = totals.get(src, 0) + 1
+    vocab = sorted({t for d in counts.values() for t in d})
+    ct = {t: sum(d.get(t, 0) for d in counts.values()) for t in vocab}
+    nt = sum(totals.values())
+    for src, r in rows.items():
+        ns = totals[src]
+        assert r["n_tokens"] == ns
+        s9 = 0
+        for t in vocab:
+            c = counts[src].get(t, 0)
+            p = c / ns
+            q = (ct[t] - c) / (nt - ns)
+            m = 0.5 * (p + q)
+            term = (p * math.log(p / m) if c > 0 else 0.0) + (
+                q * math.log(q / m) if ct[t] - c > 0 else 0.0
+            )
+            s9 += math.floor(term * 1e9 + 0.5)
+        exp = math.floor((0.5 * (s9 / 1e9)) * 1e6 + 0.5) / 1e6
+        assert r["jsd"] == exp
+        assert 0.0 <= r["jsd"] <= math.log(2.0) + 1e-9

@@ -122,6 +122,11 @@ ALLOW_CARTESIAN = {
     "conformal_intervals",  # single-row fit + 2-row radii scalar broadcasts
     "huber_regression",   # single-row IRLS fit scalar broadcast per pass
     "lsh_recall_eval",    # three single-row count scalars cross-joined
+    "logistic_gd",        # single-row GD weight-row scalar broadcast per step
+    "lad_regression",     # single-row IRLS fit scalar broadcast per pass
+    "tfidf_cosine_pairs",  # single-row corpus-N scalar broadcast
+    "jm_trigram_perplexity",  # single-row N_tot scalar broadcast
+    "source_jsd",         # vocab × n_tot scalar broadcasts onto the source grid
 }
 
 

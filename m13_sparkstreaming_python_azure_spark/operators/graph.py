@@ -435,7 +435,10 @@ def label_propagation(
     The per-round argmax needs no window: (max count, then min label)
     encodes as one BIGINT ``(C1 − cnt)·C2 + label`` minimized per node —
     exact integer arithmetic, bit-equal across engines (requires
-    label < C2 = 1e7 and degree < C1 = 1e5; asserted). Plan: one
+    label < C2 = 1e7; asserted. No degree bound is needed: score
+    differences are multiples of C2, so the min picks the right
+    (cnt, label) for ANY cnt — C1 only keeps the encoding positive for
+    degrees below it, and the argmax is correct regardless). Plan: one
     edge⋈label join + one groupBy per round, lineage truncated per round
     — the same O(rounds) shape as connected_components."""
     C1, C2 = 100_000, 10_000_000

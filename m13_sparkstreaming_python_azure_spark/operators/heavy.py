@@ -72,7 +72,12 @@ def heavy_hitters_exact(
     (the sketch only affects the candidate superset, never the answer).
     """
     c = F.col(col) if isinstance(col, str) else col
-    items = df.select(c.cast("string").alias("item"))
+    # NULLs are outside the item universe (the MG kernel and the output
+    # both skip them) — drop them BEFORE counting N, or the threshold
+    # n·k > N is stricter than documented and can wrongly exclude items
+    items = df.select(c.cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     cand = (
         items.mapInPandas(_mg_partial(k), "item string, est long")
         .groupBy("item")

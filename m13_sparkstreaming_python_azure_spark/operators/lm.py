@@ -330,6 +330,7 @@ def kn_bigram_logppl(
     id_col: str = "doc_id",
     text_col: str = "text",
     discount: float = 0.75,
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram log-perplexity — the smoothing that
     actually wins LM evaluations (Chen & Goodman '98), one order deeper
@@ -352,25 +353,39 @@ def kn_bigram_logppl(
     context stats, per-w continuation counts), joined back to the
     transition stream — the same two-shuffle KenLM count-pass shape as
     ``train_bigram_model``, plus one groupBy(doc). Unseen-in-context
-    transitions (c(vw)=0 after the left join) fall through to the
-    continuation term alone, exactly the KN backoff.
+    transitions (c(vw)=0 after the LEFT join + coalesce) fall through to
+    the continuation term alone, exactly the KN backoff — so the scorer
+    is reusable on held-out text against counts from another corpus.
+    Scope limit: a transition whose context ``v`` never occurs (c(v·)
+    undefined) or whose word ``w`` completes no training context
+    (N1+(·w)=0) still requires the training vocabulary to cover it —
+    those rows are dropped by the remaining inner joins; full open-vocab
+    scoring would add an order-0 uniform floor.
     """
-    arr = docs.select(F.col(id_col), tokens(text_col).alias("t")).filter(
-        F.size("t") >= 2
+    def _trans(src: DataFrame) -> DataFrame:
+        a = src.select(F.col(id_col), tokens(text_col).alias("t")).filter(
+            F.size("t") >= 2
+        )
+        return a.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("v"),
+                        F.element_at("t", i + 1).alias("w"),
+                    ),
+                )
+            ).alias("p"),
+        ).select(id_col, "p.v", "p.w")
+
+    trans = _trans(docs)
+    # counts come from model_docs when given (held-out scoring); default
+    # is the self-scoring quality-filter mode (train == score corpus)
+    model_trans = _trans(model_docs) if model_docs is not None else trans
+    pairs = model_trans.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("c_vw")
     )
-    trans = arr.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("v"),
-                    F.element_at("t", i + 1).alias("w"),
-                ),
-            )
-        ).alias("p"),
-    ).select(id_col, "p.v", "p.w")
-    pairs = trans.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
     ctx = pairs.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"),
         F.count(F.lit(1)).alias("n1_fwd"),  # N1+(v·)
@@ -380,7 +395,12 @@ def kn_bigram_logppl(
 
     d = F.lit(float(discount))
     joined = (
-        trans.join(pairs, on=["v", "w"])  # every transition exists in counts
+        # LEFT join: an unseen (v, w) pair scores c(vw)=0 and backs off
+        # to the continuation term (documented KN fallthrough) instead of
+        # silently vanishing from the perplexity when counts come from a
+        # different corpus than the docs being scored
+        trans.join(pairs, on=["v", "w"], how="left")
+        .withColumn("c_vw", F.coalesce(F.col("c_vw"), F.lit(0).cast("long")))
         .join(ctx, on="v")
         .join(cont, on="w")
         .crossJoin(F.broadcast(tot))

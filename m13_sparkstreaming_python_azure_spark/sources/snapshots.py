@@ -432,8 +432,11 @@ def replace_where(
       that scan);
     - files where EVERY row matches are simply dropped from the
       manifest (old versions still reference them — time travel holds);
-    - only genuinely mixed files are rewritten (filtered to ``NOT
-      predicate``);
+    - only genuinely mixed files are rewritten (filtered to
+      ``(predicate) IS NOT TRUE`` — rows where the predicate evaluates
+      to NULL are NON-matching and must survive the rewrite, exactly as
+      Delta's replaceWhere keeps them; a bare ``NOT (predicate)`` would
+      null-eliminate them and silently delete data);
     - the commit carries a ``base_version`` guard: a concurrent commit
       between classify and publish raises ``CommitConflict`` instead of
       silently dropping the interleaved writer's rows.
@@ -442,7 +445,9 @@ def replace_where(
     Z-ORDERed ingest), the mixed set is empty and this is a pure
     manifest operation on the old slice plus the new files' write."""
     spark = df.sparkSession
-    n_bad = df.filter(f"NOT ({predicate})").count()
+    # IS NOT TRUE, not NOT(..): a row whose predicate evaluates to NULL
+    # does not satisfy it, so it must count as a violation here too
+    n_bad = df.filter(f"({predicate}) IS NOT TRUE").count()
     if n_bad:
         raise ValueError(
             f"replace_where: {n_bad} inserted row(s) violate the "
@@ -454,7 +459,11 @@ def replace_where(
         F.regexp_replace(F.input_file_name(), "^file:(//)?", "").alias(
             "__f"
         ),
-        F.expr(predicate).cast("long").alias("__hit"),
+        # coalesce to false so NULL-evaluating rows classify (and count)
+        # as non-matching — consistent with the IS NOT TRUE rewrite below
+        F.coalesce(F.expr(predicate), F.lit(False))
+        .cast("long")
+        .alias("__hit"),
     )
     per_file = {
         r["__f"]: (r["n"], r["hits"])
@@ -476,7 +485,7 @@ def replace_where(
     n_rows = m["rows"] - n_dropped
     if mixed:
         survivors = spark.read.parquet(*mixed).filter(
-            f"NOT ({predicate})"
+            f"({predicate}) IS NOT TRUE"
         )
         files += _write_data_files(survivors, table_dir)
     new_files = _write_data_files(df, table_dir)
@@ -1160,15 +1169,50 @@ _BLOOM_BITS = 4096
 _BLOOM_HASHES = 5
 
 
+def _bloom_canonical(value) -> str:
+    """One canonical string per NUMERIC value regardless of Python
+    spelling: probing an int64 column with ``1.0``, ``numpy.int64(1)``
+    or ``Decimal("1")`` must hit the same bit positions as the stored
+    ``1`` — otherwise pruning drops files that DO contain the match and
+    point reads silently lose rows (bloom pruning must stay cost-only).
+    Integral floats/Decimals/numpy scalars collapse to ``str(int(v))``;
+    non-integral ones collapse to the float repr; ``bool`` (a Python
+    ``int`` subclass, but a distinct parquet type) stays ``True/False``;
+    everything else is ``str(value)``."""
+    import decimal
+
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else repr(value)
+    if isinstance(value, decimal.Decimal):
+        if value == value.to_integral_value():
+            return str(int(value))
+        return repr(float(value))
+    try:
+        import numpy as _np
+
+        if isinstance(value, _np.integer):
+            return str(int(value))
+        if isinstance(value, _np.floating):
+            fv = float(value)
+            return str(int(fv)) if fv.is_integer() else repr(fv)
+    except ImportError:  # pragma: no cover
+        pass
+    return str(value)
+
+
 def _bloom_positions(value, num_bits: int, num_hashes: int) -> list[int]:
     """k md5-derived bit positions for a value's canonical string form.
 
-    Canonicalization is ``str(value)`` (ints render without sign/padding,
-    strings identity) — the probe side must canonicalize identically,
-    which ``prune_files_bloom`` does with the same function."""
+    Canonicalization is ``_bloom_canonical`` (numeric spellings collapse,
+    strings identity) — build and probe sides both go through it, so
+    equality of VALUE, not of Python type, determines the positions."""
     import hashlib
 
-    s = str(value)
+    s = _bloom_canonical(value)
     return [
         int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % num_bits
         for i in range(num_hashes)

@@ -50,3 +50,24 @@ def test_skewed_singleton_stream(spark):
     items = hot.unionAll(noise).repartition(4)
     got = {(r["item"], r["n"]) for r in heavy_hitters_exact(items, "item", k=20).collect()}
     assert got == {("HOT", 500)}  # 500 * 20 > 5500; no noise key qualifies
+
+
+def test_nulls_excluded_from_item_universe(spark):
+    """NULL items are outside the universe: the threshold total N must
+    not count them, or a borderline item is wrongly excluded. 100 HOT +
+    900 unique noise + 1100 NULLs at k=10: N=1000 -> 100*10 > 1000 is
+    false... use 101 HOT so 101*10 > 1000 holds, but 101*10 > 2100
+    (NULL-inflated N) would not."""
+    hot = spark.range(0, 101).select(F.lit("HOT").alias("item"))
+    noise = spark.range(0, 899).select(
+        F.concat(F.lit("u"), F.col("id")).alias("item")
+    )
+    nulls = spark.range(0, 1100).select(
+        F.lit(None).cast("string").alias("item")
+    )
+    items = hot.unionAll(noise).unionAll(nulls).repartition(4)
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_exact(items, "item", k=10).collect()
+    }
+    assert got == {("HOT", 101)}

@@ -101,3 +101,51 @@ def test_kn_perplexity_properties(spark, sf_dir):
     assert set(rows) == {1, 2}
     assert rows[1]["kn_logppl"] > 0 and rows[2]["kn_logppl"] > 0
     assert rows[1]["kn_logppl"] < rows[2]["kn_logppl"]
+
+
+def test_kn_heldout_unseen_pair_backs_off(spark):
+    """Held-out scoring (model_docs != docs): a transition whose (v, w)
+    pair never occurs in the model must NOT vanish — it scores c(vw)=0
+    via the left-join fallthrough, landing on the continuation term
+    alone, and counts toward n_trans."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        kn_bigram_logppl,
+    )
+
+    model = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),
+            (101, "the dog sat on the rug"),
+        ],
+        "doc_id long, text string",
+    )
+    # "the rug" / "dog sat" exist; "cat ate"-style pair "mat the" absent;
+    # every individual word (cat, mat, dog, rug...) occurs in the model
+    held = spark.createDataFrame(
+        [(1, "the dog sat on the mat"), (2, "the cat sat on the rug")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in kn_bigram_logppl(held, model_docs=model).collect()
+    }
+    # all 5 transitions of each doc survive: vocab is covered, pairs
+    # like (the, mat)/(the, rug) exist, (dog, sat) unseen pair in doc 1?
+    # (dog, sat) IS in the model; (the, mat) is. Doc 2's (the, rug) is
+    # in the model too -- force a truly unseen pair instead:
+    assert rows[1]["n_trans"] == 5 and rows[2]["n_trans"] == 5
+
+    held2 = spark.createDataFrame(
+        [(3, "cat sat on the dog")], "doc_id long, text string"
+    )  # (the, dog) seen; (cat, sat) seen; (on, the) seen; (sat, on) seen
+    held3 = spark.createDataFrame(
+        [(4, "cat rug")], "doc_id long, text string"
+    )  # (cat, rug): "cat" is a model context, "rug" a model
+    #    continuation, but the PAIR never occurs in the model
+    r3 = kn_bigram_logppl(held2, model_docs=model).collect()[0]
+    r4 = kn_bigram_logppl(held3, model_docs=model).collect()[0]
+    assert r3["n_trans"] == 4
+    # pre-fix an inner join dropped the doc entirely (zero transitions)
+    assert r4["n_trans"] == 1 and r4["kn_logppl"] > 0
+    # unseen pair scores strictly worse than the seen-pair average
+    assert r4["kn_logppl"] > r3["kn_logppl"]

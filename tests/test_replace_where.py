@@ -75,6 +75,42 @@ def test_insert_violating_predicate_refused(spark, tmp_path):
     assert read_manifest(table)["version"] == before["version"]
 
 
+def test_null_predicate_rows_survive_mixed_rewrite(spark, tmp_path):
+    """Delta replaceWhere keeps every NON-matching row — including rows
+    where the predicate evaluates to NULL. A NULL-region row sharing a
+    file with a matching row must survive the rewrite (a bare
+    ``NOT (pred)`` filter would null-eliminate it), and the committed
+    manifest row count must equal what a full read sees."""
+    table = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(0, "EU", 1), (1, None, 2), (2, "US", 3), (3, None, 4)],
+        "id long, region string, v long",
+    )
+    write_snapshot(rows.coalesce(1), table)  # ONE mixed file w/ NULLs
+
+    ins = spark.createDataFrame([(10, "EU", 99)], "id long, region string, v long")
+    v = replace_where(ins, table, "region = 'EU'")
+    got = read_snapshot(spark, table)
+    # NULL-region rows (ids 1, 3) and the US row survive; EU replaced
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 10]
+    assert got.filter("region IS NULL").count() == 2
+    # manifest row count matches reality (was overstated pre-fix)
+    assert read_manifest(table, v)["rows"] == got.count() == 4
+
+
+def test_null_predicate_insert_rejected(spark, tmp_path):
+    """An inserted row whose predicate evaluates to NULL does NOT satisfy
+    it — validation must refuse it, not let it slip through a
+    null-eliminating NOT filter."""
+    table = str(tmp_path / "t")
+    write_snapshot(_mk(spark, 0, 10, "a"), table)
+    bad = spark.createDataFrame(
+        [(50, None, 1)], "id long, tag string, v long"
+    )
+    with pytest.raises(ValueError, match="violate"):
+        replace_where(bad, table, "tag = 'b'")
+
+
 def test_concurrent_commit_raises_conflict(spark, tmp_path, monkeypatch):
     """A commit landing between classify and publish must fail the
     replace (lost-update guard), not silently drop the interleaved

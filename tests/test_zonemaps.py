@@ -330,3 +330,38 @@ def test_read_snapshot_points_batched_probe(spark, tmp_path):
     )
     assert got == [3, 4]
     assert read_snapshot_points(spark, table, "id", [99999, 88888]).count() == 0
+
+
+def test_bloom_probe_type_insensitive(spark, tmp_path):
+    """Probing an int64 column with 1234.0, numpy.int64(1234) or
+    Decimal('1234') must hit the same bit positions as the stored int —
+    bloom pruning is cost-only, so a differently-spelled probe must
+    never prune the file that holds the match."""
+    import decimal
+
+    import numpy as np
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        attach_bloom_maps,
+        prune_files_bloom,
+        read_snapshot_point,
+    )
+
+    table = str(tmp_path / "bt")
+    rows = spark.range(0, 4000).select("id", (F.col("id") * 3).alias("v"))
+    write_snapshot(rows.filter("id % 4 = 0").coalesce(1), table)
+    for i in (1, 2, 3):
+        append_snapshot(rows.filter(f"id % 4 = {i}").coalesce(1), table)
+    attach_bloom_maps(table, ["id"], num_bits=65536)
+    m = read_manifest(table)
+
+    base = prune_files_bloom(m, "id", 1234)
+    assert len(base) == 1
+    for probe in (1234.0, np.int64(1234), np.float64(1234.0),
+                  decimal.Decimal("1234")):
+        assert prune_files_bloom(m, "id", probe) == base, repr(probe)
+        got = read_snapshot_point(spark, table, "id", probe).collect()
+        assert [(r["id"], r["v"]) for r in got] == [(1234, 3702)]
+    # non-integral float probe on an int column: no match, but must not
+    # crash and keeps the no-false-negative contract trivially
+    assert read_snapshot_point(spark, table, "id", 1234.5).count() == 0

@@ -26,6 +26,10 @@ from m13_sparkstreaming_python_azure_spark.queries.relational_ext import (
     EXT_ORACLES,
     EXT_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.round6_ext import (
+    R6_ORACLES,
+    R6_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     SCIENCE_ORACLES,
     SCIENCE_QUERIES,
@@ -86,6 +90,7 @@ _ALL_QUERIES = {
     **ANALYTICS_QUERIES,
     **PIPELINE_QUERIES,
     **SCIENCE_QUERIES,
+    **R6_QUERIES,
 }
 for _name in _STREAMING_GATES:
     _ALL_QUERIES[_name] = _narrow_shuffle(_ALL_QUERIES[_name])
@@ -98,6 +103,7 @@ ORACLES = {
     **ANALYTICS_ORACLES,
     **PIPELINE_ORACLES,
     **SCIENCE_ORACLES,
+    **R6_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only

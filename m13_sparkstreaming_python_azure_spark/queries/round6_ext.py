@@ -1,0 +1,89 @@
+"""Round-6 components: deletion vectors, CHECK constraints, streaming CDC
+upsert, NB domain classifier, HITS, pseudo-relevance feedback, QL
+retrieval, fuzzy decontamination, n-gram novelty, OOV rate, CCF lag,
+information gain, quantile regression, majority-vote label model.
+
+Each query has a DuckDB oracle twin in R6_ORACLES (same column names —
+the driver's gate hashes values under sorted column order)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+
+def q_deletion_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional soft deletes (sources/snapshots.delete_where — Delta
+    deletion-vector / Iceberg position-delete parity): orders land as four
+    files, a first DELETE hides the even-cent 'F' rows WITHOUT rewriting
+    any data file (sidecar positions only; NULL-region rows survive — SQL
+    DELETE semantics), ``purge_deletes`` then rewrites ONLY the affected
+    files (REORG PURGE), and a second DELETE lands on the purged layout.
+    The oracle states the surviving rows directly. At 100 TB the delete is
+    one predicate-pushed scan emitting (file, pos) pairs — no shuffle, no
+    rewrite; reads anti-join a broadcast sidecar."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        delete_where,
+        purge_deletes,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("region"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="dvdel-")
+    table = os.path.join(root, "t")
+    write_snapshot(orders.coalesce(4), table)
+    # NULL-region rows do NOT match (coalesce-to-false), exactly SQL DELETE
+    delete_where(spark, table, "region = 'F' AND cents % 2 = 0")
+    purge_deletes(spark, table)
+    delete_where(spark, table, "cents % 7 = 0")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+_DELETION_VECTOR_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderstatus END AS region,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), after1 AS (
+        SELECT * FROM base
+        WHERE (region = 'F' AND cents % 2 = 0) IS NOT TRUE
+    ), after2 AS (
+        SELECT * FROM after1 WHERE (cents % 7 = 0) IS NOT TRUE
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM after2 GROUP BY o_orderstatus
+"""
+
+
+R6_QUERIES = {
+    "deletion_vector_delete": q_deletion_vector_delete,
+}
+
+R6_ORACLES = {
+    "deletion_vector_delete": _DELETION_VECTOR_SQL,
+}

@@ -128,11 +128,18 @@ def _commit(
         }
         if prev_v is not None:
             try:
-                inherited = read_manifest(table_dir, prev_v).get("batch_id")
+                prev_m = read_manifest(table_dir, prev_v)
             except FileNotFoundError:
-                inherited = None
-            if inherited is not None:
-                manifest["batch_id"] = inherited
+                prev_m = {}
+            if prev_m.get("batch_id") is not None:
+                manifest["batch_id"] = prev_m["batch_id"]
+            # deletion vectors are part of the table's CONTENT: a commit
+            # that doesn't rewrite data (append, zone-map attach, …) must
+            # carry them forward or the deleted rows silently resurrect.
+            # Rewriting ops (overwrite/compact/merge/purge) clear them by
+            # passing an explicit dv_files in ``extra`` (even []).
+            if "dv_files" not in (extra or {}) and prev_m.get("dv_files"):
+                manifest["dv_files"] = prev_m["dv_files"]
         if extra:
             manifest.update(extra)
         try:
@@ -150,13 +157,15 @@ def _commit(
     return version
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
-    """Write df as new immutable files under data/ (staging dir + move —
-    Spark owns the file layout inside the staging write)."""
+def _write_data_files(
+    df: DataFrame, table_dir: str, subdir: str = "data"
+) -> list[str]:
+    """Write df as new immutable files under ``subdir``/ (staging dir +
+    move — Spark owns the file layout inside the staging write)."""
     fs = fs_for(table_dir)
     staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(staging)
-    data_dir = os.path.join(table_dir, "data")
+    data_dir = os.path.join(table_dir, subdir)
     fs.makedirs(data_dir)
     moved = []
     for name in fs.listdir(staging):
@@ -177,7 +186,12 @@ def write_snapshot(
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n = spark.read.parquet(*files).count() if files else 0
-    return _commit(table_dir, files, n, {"op": "overwrite", **(extra or {})})
+    return _commit(
+        table_dir,
+        files,
+        n,
+        {"op": "overwrite", "dv_files": [], **(extra or {})},
+    )
 
 
 def append_snapshot(
@@ -237,7 +251,7 @@ def read_snapshot(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*m["files"])
+    return _apply_deletion_vectors(spark, reader.parquet(*m["files"]), m)
 
 
 def compact_snapshot(
@@ -251,12 +265,16 @@ def compact_snapshot(
     fs = fs_for(table_dir)
     size = sum(fs.getsize(f) for f in m["files"])
     n_files = max(1, -(-size // target_file_bytes))
-    df = spark.read.parquet(*m["files"]).repartition(n_files)
+    # read DV-applied: compaction materializes soft deletes, so the new
+    # version carries no deletion vectors (dv_files cleared below)
+    df = _apply_deletion_vectors(
+        spark, spark.read.parquet(*m["files"]), m
+    ).repartition(n_files)
     files = _write_data_files(df, table_dir)
     # heavy rewrite: a concurrent commit means OUR rewritten content is
     # stale — raise (CommitConflict) and let the caller re-run compaction
     return _commit(
-        table_dir, files, m["rows"], {"op": "compact"},
+        table_dir, files, m["rows"], {"op": "compact", "dv_files": []},
         base_version=m["version"],
     )
 
@@ -315,14 +333,15 @@ def merge_snapshot(
     )
 
     m = read_manifest(table_dir)
-    target = spark.read.parquet(*m["files"])
+    target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_upsert(target, source, keys)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
     # like compaction: stale-base MERGEs must not publish — raise and
     # let the caller recompute against the advanced table
     return _commit(
-        table_dir, files, n, {"op": "merge"}, base_version=m["version"]
+        table_dir, files, n, {"op": "merge", "dv_files": []},
+        base_version=m["version"],
     )
 
 
@@ -346,12 +365,13 @@ def merge_into_snapshot(
     )
 
     m = read_manifest(table_dir)
-    target = spark.read.parquet(*m["files"])
+    target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_into(target, source, keys, clauses)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
     return _commit(
-        table_dir, files, n, {"op": "merge_into"}, base_version=m["version"]
+        table_dir, files, n, {"op": "merge_into", "dv_files": []},
+        base_version=m["version"],
     )
 
 
@@ -368,7 +388,9 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
     live_files: set[str] = set()
     for v in keep:
-        live_files.update(read_manifest(table_dir, v)["files"])
+        mk = read_manifest(table_dir, v)
+        live_files.update(mk["files"])
+        live_files.update(mk.get("dv_files", []))
     deleted = []
     for v in range(1, latest + 1):
         if v in keep:
@@ -377,7 +399,7 @@ def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
             m = read_manifest(table_dir, v)
         except FileNotFoundError:
             continue  # already vacuumed by an earlier run
-        for f in m["files"]:
+        for f in m["files"] + m.get("dv_files", []):
             if f not in live_files and fs.exists(f):
                 fs.remove(f)
                 deleted.append(f)
@@ -406,6 +428,10 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     for k in ("keys", "n_buckets", "mode", "parts"):
         if k in m:
             extra[k] = m[k]
+    # restore the TARGET version's deletion vectors (explicitly, even if
+    # empty — otherwise _commit would inherit the CURRENT version's DVs
+    # and the restored content would be wrong)
+    extra["dv_files"] = m.get("dv_files", [])
     return _commit(
         table_dir, m["files"], m["rows"], extra, base_version=cur["version"]
     )
@@ -445,6 +471,13 @@ def replace_where(
     Z-ORDERed ingest), the mixed set is empty and this is a pure
     manifest operation on the old slice plus the new files' write."""
     spark = df.sparkSession
+    if read_manifest(table_dir).get("dv_files"):
+        # per-file hit classification below counts soft-deleted rows and
+        # would misclassify files / overstate rows — materialize first
+        raise ValueError(
+            "replace_where on a table with deletion vectors: run "
+            "purge_deletes(...) first"
+        )
     # IS NOT TRUE, not NOT(..): a row whose predicate evaluates to NULL
     # does not satisfy it, so it must count as a violation here too
     n_bad = df.filter(f"({predicate}) IS NOT TRUE").count()
@@ -1324,7 +1357,8 @@ def read_snapshot_point(
     files = prune_files_bloom(m, col, value)
     if not files:
         return read_snapshot(spark, table_dir, version).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+    df = spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+    return _apply_deletion_vectors(spark, df, m)
 
 
 def read_snapshot_points(
@@ -1345,7 +1379,8 @@ def read_snapshot_points(
     )
     if not files:
         return read_snapshot(spark, table_dir, version).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(F.col(col).isin(values))
+    df = spark.read.parquet(*files).filter(F.col(col).isin(values))
+    return _apply_deletion_vectors(spark, df, m)
 
 
 def prune_files(manifest: dict, col: str, lo=None, hi=None) -> list[str]:
@@ -1403,7 +1438,7 @@ def read_snapshot_pruned(
         df = df.filter(F.col(col) >= F.lit(lo))
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
-    return df
+    return _apply_deletion_vectors(spark, df, m)
 
 
 def compact_snapshot_zorder(
@@ -1423,7 +1458,7 @@ def compact_snapshot_zorder(
     readers) still see the original files: this is a compaction commit
     like any other, snapshot-isolated and time-travelable."""
     m = read_manifest(table_dir)
-    cur = spark.read.parquet(*m["files"])
+    cur = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     zdf = (
         cur.withColumn("__z", zkey)
         .repartitionByRange(n_files, F.asc("__z"))
@@ -1432,8 +1467,169 @@ def compact_snapshot_zorder(
     )
     files = _write_data_files(zdf, table_dir)
     version = _commit(
-        table_dir, files, m["rows"], {"op": "optimize-zorder"},
+        table_dir, files, m["rows"], {"op": "optimize-zorder", "dv_files": []},
         base_version=m["version"],
     )
     attach_zone_maps(table_dir, stats_cols)
     return version
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: positional soft deletes (Delta DV / Iceberg position-
+# delete parity)
+# ---------------------------------------------------------------------------
+#
+# A DELETE that rewrites every touched file is O(touched data); at 100 TB a
+# point-ish delete (GDPR erasure, a bad upstream batch) touching 1 row per
+# file would rewrite the whole table. Deletion vectors instead record the
+# DELETED ROW POSITIONS per data file in small sidecar parquet files
+# (``deletes/``, columns ``__dv_file string, __dv_pos long``) and commit a
+# new version whose manifest carries the cumulative sidecar list — the data
+# files stay byte-identical, so positions are stable and time travel holds.
+#
+# Read path: every snapshot reader tags rows with the parquet scan's
+# ``_metadata.file_path`` + ``_metadata.row_index`` (generated by the scan,
+# not stored) and LEFT ANTI joins the sidecars — broadcast when the DV row
+# count (from footers, no data read) is small, the overwhelmingly common
+# case between compactions. Rewriting commits (overwrite / compact / merge /
+# Z-ORDER / purge_deletes) materialize the deletes and clear ``dv_files``;
+# non-rewriting commits inherit them (``_commit``), so an append can never
+# resurrect deleted rows.
+
+
+_DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _strip_file_scheme(col):
+    return F.regexp_replace(col, "^file:(//)?", "")
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, manifest: dict
+) -> DataFrame:
+    """Filter out soft-deleted rows. ``df`` must be a parquet scan over (a
+    subset of) the manifest's files — ``_metadata`` is only resolvable on
+    the file-source relation. No-op when the version has no DVs."""
+    dv_paths = manifest.get("dv_files") or []
+    if not dv_paths:
+        return df
+    dv = spark.read.parquet(*dv_paths).select("__dv_file", "__dv_pos")
+    n_dv = sum(_parquet_rows(p) for p in dv_paths)
+    if n_dv <= _DV_BROADCAST_MAX_ROWS:
+        dv = F.broadcast(dv)
+    tagged = df.withColumn(
+        "__dv_f", _strip_file_scheme(F.col("_metadata.file_path"))
+    ).withColumn("__dv_p", F.col("_metadata.row_index"))
+    kept = tagged.join(
+        dv,
+        (tagged["__dv_f"] == dv["__dv_file"])
+        & (tagged["__dv_p"] == dv["__dv_pos"]),
+        "left_anti",
+    )
+    return kept.drop("__dv_f", "__dv_p")
+
+
+def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> int:
+    """``DELETE FROM t WHERE predicate`` via deletion vectors: commit a new
+    version that hides the matching rows WITHOUT rewriting any data file.
+
+    - NULL-predicate rows are NOT deleted (``coalesce(pred, false)`` — SQL
+      DELETE semantics, same rule as ``replace_where``'s classifier);
+    - already-deleted rows are excluded before matching, so overlapping
+      predicates never double-count and the manifest ``rows`` stays the
+      exact live-row count;
+    - a concurrent commit between read and publish raises CommitConflict
+      (the positions were derived from a stale file list);
+    - matching zero rows commits nothing and returns the current version.
+
+    Plan shape at scale: one predicate-pushed scan emitting only (file,
+    pos) for hits — no shuffle, no data rewrite. Sidecars accumulate one
+    per DELETE; ``purge_deletes`` (or any compaction) folds them in.
+    Zone maps / bloom maps keep their file-level stats over the superset —
+    pruning stays conservative, hence cost-only."""
+    m = read_manifest(table_dir)
+    # tag positions FIRST (``_metadata`` resolves only on the scan), then
+    # exclude already-deleted positions, then match the predicate
+    tagged = spark.read.parquet(*m["files"]).select(
+        "*",
+        _strip_file_scheme(F.col("_metadata.file_path")).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    old_dv_paths = m.get("dv_files") or []
+    if old_dv_paths:
+        old = spark.read.parquet(*old_dv_paths)
+        if sum(_parquet_rows(p) for p in old_dv_paths) <= _DV_BROADCAST_MAX_ROWS:
+            old = F.broadcast(old)
+        tagged = tagged.join(
+            old,
+            (tagged["__f"] == old["__dv_file"])
+            & (tagged["__p"] == old["__dv_pos"]),
+            "left_anti",
+        )
+    hits = tagged.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(
+        F.col("__f").alias("__dv_file"), F.col("__p").alias("__dv_pos")
+    )
+    dv_files = _write_data_files(hits.coalesce(1), table_dir, subdir="deletes")
+    n_deleted = sum(_parquet_rows(p) for p in dv_files)
+    if n_deleted == 0:
+        fs = fs_for(table_dir)
+        for p in dv_files:
+            fs.remove(p)
+        return m["version"]
+    return _commit(
+        table_dir,
+        m["files"],
+        m["rows"] - n_deleted,
+        {
+            "op": "delete",
+            "n_deleted": n_deleted,
+            "dv_files": m.get("dv_files", []) + dv_files,
+        },
+        base_version=m["version"],
+    )
+
+
+def purge_deletes(spark: SparkSession, table_dir: str) -> int:
+    """``REORG TABLE ... APPLY (PURGE)`` parity: rewrite ONLY the data
+    files that have deletion vectors (untouched files carry over by
+    reference — zero data movement for them), commit with ``dv_files``
+    cleared. After this the table reads without any anti-join and
+    ``replace_where`` is usable again. No-op (current version returned)
+    when there are no DVs."""
+    m = read_manifest(table_dir)
+    dv_paths = m.get("dv_files") or []
+    if not dv_paths:
+        return m["version"]
+    dv = spark.read.parquet(*dv_paths)
+    affected = {
+        r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
+    }
+    live_affected = [f for f in m["files"] if f in affected]
+    carried = [f for f in m["files"] if f not in affected]
+    new_files: list[str] = []
+    if live_affected:
+        survivors = _apply_deletion_vectors(
+            spark, spark.read.parquet(*live_affected), m
+        )
+        new_files = _write_data_files(survivors, table_dir)
+    return _commit(
+        table_dir,
+        carried + new_files,
+        m["rows"],
+        {"op": "purge_deletes", "dv_files": []},
+        base_version=m["version"],
+    )
+
+
+def dv_stats(table_dir: str, version: int | None = None) -> dict:
+    """Deletion-vector bookkeeping for the version: sidecar count, deleted
+    row count (from footers — no data read), and affected-file count."""
+    m = read_manifest(table_dir, version)
+    dv_paths = m.get("dv_files") or []
+    return {
+        "n_dv_files": len(dv_paths),
+        "n_deleted": sum(_parquet_rows(p) for p in dv_paths),
+        "live_rows": m["rows"],
+    }

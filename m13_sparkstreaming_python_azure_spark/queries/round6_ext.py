@@ -80,10 +80,85 @@ _DELETION_VECTOR_SQL = """
 """
 
 
+def q_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (sources/snapshots
+    add_check_constraint / constraint_report — Delta CHECK-constraint
+    parity): four constraints over orders fold into ONE aggregation pass
+    (each is ``sum((expr) IS NOT TRUE)``; NULL-evaluating rows violate,
+    SQL CHECK semantics), then unpivot to a per-constraint report. On the
+    write path the same report gates appends/merges atomically
+    (ConstraintViolation before anything commits — tests). One scan for
+    any number of constraints — the shape that matters at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    constraints = {
+        "status_known": "o_orderstatus IN ('O', 'F', 'P')",
+        "cents_nonneg": "cents >= 0",
+        "big_order": "cents >= 1000000",
+        "priority_notnull": "priority IS NOT NULL",
+    }
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+            ).alias(name)
+            for name, expr in constraints.items()
+        ],
+    )
+    kv = []
+    for name in constraints:
+        kv += [F.lit(name), F.col(name)]
+    return agg.select(
+        F.explode(F.create_map(*kv)).alias("constraint_name", "n_violations"),
+        F.col("__n").alias("n_rows"),
+    )
+
+
+_CHECK_CONSTRAINTS_SQL = """
+    WITH base AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE o_orderpriority END AS priority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base)
+    SELECT c.constraint_name,
+           CAST(c.n_violations AS BIGINT) AS n_violations, n.n_rows
+    FROM (
+        SELECT 'status_known' AS constraint_name,
+               sum(CASE WHEN (o_orderstatus IN ('O','F','P')) IS TRUE
+                        THEN 0 ELSE 1 END) AS n_violations FROM base
+        UNION ALL
+        SELECT 'cents_nonneg',
+               sum(CASE WHEN (cents >= 0) IS TRUE THEN 0 ELSE 1 END)
+        FROM base
+        UNION ALL
+        SELECT 'big_order',
+               sum(CASE WHEN (cents >= 1000000) IS TRUE THEN 0 ELSE 1 END)
+        FROM base
+        UNION ALL
+        SELECT 'priority_notnull',
+               sum(CASE WHEN (priority IS NOT NULL) IS TRUE THEN 0 ELSE 1 END)
+        FROM base
+    ) c CROSS JOIN n
+"""
+
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
+    "check_constraints": q_check_constraints,
 }
 
 R6_ORACLES = {
     "deletion_vector_delete": _DELETION_VECTOR_SQL,
+    "check_constraints": _CHECK_CONSTRAINTS_SQL,
 }

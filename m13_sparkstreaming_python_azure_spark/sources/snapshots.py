@@ -140,6 +140,12 @@ def _commit(
             # passing an explicit dv_files in ``extra`` (even []).
             if "dv_files" not in (extra or {}) and prev_m.get("dv_files"):
                 manifest["dv_files"] = prev_m["dv_files"]
+            # CHECK constraints are table metadata: every commit carries
+            # them unless explicitly replaced (add_check_constraint)
+            if "constraints" not in (extra or {}) and prev_m.get(
+                "constraints"
+            ):
+                manifest["constraints"] = prev_m["constraints"]
         if extra:
             manifest.update(extra)
         try:
@@ -203,7 +209,7 @@ def append_snapshot(
     is rebased and retried if another writer commits in between (appends
     commute, so the rebase is just re-reading the latest file list —
     no data rewrite)."""
-    read_manifest(table_dir)  # appends require an existing table
+    _validate_constraints(df, read_manifest(table_dir), table_dir)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n_new = spark.read.parquet(*files).count() if files else 0
@@ -335,6 +341,7 @@ def merge_snapshot(
     m = read_manifest(table_dir)
     target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_upsert(target, source, keys)
+    _validate_constraints(merged, m, table_dir)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
     # like compaction: stale-base MERGEs must not publish — raise and
@@ -367,6 +374,7 @@ def merge_into_snapshot(
     m = read_manifest(table_dir)
     target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_into(target, source, keys, clauses)
+    _validate_constraints(merged, m, table_dir)
     files = _write_data_files(merged, table_dir)
     n = spark.read.parquet(*files).count() if files else 0
     return _commit(
@@ -471,13 +479,15 @@ def replace_where(
     Z-ORDERed ingest), the mixed set is empty and this is a pure
     manifest operation on the old slice plus the new files' write."""
     spark = df.sparkSession
-    if read_manifest(table_dir).get("dv_files"):
+    _m0 = read_manifest(table_dir)
+    if _m0.get("dv_files"):
         # per-file hit classification below counts soft-deleted rows and
         # would misclassify files / overstate rows — materialize first
         raise ValueError(
             "replace_where on a table with deletion vectors: run "
             "purge_deletes(...) first"
         )
+    _validate_constraints(df, _m0, table_dir)
     # IS NOT TRUE, not NOT(..): a row whose predicate evaluates to NULL
     # does not satisfy it, so it must count as a violation here too
     n_bad = df.filter(f"({predicate}) IS NOT TRUE").count()
@@ -1633,3 +1643,73 @@ def dv_stats(table_dir: str, version: int | None = None) -> dict:
         "n_deleted": sum(_parquet_rows(p) for p in dv_paths),
         "live_rows": m["rows"],
     }
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity)
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolation(ValueError):
+    """A write contained rows violating a table CHECK constraint. Carries
+    the per-constraint violation counts in ``.counts``."""
+
+    def __init__(self, table_dir: str, counts: dict[str, int]):
+        self.counts = counts
+        detail = ", ".join(f"{k}: {v}" for k, v in sorted(counts.items()))
+        super().__init__(
+            f"{table_dir}: CHECK constraint violation(s) — {detail}"
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """Register a CHECK constraint (a SQL boolean expression over the
+    table's columns). The EXISTING content must already satisfy it —
+    validated in one scan before the commit (Delta's ADD CONSTRAINT
+    contract); every subsequent append / merge / replace_where validates
+    against it. Constraints live in the manifest and inherit across
+    commits like ``dv_files`` (``_commit``), so a compaction can't drop
+    them."""
+    m = read_manifest(table_dir)
+    constraints = dict(m.get("constraints") or {})
+    constraints[name] = expr
+    existing = _apply_deletion_vectors(
+        spark, spark.read.parquet(*m["files"]), m
+    )
+    counts = constraint_report(existing, {name: expr})
+    bad = {k: v for k, v in counts.items() if v}
+    if bad:
+        raise ConstraintViolation(table_dir, bad)
+    return _commit(
+        table_dir,
+        m["files"],
+        m["rows"],
+        {"op": "add_constraint", "constraints": constraints},
+        base_version=m["version"],
+    )
+
+
+def constraint_report(df: DataFrame, constraints: dict[str, str]) -> dict:
+    """Violation count per constraint, ONE aggregation pass over ``df``
+    (each constraint folds to ``sum((expr) IS NOT TRUE)`` — NULL-evaluating
+    rows violate, matching SQL CHECK semantics where a constraint must be
+    TRUE, and one job covers any number of constraints)."""
+    if not constraints:
+        return {}
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr).eqNullSafe(F.lit(True)), 0).otherwise(1)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name] or 0) for name in constraints}
+
+
+def _validate_constraints(df: DataFrame, manifest: dict, table_dir: str):
+    counts = constraint_report(df, manifest.get("constraints") or {})
+    bad = {k: v for k, v in counts.items() if v}
+    if bad:
+        raise ConstraintViolation(table_dir, bad)

@@ -79,6 +79,7 @@ _STREAMING_GATES = [
     "streaming_topk_tokens",
     "streaming_dim_refresh",
     "streaming_semi_join",
+    "streaming_cdc_upsert",
 ]
 
 _ALL_QUERIES = {

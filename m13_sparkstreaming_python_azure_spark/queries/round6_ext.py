@@ -153,12 +153,138 @@ _CHECK_CONSTRAINTS_SQL = """
 """
 
 
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply under the gate: an ordered I/U/D change feed
+    (bootstrap inserts → %5 reprices → %7 deletes → %35 re-inserts)
+    replays as four atomically-published chunks; foreachBatch folds each
+    micro-batch into a versioned snapshot table via ``merge_into`` (ONE
+    null-safe full-outer join per batch: MatchedDelete for D, MatchedUpdate
+    for U, NotMatchedInsert for I — the Delta CDC-apply clause matrix) with
+    the exactly-once base-version guard. The final table must equal the
+    oracle's direct statement of the end state, independent of micro-batch
+    machinery. At scale the merge shuffles on the key both sides; bucket
+    the target (keyed_batch_sink) to make it partition-incremental."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.operators.merge import (
+        MatchedDelete,
+        MatchedUpdate,
+        NotMatchedInsert,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        latest_version,
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    chunks = [
+        orders.withColumn("op", F.lit("I")),
+        orders.filter(k % 5 == 0).select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.floor((F.col("cents") * 9) / 10).cast("long").alias("cents"),
+            F.lit("U").alias("op"),
+        ),
+        orders.filter(k % 7 == 0).withColumn("op", F.lit("D")),
+        orders.filter(k % 35 == 0).select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            F.lit(123456).cast("long").alias("cents"),
+            F.lit("I").alias("op"),
+        ),
+    ]
+    root = tempfile.mkdtemp(prefix="cdc-upsert-")
+    land, ck, table = (
+        os.path.join(root, d) for d in ("land", "ck", "table")
+    )
+    clauses = [
+        MatchedDelete("s.op = 'D'"),
+        MatchedUpdate(
+            {"o_orderstatus": "s.o_orderstatus", "cents": "s.cents"},
+            condition="s.op <> 'D'",
+        ),
+        NotMatchedInsert(
+            values={
+                "o_orderkey": "s.o_orderkey",
+                "o_orderstatus": "s.o_orderstatus",
+                "cents": "s.cents",
+            },
+            condition="s.op <> 'D'",
+        ),
+    ]
+
+    def _apply(batch_df, batch_id):
+        if latest_version(table) is None:
+            write_snapshot(
+                batch_df.filter("op <> 'D'").drop("op"), table
+            )
+        else:
+            merge_into_snapshot(
+                spark, table, batch_df, ["o_orderkey"], clauses
+            )
+
+    publish_chunk(chunks[0], land)
+    schema = "o_orderkey long, o_orderstatus string, cents long, op string"
+    stream = parquet_file_stream(spark, land, schema)
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ck)
+        .queryName(f"cdc_upsert_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+    q.stop()
+    return read_snapshot(spark, table).select(
+        "o_orderkey", "o_orderstatus", "cents"
+    )
+
+
+_STREAMING_CDC_UPSERT_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, 'R' AS o_orderstatus, CAST(123456 AS BIGINT) AS cents
+    FROM base WHERE o_orderkey % 35 = 0
+    UNION ALL
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           (cents * 9) // 10 AS cents
+    FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, cents
+    FROM base WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+"""
+
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
+    "streaming_cdc_upsert": q_streaming_cdc_upsert,
 }
 
 R6_ORACLES = {
     "deletion_vector_delete": _DELETION_VECTOR_SQL,
     "check_constraints": _CHECK_CONSTRAINTS_SQL,
+    "streaming_cdc_upsert": _STREAMING_CDC_UPSERT_SQL,
 }

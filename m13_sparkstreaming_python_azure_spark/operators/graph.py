@@ -524,3 +524,56 @@ def bellman_ford_distances(
         )
     e.unpersist()
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg '99), fixed iteration count,
+    L1-normalized — pure BIGINT arithmetic so the result is bit-equal
+    across engines and an unrolled-CTE oracle can hash-check it.
+
+    Per round: ``a(d) = Σ_{(s,d)∈E} h(s)`` then L1-normalize; ``h(s) =
+    Σ_{(s,d)∈E} a(d)`` then L1-normalize. Scores live on a 1e6 integer
+    grid; normalization is ``(x·G) DIV Σx`` — exact BIGINT division (a
+    double-division floor would lose exactness past 2^53),
+    fold-order independent (the L1 sums are BIGINT). Each round is two
+    node-keyed join+aggregate pairs (the Pregel superstep plan);
+    localCheckpoint truncates lineage per round. Overflow bound: raw sums
+    ≤ max_degree·G ≤ 1e5·1e6 = 1e11; ·G = 1e17 < 2^63."""
+    G = 1_000_000
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    hubs = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "h", F.lit(G).cast("long")
+    )
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e["s"] == hubs["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        tot_a = a_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
+        auths = a_raw.select(
+            "node",
+            F.expr(f"(raw * {G}) DIV {int(tot_a)}").alias("a"),
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            e.join(auths, e["d"] == auths["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        tot_h = h_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
+        hubs = h_raw.select(
+            "node",
+            F.expr(f"(raw * {G}) DIV {int(tot_h)}").alias("h"),
+        ).localCheckpoint(eager=True)
+    return hubs.join(auths, "node", "full_outer").select(
+        "node",
+        F.coalesce(F.col("h"), F.lit(0)).alias("hub"),
+        F.coalesce(F.col("a"), F.lit(0)).alias("authority"),
+    )

@@ -361,3 +361,62 @@ def key_skew_profile_multi(keyed: DataFrame) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+def info_gain(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Information gain IG(Y; X) = H(Y) − H(Y|X) per categorical feature,
+    on an exact integer grid: ``Σ_xy n_xy·⌊ln(n_xy/n_x)·G⌋ −
+    Σ_y n_y·⌊ln(n_y/N)·G⌋`` (units G·N·nats — divide by G·N for nats).
+    Each ln is snapped to the grid BEFORE the count-weighted sum, so the
+    total is an exact BIGINT — fold-order independent and hash-equal
+    across engines (the repo-wide float rule for data-dependent sums).
+    Zero cells contribute nothing (n_xy ≥ 1 wherever a row exists); a
+    constant feature scores exactly 0 because ln(n_y/N) terms cancel.
+
+    Scale: one groupBy per feature over (feature, target) — map-side
+    combinable counts; cardinality = |X|·|Y| rows per feature. Overflow:
+    |term| ≤ N·ln(N)·G — at N=1e9, ≈ 2·1e16 < 2^63."""
+    n_total = df.count()
+    base = (
+        df.groupBy(F.col(target).alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_y"))
+        .select(
+            (
+                F.col("n_y")
+                * F.floor(
+                    F.log(F.col("n_y") / F.lit(n_total)) * grid + F.lit(0.5)
+                ).cast("long")
+            ).alias("t")
+        )
+        .agg(F.sum("t").alias("g0"))
+        .collect()[0]["g0"]
+    )
+    parts = []
+    for feat in features:
+        cells = df.groupBy(
+            F.col(feat).alias("x"), F.col(target).alias("y")
+        ).agg(F.count(F.lit(1)).alias("n_xy"))
+        nx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+        g1 = cells.join(nx, "x").select(
+            F.lit(feat).alias("feature"),
+            (
+                F.col("n_xy")
+                * F.floor(
+                    F.log(F.col("n_xy") / F.col("n_x")) * grid + F.lit(0.5)
+                ).cast("long")
+            ).alias("t"),
+        )
+        parts.append(
+            g1.groupBy("feature").agg(
+                (F.sum("t") - F.lit(int(base))).alias("ig_scaled")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

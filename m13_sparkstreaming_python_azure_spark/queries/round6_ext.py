@@ -277,14 +277,361 @@ _STREAMING_CDC_UPSERT_SQL = """
 """
 
 
+def q_nb_domain_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes domain classifier
+    (operators/classify.nb_classify — the counts-only member of the
+    CCNet/fastText curation-filter family): train on 2/3 of documents
+    (doc_id % 3 ≠ 0) predicting ``source``, score the held-out third,
+    emit the argmax class per doc. Per-token smoothed log-likelihoods are
+    grid-snapped to BIGINT before summing, so scores are exact integer
+    sums the oracle reproduces bit-for-bit. Token-keyed shuffles only;
+    the (vocab × classes) term table broadcasts at scale."""
+    from m13_sparkstreaming_python_azure_spark.operators.classify import (
+        nb_classify,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    held = docs.filter(F.col("doc_id") % 3 == 0)
+    return nb_classify(train, held, "source")
+
+
+_NB_DOMAIN_SQL = """
+    WITH train AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents WHERE doc_id % 3 <> 0
+    ), tok AS (
+        SELECT source, unnest(ts) AS token FROM train
+    ), cct AS (
+        SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+    ), totc AS (
+        SELECT source, count(*) AS tot FROM tok GROUP BY 1
+    ), vocab AS (
+        SELECT DISTINCT token FROM tok
+    ), vs AS (
+        SELECT count(*) AS v FROM vocab
+    ), prior AS (
+        SELECT source, count(*) AS n_docs FROM train GROUP BY 1
+    ), ntot AS (
+        SELECT count(*) AS n FROM train
+    ), term AS (
+        SELECT t.source, vb.token,
+               CAST(floor(ln((coalesce(c.c, 0) + 1) / (t.tot + vs.v))
+                          * 1000000 + 0.5) AS BIGINT) AS g_term
+        FROM vocab vb
+        CROSS JOIN totc t
+        CROSS JOIN vs
+        LEFT JOIN cct c ON c.source = t.source AND c.token = vb.token
+    ), prior_g AS (
+        SELECT source,
+               CAST(floor(ln(n_docs / n.n) * 1000000 + 0.5) AS BIGINT)
+                   AS g_prior
+        FROM prior CROSS JOIN ntot n
+    ), held AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents WHERE doc_id % 3 = 0
+    ), stok AS (
+        SELECT doc_id, unnest(ts) AS token FROM held
+    ), tok_scores AS (
+        SELECT s.doc_id, t.source, sum(t.g_term) AS g_tokens
+        FROM stok s JOIN term t ON t.token = s.token
+        GROUP BY 1, 2
+    ), all_pairs AS (
+        SELECT h.doc_id, p.source FROM held h CROSS JOIN prior p
+    ), scored AS (
+        SELECT a.doc_id, a.source,
+               coalesce(ts.g_tokens, 0) + pg.g_prior AS score
+        FROM all_pairs a
+        LEFT JOIN tok_scores ts
+            ON ts.doc_id = a.doc_id AND ts.source = a.source
+        JOIN prior_g pg ON pg.source = a.source
+    ), ranked AS (
+        SELECT doc_id, source, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, source ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, source AS pred_source, CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rn = 1
+"""
+
+
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.hits, Kleinberg '99) on
+    the customer→supplier purchase graph (distinct (o_custkey, l_suppkey)
+    edges through orders⋈lineitem). 6 fixed rounds; scores live on a 1e6
+    BIGINT grid with exact integer L1 normalization ((x·G) DIV Σx), so
+    hubs/authorities are bit-equal to the oracle's unrolled-CTE replay.
+    Each round is two node-keyed join+aggregate supersteps, lineage
+    truncated per round — the same O(rounds) shape as pagerank."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return hits(edges, iterations=6)
+
+
+def _hits_oracle_sql(iterations: int = 6) -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+            SELECT DISTINCT 'c' || o_custkey AS s, 's' || l_suppkey AS d
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        """h0 AS MATERIALIZED (
+            SELECT s AS node, CAST(1000000 AS BIGINT) AS h
+            FROM (SELECT DISTINCT s FROM e)
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+            SELECT d AS node, sum(h) AS raw
+            FROM e JOIN h{i - 1} ON e.s = h{i - 1}.node GROUP BY d
+        )"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+            SELECT node,
+                   CAST((raw * 1000000) // (SELECT sum(raw) FROM ar{i})
+                        AS BIGINT) AS a
+            FROM ar{i}
+        )"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+            SELECT s AS node, sum(a) AS raw
+            FROM e JOIN a{i} ON e.d = a{i}.node GROUP BY s
+        )"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+            SELECT node,
+                   CAST((raw * 1000000) // (SELECT sum(raw) FROM hr{i})
+                        AS BIGINT) AS h
+            FROM hr{i}
+        )"""
+        )
+    n = iterations
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT coalesce(h{n}.node, a{n}.node) AS node,
+               CAST(coalesce(h, 0) AS BIGINT) AS hub,
+               CAST(coalesce(a, 0) AS BIGINT) AS authority
+        FROM h{n} FULL OUTER JOIN a{n} ON h{n}.node = a{n}.node
+    """
+    )
+
+
+def q_info_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking (operators/stats.info_gain — the
+    decision-stump/feature-selection primitive): IG(status; X) for four
+    candidate features over orders, on an exact integer grid (each
+    count-weighted ln term snaps to BIGINT before the sum — fold-order
+    immune). ``ship_const`` is a constant column and must score exactly
+    0 (negative control); ``priority`` and the price bin carry signal.
+    One map-side-combinable groupBy per feature."""
+    from m13_sparkstreaming_python_azure_spark.operators.stats import (
+        info_gain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(0).alias("ship_const"),
+        F.floor(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)) / 10000000
+        )
+        .cast("long")
+        .alias("cents_bin"),
+        (F.col("o_custkey") % 7).alias("cust_bucket"),
+    )
+    return info_gain(
+        orders, ["priority", "ship_const", "cents_bin", "cust_bucket"],
+        "status",
+    )
+
+
+_INFO_GAIN_SQL = """
+    WITH base AS (
+        SELECT o_orderstatus AS status,
+               o_orderpriority AS priority,
+               0 AS ship_const,
+               CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          / 10000000) AS BIGINT) AS cents_bin,
+               o_custkey % 7 AS cust_bucket
+        FROM orders
+    ), n AS (SELECT count(*) AS n_total FROM base),
+    g0 AS (
+        SELECT sum(n_y * CAST(floor(ln(n_y / n.n_total) * 1000000 + 0.5)
+                              AS BIGINT)) AS g
+        FROM (SELECT status, count(*) AS n_y FROM base GROUP BY status)
+        CROSS JOIN n
+    ),
+    feat AS (
+        SELECT 'priority' AS feature, CAST(priority AS VARCHAR) AS x, status
+        FROM base
+        UNION ALL
+        SELECT 'ship_const', CAST(ship_const AS VARCHAR), status FROM base
+        UNION ALL
+        SELECT 'cents_bin', CAST(cents_bin AS VARCHAR), status FROM base
+        UNION ALL
+        SELECT 'cust_bucket', CAST(cust_bucket AS VARCHAR), status FROM base
+    ),
+    cells AS (
+        SELECT feature, x, status, count(*) AS n_xy
+        FROM feat GROUP BY 1, 2, 3
+    ),
+    nx AS (
+        SELECT feature, x, sum(n_xy) AS n_x FROM cells GROUP BY 1, 2
+    )
+    SELECT c.feature,
+           CAST(sum(n_xy * CAST(floor(ln(n_xy / n_x) * 1000000 + 0.5)
+                                AS BIGINT)) - (SELECT g FROM g0)
+                AS BIGINT) AS ig_scaled
+    FROM cells c JOIN nx ON nx.feature = c.feature AND nx.x = c.x
+    GROUP BY c.feature
+"""
+
+
+def q_majority_vote_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision label model (operators/classify
+    .weighted_majority_vote — one Dawid-Skene step): five synthetic
+    annotators vote per document (md5-derived: 70% the true source, 30% a
+    deterministic confusion), round 1 takes the plain majority, round 2
+    re-votes weighting each annotator by integer agreement with round 1.
+    All-integer arithmetic; the oracle replays both rounds. Per-worker
+    weights broadcast; shuffles key on doc or worker only."""
+    from m13_sparkstreaming_python_azure_spark.operators.classify import (
+        weighted_majority_vote,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    votes = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(*[F.lit(f"w{i}") for i in range(1, 6)])
+        ).alias("worker"),
+    ).select(
+        "doc_id",
+        "worker",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("worker"), F.col("doc_id"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 7,
+            F.col("source"),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("src"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ";", F.col("worker"), F.col("doc_id")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 20,
+            )
+        )
+        .alias("label"),
+    )
+    return weighted_majority_vote(
+        votes, item_col="doc_id", worker_col="worker", label_col="label"
+    )
+
+
+_MAJORITY_VOTE_SQL = """
+    WITH workers AS (
+        SELECT unnest(['w1', 'w2', 'w3', 'w4', 'w5']) AS worker
+    ), votes AS (
+        SELECT d.doc_id, w.worker,
+               CASE WHEN ('0x' || substring(md5(w.worker || ':' || d.doc_id),
+                                            1, 8))::BIGINT % 10 < 7
+                    THEN d.source
+                    ELSE 'src' ||
+                         (('0x' || substring(md5(w.worker || ';' || d.doc_id),
+                                             1, 8))::BIGINT % 20)
+               END AS vote
+        FROM documents d CROSS JOIN workers w
+    ), r1 AS (
+        SELECT doc_id, vote AS consensus1
+        FROM (
+            SELECT doc_id, vote, count(*) AS n,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY count(*) DESC, vote ASC) AS rn
+            FROM votes GROUP BY doc_id, vote
+        ) WHERE rn = 1
+    ), acc AS (
+        SELECT v.worker,
+               sum(CASE WHEN v.vote = r.consensus1 THEN 1 ELSE 0 END)
+                   AS weight
+        FROM votes v JOIN r1 r ON r.doc_id = v.doc_id
+        GROUP BY v.worker
+    ), r2 AS (
+        SELECT doc_id, vote, w,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY w DESC, vote ASC) AS rn
+        FROM (
+            SELECT v.doc_id, v.vote, sum(a.weight) AS w
+            FROM votes v JOIN acc a ON a.worker = v.worker
+            GROUP BY v.doc_id, v.vote
+        )
+    )
+    SELECT doc_id, vote AS consensus, CAST(w AS BIGINT) AS weight
+    FROM r2 WHERE rn = 1
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
     "streaming_cdc_upsert": q_streaming_cdc_upsert,
+    "nb_domain_classifier": q_nb_domain_classifier,
+    "hits_scores": q_hits_scores,
+    "info_gain_features": q_info_gain_features,
+    "majority_vote_labels": q_majority_vote_labels,
 }
 
 R6_ORACLES = {
     "deletion_vector_delete": _DELETION_VECTOR_SQL,
     "check_constraints": _CHECK_CONSTRAINTS_SQL,
     "streaming_cdc_upsert": _STREAMING_CDC_UPSERT_SQL,
+    "nb_domain_classifier": _NB_DOMAIN_SQL,
+    "hits_scores": _hits_oracle_sql(6),
+    "info_gain_features": _INFO_GAIN_SQL,
+    "majority_vote_labels": _MAJORITY_VOTE_SQL,
 }

@@ -1052,3 +1052,63 @@ def streaming_minhash_dedup_sink(
         sh.unpersist()
 
     return _sink
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (the near-dup analogue of
+    ``contamination_stats``, cf. Dolma/RedPajama fuzzy decontam): corpus
+    docs that are MinHash-LSH candidates against any benchmark doc are
+    verified by exact shingle Jaccard; pairs ≥ threshold come back as
+    ``(corpus_id, bench_id, jaccard)`` — the kill list for paraphrased/
+    truncated test-set leakage that exact n-gram collision misses.
+
+    Every hash is md5-derived (md5_minhash_banded), so an oracle replays
+    signatures, buckets, candidates, and verdicts exactly; jaccard is a
+    ratio of exact intersection/union counts (IEEE-identical). Scale:
+    banded equi-join corpus×benchmark buckets only (never all pairs);
+    verification joins the two bounded shingle sets per candidate."""
+    sh_c, bnd_c = md5_minhash_banded(
+        corpus, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    sh_b, bnd_b = md5_minhash_banded(
+        benchmark, id_col, text_col, num_hashes, bands, shingle_k
+    )
+    cand = (
+        bnd_c.select(F.col("__id").alias("cid"), "bkt")
+        .join(
+            bnd_b.select(F.col("__id").alias("bid"), "bkt"), "bkt"
+        )
+        .select("cid", "bid")
+        .distinct()
+    )
+    a = sh_c.select(
+        F.col("__id").alias("cid"), F.col("__shingles").alias("__sa")
+    )
+    b = sh_b.select(
+        F.col("__id").alias("bid"), F.col("__shingles").alias("__sb")
+    )
+    verified = (
+        cand.join(a, "cid")
+        .join(b, "bid")
+        .select(
+            F.col("cid").alias("corpus_id"),
+            F.col("bid").alias("bench_id"),
+            F.size(F.array_intersect("__sa", "__sb")).alias("__ni"),
+            (
+                F.size("__sa") + F.size("__sb")
+                - F.size(F.array_intersect("__sa", "__sb"))
+            ).alias("__nu"),
+        )
+        .withColumn("jaccard", F.col("__ni") / F.col("__nu"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return verified.select("corpus_id", "bench_id", "jaccard")

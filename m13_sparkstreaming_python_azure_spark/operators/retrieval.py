@@ -23,7 +23,7 @@ last ulp across engines), which the DuckDB oracle mirrors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.operators.text import tokens
@@ -448,4 +448,184 @@ def tfidf_cosine_pairs(
         .join(nb, on="doc_b")
         .select("doc_a", "doc_b", "shared_terms", cosine.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(min_cosine))
+    )
+
+
+def _bm25_grid_contrib(k1: float, b: float, grid: int) -> Column:
+    """Integer-grid BM25 contribution for one (doc, term) row with columns
+    __tf __df __dl __n_docs __sum_dl. Every float input derives from exact
+    integers (IEEE ops are engine-identical); the single ln snaps to the
+    grid, so per-doc scores are exact BIGINT sums."""
+    avgdl = F.col("__sum_dl") / F.col("__n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl
+    )
+    return (
+        F.floor(
+            idf * (F.col("__tf") * F.lit(k1 + 1.0)) / denom * F.lit(grid)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__g")
+    )
+
+
+def bm25_prf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_fb: int = 10,
+    m_expand: int = 5,
+    top_n: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (RM3-style two-pass): score the
+    seed query, take the top ``k_fb`` docs, harvest the ``m_expand``
+    heaviest non-query terms from them (exact token counts, ties → term
+    asc), re-score with the expanded term set, return the top ``top_n``
+    docs as ``(id, score, rank)``.
+
+    Determinism: contributions snap to a BIGINT grid before summation
+    (``_bm25_grid_contrib``), feedback-term selection is integer counts,
+    and both rank cuts tie-break on the id — the oracle replays every
+    stage. Scale: one tokenize pass reused by both rounds (persist), term
+    df / stats are broadcast aggregates, the expansion set is ≤ m+|q|
+    terms — the second pass is as cheap as the first; nothing is
+    quadratic."""
+    q0 = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("__term"),
+    ).persist()
+    stats = docs.select(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("__sum_dl"),
+    )
+
+    def _score(term_set: DataFrame) -> DataFrame:
+        tf = (
+            toks.join(F.broadcast(term_set), on="__term")
+            .groupBy(id_col, "__dl", "__term")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+        return (
+            tf.join(F.broadcast(df_t), on="__term")
+            .crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), _bm25_grid_contrib(k1, b, grid))
+            .groupBy(id_col)
+            .agg(F.sum("__g").alias("score"))
+        )
+
+    spark = docs.sparkSession
+    seed_terms = spark.createDataFrame(
+        [(t,) for t in q0], "__term string"
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    seed_top = (
+        _score(seed_terms)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_fb)
+        .select(id_col)
+    )
+    expansion = (
+        toks.join(seed_top, on=id_col)
+        .filter(~F.col("__term").isin(q0))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("__cnt").desc(), F.col("__term").asc())
+            ),
+        )
+        .filter(F.col("__rn") <= m_expand)
+        .select("__term")
+    )
+    expanded = seed_terms.unionByName(expansion)
+    out = (
+        _score(expanded)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+    return out
+
+
+def ql_dirichlet_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mu: int = 2000,
+    top_n: int = 20,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty '01): ``score(q,d) = Σ_t ln((tf_td + μ·ctf_t/|C|)/(dl_d+μ))``
+    over ALL query terms (tf=0 terms contribute the background mass), for
+    the candidate docs matching ≥1 term. Per-term lns snap to a BIGINT
+    grid → exact integer sums; ``(id, score, rank)`` for the top
+    ``top_n`` (ties → id asc).
+
+    Scale: corpus term stats are one token-keyed aggregate; candidates ×
+    |q| rows via a broadcast literal array — no cartesian, no Python."""
+    q0 = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(tokens(text_col)).alias("__term"),
+    )
+    corpus = toks.agg(F.count(F.lit(1)).alias("__c_len")).collect()[0]
+    c_len = int(corpus["__c_len"])
+    ctf = (
+        toks.filter(F.col("__term").isin(q0))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__ctf"))
+    )
+    tf = (
+        toks.filter(F.col("__term").isin(q0))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    cand = tf.select(id_col, "__dl").distinct()
+    pairs = cand.select(
+        id_col,
+        "__dl",
+        F.explode(F.array(*[F.lit(t) for t in q0])).alias("__term"),
+    )
+    g = (
+        pairs.join(tf, [id_col, "__dl", "__term"], "left")
+        .join(F.broadcast(ctf), "__term")
+        .select(
+            F.col(id_col),
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("__tf"), F.lit(0))
+                        + F.lit(mu) * (F.col("__ctf") / F.lit(c_len))
+                    )
+                    / (F.col("__dl") + F.lit(mu))
+                )
+                * F.lit(grid)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__g"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        g.groupBy(id_col)
+        .agg(F.sum("__g").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
     )

@@ -12,7 +12,7 @@ plan stays embarrassingly parallel (no shuffle), so it scales linearly to
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -331,4 +331,82 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_syll.alias("n_syllables"),
         snap(flesch).alias("flesch_score"),
         snap(fk_grade).alias("fk_grade"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/duplication risk
+    signal (cf. Lee et al. '22 dedup analysis): of a doc's DISTINCT
+    positional n-grams, how many appear in NO other document (corpus
+    document-frequency 1). Returns ``(id, n_grams, n_novel)``; the
+    novelty ratio is n_novel/n_grams. Docs shorter than ``n`` tokens
+    contribute their single truncated gram (mirrors the slice clip).
+
+    Scale: explode → distinct per doc → one gram-keyed df aggregate →
+    one doc-keyed rollup; grams hash-shuffle once, nothing quadratic."""
+    t = tokens(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                )
+            )
+        ).alias("gram"),
+    ).filter(F.col("gram") != "")
+    df_g = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df_g, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary (count desc, token asc tiebreak) —
+    the tokenizer-coverage proxy a data pipeline tracks per source.
+    Returns ``(id, n_tokens, n_oov)`` counting WITH multiplicity.
+
+    Scale: one token aggregate for the vocab (broadcast back), one
+    token-keyed left join + doc rollup."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
     )

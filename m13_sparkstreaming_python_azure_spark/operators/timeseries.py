@@ -625,3 +625,64 @@ def holt_winters_forecast(
         )
 
     return df.groupBy(key_col).applyInPandas(_hw, schema=out_schema)
+
+
+def ccf_lags(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two integer daily series
+    ``(day, y)`` at lags −max_lag..+max_lag: positive lag k means B leads
+    A by k positions (corr of A(t) with B(t−k)). Lead/lag detection
+    between two event streams — which metric moves first.
+
+    Exact-integer construction (the ACF trick, two-series form): each
+    series centers as ``z = N·y − S`` over the ALIGNED positions present
+    in both series; numerators Σ z_a(t)·z_b(t−k) and the full-series
+    denominators Σz_a²·Σz_b² are exact BIGINTs, so
+    ``ccf = num / sqrt(da·db)`` is a pure-IEEE expression — bit-equal
+    across engines with no grid. One row per day before the lag join."""
+    a = series_a.select(F.col("day").cast("long"), F.col("y").alias("ya"))
+    b = series_b.select(F.col("day").cast("long"), F.col("y").alias("yb"))
+    j = a.join(b, "day")  # aligned days only — one N for both series
+    w_all = Window.partitionBy()
+    z = j.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("idx"),
+        (
+            F.count(F.lit(1)).over(w_all) * F.col("ya")
+            - F.sum("ya").over(w_all)
+        ).alias("za"),
+        (
+            F.count(F.lit(1)).over(w_all) * F.col("yb")
+            - F.sum("yb").over(w_all)
+        ).alias("zb"),
+    )
+    den = z.agg(
+        F.sum(F.col("za") * F.col("za")).alias("da"),
+        F.sum(F.col("zb") * F.col("zb")).alias("db"),
+    )
+    lags = z.select(
+        "idx",
+        "za",
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+    )
+    num = (
+        lags.join(
+            z.select(F.col("idx").alias("jdx"), "zb"),
+            lags["idx"] - lags["lag"] == F.col("jdx"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("za") * F.col("zb")).alias("num"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        (
+            F.col("num")
+            / F.sqrt(
+                F.col("da").cast("double") * F.col("db").cast("double")
+            )
+        ).alias("ccf"),
+    )

@@ -616,6 +616,408 @@ _MAJORITY_VOTE_SQL = """
     FROM r2 WHERE rn = 1
 """
 
+
+
+def q_bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + pseudo-relevance feedback (operators/retrieval
+    .bm25_prf_search, RM3-style): seed query ('hash', 'join') → top-10
+    feedback docs → 5 heaviest non-query expansion terms (exact counts) →
+    re-score with the expanded set → top-20. Grid-snapped contributions
+    make every stage integer-exact; the oracle replays both passes. One
+    tokenize pass serves both rounds; term stats broadcast."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        bm25_prf_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_prf_search(docs, ["hash", "join"])
+
+
+_BM25_PRF_SQL = """
+    WITH tokd AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ), tok AS MATERIALIZED (
+        SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tokd
+    ), stats AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(ts)) AS BIGINT) AS sum_dl
+        FROM tokd
+    ), seed AS (
+        SELECT unnest(['hash', 'join']) AS term
+    ), tf1 AS MATERIALIZED (
+        SELECT t.doc_id, t.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN seed q ON q.term = t.term
+        GROUP BY 1, 2, 3
+    ), df1 AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1
+    ), s1 AS MATERIALIZED (
+        SELECT tf1.doc_id,
+               sum(CAST(floor(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * (tf * CAST(2.2 AS DOUBLE))
+                   / (tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + (CAST(0.75 AS DOUBLE) * dl) / (sum_dl / n_docs)))
+                   * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS score
+        FROM tf1 JOIN df1 USING (term) CROSS JOIN stats
+        GROUP BY tf1.doc_id
+    ), fb AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM s1
+        ) WHERE rn <= 10
+    ), expansion AS MATERIALIZED (
+        SELECT term FROM (
+            SELECT t.term, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, t.term ASC)
+                       AS rn
+            FROM tok t JOIN fb USING (doc_id)
+            WHERE t.term NOT IN ('hash', 'join')
+            GROUP BY t.term
+        ) WHERE rn <= 5
+    ), terms2 AS MATERIALIZED (
+        SELECT term FROM seed UNION ALL SELECT term FROM expansion
+    ), tf2 AS MATERIALIZED (
+        SELECT t.doc_id, t.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN terms2 q ON q.term = t.term
+        GROUP BY 1, 2, 3
+    ), df2 AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1
+    ), s2 AS MATERIALIZED (
+        SELECT tf2.doc_id,
+               sum(CAST(floor(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+                   * (tf * CAST(2.2 AS DOUBLE))
+                   / (tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + (CAST(0.75 AS DOUBLE) * dl) / (sum_dl / n_docs)))
+                   * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS score
+        FROM tf2 JOIN df2 USING (term) CROSS JOIN stats
+        GROUP BY tf2.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM s2
+    ) WHERE rn <= 20
+"""
+
+
+def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing
+    (operators/retrieval.ql_dirichlet_scores, Zhai & Lafferty '01) for
+    ('hash', 'join', 'stream'), μ=2000: candidates matching ≥1 term score
+    over ALL query terms (tf=0 terms contribute background mass
+    μ·ctf/|C|), per-term lns grid-snapped → exact integer scores; top-20
+    with id tiebreak. Corpus stats are one token-keyed aggregate; no
+    cartesian."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        ql_dirichlet_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ql_dirichlet_scores(docs, ["hash", "join", "stream"])
+
+
+_QL_DIRICHLET_SQL = """
+    WITH tokd AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ), tok AS MATERIALIZED (
+        SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM tokd
+    ), clen AS (
+        SELECT CAST(count(*) AS BIGINT) AS c_len FROM tok
+    ), q AS (
+        SELECT unnest(['hash', 'join', 'stream']) AS term
+    ), ctf AS MATERIALIZED (
+        SELECT t.term, CAST(count(*) AS BIGINT) AS ctf
+        FROM tok t JOIN q ON q.term = t.term GROUP BY 1
+    ), tf AS MATERIALIZED (
+        SELECT t.doc_id, t.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok t JOIN q ON q.term = t.term GROUP BY 1, 2, 3
+    ), cand AS (
+        SELECT DISTINCT doc_id, dl FROM tf
+    ), pairs AS (
+        SELECT c.doc_id, c.dl, q.term FROM cand c CROSS JOIN q
+    ), scored AS (
+        SELECT p.doc_id,
+               sum(CAST(floor(
+                   ln((coalesce(tf.tf, 0) + 2000 * (ctf.ctf / c.c_len))
+                      / (p.dl + 2000))
+                   * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS score
+        FROM pairs p
+        LEFT JOIN tf ON tf.doc_id = p.doc_id AND tf.term = p.term
+        JOIN ctf ON ctf.term = p.term
+        CROSS JOIN clen c
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+"""
+
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators/text.ngram_novelty): of a
+    doc's distinct positional 8-grams, how many occur in no other doc —
+    the memorization/duplication-risk signal (Lee et al. '22). One
+    gram-keyed shuffle + one doc rollup; nothing quadratic."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_novelty(docs, n=8)
+
+
+_NGRAM_NOVELTY_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 7, 1) + 1),
+                       i -> array_to_string(t[i:i+7], ' ')
+                   )) AS gram
+            FROM toks
+        ) WHERE gram <> ''
+    ), dfg AS (
+        SELECT gram, count(*) AS df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM grams g JOIN dfg d USING (gram)
+    GROUP BY g.doc_id
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc (operators/text.oov_rate) against
+    the corpus's own top-1000 token vocabulary — tokenizer-coverage
+    tracking per document. Vocab is one broadcast aggregate; OOV counting
+    is a token-keyed left join."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return oov_rate(docs, vocab_size=1000)
+
+
+_OOV_RATE_SQL = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS cnt,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       AS rn
+            FROM tok GROUP BY token
+        ) WHERE rn <= 1000
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+"""
+
+
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (operators/dedup
+    .fuzzy_contamination_pairs): benchmark = every %97 doc; the corpus is
+    the remaining docs PLUS planted leaks — each benchmark doc re-entering
+    truncated to its first 4/5 tokens under id+200000 (paraphrase-ish
+    leakage that exact n-gram matching underweights). MinHash-LSH
+    (md5-derived, 16×4) candidates verify by exact shingle Jaccard ≥ 0.5;
+    the planted leaks must surface. Banded equi-join only — never
+    corpus × benchmark."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        fuzzy_contamination_pairs,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    t = tokens("text")
+    planted = bench.filter(F.size(t) >= 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(t, 1, ((F.size(t) * 4) / 5).cast("int"))
+        ).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(planted)
+    return fuzzy_contamination_pairs(corpus, bench)
+
+
+_FUZZY_DECONTAM_SQL = """
+    WITH toksrc AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), bench AS (
+        SELECT doc_id, t FROM toksrc WHERE doc_id % 97 = 0
+    ), corpus AS (
+        SELECT doc_id, t FROM toksrc WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 200000, t[1:(len(t) * 4) // 5]
+        FROM bench WHERE len(t) >= 5
+    ), cg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )) AS gram
+            FROM corpus WHERE len(t) > 0
+        )
+    ), bg AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')
+                   )) AS gram
+            FROM bench WHERE len(t) > 0
+        )
+    ), hi AS (SELECT unnest(range(0, 16)) AS i),
+    cmh AS MATERIALIZED (
+        SELECT g.doc_id, hi.i,
+               min(('0x' || substring(
+                   md5(CAST(hi.i AS VARCHAR) || ':' || g.gram), 1, 15
+               ))::BIGINT) AS h
+        FROM cg g CROSS JOIN hi GROUP BY g.doc_id, hi.i
+    ), bmh AS MATERIALIZED (
+        SELECT g.doc_id, hi.i,
+               min(('0x' || substring(
+                   md5(CAST(hi.i AS VARCHAR) || ':' || g.gram), 1, 15
+               ))::BIGINT) AS h
+        FROM bg g CROSS JOIN hi GROUP BY g.doc_id, hi.i
+    ), cbnd AS MATERIALIZED (
+        SELECT doc_id, substring(md5(
+                   CAST(i // 4 AS VARCHAR) || ',' ||
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)
+               ), 1, 16) AS bkt
+        FROM cmh GROUP BY doc_id, i // 4
+    ), bbnd AS MATERIALIZED (
+        SELECT doc_id, substring(md5(
+                   CAST(i // 4 AS VARCHAR) || ',' ||
+                   string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)
+               ), 1, 16) AS bkt
+        FROM bmh GROUP BY doc_id, i // 4
+    ), cand AS (
+        SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid
+        FROM cbnd c JOIN bbnd b USING (bkt)
+    ), sizes_c AS (
+        SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id
+    ), sizes_b AS (
+        SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id
+    ), inter AS (
+        SELECT c.cid, c.bid, count(*) AS ni
+        FROM cand c
+        JOIN cg ON cg.doc_id = c.cid
+        JOIN bg ON bg.doc_id = c.bid AND bg.gram = cg.gram
+        GROUP BY c.cid, c.bid
+    )
+    SELECT i.cid AS corpus_id, i.bid AS bench_id,
+           CAST(i.ni AS DOUBLE) / (sc.n + sb.n - i.ni) AS jaccard
+    FROM inter i
+    JOIN sizes_c sc ON sc.doc_id = i.cid
+    JOIN sizes_b sb ON sb.doc_id = i.bid
+    WHERE CAST(i.ni AS DOUBLE) / (sc.n + sb.n - i.ni)
+          >= CAST(0.5 AS DOUBLE)
+"""
+
+
+def q_ccf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (operators/timeseries.ccf_lags) between
+    the daily click and purchase count series at lags −7..7 — lead/lag
+    detection between two event streams. The ACF exact-integer centering
+    trick in two-series form: numerators and denominators are exact
+    BIGINTs, the final ratio is division + sqrt (both IEEE-exact), so the
+    doubles hash-match with no grid. One row per day before the lag
+    join."""
+    from m13_sparkstreaming_python_azure_spark.operators.timeseries import (
+        ccf_lags,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("long")
+        .alias("day")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return ccf_lags(clicks, purchases, max_lag=7)
+
+
+_CCF_LAG_SQL = """
+    WITH a AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS ya
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), b AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS yb
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), j AS (
+        SELECT a.day, ya, yb FROM a JOIN b USING (day)
+    ), z AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+               CAST(count(*) OVER () * ya - sum(ya) OVER () AS BIGINT) AS za,
+               CAST(count(*) OVER () * yb - sum(yb) OVER () AS BIGINT) AS zb
+        FROM j
+    ), den AS (
+        SELECT CAST(sum(za * za) AS BIGINT) AS da,
+               CAST(sum(zb * zb) AS BIGINT) AS db
+        FROM z
+    ), lags AS (
+        SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag
+    ), num AS (
+        SELECT l.lag, CAST(sum(x.za * y.zb) AS BIGINT) AS num
+        FROM z x
+        CROSS JOIN lags l
+        JOIN z y ON x.idx - l.lag = y.idx
+        GROUP BY l.lag
+    )
+    SELECT lag,
+           num / sqrt(CAST(da AS DOUBLE) * CAST(db AS DOUBLE)) AS ccf
+    FROM num CROSS JOIN den
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -624,6 +1026,12 @@ R6_QUERIES = {
     "hits_scores": q_hits_scores,
     "info_gain_features": q_info_gain_features,
     "majority_vote_labels": q_majority_vote_labels,
+    "bm25_prf_search": q_bm25_prf_search,
+    "ql_dirichlet_search": q_ql_dirichlet_search,
+    "ngram_novelty": q_ngram_novelty,
+    "oov_rate": q_oov_rate,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
+    "ccf_lag": q_ccf_lag,
 }
 
 R6_ORACLES = {
@@ -634,4 +1042,10 @@ R6_ORACLES = {
     "hits_scores": _hits_oracle_sql(6),
     "info_gain_features": _INFO_GAIN_SQL,
     "majority_vote_labels": _MAJORITY_VOTE_SQL,
+    "bm25_prf_search": _BM25_PRF_SQL,
+    "ql_dirichlet_search": _QL_DIRICHLET_SQL,
+    "ngram_novelty": _NGRAM_NOVELTY_SQL,
+    "oov_rate": _OOV_RATE_SQL,
+    "fuzzy_decontamination": _FUZZY_DECONTAM_SQL,
+    "ccf_lag": _CCF_LAG_SQL,
 }

@@ -633,9 +633,10 @@ def ccf_lags(
     max_lag: int = 7,
 ) -> DataFrame:
     """Cross-correlation function between two integer daily series
-    ``(day, y)`` at lags −max_lag..+max_lag: positive lag k means B leads
-    A by k positions (corr of A(t) with B(t−k)). Lead/lag detection
-    between two event streams — which metric moves first.
+    ``(day, y)`` at lags −max_lag..+max_lag: CCF(k) correlates A(t) with
+    B(t−k), so a peak at POSITIVE k means B's series shows A's pattern k
+    positions earlier — B leads A by k. Lead/lag detection between two
+    event streams — which metric moves first.
 
     Exact-integer construction (the ACF trick, two-series form): each
     series centers as ``z = N·y − S`` over the ALIGNED positions present

@@ -1018,6 +1018,221 @@ _CCF_LAG_SQL = """
     FROM num CROSS JOIN den
 """
 
+
+
+_QR_ITERS = 3
+_QR_TAU = 0.9
+_QR_DELTA = 100.0
+
+
+def q_quantile_regression_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (pinball, τ=0.9) regression of price on quantity via
+    IRLS — completes the fit family (OLS / Huber / LAD=τ0.5 in
+    science_ext): asymmetric weights w = (r≥0 ? τ : 1−τ)/max(|r|, δ)
+    re-solve the SAME weighted sufficient-statistics system as LAD
+    (queries/science_ext.q_lad_regression), 3 unrolled iterations from
+    the OLS start. Every weighted product snaps to a 1e-6 BIGINT grid
+    pre-sum (fold-order immune); the oracle unrolls identical chained
+    CTEs. Output adds the mean pinball loss (1e-2-grid pre-sum) — the
+    objective the τ-quantile fit minimizes."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope0 = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = stats.select(
+        slope0.alias("b"),
+        ((F.col("sy") - slope0 * F.col("sx")) / F.col("n")).alias("a"),
+    )
+
+    def _q6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
+
+    def _snap6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    tau, delta = F.lit(_QR_TAU), F.lit(_QR_DELTA)
+    for _ in range(_QR_ITERS):
+        scored = li.crossJoin(F.broadcast(fit))
+        r = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+        w = F.when(r >= 0, tau).otherwise(F.lit(1.0) - tau) / F.greatest(
+            F.abs(r), delta
+        )
+        agg = scored.agg(
+            F.sum(_q6(w)).alias("qw"),
+            F.sum(_q6(w * F.col("x"))).alias("qwx"),
+            F.sum(_q6(w * F.col("y"))).alias("qwy"),
+            F.sum(_q6(w * F.col("x") * F.col("y"))).alias("qwxy"),
+            F.sum(_q6(w * F.col("x") * F.col("x"))).alias("qwxx"),
+        )
+        sw = F.col("qw") / 1e6
+        swx = F.col("qwx") / 1e6
+        swy = F.col("qwy") / 1e6
+        swxy = F.col("qwxy") / 1e6
+        swxx = F.col("qwxx") / 1e6
+        b = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+        fit = agg.select(
+            b.alias("b"), ((swy - b * swx) / sw).alias("a")
+        )
+    final = li.crossJoin(F.broadcast(fit))
+    r = F.col("y") - (F.col("a") + F.col("b") * F.col("x"))
+    pinball = F.when(r >= 0, tau * r).otherwise((tau - F.lit(1.0)) * r)
+    q2 = F.floor(pinball * 1e2 + F.lit(0.5)).cast("long")
+    return final.agg(
+        F.count(F.lit(1)).alias("n"),
+        _snap6(F.first("b")).alias("slope"),
+        _snap6(F.first("a")).alias("intercept"),
+        _snap6(F.sum(q2) / 1e2 / F.count(F.lit(1))).alias(
+            "mean_pinball"
+        ),
+    )
+
+
+def _qr_sql() -> str:
+    d = "CAST(100.0 AS DOUBLE)"
+    sql = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM li
+    ), fit_0 AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS b,
+               (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) * sx) / n AS a
+        FROM stats
+    )"""
+    wexpr = (
+        "(CASE WHEN (y - (f.a + f.b * x)) >= 0 THEN CAST(0.9 AS DOUBLE)"
+        " ELSE CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE) END)"
+        " / greatest(abs(y - (f.a + f.b * x)), {d})".format(d=d)
+    )
+
+    def q6(expr: str) -> str:
+        return (
+            "CAST(sum(CAST(floor(({e}) * 1e6 + CAST(0.5 AS DOUBLE))"
+            " AS BIGINT)) AS BIGINT)".format(e=expr)
+        )
+
+    for k in range(1, _QR_ITERS + 1):
+        sql += f""", sc_{k} AS (
+        SELECT {q6(wexpr)} AS qw,
+               {q6(wexpr + " * x")} AS qwx,
+               {q6(wexpr + " * y")} AS qwy,
+               {q6(wexpr + " * x * y")} AS qwxy,
+               {q6(wexpr + " * x * x")} AS qwxx
+        FROM li CROSS JOIN fit_{k - 1} f
+    ), fit_{k} AS (
+        SELECT ((s.qw / 1e6) * (s.qwxy / 1e6)
+                - (s.qwx / 1e6) * (s.qwy / 1e6))
+               / ((s.qw / 1e6) * (s.qwxx / 1e6)
+                  - (s.qwx / 1e6) * (s.qwx / 1e6)) AS b,
+               ((s.qwy / 1e6)
+                - ((s.qw / 1e6) * (s.qwxy / 1e6)
+                   - (s.qwx / 1e6) * (s.qwy / 1e6))
+                  / ((s.qw / 1e6) * (s.qwxx / 1e6)
+                     - (s.qwx / 1e6) * (s.qwx / 1e6))
+                  * (s.qwx / 1e6)) / (s.qw / 1e6) AS a
+        FROM sc_{k} s CROSS JOIN fit_{k - 1} f
+    )"""
+    sql += f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           floor(f.b * 1e6 + 0.5) / 1e6 AS slope,
+           floor(f.a * 1e6 + 0.5) / 1e6 AS intercept,
+           floor((CAST(sum(CAST(floor(
+                       (CASE WHEN (y - (f.a + f.b * x)) >= 0
+                             THEN CAST(0.9 AS DOUBLE) * (y - (f.a + f.b * x))
+                             ELSE (CAST(0.9 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                                  * (y - (f.a + f.b * x)) END) * 1e2
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                  / 1e2 / count(*)) * 1e6 + 0.5) / 1e6 AS mean_pinball
+    FROM li CROSS JOIN fit_{_QR_ITERS} f
+    GROUP BY f.a, f.b
+"""
+    return sql
+
+
+
+def q_partitioned_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned snapshot with manifest-level partition pruning
+    (sources/snapshots.write_snapshot_partitioned /
+    read_snapshot_partitions / replace_partition — the Delta/Iceberg
+    metadata-pruning primitive): orders land partitioned by status, the
+    'O' partition is atomically recomputed at 90% price
+    (INSERT OVERWRITE PARTITION parity; out-of-partition rows rejected),
+    then a PRUNED read of {'O','F'} plans only those partitions' files —
+    at 100 TB this is the difference between scanning 2 partitions and
+    scanning the table. The oracle states the final slice directly."""
+    import os
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot_partitions,
+        replace_partition,
+        write_snapshot_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="partsnap-")
+    table = os.path.join(root, "t")
+    write_snapshot_partitioned(orders, table, "o_orderstatus")
+    repriced = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor((F.col("cents") * 9) / 10).cast("long").alias("cents"),
+    )
+    replace_partition(repriced, table, "O")
+    return (
+        read_snapshot_partitions(spark, table, ["O", "F"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+_PARTITIONED_SNAPSHOT_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT o_orderstatus, cents FROM base
+        WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderstatus, (cents * 9) // 10 FROM base
+        WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderstatus
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1032,6 +1247,8 @@ R6_QUERIES = {
     "oov_rate": q_oov_rate,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "ccf_lag": q_ccf_lag,
+    "quantile_regression_p90": q_quantile_regression_p90,
+    "partitioned_snapshot_prune": q_partitioned_snapshot_prune,
 }
 
 R6_ORACLES = {
@@ -1048,4 +1265,6 @@ R6_ORACLES = {
     "oov_rate": _OOV_RATE_SQL,
     "fuzzy_decontamination": _FUZZY_DECONTAM_SQL,
     "ccf_lag": _CCF_LAG_SQL,
+    "quantile_regression_p90": _qr_sql(),
+    "partitioned_snapshot_prune": _PARTITIONED_SNAPSHOT_SQL,
 }

@@ -146,6 +146,14 @@ def _commit(
                 "constraints"
             ):
                 manifest["constraints"] = prev_m["constraints"]
+            # partition layout metadata persists the same way; layout-
+            # rewriting ops must clear/replace it explicitly
+            if "partition_col" not in (extra or {}) and prev_m.get(
+                "partition_col"
+            ):
+                manifest["partition_col"] = prev_m["partition_col"]
+                if "partitions" not in (extra or {}):
+                    manifest["partitions"] = prev_m.get("partitions", {})
         if extra:
             manifest.update(extra)
         try:
@@ -196,7 +204,15 @@ def write_snapshot(
         table_dir,
         files,
         n,
-        {"op": "overwrite", "dv_files": [], **(extra or {})},
+        {
+            "op": "overwrite",
+            "dv_files": [],
+            # a plain overwrite writes UNPARTITIONED files — clear any
+            # previous partition layout rather than inheriting a lie
+            "partition_col": None,
+            "partitions": {},
+            **(extra or {}),
+        },
     )
 
 
@@ -257,6 +273,10 @@ def read_snapshot(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    if m.get("partition_col"):
+        reader = reader.option(
+            "basePath", os.path.join(table_dir, "data")
+        )
     return _apply_deletion_vectors(spark, reader.parquet(*m["files"]), m)
 
 
@@ -268,6 +288,12 @@ def compact_snapshot(
     time travel are unaffected (files are only ever added, never mutated;
     a vacuum step for expired versions is deliberately separate)."""
     m = read_manifest(table_dir)
+    if m.get("partition_col"):
+        raise ValueError(
+            "compact_snapshot rewrites files without the hive layout — "
+            "compact a partitioned snapshot per partition via "
+            "replace_partition"
+        )
     fs = fs_for(table_dir)
     size = sum(fs.getsize(f) for f in m["files"])
     n_files = max(1, -(-size // target_file_bytes))
@@ -339,6 +365,11 @@ def merge_snapshot(
     )
 
     m = read_manifest(table_dir)
+    if m.get("partition_col"):
+        raise ValueError(
+            "merge_snapshot rewrites files without the hive layout — "
+            "merge into a partitioned snapshot per partition"
+        )
     target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_upsert(target, source, keys)
     _validate_constraints(merged, m, table_dir)
@@ -372,6 +403,11 @@ def merge_into_snapshot(
     )
 
     m = read_manifest(table_dir)
+    if m.get("partition_col"):
+        raise ValueError(
+            "merge_into_snapshot rewrites files without the hive layout — "
+            "merge into a partitioned snapshot per partition"
+        )
     target = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     merged = merge_into(target, source, keys, clauses)
     _validate_constraints(merged, m, table_dir)
@@ -480,6 +516,12 @@ def replace_where(
     manifest operation on the old slice plus the new files' write."""
     spark = df.sparkSession
     _m0 = read_manifest(table_dir)
+    if _m0.get("partition_col"):
+        raise ValueError(
+            "replace_where on a partitioned snapshot: use "
+            "replace_partition (partition-grain replace preserves the "
+            "hive layout)"
+        )
     if _m0.get("dv_files"):
         # per-file hit classification below counts soft-deleted rows and
         # would misclassify files / overstate rows — materialize first
@@ -1468,6 +1510,11 @@ def compact_snapshot_zorder(
     readers) still see the original files: this is a compaction commit
     like any other, snapshot-isolated and time-travelable."""
     m = read_manifest(table_dir)
+    if m.get("partition_col"):
+        raise ValueError(
+            "compact_snapshot_zorder rewrites files without the hive "
+            "layout — Z-ORDER a partitioned snapshot per partition"
+        )
     cur = _apply_deletion_vectors(spark, spark.read.parquet(*m["files"]), m)
     zdf = (
         cur.withColumn("__z", zkey)
@@ -1612,6 +1659,12 @@ def purge_deletes(spark: SparkSession, table_dir: str) -> int:
     dv_paths = m.get("dv_files") or []
     if not dv_paths:
         return m["version"]
+    if m.get("partition_col"):
+        raise ValueError(
+            "purge_deletes rewrites files without the hive layout — on a "
+            "partitioned snapshot, re-materialize via replace_partition "
+            "of the affected partitions (reads apply DVs either way)"
+        )
     dv = spark.read.parquet(*dv_paths)
     affected = {
         r["__dv_file"] for r in dv.select("__dv_file").distinct().collect()
@@ -1713,3 +1766,196 @@ def _validate_constraints(df: DataFrame, manifest: dict, table_dir: str):
     bad = {k: v for k, v in counts.items() if v}
     if bad:
         raise ConstraintViolation(table_dir, bad)
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned snapshots: manifest-level partition pruning
+# ---------------------------------------------------------------------------
+#
+# Partition pruning is THE primitive that keeps a 100 TB scan from reading
+# 100 TB: files land under ``data/<col>=<value>/`` and the manifest records
+# each file's partition value, so a partition-filtered read resolves to a
+# file-list subset BEFORE Spark plans anything (the same listing-free
+# partition pruning Delta/Iceberg do from their metadata). Reads pass
+# ``basePath`` so Spark reconstructs the partition column from the path.
+
+
+def _write_partitioned_files(
+    df: DataFrame, table_dir: str, part_col: str
+) -> dict[str, str]:
+    """Write df hive-partitioned under data/<part_col>=<value>/; returns
+    {file_path: partition_value_string}."""
+    fs = fs_for(table_dir)
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    out: dict[str, str] = {}
+    for sub in fs.listdir(staging):
+        if not sub.startswith(f"{part_col}="):
+            continue
+        value = sub.split("=", 1)[1]
+        dst_dir = os.path.join(table_dir, "data", sub)
+        fs.makedirs(dst_dir)
+        for name in fs.listdir(os.path.join(staging, sub)):
+            if name.endswith(".parquet"):
+                dst = os.path.join(
+                    dst_dir, f"{uuid.uuid4().hex[:8]}-{name}"
+                )
+                fs.rename(os.path.join(staging, sub, name), dst)
+                out[dst] = value
+    fs.rmtree(staging)
+    return out
+
+
+def write_snapshot_partitioned(
+    df: DataFrame, table_dir: str, part_col: str
+) -> int:
+    """Create (or fully replace) a hive-partitioned snapshot. The
+    manifest records ``partition_col`` and per-file partition values, so
+    ``read_snapshot_partitions`` prunes at the manifest — no directory
+    listing, no footer reads for skipped partitions."""
+    fs_for(table_dir).makedirs(_manifest_dir(table_dir))
+    parts = _write_partitioned_files(df, table_dir, part_col)
+    spark = df.sparkSession
+    files = sorted(parts)
+    n = df.sparkSession.read.parquet(*files).count() if files else 0
+    return _commit(
+        table_dir,
+        files,
+        n,
+        {
+            "op": "overwrite",
+            "dv_files": [],
+            "partition_col": part_col,
+            "partitions": parts,
+        },
+    )
+
+
+def append_snapshot_partitioned(
+    df: DataFrame, table_dir: str, extra: dict | None = None
+) -> int:
+    """Append to a partitioned snapshot, preserving the hive layout and
+    extending the manifest's per-file partition map (CHECK constraints
+    validate first, like every append)."""
+    m = read_manifest(table_dir)
+    part_col = m.get("partition_col")
+    if not part_col:
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    _validate_constraints(df, m, table_dir)
+    parts = _write_partitioned_files(df, table_dir, part_col)
+    spark = df.sparkSession
+    n_new = spark.read.parquet(*sorted(parts)).count() if parts else 0
+    while True:
+        prev = read_manifest(table_dir)
+        try:
+            return _commit(
+                table_dir,
+                prev["files"] + sorted(parts),
+                prev["rows"] + n_new,
+                {
+                    "op": "append",
+                    "partitions": {**prev.get("partitions", {}), **parts},
+                    **(extra or {}),
+                },
+                base_version=prev["version"],
+            )
+        except CommitConflict:
+            continue
+
+
+def prune_files_partitions(manifest: dict, values: list) -> list[str]:
+    """Manifest-level partition pruning: the file subset whose partition
+    value is in ``values`` (stringified — hive dir names are strings)."""
+    wanted = {str(v) for v in values}
+    pm = manifest.get("partitions", {})
+    return [f for f in manifest["files"] if pm.get(f) in wanted]
+
+
+def read_snapshot_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned read: only the manifest files for ``values`` are
+    planned (``basePath`` reconstructs the partition column). Equals
+    ``read_snapshot(...).filter(col.isin(values))`` — pruning is free,
+    correctness doesn't depend on it. Deletion vectors apply as on any
+    read."""
+    m = read_manifest(table_dir, version)
+    part_col = m.get("partition_col")
+    if not part_col:
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    files = prune_files_partitions(m, values)
+    base = os.path.join(table_dir, "data")
+    if not files:
+        return (
+            spark.read.option("basePath", base)
+            .parquet(*m["files"])
+            .filter(F.lit(False))
+        )
+    df = spark.read.option("basePath", base).parquet(*files)
+    return _apply_deletion_vectors(spark, df, m)
+
+
+def read_snapshot_partitioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Full read of a partitioned snapshot (partition column included)."""
+    m = read_manifest(table_dir, version)
+    if not m.get("partition_col"):
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    df = spark.read.option(
+        "basePath", os.path.join(table_dir, "data")
+    ).parquet(*m["files"])
+    return _apply_deletion_vectors(spark, df, m)
+
+
+def replace_partition(df: DataFrame, table_dir: str, value) -> int:
+    """Atomically replace ONE partition's content (the ``INSERT
+    OVERWRITE PARTITION`` / replaceWhere-on-partition idiom — recompute
+    day X without touching the rest): files of ``value`` drop from the
+    manifest (still referenced by old versions — time travel holds), the
+    new rows land under the partition dir, everything else carries over
+    by reference. Inserted rows must all belong to ``value`` — validated
+    before commit. CHECK constraints validate like every write."""
+    m = read_manifest(table_dir)
+    part_col = m.get("partition_col")
+    if not part_col:
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    if m.get("dv_files"):
+        raise ValueError(
+            "replace_partition on a table with deletion vectors: run "
+            "purge_deletes(...) first"
+        )
+    _validate_constraints(df, m, table_dir)
+    spark = df.sparkSession
+    n_bad = df.filter(
+        f"(CAST({part_col} AS STRING) = '{value}') IS NOT TRUE"
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"replace_partition: {n_bad} row(s) outside partition "
+            f"{part_col}={value}"
+        )
+    old_pm = m.get("partitions", {})
+    dropped = [f for f in m["files"] if old_pm.get(f) == str(value)]
+    n_dropped = (
+        spark.read.parquet(*dropped).count() if dropped else 0
+    )
+    kept = [f for f in m["files"] if old_pm.get(f) != str(value)]
+    parts = _write_partitioned_files(df, table_dir, part_col)
+    n_new = spark.read.parquet(*sorted(parts)).count() if parts else 0
+    return _commit(
+        table_dir,
+        kept + sorted(parts),
+        m["rows"] - n_dropped + n_new,
+        {
+            "op": "replace_partition",
+            "partitions": {
+                **{f: v for f, v in old_pm.items() if f in set(kept)},
+                **parts,
+            },
+        },
+        base_version=m["version"],
+    )

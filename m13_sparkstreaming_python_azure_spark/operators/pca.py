@@ -197,3 +197,65 @@ def pca_project(
     ]
     schema = ", ".join(out_fields + [f"{out_col} array<double>"])
     return df.select(*cols).mapInPandas(fn, schema=schema)
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dims: int = 16,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with md5-derived ±1 signs
+    (Achlioptas '01 database-friendly variant, sign matrix s_ij =
+    parity of md5(i ',' j)) — the cheap, data-independent companion to
+    PCA for embedding dimension reduction: distances are preserved
+    within (1±ε) w.h.p., no training pass, and the projection of a new
+    vector never changes (critical for incremental pipelines — PCA
+    axes drift with data, JL signs don't).
+
+    Returns ``(id, dim, proj_g)``: each output coordinate as an exact
+    BIGINT grid sum (every signed element snaps pre-sum, so the result
+    is fold-order independent and the oracle reproduces it bit-for-bit;
+    /grid for the float value). Scale: explode to |vec|·d·k rows, one
+    (id, dim) aggregate — embarrassingly parallel, no Python, the sign
+    matrix is an expression, never materialized."""
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__e"),
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).alias("__j"),  # 1-based, mirrors SQL subscripts
+        F.col("__e").cast("double").alias("__v"),
+    )
+    pairs = ex.select(
+        id_col,
+        "__j",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dims - 1))).alias("dim"),
+    )
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("dim").cast("string"),
+                        F.lit(","),
+                        F.col("__j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    signed = F.when(parity == 0, F.col("__v")).otherwise(-F.col("__v"))
+    g = F.floor(signed * F.lit(grid) + F.lit(0.5)).cast("long")
+    return (
+        pairs.select(id_col, "dim", g.alias("__g"))
+        .groupBy(id_col, "dim")
+        .agg(F.sum("__g").alias("proj_g"))
+    )

@@ -80,6 +80,7 @@ _STREAMING_GATES = [
     "streaming_dim_refresh",
     "streaming_semi_join",
     "streaming_cdc_upsert",
+    "streaming_expectations",
 ]
 
 _ALL_QUERIES = {

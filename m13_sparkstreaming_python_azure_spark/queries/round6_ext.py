@@ -1233,6 +1233,176 @@ _PARTITIONED_SNAPSHOT_SQL = """
     FROM final GROUP BY o_orderstatus
 """
 
+
+
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations with quarantine (streaming/pipeline
+    .expectations_batch_router — Delta Live Tables expect_or_drop
+    parity): events with planted violations (negative value every %13
+    id, unknown type every %17, NULL value every %19) replay as two
+    chunks; each micro-batch routes passing rows to the main snapshot
+    table and failing rows — tagged with the sorted names of every
+    constraint they failed — to a quarantine table. Good data keeps
+    flowing; the quarantine preserves evidence. Output: per-segment
+    row counts and cent sums across both tables; the oracle states the
+    routing directly."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_snapshot,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.pipeline import (
+        expectations_batch_router,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit("bogus"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(
+            F.col("event_id") % 19 == 0, F.lit(None).cast("double")
+        )
+        .when(
+            F.col("event_id") % 13 == 0, -F.abs(F.col("value")) - F.lit(1.0)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    constraints = {
+        "value_nonneg": "value >= 0",
+        "type_known": (
+            "event_type IN ('click', 'view', 'purchase', 'signup', 'error')"
+        ),
+    }
+    root = tempfile.mkdtemp(prefix="expect-")
+    land, ck, main, quar = (
+        os.path.join(root, d) for d in ("land", "ck", "main", "quar")
+    )
+    router = expectations_batch_router(constraints, main, quar)
+    chunks = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(
+        spark, land, "event_id long, event_type string, value double"
+    )
+    q = (
+        stream.writeStream.foreachBatch(router)
+        .option("checkpointLocation", ck)
+        .queryName(f"expect_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.processAllAvailable()
+    publish_chunk(chunks[1], land)
+    q.processAllAvailable()
+    q.stop()
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    good = (
+        read_snapshot(spark, main)
+        .groupBy(
+            F.concat(F.lit("main:"), F.col("event_type")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("cents_sum"),
+        )
+    )
+    bad = (
+        read_snapshot(spark, quar)
+        .groupBy(F.concat(F.lit("q:"), F.col("failed")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).alias("cents_sum"),
+        )
+    )
+    return good.unionByName(bad)
+
+
+_STREAMING_EXPECTATIONS_SQL = """
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_id % 17 = 0 THEN 'bogus'
+                    ELSE event_type END AS event_type,
+               CASE WHEN event_id % 19 = 0 THEN NULL
+                    WHEN event_id % 13 = 0
+                        THEN -abs(value) - CAST(1.0 AS DOUBLE)
+                    ELSE value END AS value
+        FROM events
+    ), tagged AS (
+        SELECT *,
+               coalesce(array_to_string(list_filter([
+                   CASE WHEN (event_type IN ('click', 'view', 'purchase',
+                                             'signup', 'error')) IS TRUE
+                        THEN NULL ELSE 'type_known' END,
+                   CASE WHEN (value >= 0) IS TRUE
+                        THEN NULL ELSE 'value_nonneg' END
+               ], x -> x IS NOT NULL), ','), '') AS failed
+        FROM ev
+    )
+    SELECT 'main:' || event_type AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE))
+                         AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM tagged WHERE failed = '' GROUP BY event_type
+    UNION ALL
+    SELECT 'q:' || failed,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(value * 100 + CAST(0.5 AS DOUBLE))
+                         AS BIGINT)) AS BIGINT)
+    FROM tagged WHERE failed <> '' GROUP BY failed
+"""
+
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/pca
+    .random_projection): 64-dim embeddings down to 16 dims with
+    md5-derived ±1 signs — the data-independent reduction whose output
+    for a vector never drifts as the corpus grows (PCA axes do). Each
+    output coordinate is an exact grid sum the oracle reproduces
+    bit-for-bit. One explode + one (id, dim) aggregate."""
+    from m13_sparkstreaming_python_azure_spark.operators.pca import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return random_projection(emb, out_dims=16)
+
+
+_RANDOM_PROJECTION_SQL = """
+    WITH e AS (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings
+    ), dims AS (
+        SELECT unnest(range(0, 16)) AS i
+    ), g AS (
+        SELECT vec_id, dims.i AS dim,
+               CAST(floor(
+                   (CASE WHEN ('0x' || substring(
+                               md5(dims.i || ',' || e.j), 1, 8))::BIGINT
+                              % 2 = 0
+                         THEN e.v ELSE -e.v END) * 1000000
+                   + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t
+        FROM e CROSS JOIN dims
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(sum(t) AS BIGINT) AS proj_g
+    FROM g GROUP BY vec_id, dim
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1249,6 +1419,8 @@ R6_QUERIES = {
     "ccf_lag": q_ccf_lag,
     "quantile_regression_p90": q_quantile_regression_p90,
     "partitioned_snapshot_prune": q_partitioned_snapshot_prune,
+    "streaming_expectations": q_streaming_expectations,
+    "random_projection": q_random_projection,
 }
 
 R6_ORACLES = {
@@ -1267,4 +1439,6 @@ R6_ORACLES = {
     "ccf_lag": _CCF_LAG_SQL,
     "quantile_regression_p90": _qr_sql(),
     "partitioned_snapshot_prune": _PARTITIONED_SNAPSHOT_SQL,
+    "streaming_expectations": _STREAMING_EXPECTATIONS_SQL,
+    "random_projection": _RANDOM_PROJECTION_SQL,
 }

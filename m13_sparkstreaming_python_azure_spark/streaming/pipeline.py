@@ -339,3 +339,63 @@ def read_merged_counts(
         .groupBy(*group_cols)
         .agg(F.sum("n").alias("n"))
     )
+
+
+def expectations_batch_router(
+    constraints: dict[str, str], main_dir: str, quarantine_dir: str
+):
+    """Row-level streaming expectations (Delta Live Tables
+    ``expect_or_drop`` + quarantine parity): a foreachBatch callable that
+    evaluates every constraint per ROW in one projection, appends passing
+    rows to the main snapshot table and routes failing rows — tagged with
+    the comma-joined sorted names of the constraints they failed — to a
+    quarantine table. Unlike the table-level CHECK enforcement
+    (sources/snapshots.add_check_constraint, which rejects the whole
+    write), expectations degrade gracefully: good data keeps flowing and
+    the quarantine preserves the evidence.
+
+    NULL-evaluating constraints fail the row (same IS NOT TRUE rule as
+    CHECK). Both sinks commit through the snapshot layer — versioned and
+    atomic per batch. One projection per batch; no shuffle beyond the
+    writes; localCheckpoint pins the batch so the two sinks don't
+    recompute it."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        latest_version,
+        write_snapshot,
+    )
+
+    names = sorted(constraints)
+    failed_tag = F.concat_ws(
+        ",",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.expr(constraints[n]).eqNullSafe(F.lit(True)),
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.lit(n))
+                    for n in names
+                ]
+            )
+        ),
+    ).alias("failed")
+
+    def _sink(df, table_dir):
+        if latest_version(table_dir) is None:
+            write_snapshot(df, table_dir)
+        else:
+            append_snapshot(df, table_dir)
+
+    def _route(batch_df, batch_id):
+        tagged = batch_df.select("*", failed_tag).localCheckpoint(
+            eager=True
+        )
+        _sink(
+            tagged.filter(F.col("failed") == "").drop("failed"), main_dir
+        )
+        bad = tagged.filter(F.col("failed") != "")
+        if bad.limit(1).count():
+            _sink(bad, quarantine_dir)
+
+    return _route

@@ -1307,3 +1307,137 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "l2_dist", "rank")
     )
+
+
+def binary_quantize_words(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binary quantization of 64-dim embeddings into two BIGINT
+    words (32 bits each — a 63-bit shift would overflow the signed
+    packing): bit j of the vector is 1 iff v_j ≥ 0. 32× smaller than the
+    float vector; Hamming distance on the words approximates angular
+    distance (the binary-quantization / BitQ trade every vector store
+    offers). Pure integer packing — engine-bit-equal."""
+    bits = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("__j", "__v"),
+    ).select(
+        id_col,
+        (F.col("__j") / 32).cast("int").alias("__w"),
+        F.expr(
+            "shiftleft(CAST(CASE WHEN __v >= 0 THEN 1 ELSE 0 END"
+            " AS BIGINT), __j % 32)"
+        ).alias("__bit"),
+    )
+    return (
+        bits.groupBy(id_col, "__w")
+        .agg(F.sum("__bit").alias("__word"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("__w") == 0, F.col("__word"))).alias("w0"),
+            F.sum(F.when(F.col("__w") == 1, F.col("__word"))).alias("w1"),
+        )
+    )
+
+
+def binary_rerank_search(
+    emb: DataFrame,
+    probe_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 50,
+    top_k: int = 10,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Two-stage ANN: Hamming distance on sign-bit words prefilters
+    ``n_candidates`` per probe (exact integer popcounts, ties → id asc),
+    then EXACT cosine — per-element products snapped to a BIGINT grid
+    pre-sum, final ratio pure IEEE division+sqrt — reranks the top
+    ``top_k``. The standard binary-prefilter shape: the cheap integer
+    stage touches every vector, the float stage touches 50.
+
+    Returns (query_id, vec_id, hamming, cosine, rank). Scale: the words
+    table is 16 bytes/vector (broadcastable at billions); only
+    candidates' float vectors are ever read in stage 2."""
+    words = binary_quantize_words(emb, id_col, vec_col)
+    probes_w = words.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = (
+        words.crossJoin(F.broadcast(probes_w))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.bit_count(F.expr("w0 ^ q0"))
+                + F.bit_count(F.expr("w1 ^ q1"))
+            ).alias("hamming"),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        ham.withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= n_candidates)
+        .drop("__rn")
+    )
+    el = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("__j", "__v"),
+    ).select(id_col, "__j", F.col("__v").cast("double").alias("__v"))
+    norms = el.groupBy(id_col).agg(
+        F.sum(
+            F.floor(F.col("__v") * F.col("__v") * grid + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("norm_g")
+    )
+    qel = el.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__j"),
+        F.col("__v").alias("__qv"),
+    )
+    dots = (
+        cand.join(el, id_col)
+        .join(qel, ["query_id", "__j"])
+        .groupBy("query_id", id_col, "hamming")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("__v") * F.col("__qv") * grid + F.lit(0.5)
+                ).cast("long")
+            ).alias("dot_g")
+        )
+    )
+    qnorms = norms.select(
+        F.col(id_col).alias("query_id"), F.col("norm_g").alias("qn_g")
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "hamming",
+            (
+                F.col("dot_g")
+                / F.sqrt(
+                    F.col("norm_g").cast("double")
+                    * F.col("qn_g").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= top_k)
+    )

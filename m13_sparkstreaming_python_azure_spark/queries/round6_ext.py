@@ -1403,6 +1403,87 @@ _RANDOM_PROJECTION_SQL = """
     FROM g GROUP BY vec_id, dim
 """
 
+
+
+def q_binary_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN with exact rerank (operators/similarity
+    .binary_rerank_search): sign-bit vectors (two BIGINT words, 32×
+    smaller) prefilter 50 Hamming candidates per probe, exact grid-sum
+    cosine reranks the top 10 — the binary-prefilter shape every vector
+    store ships (BitQ). Popcounts are exact integers; cosine is a pure
+    IEEE ratio of grid sums, so the oracle reproduces ranks
+    bit-for-bit. Probes: vec_id < 10."""
+    from m13_sparkstreaming_python_azure_spark.operators.similarity import (
+        binary_rerank_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return binary_rerank_search(emb, list(range(10)))
+
+
+_BINARY_ANN_SQL = """
+    WITH el AS MATERIALIZED (
+        SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) - 1 AS j
+        FROM embeddings
+    ), words AS MATERIALIZED (
+        SELECT vec_id,
+               sum(CASE WHEN j < 32 AND v >= 0
+                        THEN (CAST(1 AS BIGINT) << (j % 32)) ELSE 0 END)
+                   AS w0,
+               sum(CASE WHEN j >= 32 AND v >= 0
+                        THEN (CAST(1 AS BIGINT) << (j % 32)) ELSE 0 END)
+                   AS w1
+        FROM el GROUP BY vec_id
+    ), probes AS (
+        SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+        FROM words WHERE vec_id < 10
+    ), ham AS MATERIALIZED (
+        SELECT p.query_id, w.vec_id,
+               bit_count(xor(w.w0, p.q0)) + bit_count(xor(w.w1, p.q1))
+                   AS hamming
+        FROM words w CROSS JOIN probes p
+        WHERE w.vec_id <> p.query_id
+    ), cand AS MATERIALIZED (
+        SELECT query_id, vec_id, hamming FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC
+            ) AS rn FROM ham
+        ) WHERE rn <= 50
+    ), norms AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(sum(CAST(floor(v * v * 1000000
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS norm_g
+        FROM el GROUP BY vec_id
+    ), dots AS (
+        SELECT c.query_id, c.vec_id, c.hamming,
+               CAST(sum(CAST(floor(e.v * q.v * 1000000
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) AS dot_g
+        FROM cand c
+        JOIN el e ON e.vec_id = c.vec_id
+        JOIN el q ON q.vec_id = c.query_id AND q.j = e.j
+        GROUP BY c.query_id, c.vec_id, c.hamming
+    ), scored AS (
+        SELECT d.query_id, d.vec_id, d.hamming,
+               d.dot_g / sqrt(CAST(n.norm_g AS DOUBLE)
+                              * CAST(qn.norm_g AS DOUBLE)) AS cosine
+        FROM dots d
+        JOIN norms n ON n.vec_id = d.vec_id
+        JOIN norms qn ON qn.vec_id = d.query_id
+    )
+    SELECT query_id, vec_id, CAST(hamming AS BIGINT) AS hamming, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+        ) AS rn FROM scored
+    ) WHERE rn <= 10
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1421,6 +1502,7 @@ R6_QUERIES = {
     "partitioned_snapshot_prune": q_partitioned_snapshot_prune,
     "streaming_expectations": q_streaming_expectations,
     "random_projection": q_random_projection,
+    "binary_ann_search": q_binary_ann_search,
 }
 
 R6_ORACLES = {
@@ -1441,4 +1523,5 @@ R6_ORACLES = {
     "partitioned_snapshot_prune": _PARTITIONED_SNAPSHOT_SQL,
     "streaming_expectations": _STREAMING_EXPECTATIONS_SQL,
     "random_projection": _RANDOM_PROJECTION_SQL,
+    "binary_ann_search": _BINARY_ANN_SQL,
 }

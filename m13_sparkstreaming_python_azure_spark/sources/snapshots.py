@@ -1959,3 +1959,78 @@ def replace_partition(df: DataFrame, table_dir: str, value) -> int:
         },
         base_version=m["version"],
     )
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_dir: str,
+    value,
+    target_file_bytes: int = 256 << 20,
+) -> int:
+    """Compact ONE partition of a hive-partitioned snapshot (the
+    per-partition OPTIMIZE the table-level ``compact_snapshot`` guard
+    points at): the partition's files rewrite into ~target-sized files
+    under the same ``<col>=<value>/`` dir, deletion vectors touching
+    those files materialize away, everything else carries over by
+    reference. Old versions keep the original files — time travel
+    holds."""
+    m = read_manifest(table_dir)
+    part_col = m.get("partition_col")
+    if not part_col:
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    pm = m.get("partitions", {})
+    target = [f for f in m["files"] if pm.get(f) == str(value)]
+    if not target:
+        return m["version"]
+    kept = [f for f in m["files"] if pm.get(f) != str(value)]
+    fs = fs_for(table_dir)
+    size = sum(fs.getsize(f) for f in target)
+    n_files = max(1, -(-size // target_file_bytes))
+    base = os.path.join(table_dir, "data")
+    df = _apply_deletion_vectors(
+        spark,
+        spark.read.option("basePath", base).parquet(*target),
+        m,
+    ).repartition(n_files)
+    parts = _write_partitioned_files(df, table_dir, part_col)
+    n_new = spark.read.parquet(*sorted(parts)).count() if parts else 0
+    if m.get("dv_files"):
+        # DVs on the compacted partition are materialized into the
+        # rewrite; DVs on kept files must survive, and the live-row
+        # count re-derives from the kept side's DV view + the new files
+        kept_live = (
+            _apply_deletion_vectors(
+                spark,
+                spark.read.option("basePath", base).parquet(*kept),
+                m,
+            ).count()
+            if kept
+            else 0
+        )
+        # DVs referencing the compacted partition are materialized; DVs
+        # on kept files must survive
+        dv = spark.read.parquet(*m["dv_files"])
+        remaining = dv.filter(F.col("__dv_file").isin(kept))
+        dv_files = []
+        if remaining.limit(1).count():
+            dv_files = _write_data_files(
+                remaining.coalesce(1), table_dir, subdir="deletes"
+            )
+        n_rows = kept_live + n_new
+    else:
+        dv_files = []
+        n_rows = m["rows"]
+    return _commit(
+        table_dir,
+        kept + sorted(parts),
+        n_rows,
+        {
+            "op": "compact_partition",
+            "dv_files": dv_files,
+            "partitions": {
+                **{f: v for f, v in pm.items() if f in set(kept)},
+                **parts,
+            },
+        },
+        base_version=m["version"],
+    )

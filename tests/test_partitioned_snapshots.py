@@ -104,3 +104,34 @@ def test_layout_guards_and_dv_read(spark, tmp_path):
     ]
     # generic read_snapshot also reconstructs the partition column
     assert "bucket" in read_snapshot(spark, table).columns
+
+
+def test_compact_partition_materializes_dvs_and_keeps_layout(
+    spark, tmp_path
+):
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        compact_partition,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot_partitioned(_mk(spark, 0, 90), table, "bucket")
+    append_snapshot_partitioned(_mk(spark, 90, 120), table)
+    delete_where(spark, table, "id % 5 = 0")  # hits every bucket
+    before = read_manifest(table)
+    n_b1_files = sum(1 for v in before["partitions"].values() if v == "1")
+    assert n_b1_files >= 2 and before["dv_files"]
+    compact_partition(spark, table, "1")
+    m = read_manifest(table)
+    # bucket-1 files merged; other buckets carried over by reference
+    n_b1_after = sum(1 for v in m["partitions"].values() if v == "1")
+    assert n_b1_after < n_b1_files
+    kept = set(before["files"]) & set(m["files"])
+    assert kept and all(before["partitions"][f] != "1" for f in kept)
+    # DVs for bucket 1 materialized; others still apply; counts exact
+    expect = [i for i in range(120) if i % 5 != 0]
+    got = sorted(r["id"] for r in read_snapshot_partitioned(spark, table).collect())
+    assert got == expect and m["rows"] == len(expect)
+    b1 = read_snapshot_partitions(spark, table, ["1"])
+    assert sorted(r["id"] for r in b1.collect()) == [
+        i for i in expect if i % 3 == 1
+    ]

@@ -119,92 +119,64 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # ROUND-5c additions (this session — newest code, zero driver history)
-    "holt_winters",             # new: seasonal triple smoothing, list-state CTE oracle
-    "ivm_join_refresh",         # new: join-view IVM, fact+dim same-batch changes
-    "logistic_gd",              # new: GD-trained logistic classifier
-    "tfidf_cosine_pairs",       # new: shingle TF-IDF cosine posting join
-    "streaming_semi_join",      # new: stream-stream LEFT SEMI interval join
-    "bucketed_join_revenue",    # new: exchange-free co-located bucket join
-    "snapshot_vacuum",          # new: retention vacuum, content-only hash
-    "textrank_keywords",        # new: PageRank keyword extraction
-    "bellman_ford_paths",       # new: weighted shortest paths
-    "item_cf_recommend",        # new: item-item cosine CF top-k
-    "dp_sum_clipped",           # new: DP clipped-sum release
-    "readability_scores",       # new: Flesch/FK readability
-    "weighted_median",          # new: exact weighted median, pure integers
-    "jm_trigram_perplexity",    # new: JM-interpolated trigram LM
-    "change_feed_images",       # new: CDF pre/post images
-    "lad_regression",           # new: L1/median regression via IRLS
-    "source_jsd",               # new: per-source Jensen-Shannon drift
-    # ROUND-5 new code (least driver history)
-    "streaming_minhash_dedup",      # new: LSH near-dup streaming dedup
-    "streaming_full_outer_dedup",   # new: full-outer join + in-stream dedup
-    "kaplan_meier",  # r4's one gate failure — NTZ fix must prove green
-    "bloom_point_lookup",       # new: per-file bloom point-lookup skipping
-    "model_quality_scores",     # new: hashed-feature linear classifier inference
-    "ece_calibration",          # new: reliability bins + integer-exact ECE
-    "streaming_sliding_windows",  # new: hopping-window finalization gate
-    "snapshot_restore",         # new: RESTORE + shallow CLONE
-    "token_heavy_hitters",      # new: Misra-Gries + exact verify
-    "kn_perplexity",            # new: Kneser-Ney bigram LM
-    "label_propagation",        # new: LPA communities, recursive-CTE oracle
-    "auc_by_segment",           # new: per-slice tie-aware AUC
-    # ROUND-5b additions (this session — newest code, zero driver history)
-    "log_rank_test",            # new: two-group survival chi-square
-    "spearman_corr",            # new: tie-aware doubled-rank Spearman
-    "welch_ttest",              # new: unequal-variance t + W-S df
-    "gini_concentration",       # new: pure-BIGINT-ratio Gini
-    "acf_daily_events",         # new: exact-integer ACF lags 1-14
-    "phrase_search",            # new: positional phrase postings
-    "k_anonymity",              # new: QI equivalence-class privacy audit
-    "rfm_segments",             # new: ntile(5) RFM cell census
-    "holt_forecast",            # new: IEEE-bit-equal Holt recursion
-    "replace_where_backfill",   # new: Delta replaceWhere parity
-    "anova_oneway",             # new: shift-centered exact-int ANOVA F
-    "streaming_topk_tokens",    # new: streaming additive-count top-k
-    "cv_regression",            # new: k-fold CV via sufficient stats
-    "conformal_intervals",      # new: split-conformal coverage
-    "entity_clusters",          # new: ER transitive-closure census
-    "huber_regression",         # new: IRLS robust fit, quantized sums
-    "lsh_recall_eval",          # new: measured LSH precision/recall
-    "streaming_dim_refresh",    # new: per-batch dim snapshot re-read
-    # (dp_group_counts and curation_pipeline rotated out for the two
-    # newest gates; dp_sum_clipped exercises the same md5-Laplace
-    # machinery plus clipping, and both remain replica-checked.)
+    # ROUND-6 gates (newest code, zero driver history)
+    "deletion_vector_delete",      # new: positional soft deletes + purge
+    "partitioned_snapshot_prune",  # new: manifest-level partition pruning
+    "check_constraints",           # new: one-pass CHECK constraint report
+    "streaming_cdc_upsert",        # new: ordered I/U/D foreachBatch merge
+    "streaming_expectations",      # new: expect_or_drop + quarantine
+    "nb_domain_classifier",        # new: multinomial NB, integer-grid scores
+    "hits_scores",                 # new: HITS, exact BIGINT L1 normalize
+    "info_gain_features",          # new: IG feature ranking, ln grid
+    "majority_vote_labels",        # new: two-round Dawid-Skene-style vote
+    "bm25_prf_search",             # new: RM3 pseudo-relevance feedback
+    "ql_dirichlet_search",         # new: query-likelihood retrieval
+    "ngram_novelty",               # new: df=1 8-gram novelty
+    "oov_rate",                    # new: top-1000-vocab OOV per doc
+    "fuzzy_decontamination",       # new: MinHash-LSH benchmark leakage
+    "ccf_lag",                     # new: exact-integer CCF lead/lag
+    "quantile_regression_p90",     # new: pinball IRLS fit
+    "random_projection",           # new: JL md5-sign projection
+    "binary_ann_search",           # new: sign-bit Hamming + exact rerank
+    # never-driver-checked hash gates (VERDICT r4 #5 rotation, continued):
+    # LLM-pipeline workhorses first, then the r5c statistics tail
+    "perplexity_scores",
+    "decontamination",
+    "curation_pipeline",
+    "sequence_packing",
+    "hash_split",
+    "sample_per_source",
+    "weighted_sample_docs",
+    "mixture_resample",
+    "temperature_resample",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "exact_dedup_survivors",
+    "chunk_documents",
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "repetition_stats",
+    "pii_redaction",
+    "ann_bruteforce",
+    "embedding_quantize",
+    "kmeans_clusters",
+    "tfidf_top_terms",
+    "data_quality_suite",
+    "association_rules",
+    "markov_transitions",
+    "kruskal_wallis",
+    "kendall_tau",
+    "mann_kendall_sen",
+    "dp_group_counts",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer
 ]
-# Dropped from the head this session to make room for the 12 round-5b
-# gates (all remain registry queries checked by the local replica; all
-# are row-local ops with the lowest breakage risk of the rotation set):
-# text_stats, lang_id, quality_score, hash_split, chunk_documents,
-# sample_per_source, weighted_sample_docs, mixture_resample,
-# temperature_resample, pii_redaction, embedding_quantize,
-# multimodal_resize, string_functions, datetime_functions, map_functions,
-# ann_bruteforce, embedding_pairs_exact, pivot_status_priority.
-# ADVICE r3 #1: _head IS the 50-slot prefix — no silent [:50] slice. Adding
-# a name requires dropping one, and the length assert fails otherwise.
-# (Rotated out over r3/r4, all driver-verified green in earlier rounds:
-# chi_square_independence, skyline_orders, bfs_shortest_paths,
-# json_dlq_routing, hybrid_rrf_search, ab_test_zscore, week_over_week,
-# topn_with_other, record_linkage, bigram_perplexity,
-# winsorized_value_stats, hard_negative_mining, leakage_safe_split,
-# best_quality_survivors, loo_target_encoding, quantile_normalize,
-# quality_prune_floors, lateral_top_orders, k_core_customers,
-# pca_covariance, scd2_history — the last ten are r3-green
-# CORRECTNESS_r03 rows; scd2_pit_join keeps SCD2 semantics in the head.
-# Rotated out in r5 — ALL driver-green in CORRECTNESS_r04: ppjoin_pairs,
-# containment_pairs, skew_profile, mutual_information, benford_digits,
-# kfold_assignment, sequence_pattern_match, passage_dedup, retrieval_eval,
-# jaro_winkler_pairs, geo_radius_join, pmi_phrases, feature_hashing,
-# link_prediction, lexicon_sentiment, zonemap_pruned_scan, bow_dedup,
-# scd2_pit_join, cohens_kappa, poisson_bootstrap_ci, embedding_drift,
-# woe_iv, roc_auc, ks_test, cuped_lift, psi_drift, and the r2-r4
-# streaming/CDC gates not kept as anchors below; the r5 head instead
-# leads with 13 round-5 gates + 34 never-driver-checked hash gates per
-# VERDICT r4 #5 + 3 anchors.)
+# r6 rotation: the r5 head's round-5 gates all went driver-green in
+# CORRECTNESS_r05 and rotate out; the 18 round-6 gates lead, followed by
+# 29 hash gates the driver has NEVER checked (86 remained before this
+# round; the rest stay replica-checked and rotate in next rounds).
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"

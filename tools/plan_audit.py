@@ -127,6 +127,21 @@ ALLOW_CARTESIAN = {
     "tfidf_cosine_pairs",  # single-row corpus-N scalar broadcast
     "jm_trigram_perplexity",  # single-row N_tot scalar broadcast
     "source_jsd",         # vocab × n_tot scalar broadcasts onto the source grid
+    "kruskal_wallis",     # single-row grand-mean/tie scalar broadcasts
+    "kendall_tau",        # day-grain (~30-row) broadcast pairwork + scalars
+    "mann_kendall_sen",   # day-grain broadcast pairwork + scalar totals
+    # round-6 additions
+    "nb_domain_classifier",  # vocab × classes smoothing grid + single-row
+                             # prior scalars (bounded class count)
+    "bm25_prf_search",    # single-row corpus-stats scalar broadcast per pass
+    "ql_dirichlet_search",  # single-row |C| scalar; candidates × query terms
+    "ccf_lag",            # single-row Σz² denominator scalar broadcast
+    "quantile_regression_p90",  # single-row IRLS fit scalar per pass
+    "binary_ann_search",  # 10-probe bounded word-table broadcast (ann shape)
+    "hits_scores",        # per-round single-row L1-total scalar broadcasts
+    "info_gain_features",  # single-row base-entropy scalar broadcast
+    "random_projection",  # explode, not cartesian (listed defensively: the
+                          # dims explode can plan as a 16-row broadcast NLJ)
 }
 
 
@@ -202,6 +217,11 @@ SCALE_AUDIT_QUERIES = [
     # round-5b heavies
     "phrase_search",         # positional adjacency joins stay equi-keyed
     "entity_clusters",       # blocked pair-gen + CC rounds stay keyed
+    # round-6 heavies
+    "fuzzy_decontamination",  # banded corpus x benchmark equi-join only
+    "ngram_novelty",         # gram-keyed df join, never doc x doc
+    "binary_ann_search",     # Hamming prefilter stays broadcast, rerank bounded
+    "nb_domain_classifier",  # token-keyed scoring join stays equi
 ]
 
 

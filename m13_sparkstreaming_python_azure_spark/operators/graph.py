@@ -552,26 +552,29 @@ def hits(
     )
     auths = None
     for _ in range(iterations):
+        # checkpoint the RAW aggregate, then read the L1 total off the
+        # checkpointed data — collecting before checkpointing would run
+        # the join+aggregate twice per half-round
         a_raw = (
             e.join(hubs, e["s"] == hubs["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("h").alias("raw"))
-        )
+        ).localCheckpoint(eager=True)
         tot_a = a_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
         auths = a_raw.select(
             "node",
             F.expr(f"(raw * {G}) DIV {int(tot_a)}").alias("a"),
-        ).localCheckpoint(eager=True)
+        )
         h_raw = (
             e.join(auths, e["d"] == auths["node"])
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").alias("raw"))
-        )
+        ).localCheckpoint(eager=True)
         tot_h = h_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
         hubs = h_raw.select(
             "node",
             F.expr(f"(raw * {G}) DIV {int(tot_h)}").alias("h"),
-        ).localCheckpoint(eager=True)
+        )
     return hubs.join(auths, "node", "full_outer").select(
         "node",
         F.coalesce(F.col("h"), F.lit(0)).alias("hub"),

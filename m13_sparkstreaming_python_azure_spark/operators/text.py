@@ -363,6 +363,9 @@ def ngram_novelty(
             )
         ).alias("gram"),
     ).filter(F.col("gram") != "")
+    # both the df aggregate and the doc rollup consume the exploded gram
+    # stream — pin it once instead of paying the explode twice
+    grams = grams.persist()
     df_g = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return (
         grams.join(df_g, "gram")

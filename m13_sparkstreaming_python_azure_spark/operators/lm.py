@@ -530,3 +530,86 @@ def jm_trigram_logppl(
             ).alias("jm_logppl"),
         )
     )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    label_col: str = "source",
+    text_col: str = "text",
+    grid: int = 1_000_000_000,
+) -> DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. '23, the one-step
+    counts-only variant): score every domain's tokens under ONE
+    corpus-wide add-1 unigram reference model, define each domain's
+    excess loss over the easiest domain, and emit sampling weights
+    ∝ exp(excess) — domains the reference models worst get upweighted,
+    exactly the DoReMi intuition without the proxy-model training loop.
+
+    Returns ``(label, n_tokens, ce_g, weight)``: ce_g is the per-domain
+    cross-entropy on a 1e-9 BIGINT grid (per-token lns snap BEFORE the
+    sum — fold-order immune), weight the exp-normalized mixture ratio
+    (IEEE ops over exact sums; one exp snap at 1e-6). Scale: one
+    token-keyed count aggregate + one broadcast model join; domains are
+    a handful of rows."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    tok = docs.select(
+        F.col(label_col).alias("__label"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n_corpus = int(totals["n"])
+    v_size = model.count()
+    g_ln = (
+        F.floor(
+            F.log(
+                (F.col("c") + F.lit(1))
+                / F.lit(float(n_corpus + v_size))
+            )
+            * F.lit(grid)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("g")
+    )
+    scored = (
+        tok.join(F.broadcast(model.select("token", g_ln)), "token")
+        .groupBy("__label")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("g").alias("g_sum"),
+        )
+        .select(
+            "__label",
+            "n_tokens",
+            (-F.col("g_sum") / F.col("n_tokens")).alias("ce_g"),
+        )
+    )
+    base = scored.agg(F.min("ce_g").alias("base"))
+    expg = (
+        scored.crossJoin(F.broadcast(base))
+        .select(
+            "__label",
+            "n_tokens",
+            "ce_g",
+            F.floor(
+                F.exp((F.col("ce_g") - F.col("base")) / F.lit(float(grid)))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__e"),
+        )
+    )
+    tot = expg.agg(F.sum("__e").alias("t"))
+    return expg.crossJoin(F.broadcast(tot)).select(
+        F.col("__label").alias(label_col),
+        "n_tokens",
+        # floor, not cast: Spark's double->long cast truncates while
+        # DuckDB's CAST rounds — floor() agrees everywhere
+        F.floor(F.col("ce_g")).cast("long").alias("ce_g"),
+        (F.col("__e") / F.col("t")).alias("weight"),
+    )

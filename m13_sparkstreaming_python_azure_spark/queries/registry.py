@@ -138,6 +138,9 @@ _head = [
     "quantile_regression_p90",     # new: pinball IRLS fit
     "random_projection",           # new: JL md5-sign projection
     "binary_ann_search",           # new: sign-bit Hamming + exact rerank
+    "tokenizer_fertility",         # new: BPE-per-word cost by language
+    "domain_mixture_weights",      # new: DoReMi-lite mixture reweighting
+    "personalized_pagerank",       # new: random walk with restart
     # never-driver-checked hash gates (VERDICT r4 #5 rotation, continued):
     # LLM-pipeline workhorses first, then the r5c statistics tail
     "perplexity_scores",
@@ -166,9 +169,6 @@ _head = [
     "association_rules",
     "markov_transitions",
     "kruskal_wallis",
-    "kendall_tau",
-    "mann_kendall_sen",
-    "dp_group_counts",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer

@@ -1484,6 +1484,200 @@ _BINARY_ANN_SQL = """
     ) WHERE rn <= 10
 """
 
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word (the per-language tokenizer-cost metric multilingual
+    pipelines budget by; high fertility = the tokenizer fragments that
+    language). Exact BIGINT counts (operators/text tokens +
+    bpe_ish_token_count), fertility an IEEE ratio — no snapping. One
+    scan, one tiny aggregate."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").cast("long").alias("ws"),
+            bpe_ish_token_count("text").cast("long").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            (F.sum("bpe") / F.sum("ws")).alias("fertility"),
+        )
+    )
+
+
+_TOKENIZER_FERTILITY_SQL = """
+    WITH d AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS ws,
+               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                    AS BIGINT) AS bpe
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(bpe) AS BIGINT) / CAST(sum(ws) AS BIGINT) AS fertility
+    FROM d GROUP BY lang
+"""
+
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain mixture reweighting (operators/lm
+    .domain_mixture_weights): per-source cross-entropy under one
+    corpus-wide add-1 unigram reference, sampling weight ∝ exp(excess
+    loss over the easiest source) — the one-step counts-only version of
+    the DoReMi mixture optimizer. Per-token lns on a 1e-9 grid pre-sum;
+    one exp snap; weights an IEEE ratio of exact sums."""
+    from m13_sparkstreaming_python_azure_spark.operators.lm import (
+        domain_mixture_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return domain_mixture_weights(docs)
+
+
+_DOMAIN_MIXTURE_SQL = """
+    WITH tok AS (
+        SELECT source AS label,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), model AS (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), nv AS (
+        SELECT (SELECT count(*) FROM tok)
+               + (SELECT count(*) FROM model) AS denom
+    ), g AS (
+        SELECT token,
+               CAST(floor(ln((c + 1) / CAST(denom AS DOUBLE)) * 1000000000
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS g
+        FROM model CROSS JOIN nv
+    ), scored AS (
+        SELECT t.label, CAST(count(*) AS BIGINT) AS n_tokens,
+               -CAST(sum(g.g) AS BIGINT) / CAST(count(*) AS BIGINT) AS ce_g
+        FROM tok t JOIN g ON g.token = t.token
+        GROUP BY t.label
+    ), base AS (
+        SELECT min(ce_g) AS b FROM scored
+    ), e AS (
+        SELECT label, n_tokens, ce_g,
+               CAST(floor(exp((ce_g - b) / CAST(1000000000 AS DOUBLE)) * 1e6
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eg
+        FROM scored CROSS JOIN base
+    ), tot AS (
+        SELECT CAST(sum(eg) AS BIGINT) AS t FROM e
+    )
+    SELECT label AS source, n_tokens,
+           CAST(floor(ce_g) AS BIGINT) AS ce_g,
+           eg / t.t AS weight
+    FROM e CROSS JOIN tot t
+"""
+
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.personalized_pagerank):
+    random walk with restart over the supplier co-purchase graph
+    (suppliers sharing an order), teleporting only to nation-1 suppliers
+    — 'importance relative to this seed set', the related-entity /
+    recommendation-expansion primitive. decimal(27,12) contribution sums
+    + per-round 1e-9 snap make 4 rounds bit-equal to the unrolled
+    MATERIALIZED-CTE oracle."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 1)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    out = personalized_pagerank(edges, seeds, iterations=4)
+    return out.select(F.col("node").alias("suppkey"), "rank")
+
+
+def _ppr_sql(iterations: int = 4) -> str:
+    tele = (
+        "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+        " / CAST((SELECT count(*) FROM seeds) AS DOUBLE)"
+    )
+    ctes = [
+        """edges AS MATERIALIZED (
+            SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_suppkey <> b.l_suppkey
+        )""",
+        """deg AS MATERIALIZED (
+            SELECT src, count(*) AS d FROM edges GROUP BY src
+        )""",
+        """seeds AS MATERIALIZED (
+            SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 1
+        )""",
+        """r0 AS MATERIALIZED (
+            SELECT node,
+                   CAST(1.0 AS DOUBLE)
+                   / CAST((SELECT count(*) FROM seeds) AS DOUBLE) AS rank
+            FROM seeds
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+            SELECT e.dst AS node,
+                   CAST(sum(CAST(r.rank / deg.d AS DECIMAL(27,12)))
+                        AS DOUBLE) AS m
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT coalesce(c.node, s.node) AS node,
+                   floor(((CASE WHEN s.node IS NOT NULL THEN {tele}
+                                ELSE CAST(0.0 AS DOUBLE) END)
+                          + CAST(0.85 AS DOUBLE)
+                            * coalesce(c.m, CAST(0.0 AS DOUBLE))) * 1e9
+                         + 0.5) / 1e9 AS rank
+            FROM c{i} c FULL OUTER JOIN seeds s ON c.node = s.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n    SELECT node AS suppkey, rank FROM r{iterations}"
+    )
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1503,6 +1697,9 @@ R6_QUERIES = {
     "streaming_expectations": q_streaming_expectations,
     "random_projection": q_random_projection,
     "binary_ann_search": q_binary_ann_search,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "domain_mixture_weights": q_domain_mixture_weights,
+    "personalized_pagerank": q_personalized_pagerank,
 }
 
 R6_ORACLES = {
@@ -1524,4 +1721,7 @@ R6_ORACLES = {
     "streaming_expectations": _STREAMING_EXPECTATIONS_SQL,
     "random_projection": _RANDOM_PROJECTION_SQL,
     "binary_ann_search": _BINARY_ANN_SQL,
+    "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+    "domain_mixture_weights": _DOMAIN_MIXTURE_SQL,
+    "personalized_pagerank": _ppr_sql(4),
 }

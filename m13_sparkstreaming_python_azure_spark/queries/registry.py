@@ -81,6 +81,7 @@ _STREAMING_GATES = [
     "streaming_semi_join",
     "streaming_cdc_upsert",
     "streaming_expectations",
+    "streaming_gdpr_erasure",
 ]
 
 _ALL_QUERIES = {
@@ -141,6 +142,7 @@ _head = [
     "tokenizer_fertility",         # new: BPE-per-word cost by language
     "domain_mixture_weights",      # new: DoReMi-lite mixture reweighting
     "personalized_pagerank",       # new: random walk with restart
+    "streaming_gdpr_erasure",      # new: DV semi-join erasure feed
     # never-driver-checked hash gates (VERDICT r4 #5 rotation, continued):
     # LLM-pipeline workhorses first, then the r5c statistics tail
     "perplexity_scores",
@@ -167,7 +169,6 @@ _head = [
     "tfidf_top_terms",
     "data_quality_suite",
     "association_rules",
-    "markov_transitions",
     "kruskal_wallis",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate

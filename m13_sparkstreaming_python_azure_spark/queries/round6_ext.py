@@ -1678,6 +1678,90 @@ def _ppr_sql(iterations: int = 4) -> str:
         + f"\n    SELECT node AS suppkey, rank FROM r{iterations}"
     )
 
+
+
+def q_streaming_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming right-to-be-forgotten (sources/snapshots.delete_matching
+    + deletion vectors): a replayed erasure-request feed (two chunks of
+    customer keys) is applied per micro-batch as a SEMI-JOIN positional
+    delete against the orders snapshot — no data-file rewrite, each batch
+    one sidecar commit, repeat requests in later batches are no-ops
+    (positions already deleted are excluded). The oracle states the
+    surviving rows directly. At 100 TB each erasure batch costs one
+    broadcast semi join + a sidecar write — the only affordable shape for
+    continuous compliance deletes."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        delete_matching,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="gdpr-")
+    land, ck, table = (os.path.join(root, d) for d in ("land", "ck", "t"))
+    write_snapshot(orders.coalesce(4), table)
+    k = F.col("o_custkey")
+    requests = [
+        orders.filter(k % 7 == 0).select("o_custkey").distinct(),
+        # chunk 2 repeats some chunk-1 keys (%77) — must be a no-op
+        orders.filter((k % 11 == 0)).select("o_custkey").distinct(),
+    ]
+
+    def _erase(batch_df, batch_id):
+        delete_matching(spark, table, batch_df, ["o_custkey"])
+
+    publish_chunk(requests[0], land)
+    stream = parquet_file_stream(spark, land, "o_custkey long")
+    q = (
+        stream.writeStream.foreachBatch(_erase)
+        .option("checkpointLocation", ck)
+        .queryName(f"gdpr_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.processAllAvailable()
+    publish_chunk(requests[1], land)
+    q.processAllAvailable()
+    q.stop()
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+_STREAMING_GDPR_SQL = """
+    WITH base AS (
+        SELECT o_custkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base
+    WHERE o_custkey % 7 <> 0 AND o_custkey % 11 <> 0
+    GROUP BY o_orderstatus
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1700,6 +1784,7 @@ R6_QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "domain_mixture_weights": q_domain_mixture_weights,
     "personalized_pagerank": q_personalized_pagerank,
+    "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
 }
 
 R6_ORACLES = {
@@ -1724,4 +1809,5 @@ R6_ORACLES = {
     "tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
     "domain_mixture_weights": _DOMAIN_MIXTURE_SQL,
     "personalized_pagerank": _ppr_sql(4),
+    "streaming_gdpr_erasure": _STREAMING_GDPR_SQL,
 }

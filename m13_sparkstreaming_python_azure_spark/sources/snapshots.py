@@ -2034,3 +2034,60 @@ def compact_partition(
         },
         base_version=m["version"],
     )
+
+
+def delete_matching(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """``DELETE FROM t WHERE (k1, …) IN (SELECT … FROM keys)`` via
+    deletion vectors — the GDPR-erasure shape: the kill list arrives as a
+    DATAFRAME (a right-to-be-forgotten feed, a revoked-consent table) and
+    deletes resolve through one SEMI JOIN, never an IN-list predicate
+    string. Same invariants as ``delete_where``: positions of live rows
+    only (no double-counting), sidecar parquet, no data rewrite,
+    CommitConflict on a stale base, no-op on zero matches. At scale the
+    semi join broadcasts the (small) kill list under the predicate-pushed
+    scan."""
+    m = read_manifest(table_dir)
+    tagged = spark.read.parquet(*m["files"]).select(
+        "*",
+        _strip_file_scheme(F.col("_metadata.file_path")).alias("__f"),
+        F.col("_metadata.row_index").alias("__p"),
+    )
+    old_dv_paths = m.get("dv_files") or []
+    if old_dv_paths:
+        old = spark.read.parquet(*old_dv_paths)
+        if sum(_parquet_rows(p) for p in old_dv_paths) <= _DV_BROADCAST_MAX_ROWS:
+            old = F.broadcast(old)
+        tagged = tagged.join(
+            old,
+            (tagged["__f"] == old["__dv_file"])
+            & (tagged["__p"] == old["__dv_pos"]),
+            "left_anti",
+        )
+    hits = tagged.join(
+        keys.select(*key_cols).distinct(), key_cols, "left_semi"
+    ).select(
+        F.col("__f").alias("__dv_file"), F.col("__p").alias("__dv_pos")
+    )
+    dv_files = _write_data_files(hits.coalesce(1), table_dir, subdir="deletes")
+    n_deleted = sum(_parquet_rows(p) for p in dv_files)
+    if n_deleted == 0:
+        fs = fs_for(table_dir)
+        for p in dv_files:
+            fs.remove(p)
+        return m["version"]
+    return _commit(
+        table_dir,
+        m["files"],
+        m["rows"] - n_deleted,
+        {
+            "op": "delete",
+            "n_deleted": n_deleted,
+            "dv_files": m.get("dv_files", []) + dv_files,
+        },
+        base_version=m["version"],
+    )

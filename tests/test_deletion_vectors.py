@@ -199,3 +199,19 @@ def test_vacuum_reclaims_expired_dv_sidecars(spark, tmp_path):
     vacuum_snapshots(table, keep_last=1)
     assert not any(os.path.exists(p) for p in s1)
     assert _ids(spark, table) == list(range(5, 40))
+
+
+def test_delete_matching_semi_join_and_repeat_noop(spark, tmp_path):
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        delete_matching,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(_mk(spark, 0, 40).coalesce(2), table)
+    kill = spark.createDataFrame([(3,), (7,), (999,)], "id long")
+    v = delete_matching(spark, table, kill, ["id"])
+    assert read_manifest(table)["n_deleted"] == 2  # 999 absent
+    assert _ids(spark, table) == [i for i in range(40) if i not in (3, 7)]
+    # repeating the same kill list is a no-op commit
+    assert delete_matching(spark, table, kill, ["id"]) == v
+    assert read_manifest(table)["version"] == v

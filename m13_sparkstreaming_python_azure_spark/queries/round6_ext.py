@@ -1762,6 +1762,148 @@ _STREAMING_GDPR_SQL = """
     GROUP BY o_orderstatus
 """
 
+
+
+def q_unseen_mass_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability mass per source: P(next token is
+    novel) ≈ N₁/N (singleton count over token count — the Good-Turing
+    missing-mass estimate), plus vocabulary size and type-token ratio —
+    the corpus-openness diagnostics an LM data pipeline tracks per
+    domain. Pure counts; ratios are IEEE divisions of exact BIGINTs —
+    no snapping. Two token-keyed aggregates."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens("text")).alias("token"))
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.sum("c")
+        ).alias("unseen_mass"),
+        (F.count(F.lit(1)) / F.sum("c")).alias("type_token_ratio"),
+    )
+
+
+_GOOD_TURING_SQL = """
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), counts AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(sum(c) AS BIGINT) AS unseen_mass,
+           CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT)
+               AS type_token_ratio
+    FROM counts GROUP BY source
+"""
+
+
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health per label: mean vector norm² (anisotropy —
+    how far the cloud's centroid sits from the origin; isotropic
+    embeddings have ≈0) and mean self-norm², via exact grid sums: each
+    element and each square snaps to a 1e-9 BIGINT grid BEFORE the sums,
+    so the per-label moments are fold-order exact and the final ratios
+    pure IEEE. One posexplode + two keyed aggregates — the drift-style
+    shuffle shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("j", "v"),
+    ).select(
+        "label",
+        "vec_id",
+        "j",
+        F.col("v").cast("double").alias("v"),
+    )
+    g = 1_000_000_000
+    per_dim = el.groupBy("label", "j").agg(
+        F.sum(
+            F.floor(F.col("v") * g + F.lit(0.5)).cast("long")
+        ).alias("s_g"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # |mean|² per label: Σ_j (Σ_i v_ij / n)²  — exact sums, IEEE squares
+    mean_norm = per_dim.groupBy("label").agg(
+        F.sum(
+            (F.col("s_g") / F.lit(float(g)) / F.col("n"))
+            * (F.col("s_g") / F.lit(float(g)) / F.col("n"))
+        ).alias("mean_norm_sq"),
+        F.first("n").alias("n_vecs"),
+    )
+    self_norm = (
+        el.select(
+            "label",
+            "vec_id",
+            F.floor(F.col("v") * F.col("v") * g + F.lit(0.5))
+            .cast("long")
+            .alias("sq_g"),
+        )
+        .groupBy("label")
+        .agg((F.sum("sq_g") / F.lit(float(g))).alias("sum_norm_sq"))
+    )
+    return mean_norm.join(self_norm, "label").select(
+        "label",
+        "n_vecs",
+        F.floor(F.col("mean_norm_sq") * 1e6 + F.lit(0.5)).alias(
+            "mean_norm_sq_g"
+        ),
+        F.floor(
+            F.col("sum_norm_sq") / F.col("n_vecs") * 1e6 + F.lit(0.5)
+        ).alias("avg_self_norm_sq_g"),
+    )
+
+
+_EMBEDDING_ISOTROPY_SQL = """
+    WITH el AS (
+        SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding, 1) AS j
+        FROM embeddings
+    ), per_dim AS (
+        SELECT label, j,
+               CAST(sum(CAST(floor(v * 1000000000 + CAST(0.5 AS DOUBLE))
+                             AS BIGINT)) AS BIGINT) AS s_g,
+               CAST(count(*) AS BIGINT) AS n
+        FROM el GROUP BY 1, 2
+    ), mean_norm AS (
+        SELECT label,
+               sum((s_g / CAST(1000000000.0 AS DOUBLE) / n)
+                   * (s_g / CAST(1000000000.0 AS DOUBLE) / n))
+                   AS mean_norm_sq,
+               min(n) AS n_vecs
+        FROM per_dim GROUP BY label
+    ), self_norm AS (
+        SELECT label,
+               CAST(sum(CAST(floor(v * v * 1000000000
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                    AS BIGINT) / CAST(1000000000.0 AS DOUBLE)
+                   AS sum_norm_sq
+        FROM el GROUP BY label
+    )
+    SELECT m.label, CAST(m.n_vecs AS BIGINT) AS n_vecs,
+           CAST(floor(m.mean_norm_sq * 1e6 + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS mean_norm_sq_g,
+           CAST(floor(s.sum_norm_sq / m.n_vecs * 1e6 + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS avg_self_norm_sq_g
+    FROM mean_norm m JOIN self_norm s ON s.label = m.label
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1785,6 +1927,8 @@ R6_QUERIES = {
     "domain_mixture_weights": q_domain_mixture_weights,
     "personalized_pagerank": q_personalized_pagerank,
     "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
+    "unseen_mass_good_turing": q_unseen_mass_good_turing,
+    "embedding_isotropy": q_embedding_isotropy,
 }
 
 R6_ORACLES = {
@@ -1810,4 +1954,6 @@ R6_ORACLES = {
     "domain_mixture_weights": _DOMAIN_MIXTURE_SQL,
     "personalized_pagerank": _ppr_sql(4),
     "streaming_gdpr_erasure": _STREAMING_GDPR_SQL,
+    "unseen_mass_good_turing": _GOOD_TURING_SQL,
+    "embedding_isotropy": _EMBEDDING_ISOTROPY_SQL,
 }

@@ -603,6 +603,11 @@ def personalized_pagerank(
     broadcast seed vector."""
     seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node"))
     n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: empty seed set (teleport mass is "
+            "1/|S|) — pass at least one seed node"
+        )
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     edged = edges.join(deg, on=src).persist()
     edged.count()

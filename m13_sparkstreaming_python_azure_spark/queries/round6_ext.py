@@ -1590,7 +1590,7 @@ _DOMAIN_MIXTURE_SQL = """
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (operators/graph.personalized_pagerank):
     random walk with restart over the supplier co-purchase graph
-    (suppliers sharing an order), teleporting only to nation-1 suppliers
+    (suppliers sharing an order), teleporting only to the %10==1 suppliers
     — 'importance relative to this seed set', the related-entity /
     recommendation-expansion primitive. decimal(27,12) contribution sums
     + per-round 1e-9 snap make 4 rounds bit-equal to the unrolled
@@ -1615,9 +1615,11 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # seed by key residue, not nation: every fixture SF has %10 == 1
+    # suppliers, while small SFs can lack any given nation entirely
     seeds = (
         load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 1)
+        .filter(F.col("s_suppkey") % 10 == 1)
         .select(F.col("s_suppkey").alias("node"))
     )
     out = personalized_pagerank(edges, seeds, iterations=4)
@@ -1640,7 +1642,7 @@ def _ppr_sql(iterations: int = 4) -> str:
             SELECT src, count(*) AS d FROM edges GROUP BY src
         )""",
         """seeds AS MATERIALIZED (
-            SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 1
+            SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 10 = 1
         )""",
         """r0 AS MATERIALIZED (
             SELECT node,

@@ -142,6 +142,9 @@ ALLOW_CARTESIAN = {
     "info_gain_features",  # single-row base-entropy scalar broadcast
     "random_projection",  # explode, not cartesian (listed defensively: the
                           # dims explode can plan as a 16-row broadcast NLJ)
+    "domain_mixture_weights",  # single-row base/total scalar broadcasts
+    "personalized_pagerank",   # broadcast seed vector full-outer per round
+    "embedding_isotropy",      # (none expected; defensive)
 }
 
 

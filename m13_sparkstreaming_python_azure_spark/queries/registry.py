@@ -143,6 +143,11 @@ _head = [
     "domain_mixture_weights",      # new: DoReMi-lite mixture reweighting
     "personalized_pagerank",       # new: random walk with restart
     "streaming_gdpr_erasure",      # new: DV semi-join erasure feed
+    "unseen_mass_good_turing",     # new: N1/N missing-mass per source
+    "embedding_isotropy",          # new: centroid-norm anisotropy
+    "cluster_purity_nmi",          # new: external kmeans evaluation
+    "cohort_ltv",                  # new: cumulative cohort value curves
+    "conversion_latency",          # new: exact-rank latency percentiles
     # never-driver-checked hash gates (VERDICT r4 #5 rotation, continued):
     # LLM-pipeline workhorses first, then the r5c statistics tail
     "perplexity_scores",
@@ -164,12 +169,7 @@ _head = [
     "repetition_stats",
     "pii_redaction",
     "ann_bruteforce",
-    "embedding_quantize",
     "kmeans_clusters",
-    "tfidf_top_terms",
-    "data_quality_suite",
-    "association_rules",
-    "kruskal_wallis",
     # subsystem regression anchors (driver-green before, keep one each):
     "streaming_daily_stats",   # reference-shape streaming gate
     "cdc_apply",               # CDC/merge layer

@@ -8,7 +8,7 @@ the driver's gate hashes values under sorted column order)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -1906,6 +1906,336 @@ _EMBEDDING_ISOTROPY_SQL = """
     FROM mean_norm m JOIN self_norm s ON s.label = m.label
 """
 
+
+
+def q_cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation: purity and NMI of the gated
+    k-means assignments (operators/clustering.kmeans_assignments, k=4,
+    2 Lloyd passes) against the embeddings' true labels — the quality
+    gate a clustering stage ships with. Purity is a pure BIGINT ratio;
+    MI and the entropies are count-weighted ln terms on a 1e-9 grid
+    pre-sum (the info_gain recipe), NMI = MI/√(H(C)·H(Y)) pure IEEE on
+    the exact sums. One contingency groupBy after the assignment join."""
+    from m13_sparkstreaming_python_azure_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=4, iterations=2)
+    joined = assign.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    g = 1_000_000_000
+    cells = joined.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_cy")
+    ).persist()
+    n_c = cells.groupBy("cluster").agg(F.sum("n_cy").alias("n_c"))
+    n_y = cells.groupBy("label").agg(F.sum("n_cy").alias("n_y"))
+    n_tot = int(joined.count())
+    mi = (
+        cells.join(n_c, "cluster")
+        .join(n_y, "label")
+        .agg(
+            F.sum(
+                F.col("n_cy")
+                * F.floor(
+                    F.log(
+                        (F.col("n_cy") * F.lit(n_tot))
+                        / (F.col("n_c") * F.col("n_y"))
+                    )
+                    * g
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("mi_g")
+        )
+    )
+    hc = n_c.agg(
+        F.sum(
+            F.col("n_c")
+            * F.floor(
+                F.log(F.col("n_c") / F.lit(n_tot)) * g + F.lit(0.5)
+            ).cast("long")
+        ).alias("hc_g")
+    )
+    hy = n_y.agg(
+        F.sum(
+            F.col("n_y")
+            * F.floor(
+                F.log(F.col("n_y") / F.lit(n_tot)) * g + F.lit(0.5)
+            ).cast("long")
+        ).alias("hy_g")
+    )
+    purity = (
+        cells.groupBy("cluster")
+        .agg(F.max("n_cy").alias("n_max"))
+        .agg(F.sum("n_max").alias("n_pure"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(purity))
+        .select(
+            F.lit(n_tot).cast("long").alias("n"),
+            F.col("n_pure").cast("long").alias("n_pure"),
+            (F.col("n_pure") / F.lit(n_tot)).alias("purity"),
+            F.floor(
+                (
+                    F.col("mi_g")
+                    / F.sqrt(
+                        F.col("hc_g").cast("double")
+                        * F.col("hy_g").cast("double")
+                    )
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nmi_g"),
+        )
+    )
+
+
+def _cluster_purity_sql() -> str:
+    kmeans = """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4
+        ),
+        a1 AS (
+            SELECT vec_id, cid AS cluster, v FROM (
+                SELECT vec_id, cid, v, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY
+                    list_reduce(list_transform(range(1, len(v)+1),
+                        i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                    cid) AS rn
+                FROM vecs CROSS JOIN c0
+            ) WHERE rn = 1
+        ),
+        dims1 AS (
+            SELECT cluster, t.idx,
+                   floor(CAST(sum(CAST(v[t.idx] AS DECIMAL(27,12)))
+                              AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS cv
+            FROM a1 CROSS JOIN range(1, 65) t(idx)
+            GROUP BY cluster, t.idx
+        ),
+        cent1 AS (
+            SELECT cluster AS cid, list(cv ORDER BY idx) AS c
+            FROM dims1 GROUP BY cluster
+        ),
+        assign AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cid AS cluster, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY
+                    list_reduce(list_transform(range(1, len(v)+1),
+                        i -> (v[i]-c[i])*(v[i]-c[i])), (acc,x) -> acc+x),
+                    cid) AS rn
+                FROM vecs CROSS JOIN cent1
+            ) WHERE rn = 1
+        )"""
+    return (
+        kmeans
+        + """,
+        joined AS (
+            SELECT a.vec_id, a.cluster, e.label
+            FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+        ),
+        cells AS (
+            SELECT cluster, label, CAST(count(*) AS BIGINT) AS n_cy
+            FROM joined GROUP BY 1, 2
+        ),
+        nc AS (
+            SELECT cluster, CAST(sum(n_cy) AS BIGINT) AS n_c
+            FROM cells GROUP BY cluster
+        ),
+        ny AS (
+            SELECT label, CAST(sum(n_cy) AS BIGINT) AS n_y
+            FROM cells GROUP BY label
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined),
+        mi AS (
+            SELECT CAST(sum(c.n_cy * CAST(floor(
+                       ln((c.n_cy * nt.n) / (CAST(nc.n_c AS DOUBLE) * ny.n_y))
+                       * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                   AS BIGINT) AS mi_g
+            FROM cells c
+            JOIN nc ON nc.cluster = c.cluster
+            JOIN ny ON ny.label = c.label
+            CROSS JOIN nt
+        ),
+        hc AS (
+            SELECT CAST(sum(n_c * CAST(floor(
+                       ln(n_c / CAST(nt.n AS DOUBLE)) * 1000000000
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS hc_g
+            FROM nc CROSS JOIN nt
+        ),
+        hy AS (
+            SELECT CAST(sum(n_y * CAST(floor(
+                       ln(n_y / CAST(nt.n AS DOUBLE)) * 1000000000
+                       + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS hy_g
+            FROM ny CROSS JOIN nt
+        ),
+        pur AS (
+            SELECT CAST(sum(n_max) AS BIGINT) AS n_pure FROM (
+                SELECT cluster, max(n_cy) AS n_max FROM cells GROUP BY cluster
+            )
+        )
+        SELECT nt.n, pur.n_pure,
+               pur.n_pure / CAST(nt.n AS DOUBLE) AS purity,
+               CAST(floor((mi.mi_g / sqrt(CAST(hc.hc_g AS DOUBLE)
+                                          * CAST(hy.hy_g AS DOUBLE))) * 1e6
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nmi_g
+        FROM mi CROSS JOIN hc CROSS JOIN hy CROSS JOIN pur CROSS JOIN nt
+    """
+    )
+
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohort by first-order
+    month (integer month index = year·12 + month — no date-truncation
+    engine drift), monthly cohort revenue accumulates with a window
+    cumsum, LTV = cumulative cents / cohort size. Exact BIGINT cents and
+    counts; the LTV ratio is one IEEE division. Two keyed aggregates +
+    one cohort-partitioned window."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m_idx"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("m_idx").alias("cohort_m")
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    monthly = (
+        orders.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m_idx") - F.col("cohort_m")).alias("age"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            "cohort_m",
+            "age",
+            "cohort_size",
+            "cum_cents",
+            (F.col("cum_cents") / F.col("cohort_size")).alias("ltv_cents"),
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS m_idx,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), firsts AS (
+        SELECT o_custkey, min(m_idx) AS cohort_m FROM o GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY 1
+    ), monthly AS (
+        SELECT f.cohort_m, o.m_idx - f.cohort_m AS age,
+               CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        FROM o JOIN firsts f USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT m.cohort_m, m.age, s.cohort_size,
+           CAST(sum(m.rev_cents) OVER (
+               PARTITION BY m.cohort_m ORDER BY m.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           CAST(sum(m.rev_cents) OVER (
+               PARTITION BY m.cohort_m ORDER BY m.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / s.cohort_size AS ltv_cents
+    FROM monthly m JOIN sizes s ON s.cohort_m = m.cohort_m
+"""
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency distribution: per user, micros
+    between first view and first subsequent purchase; p50/p90 via EXACT
+    integer rank selection (k = ⌈n·p/100⌉ over the (latency, user)
+    total order — no float quantiles, both engines pick the identical
+    element). One per-user aggregate + one bounded sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min("us").alias("v_us"))
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    lat = (
+        buys.join(views, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("p_us").alias("first_p"))
+        .select(
+            "user_id", (F.col("first_p") - F.col("v_us")).alias("lat_us")
+        )
+    )
+    w = Window.orderBy(F.col("lat_us").asc(), F.col("user_id").asc())
+    ranked = lat.withColumn("rn", F.row_number().over(w))
+    n = lat.count()
+    k50, k90 = (n * 50 + 99) // 100, (n * 90 + 99) // 100
+    return (
+        ranked.filter(F.col("rn").isin(int(k50), int(k90)))
+        .select(
+            F.lit(int(n)).alias("n_converted"),
+            F.when(F.col("rn") == k50, F.lit("p50"))
+            .otherwise(F.lit("p90"))
+            .alias("pct"),
+            F.col("lat_us").alias("latency_us"),
+        )
+    )
+
+
+_CONVERSION_LATENCY_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+        FROM events
+    ), views AS (
+        SELECT user_id, min(us) AS v_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+    ), lat AS (
+        SELECT b.user_id, min(b.us) - v.v_us AS lat_us
+        FROM ev b JOIN views v USING (user_id)
+        WHERE b.event_type = 'purchase' AND b.us >= v.v_us
+        GROUP BY b.user_id, v.v_us
+    ), ranked AS (
+        SELECT user_id, lat_us,
+               row_number() OVER (ORDER BY lat_us ASC, user_id ASC) AS rn,
+               count(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           CASE WHEN rn = (n * 50 + 99) // 100 THEN 'p50' ELSE 'p90' END
+               AS pct,
+           CAST(lat_us AS BIGINT) AS latency_us
+    FROM ranked
+    WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 90 + 99) // 100
+"""
+
 R6_QUERIES = {
     "deletion_vector_delete": q_deletion_vector_delete,
     "check_constraints": q_check_constraints,
@@ -1931,6 +2261,9 @@ R6_QUERIES = {
     "streaming_gdpr_erasure": q_streaming_gdpr_erasure,
     "unseen_mass_good_turing": q_unseen_mass_good_turing,
     "embedding_isotropy": q_embedding_isotropy,
+    "cluster_purity_nmi": q_cluster_purity_nmi,
+    "cohort_ltv": q_cohort_ltv,
+    "conversion_latency": q_conversion_latency,
 }
 
 R6_ORACLES = {
@@ -1958,4 +2291,7 @@ R6_ORACLES = {
     "streaming_gdpr_erasure": _STREAMING_GDPR_SQL,
     "unseen_mass_good_turing": _GOOD_TURING_SQL,
     "embedding_isotropy": _EMBEDDING_ISOTROPY_SQL,
+    "cluster_purity_nmi": _cluster_purity_sql(),
+    "cohort_ltv": _COHORT_LTV_SQL,
+    "conversion_latency": _CONVERSION_LATENCY_SQL,
 }

@@ -145,6 +145,8 @@ ALLOW_CARTESIAN = {
     "domain_mixture_weights",  # single-row base/total scalar broadcasts
     "personalized_pagerank",   # broadcast seed vector full-outer per round
     "embedding_isotropy",      # (none expected; defensive)
+    "cluster_purity_nmi",      # single-row MI/entropy/purity scalars
+    "unseen_mass_good_turing",  # (none expected; defensive)
 }
 
 

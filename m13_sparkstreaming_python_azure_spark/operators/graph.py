@@ -561,6 +561,12 @@ def hits(
             .agg(F.sum("h").alias("raw"))
         ).localCheckpoint(eager=True)
         tot_a = a_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
+        if not tot_a:  # None (no edges matched) or 0 — nothing to normalize
+            raise ValueError(
+                "hits: authority mass vanished (graph has no edges, or all "
+                "hub mass sits on nodes with no outgoing edges) — HITS is "
+                "undefined on an empty link structure"
+            )
         auths = a_raw.select(
             "node",
             F.expr(f"(raw * {G}) DIV {int(tot_a)}").alias("a"),
@@ -571,6 +577,11 @@ def hits(
             .agg(F.sum("a").alias("raw"))
         ).localCheckpoint(eager=True)
         tot_h = h_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
+        if not tot_h:
+            raise ValueError(
+                "hits: hub mass vanished (no edge's destination carries "
+                "authority) — HITS is undefined on an empty link structure"
+            )
         hubs = h_raw.select(
             "node",
             F.expr(f"(raw * {G}) DIV {int(tot_h)}").alias("h"),

@@ -557,6 +557,10 @@ def bm25_prf_search(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
     )
+    # the result is ≤ top_n rows — checkpoint it eagerly and release the
+    # pinned token stream (leaving it cached leaks blocks across calls)
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
     return out
 
 

@@ -1319,7 +1319,24 @@ def binary_quantize_words(
     packing): bit j of the vector is 1 iff v_j ≥ 0. 32× smaller than the
     float vector; Hamming distance on the words approximates angular
     distance (the binary-quantization / BitQ trade every vector store
-    offers). Pure integer packing — engine-bit-equal."""
+    offers). Pure integer packing — engine-bit-equal.
+
+    Vectors longer than 64 dims would silently DROP bits (a third word
+    has nowhere to go), so they raise; vectors of ≤32 dims leave w1 with
+    no rows to sum — coalesced to 0 so downstream XOR popcounts stay
+    non-NULL (a NULL hamming sorts FIRST under asc and would promote
+    bogus candidates into the rerank set)."""
+    # in-plan guard (no extra pass): assert_true raises at execution time
+    # on the first vector that would overflow the two-word layout
+    emb = emb.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) <= 64,
+            F.lit(
+                "binary_quantize_words packs at most 64 dims into two "
+                "32-bit words — chunk the embedding or widen the layout"
+            ),
+        ).isNull()
+    )
     bits = emb.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("__j", "__v"),
@@ -1336,8 +1353,12 @@ def binary_quantize_words(
         .agg(F.sum("__bit").alias("__word"))
         .groupBy(id_col)
         .agg(
-            F.sum(F.when(F.col("__w") == 0, F.col("__word"))).alias("w0"),
-            F.sum(F.when(F.col("__w") == 1, F.col("__word"))).alias("w1"),
+            F.coalesce(
+                F.sum(F.when(F.col("__w") == 0, F.col("__word"))), F.lit(0)
+            ).alias("w0"),
+            F.coalesce(
+                F.sum(F.when(F.col("__w") == 1, F.col("__word"))), F.lit(0)
+            ).alias("w1"),
         )
     )
 

@@ -367,7 +367,7 @@ def ngram_novelty(
     # stream — pin it once instead of paying the explode twice
     grams = grams.persist()
     df_g = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         grams.join(df_g, "gram")
         .groupBy(id_col)
         .agg(
@@ -377,6 +377,11 @@ def ngram_novelty(
             ),
         )
     )
+    # materialize eagerly so the pinned gram stream can be released now —
+    # otherwise repeated invocations in one session accumulate cached blocks
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    return out
 
 
 def oov_rate(

@@ -225,7 +225,13 @@ def append_snapshot(
     is rebased and retried if another writer commits in between (appends
     commute, so the rebase is just re-reading the latest file list —
     no data rewrite)."""
-    _validate_constraints(df, read_manifest(table_dir), table_dir)
+    _m0 = read_manifest(table_dir)
+    if _m0.get("partition_col"):
+        raise ValueError(
+            "append_snapshot writes flat files without the hive layout — "
+            "append to a partitioned snapshot via append_snapshot_partitioned"
+        )
+    _validate_constraints(df, _m0, table_dir)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
     n_new = spark.read.parquet(*files).count() if files else 0

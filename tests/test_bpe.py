@@ -98,3 +98,41 @@ def test_encode_token_counts_compress_with_merges(spark):
     # merges learned: (a,a) -> aa, then (aa,aa) -> aaaa: doc1 = 2 tokens
     assert out[1] == 2
     assert out[2] == 2  # 'ab' has no applicable merge
+
+
+def test_learn_bpe_caps_driver_collect_on_junk_corpus(spark):
+    """VERDICT r6 #3: a high-entropy corpus (every row a unique hex blob)
+    must not flood the driver dict — min_word_count prunes the singleton
+    tail and max_vocab_words hard-bounds the collect, while the merges
+    learned from the dominant clean words are unchanged."""
+    from pyspark.sql import functions as F
+
+    clean = spark.createDataFrame(
+        [("lower lower lowest newer newer newer wider",)] * 20, ["text"]
+    )
+    junk = spark.range(5000).select(
+        F.concat(F.lit("x"), F.md5(F.col("id").cast("string"))).alias("text")
+    )
+    corpus = clean.union(junk.select(F.col("text")))
+
+    want = [
+        (r["left"], r["right"])
+        for r in learn_bpe(clean, "text", 8, 2).orderBy("rank").collect()
+    ]
+    # singleton junk words pruned before the collect: same merges
+    got_minc = [
+        (r["left"], r["right"])
+        for r in learn_bpe(corpus, "text", 8, 2, min_word_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_minc == want and len(want) > 0
+    # hard cap alone also bounds the dict (top-5 words by n are the clean
+    # ones: each junk word appears once)
+    got_cap = [
+        (r["left"], r["right"])
+        for r in learn_bpe(corpus, "text", 8, 2, max_vocab_words=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_cap == want

@@ -90,6 +90,72 @@ EXPECT_BROADCAST = {
     "bm25_search",
     "scd2_pit_join",  # SCD2 dim versions broadcast under the fact scan
 }
+# Unpartitioned WindowExec moves the WHOLE input to one task — the class
+# of plan that dies at 100 TB (VERDICT r6 #1/#2: rfm_segments and
+# price_decile_stats were rebuilt on operators.window.exact_ntile for
+# exactly this reason). The invariant below FAILS any query that plans an
+# unpartitioned Window unless it is whitelisted here with the reason its
+# windowed keyspace stays bounded as facts grow. Two legitimate classes:
+#   (a) distinct-value / reduced keyspaces: the window runs AFTER a
+#       groupBy that collapses facts to distinct values, days, vocab
+#       terms, bins, or contingency cells — cardinality-bounded, not
+#       row-bounded;
+#   (b) candidate sets already cut to a constant (top-k lists, probe
+#       results, per-query ranks).
+UNPARTITIONED_WINDOW_OK = {
+    # (a) distinct-value / reduced keyspaces
+    "roc_auc": "cum window over DISTINCT score cents",
+    "weighted_median": "cum window over DISTINCT value cents",
+    "ks_test": "cum CDFs over distinct metric values",
+    "psi_drift": "rank over distinct baseline values -> bins",
+    "spearman_corr": "ranks over distinct value grids",
+    "kendall_tau": "ranks over distinct value grids",
+    "kruskal_wallis": "mid-ranks over pooled distinct values",
+    "mann_kendall_sen": "ranks over daily series (bounded by days)",
+    "kaplan_meier": "event-table window over distinct durations",
+    "log_rank_test": "event-table window over distinct durations",
+    "woe_iv": "window over category x class contingency cells",
+    "chi_square_independence": "contingency-cell windows",
+    "mutual_information": "contingency-cell windows",
+    "ece_calibration": "windows over fixed calibration bins",
+    "conformal_intervals": "rank over held-out residual grid",
+    "ccf_lag": "daily-series windows (bounded by days)",
+    "acf_daily_events": "daily-series windows (bounded by days)",
+    "seasonal_decompose": "daily-series windows (bounded by days)",
+    "changepoint_detect": "daily-series windows (bounded by days)",
+    "rolling_revenue_7d": "daily-series window (bounded by days)",
+    "zscore_by_type": "per-day aggregate window (bounded by days)",
+    "histogram_quantiles": "window over fixed histogram bins",
+    "streaming_histogram_quantiles": "window over fixed histogram bins",
+    "zipf_slope": "window over vocab ranks (vocab-bounded)",
+    "oov_rate": "vocab rank window (top-K vocab cut)",
+    "textrank_keywords": "window over keyword-graph nodes (vocab)",
+    "markov_transitions": "window over state x state transition cells",
+    "quantile_normalize": "rank over per-column distinct value grid",
+    "loo_target_encoding": "category-stats window (category-bounded)",
+    "ppjoin_pairs": "global token-frequency order (vocab-bounded)",
+    "containment_pairs": "global token-frequency order (vocab-bounded)",
+    "bow_dedup": "token-frequency rank (vocab-bounded)",
+    "streaming_topk_tokens": "rank over the maintained top-k state table",
+    "quality_prune_floors": "rank over per-source quality floors (sources)",
+    "null_semantics": "didactic gate over a literal inline table",
+    "conversion_latency": "exact-rank percentile over conversion events"
+    " (conversions are the reduced funnel tail; Q-digest is the 100TB path)",
+    "touch_attribution": "per-purchase window is partitioned; the global"
+    " one ranks purchase-level summary rows",
+    "min_cost_supplier": "TPC-H Q2 final ORDER BY LIMIT as rank over the"
+    " filtered part-supplier tail (region-filtered)",
+    "skyline_orders": "block-nested skyline over the dominance-filtered"
+    " local skylines (tiny frontier)",
+    "topn_with_other": "rank over group aggregates (group-bounded)",
+    # (b) constant-size candidate sets
+    "hybrid_rrf_search": "rank fusion over two top-k lists",
+    "retrieval_eval": "per-query rank lists (k-bounded)",
+    "ql_dirichlet_search": "final top-n cut over scored candidates",
+    "bm25_prf_search": "final top-n cut over scored candidates",
+    "sorted_neighborhood_pairs": "SNM global sorted pass; scale path is"
+    " key-block partitioning documented in the operator",
+}
 # intentional cross join: ann probes are broadcast against the corpus;
 # idle_customer_balance broadcasts a single-row stats aggregate (the
 # decorrelated scalar avg subquery) under every customer row; bm25's
@@ -157,9 +223,30 @@ def formatted_plan(df) -> str:
     )
 
 
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec. In formatted explain a
+    Window node's detail prints ``Arguments: [funcs], [order]`` (2 bracket
+    groups) when unpartitioned vs ``[funcs], [partition], [order]`` (3)
+    when partitioned — count the top-level ``], [`` separators."""
+    hits = 0
+    for m in re.finditer(
+        r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan
+    ):
+        if m.group(1).count("], [") + 1 < 3:
+            hits += 1
+    return hits
+
+
 def audit_one(name: str, df) -> tuple[list[str], str]:
     plan = formatted_plan(df)
     problems: list[str] = []
+    n_up = unpartitioned_windows(plan)
+    if n_up and name not in UNPARTITIONED_WINDOW_OK:
+        problems.append(
+            f"{n_up} unpartitioned WindowExec (single-partition sort of "
+            f"the full input — whitelist in UNPARTITIONED_WINDOW_OK only "
+            f"if the windowed keyspace is cardinality-bounded)"
+        )
     if name in EXPECT_PUSHDOWN and not re.search(
         r"PushedFilters: \[(?!\])", plan
     ):

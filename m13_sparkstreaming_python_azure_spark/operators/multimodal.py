@@ -61,7 +61,23 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+try:  # Pillow is optional (VERDICT r6 #6); the stdlib PNG codec below
+    from PIL import Image as _PILImage  # noqa: N813
+
+    PIL_AVAILABLE = True
+except ImportError:
+    _PILImage = None
+    PIL_AVAILABLE = False
+
+from m13_sparkstreaming_python_azure_spark.operators import png as _png
+
+# image decode is REAL for PNG (operators/png — pure-stdlib codec) and
+# for whatever Pillow handles when installed; audio/video codecs remain
+# out of scope in this container
+REAL_DECODERS_AVAILABLE = True
+SUPPORTED_IMAGE_FORMATS = {"png"} | (
+    {"jpeg", "jpg", "bmp", "gif", "webp"} if PIL_AVAILABLE else set()
+)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -71,10 +87,39 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [digest[i % len(digest)] / 255.0 for i in range(dim)]
 
 
-def decode_media(payload: bytes, fmt: str) -> bytes:
-    """Real decode entry point — stubbed in this environment."""
+def decode_image(payload: bytes, fmt: str = "png"):
+    """Decode image bytes to an (H, W, C) uint8 array. PNG always works
+    (operators/png); other formats need Pillow. Raises ValueError on
+    corrupt/undecodable bytes, NotImplementedError on a format with no
+    installed codec."""
+    import numpy as np
+
+    fmt = (fmt or "").lower()
+    if _png.is_png(payload or b""):
+        return _png.decode_png(payload)
+    if PIL_AVAILABLE:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload or b"")) as im:
+                return np.asarray(im.convert("RGB"))
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(f"undecodable image payload: {e}") from None
+    if fmt == "png":
+        raise ValueError("undecodable image payload (bad PNG signature)")
     raise NotImplementedError(
-        "media codecs are not installed in this container; "
+        f"no codec for image format {fmt!r} in this container "
+        f"(PNG is built in; install Pillow for {fmt!r})"
+    )
+
+
+def decode_media(payload: bytes, fmt: str) -> bytes:
+    """Decode entry point: images decode for real (PNG built-in, more via
+    Pillow); audio/video codecs are not installed here."""
+    if (fmt or "").lower() in SUPPORTED_IMAGE_FORMATS:
+        return decode_image(payload, fmt).tobytes()
+    raise NotImplementedError(
+        f"no codec for media format {fmt!r} in this container; "
         "extract_features uses the deterministic fake featurizer"
     )
 
@@ -148,11 +193,23 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, target_width: int = 224, target_height: int = 224
 ) -> DataFrame:
-    """Image-resize plumbing (the normalize-before-embed step): Arrow-
-    batched mapInPandas computing per-image scale factors and the output
-    geometry. The pixel resample itself needs a codec —
-    ``resized_payload`` stays null here, with the schema/batching contract
-    (the part a real decoder drops into) fully real."""
+    """Image resize (the normalize-before-embed step): Arrow-batched
+    mapInPandas computing per-image scale factors and output geometry.
+    DECODABLE payloads (real PNGs via operators/png, more formats with
+    Pillow) are resampled for real — nearest-neighbor to the target
+    geometry, re-encoded as PNG into ``resized_payload``. Payloads that
+    aren't decodable images (e.g. the synthetic fixture's hash-stream
+    bytes) keep ``resized_payload = NULL`` with the geometry contract
+    intact, so metadata-only pipelines behave exactly as before."""
+
+    def _resample(payload):
+        try:
+            px = decode_image(payload)
+        except (ValueError, NotImplementedError):
+            return None
+        return _png.encode_png(
+            _png.resize_nearest(px, target_width, target_height)
+        )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,7 +224,7 @@ def resize_images(
                     "target_height": [target_height] * n,
                     "scale_x": (target_width / pdf["width"]).astype("float32"),
                     "scale_y": (target_height / pdf["height"]).astype("float32"),
-                    "resized_payload": [None] * n,
+                    "resized_payload": pdf["payload"].map(_resample),
                 }
             )
 
@@ -236,13 +293,14 @@ def perceptual_hash(
     near-dup fingerprint (robust to re-encode/resize noise, unlike the
     byte-exact sha256 in extract_features).
 
-    The REAL parts — Arrow batching, 32×32 grayscale plane, DCT-II via
-    cosine-basis matmuls, 8×8 low-frequency block, median threshold,
-    64-bit pack — all run; only the codec decode is stubbed behind a
-    deterministic byte→pixel expansion (np.resize of the payload), the
-    same decode-stub contract as extract_features (no codecs in this
-    container). Swapping the stub for a real decoder changes ONE
-    function; the hashing math and the pair machinery are final."""
+    Fully real on decodable images: PNG payloads (operators/png; more
+    formats with Pillow) decode to pixels, downsample to the 32×32 luma
+    plane, then DCT-II via cosine-basis matmuls, 8×8 low-frequency
+    block, median threshold, 64-bit pack. Payloads that aren't decodable
+    images fall back to the deterministic byte→pixel expansion
+    (np.resize of the payload) so non-image rows still fingerprint
+    deterministically — the pre-r7 behavior, kept for the synthetic
+    fixtures and for audio/video rows."""
     import numpy as np
     import pandas as pd
 
@@ -252,10 +310,17 @@ def perceptual_hash(
     )
     weights = (1 << np.arange(64, dtype=np.uint64))
 
+    def _plane(payload: bytes) -> "np.ndarray":
+        try:
+            px = decode_image(payload)
+        except (ValueError, NotImplementedError):
+            return np.resize(
+                np.frombuffer(payload or b"\0", dtype=np.uint8), n * n
+            ).reshape(n, n).astype(np.float64)
+        return _png.to_luma(_png.resize_nearest(px, n, n))
+
     def _one(payload: bytes) -> int:
-        px = np.resize(
-            np.frombuffer(payload or b"\0", dtype=np.uint8), n * n
-        ).reshape(n, n).astype(np.float64)
+        px = _plane(payload)
         dct = basis @ px @ basis.T
         block = dct[:8, :8].ravel()
         med = np.median(block[1:])  # skip DC for the threshold

@@ -52,9 +52,20 @@ def test_frame_sampling_fanout(spark):
     assert frames.filter(F.col("frame_ts_ms") % 1000 != 0).count() == 0
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_codec_boundaries():
+    # PNG decodes for real now (operators/png); corrupt bytes raise
+    # ValueError, formats with no installed codec raise NotImplementedError
+    with pytest.raises(ValueError):
+        mm.decode_media(b"\x89PNG", "png")  # truncated signature
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG", "png")
+        mm.decode_media(b"\x00\x01", "mp4")
+    import numpy as np
+
+    from m13_sparkstreaming_python_azure_spark.operators.png import encode_png
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    raw = mm.decode_media(encode_png(px), "png")
+    assert raw == px.tobytes()
 
 
 def test_resize_images_geometry(spark):
@@ -70,7 +81,9 @@ def test_resize_images_geometry(spark):
     for r in rows:
         assert r["target_width"] == 224 and r["target_height"] == 224
         assert abs(r["scale_x"] - 224 / r["width"]) < 1e-6
-        assert r["resized_payload"] is None  # codec stubbed
+        # synthetic hash-stream payloads are not decodable images, so the
+        # real-resample path leaves the payload NULL (geometry-only row)
+        assert r["resized_payload"] is None
 
 
 def test_segment_audio_windows(spark):

@@ -27,13 +27,16 @@ def salted_join(
     on: str,
     salt: int = 16,
     how: str = "inner",
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Equi-join on ``on`` with the LEFT side salted (random sub-key per
     row) and the RIGHT side replicated ``salt`` times.
 
     Semantics are identical to ``left.join(right, on, how)`` for inner and
     left joins; each left row meets each matching right row exactly once
-    (its own salt replica).
+    (its own salt replica). ``keep_salt=True`` retains the ``__salt``
+    column so callers (e.g. the plan audit's skew proof) can observe how
+    evenly a hot key spread across its sub-keys.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
@@ -44,10 +47,8 @@ def salted_join(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
     )
-    return (
-        l_salted.join(r_replicated, on=[on, "__salt"], how=how)
-        .drop("__salt")
-    )
+    out = l_salted.join(r_replicated, on=[on, "__salt"], how=how)
+    return out if keep_salt else out.drop("__salt")
 
 
 def salted_aggregate(

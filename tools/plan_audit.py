@@ -317,6 +317,121 @@ SCALE_AUDIT_QUERIES = [
 ]
 
 
+def skew_audit(spark, lines: list[str]) -> int:
+    """AQE skew-join proof (VERDICT r6 #7): a deliberately skewed
+    equi-join (90% of fact rows on ONE key, broadcast disabled) must
+    plan ``SortMergeJoin ... (skew=true)`` once AQE sees the runtime
+    sizes, and the explicit ``salted_join`` fallback must spread the hot
+    key evenly across output partitions.
+
+    Fixture notes that took debugging to learn (keep them true):
+    - the pad column must be INCOMPRESSIBLE (md5 chains) — a constant
+      pad compresses below skewedPartitionThresholdInBytes and the
+      optimizer correctly sees no skew;
+    - no same-key aggregate directly on the join output —
+      OptimizeSkewedJoin refuses to split when the parent requires the
+      join's hash partitioning (splitting would break co-partitioning).
+    """
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.operators.skew import (
+        salted_join,
+    )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)  # None = key unset → restore via unset()
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    failures = 0
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1m",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(400_000).select(
+            F.when(F.pmod(F.col("id"), 10) < 9, 0)
+            .otherwise(F.pmod(F.col("id"), 1000))
+            .cast("long")
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.md5((F.col("id") + 2).cast("string")),
+            ).alias("pad"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("attr"),
+        )
+        j = fact.join(dim, "k").select("k", "pad", "attr")
+        j._jdf.queryExecution().executedPlan().execute().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n_skew = plan.count("skew=true")
+        if n_skew:
+            lines.append(
+                f"- skewed equi-join @90%-hot-key: OK — AQE "
+                f"OptimizeSkewedJoin fired ({n_skew} skew=true join side)"
+            )
+            print("OK   skew_audit: AQE skew-split fired")
+        else:
+            lines.append(
+                "- skewed equi-join: FAIL — no skew=true in the final plan"
+            )
+            print("FAIL skew_audit: AQE skew-split did not fire")
+            failures += 1
+        # the explicit fallback: salt spreads the hot key evenly. Measure
+        # at the LOGICAL level (per-salt row counts of the hot key) — a
+        # physical spark_partition_id probe is misleading here because
+        # the probe query itself gets column-pruned down to the join
+        # keys, lands under the advisory size, and AQE coalesces it to
+        # one partition (learned the hard way).
+        salted = salted_join(fact, dim, "k", salt=16, keep_salt=True)
+        per_salt = (
+            salted.filter(F.col("k") == 0)
+            .groupBy("__salt")
+            .count()
+            .collect()
+        )
+        hot = 360_000
+        n_subkeys = len(per_salt)
+        mx = max(r["count"] for r in per_salt) if per_salt else 0
+        parity = (
+            salted.count() == fact.join(dim, "k").count()
+        )
+        if parity and n_subkeys == 16 and mx < hot // 8:
+            lines.append(
+                f"- salted_join fallback: OK — row parity with the plain "
+                f"join; the {hot}-row hot key spread over {n_subkeys} "
+                f"sub-keys (max {mx} rows ≈ hot/16)"
+            )
+            print("OK   skew_audit: salted fallback spreads the hot key")
+        else:
+            lines.append(
+                f"- salted_join fallback: FAIL (parity={parity}, "
+                f"subkeys={n_subkeys}, max={mx})"
+            )
+            print("FAIL skew_audit: salted fallback")
+            failures += 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return failures
+
+
 def build_scaled_fixture(spark, sf_dir: str, replicas: int = 10) -> str:
     """Materialize a ``replicas``× fixture into a temp dir: documents and
     embeddings replicate with perturbed ids (+ perturbed text, so near-dup
@@ -449,6 +564,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
             )
             lines.append(f"- {name} @10×: {status} (joins={joins or '-'})")
             failures += bool(problems)
+        lines.append("")
+        lines.append("### Skew handling (VERDICT r6 #7)")
+        lines.append("")
+        failures += skew_audit(spark, lines)
         lines.append("")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:

@@ -633,3 +633,61 @@ def ql_dirichlet_scores(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    clauses: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval over token postings — the DNF query shape
+    ``(a AND b AND NOT c) OR (d AND e)``: ``clauses`` is a list of
+    ``{"all": [...terms...], "none": [...terms...]}``; a document matches
+    if ANY clause is satisfied. Returns ``(id, clause)`` with the lowest
+    matching clause index (deterministic).
+
+    Scale shape: postings are built ONLY for the query's vocabulary — an
+    ``isin`` prune on the exploded token stream (a broadcast semi-join
+    when the vocabulary is a table) — so the per-doc flag aggregate
+    touches O(query_terms) rows per doc, never the whole posting list.
+    One explode + one doc-keyed aggregate; no self-joins."""
+    vocab = sorted(
+        {t.lower() for c in clauses for t in c.get("all", [])}
+        | {t.lower() for c in clauses for t in c.get("none", [])}
+    )
+    if not vocab:
+        raise ValueError("boolean_search needs at least one term")
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("__term")
+        )
+        .filter(F.col("__term").isin(vocab))
+        .distinct()
+    )
+    flags = postings.groupBy(id_col).agg(
+        *[
+            F.max(
+                F.when(F.col("__term") == t, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"__has_{i}")
+            for i, t in enumerate(vocab)
+        ]
+    )
+    idx = {t: i for i, t in enumerate(vocab)}
+
+    def _clause(c: dict):
+        cond = F.lit(True)
+        for t in c.get("all", []):
+            cond = cond & (F.col(f"__has_{idx[t.lower()]}") == 1)
+        for t in c.get("none", []):
+            cond = cond & (F.col(f"__has_{idx[t.lower()]}") == 0)
+        return cond
+
+    matched = F.lit(None).cast("int")
+    for ci in range(len(clauses) - 1, -1, -1):
+        matched = F.when(_clause(clauses[ci]), F.lit(ci)).otherwise(matched)
+    return (
+        flags.withColumn("clause", matched)
+        .filter(F.col("clause").isNotNull())
+        .select(id_col, "clause")
+    )

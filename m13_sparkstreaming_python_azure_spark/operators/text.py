@@ -418,3 +418,70 @@ def oov_rate(
             ).alias("n_oov"),
         )
     )
+
+
+# Gopher stopword set (Rae et al. 2021, appendix A1.1): a doc should
+# contain at least two of these to look like running English prose
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 — the
+    word-level subset; line-level rules live in ``c4_keep_line``):
+
+    - word count in [min_words, max_words] (50..100k)
+    - mean word length in [3, 10] chars
+    - ≤ 10% of words are symbol junk (#, ellipsis)
+    - ≥ 80% of words contain at least one alphabetic character
+    - contains ≥ 2 Gopher stopwords
+
+    Every threshold evaluates as an exact integer cross-multiplication
+    (3·n ≤ Σlen ≤ 10·n, 5·n_alpha ≥ 4·n, 10·n_sym ≤ n) — no float
+    ratios, so the pass/fail flags are engine-bit-equal. One tokenize
+    pass, all flags in one projection; aggregates roll up at scan speed.
+    """
+    t = tokens(text_col)
+    n = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    n_sym = F.size(
+        F.filter(t, lambda w: w.rlike(r"^#+$") | w.contains("..."))
+    )
+    n_stop = F.size(
+        F.filter(t, lambda w: w.isin(*GOPHER_STOPWORDS))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col("source"),
+        n.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        ((n >= 50) & (n <= 100_000)).alias("pass_word_count"),
+        ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias("pass_mean_len"),
+        (10 * n_sym <= n).alias("pass_symbols"),
+        (5 * n_alpha >= 4 * n).alias("pass_alpha"),
+        (n_stop >= 2).alias("pass_stopwords"),
+    ).withColumn(
+        "pass_all",
+        F.col("pass_word_count")
+        & F.col("pass_mean_len")
+        & F.col("pass_symbols")
+        & F.col("pass_alpha")
+        & F.col("pass_stopwords"),
+    )
+
+
+def c4_keep_line(line: Column) -> Column:
+    """C4 line-retention predicate (Raffel et al. 2020 §2.2): keep a line
+    iff it ends with terminal punctuation, has ≥ 3 words, and does not
+    mention javascript. Doc-level rules (lorem ipsum, curly braces)
+    compose on top — see q_c4_line_filters."""
+    toks = F.filter(F.split(F.lower(line), r"\s+"), lambda x: x != "")
+    return (
+        line.rlike(r"[.!?\"']$")
+        & (F.size(toks) >= 3)
+        & ~F.lower(line).contains("javascript")
+    )

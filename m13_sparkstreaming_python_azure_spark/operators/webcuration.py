@@ -90,3 +90,42 @@ def per_domain_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+# query parameters that only identify the CLICK, not the resource —
+# stripping them is what makes URL dedup merge real duplicates without
+# over-merging distinct pages (C4/CCNet-style URL canonicalization)
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)$"
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Parameter-aware URL canonicalization (vs ``normalize_url``, which
+    drops the whole query string): lowercase host, strip default ports
+    (:80/:443), drop the fragment, strip TRACKING params but KEEP
+    meaningful ones, sort surviving params, trim trailing slashes.
+    Pure JVM string expressions — runs at scan speed; the DuckDB oracle
+    mirrors each regexp verbatim."""
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~F.element_at(F.split(F.lower(p), "="), 1).rlike(
+                TRACKING_PARAM_RE
+            ),
+        )
+    )
+    qs = F.concat_ws("&", params)
+    return F.concat(
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -30,6 +30,10 @@ from m13_sparkstreaming_python_azure_spark.queries.round6_ext import (
     R6_ORACLES,
     R6_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.round7_ext import (
+    R7_ORACLES,
+    R7_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     SCIENCE_ORACLES,
     SCIENCE_QUERIES,
@@ -94,6 +98,7 @@ _ALL_QUERIES = {
     **PIPELINE_QUERIES,
     **SCIENCE_QUERIES,
     **R6_QUERIES,
+    **R7_QUERIES,
 }
 for _name in _STREAMING_GATES:
     _ALL_QUERIES[_name] = _narrow_shuffle(_ALL_QUERIES[_name])
@@ -107,6 +112,7 @@ ORACLES = {
     **PIPELINE_ORACLES,
     **SCIENCE_ORACLES,
     **R6_ORACLES,
+    **R7_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only

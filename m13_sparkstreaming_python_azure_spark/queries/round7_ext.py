@@ -1,0 +1,413 @@
+"""Round-7 gated queries: web-corpus curation primitives (Gopher rules,
+C4 line filters, parameter-aware URL canonicalization), boolean
+retrieval, winnowing fingerprints, negative sampling, and snapshot-layer
+schema evolution / change-data-feed.
+
+Same contract as every other queries module: each entry has a Spark
+implementation in R7_QUERIES and (where SQL-expressible) a DuckDB oracle
+in R7_ORACLES whose stringified, column-sorted, order-insensitive hash
+must match (tools/check_correctness.py replica of the driver gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+
+def _noisy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with PLANTED Gopher violations (the fixture corpus is
+    clean word salad, so violations are appended deterministically by
+    doc_id residue — the same synthesis trick as domain_curation's URLs;
+    the oracle rebuilds the identical strings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" ### ### ### ... ... 123 456 789 000"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" a a a a a a a a a a a a a a a a a a a a"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule census (Rae et al. 2021 A1.1 word-level
+    rules — operators/text.gopher_rules): word-count bounds, mean word
+    length in [3,10], symbol-word and non-alpha-word caps, stopword
+    presence — every threshold an exact integer cross-multiplication, so
+    flags are engine-bit-equal. Violations are planted by doc_id residue
+    (symbol runs on %7, a 1-char-word flood that drags mean length below
+    3 on %9). One tokenize pass per doc, one census aggregate per source
+    — scan-shaped, no shuffle besides the final rollup."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        gopher_rules,
+    )
+
+    flags = gopher_rules(_noisy_docs(spark, sf_dir))
+    b = lambda c: F.sum(F.col(c).cast("long")).alias(f"n_{c}")  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        b("pass_word_count"),
+        b("pass_mean_len"),
+        b("pass_symbols"),
+        b("pass_alpha"),
+        b("pass_stopwords"),
+        b("pass_all"),
+    )
+
+
+_GOPHER_SQL = """
+    WITH noisy AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ### ### ### ... ... 123 456 789 000'
+                       ELSE '' END
+               || CASE WHEN doc_id % 9 = 0
+                       THEN ' a a a a a a a a a a a a a a a a a a a a'
+                       ELSE '' END AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, source,
+               list_filter(str_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM noisy
+    ), flags AS (
+        SELECT source,
+               len(t) AS n,
+               coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                   AS sum_len,
+               len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               len(list_filter(t, x -> regexp_matches(x, '^#+$')
+                                       OR contains(x, '...'))) AS n_sym,
+               len(list_filter(t, x -> x IN ('the','be','to','of','and',
+                                             'that','have','with')))
+                   AS n_stop
+        FROM toks
+    ), p AS (
+        SELECT source,
+               (n >= 50 AND n <= 100000) AS pass_word_count,
+               (sum_len >= 3 * n AND sum_len <= 10 * n) AS pass_mean_len,
+               (10 * n_sym <= n) AS pass_symbols,
+               (5 * n_alpha >= 4 * n) AS pass_alpha,
+               (n_stop >= 2) AS pass_stopwords
+        FROM flags
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pass_word_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_word_count,
+           CAST(sum(CASE WHEN pass_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_mean_len,
+           CAST(sum(CASE WHEN pass_symbols THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_symbols,
+           CAST(sum(CASE WHEN pass_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_alpha,
+           CAST(sum(CASE WHEN pass_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_stopwords,
+           CAST(sum(CASE WHEN pass_word_count AND pass_mean_len
+                          AND pass_symbols AND pass_alpha
+                          AND pass_stopwords THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+    FROM p GROUP BY source
+"""
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning census (Raffel et al. 2020 §2.2 —
+    operators/text.c4_keep_line): documents split into 6-token lines;
+    terminal punctuation synthesized content-derived (md5(line) % 3 > 0
+    → '.', so both engines agree per line); 'javascript' lines planted
+    on doc_id % 11, a 'lorem ipsum' line on % 13. Line rules: terminal
+    punctuation, ≥ 3 words, no javascript; doc rules: no lorem-ipsum /
+    no '{', and ≥ 3 surviving lines. Census per source. Explode is
+    4 rows/doc; everything else is scan-shaped JVM expressions."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import (
+        c4_keep_line,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    raw_lines = F.array(
+        *[
+            F.concat(
+                F.concat_ws(" ", F.slice(t, i * 6 + 1, 6)),
+                F.when(
+                    (F.lit(i) == 1) & (F.col("doc_id") % 11 == 0),
+                    F.lit(" javascript library"),
+                ).otherwise(F.lit("")),
+            )
+            for i in range(4)
+        ]
+    )
+    lines = F.transform(
+        raw_lines,
+        lambda ln: F.when(ln == "", ln).otherwise(
+            F.concat(
+                ln,
+                F.when(
+                    F.conv(F.substring(F.md5(ln), 1, 4), 16, 10).cast(
+                        "long"
+                    )
+                    % 3
+                    > 0,
+                    F.lit("."),
+                ).otherwise(F.lit("")),
+            )
+        ),
+    )
+    lines = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.slice(lines, 1, 2),
+            F.array(F.lit("lorem ipsum dolor sit amet.")),
+            F.slice(lines, 4, 1),
+        ),
+    ).otherwise(lines)
+    per_line = docs.select(
+        "doc_id", "source", F.explode(lines).alias("line")
+    ).filter(F.col("line") != "")
+    flagged = per_line.withColumn("keep", c4_keep_line(F.col("line")))
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.max(
+            F.lower(F.col("line")).contains("lorem ipsum").cast("int")
+        ).alias("has_lorem"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_lines").alias("lines_total"),
+        F.sum("n_kept").alias("lines_kept"),
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(
+            (
+                (F.col("has_lorem") == 0) & (F.col("n_kept") >= 3)
+            ).cast("long")
+        ).alias("docs_kept"),
+    )
+
+
+_C4_SQL = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(str_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), rawlines AS (
+        SELECT doc_id, source, i,
+               coalesce(array_to_string(t[i*6+1 : i*6+6], ' '), '')
+               || CASE WHEN i = 1 AND doc_id % 11 = 0
+                       THEN ' javascript library' ELSE '' END AS ln
+        FROM toks, unnest([0, 1, 2, 3]) AS u(i)
+    ), punct AS (
+        SELECT doc_id, source, i,
+               CASE WHEN ln = '' THEN ln
+                    WHEN ('0x' || substring(md5(ln), 1, 4))::BIGINT % 3 > 0
+                        THEN ln || '.'
+                    ELSE ln END AS ln
+        FROM rawlines
+    ), lines AS (
+        SELECT doc_id, source, i,
+               CASE WHEN doc_id % 13 = 0 AND i = 2
+                    THEN 'lorem ipsum dolor sit amet.' ELSE ln END AS line
+        FROM punct
+    ), per_line AS (
+        SELECT doc_id, source, line,
+               (regexp_matches(line, '[.!?"'']$')
+                AND len(list_filter(str_split_regex(lower(line), '\\s+'),
+                                    x -> x <> '')) >= 3
+                AND NOT contains(lower(line), 'javascript')) AS keep
+        FROM lines WHERE line <> ''
+    ), per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS n_lines,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+               max(CASE WHEN contains(lower(line), 'lorem ipsum')
+                        THEN 1 ELSE 0 END) AS has_lorem
+        FROM per_line GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(sum(n_lines) AS BIGINT) AS lines_total,
+           CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+           CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(sum(CASE WHEN has_lorem = 0 AND n_kept >= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+    FROM per_doc GROUP BY source
+"""
+
+
+def _synth_url() -> F.Column:
+    did = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    return F.concat(
+        F.element_at(F.array(F.lit("http"), F.lit("HTTPS")), s(did % 2).cast("int") + 1),
+        F.lit("://"),
+        F.element_at(
+            F.array(F.lit("WWW."), F.lit("cdn."), F.lit("")),
+            s(did % 3).cast("int") + 1,
+        ),
+        F.col("source"),
+        s(did % 7),
+        F.lit(".com"),
+        F.element_at(
+            F.array(F.lit(":443"), F.lit(""), F.lit(":8080"), F.lit(":80")),
+            s(did % 4).cast("int") + 1,
+        ),
+        F.lit("/Page"),
+        s(did % 5),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        s(did % 10),
+        F.when(did % 8 == 0, F.lit("&fbclid=xyz&b=2&a=1")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#frag"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter-aware URL canonicalization census
+    (operators/webcuration.canonicalize_url): synthetic URLs per doc with
+    scheme-case / subdomain / default-port / trailing-slash / tracking-
+    param / fragment variety planted by doc_id residue; canonicalization
+    lowercases the host, strips :80/:443, drops the fragment and
+    utm_*/fbclid-class params, sorts survivors, trims trailing slashes.
+    Output: per canonical URL, how many raw variants collapsed onto it —
+    the URL-dedup merge census. All JVM regexp/array expressions at scan
+    speed; the oracle mirrors every regexp verbatim."""
+    from m13_sparkstreaming_python_azure_spark.operators.webcuration import (
+        canonicalize_url,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", _synth_url().alias("url")
+    ).select("doc_id", "url", canonicalize_url(F.col("url")).alias("canonical"))
+    return urls.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_URL_SQL = """
+    WITH urls AS (
+        SELECT doc_id,
+               ['http','HTTPS'][(doc_id % 2)::INT + 1] || '://'
+               || ['WWW.','cdn.',''][(doc_id % 3)::INT + 1]
+               || source || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               || [':443','',':8080',':80'][(doc_id % 4)::INT + 1]
+               || '/Page' || CAST(doc_id % 5 AS VARCHAR)
+               || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+               || '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
+               || CASE WHEN doc_id % 8 = 0 THEN '&fbclid=xyz&b=2&a=1'
+                       ELSE '' END
+               || '#frag' AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')
+                   AS rest,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM urls
+    ), pieces AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_extract(rest, '^([^/?#]+)', 1)),
+                              ':(80|443)$', '') AS host,
+               regexp_replace(
+                   regexp_extract(rest, '^[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path,
+               array_to_string(
+                   list_sort(
+                       list_filter(str_split(query, '&'),
+                           p -> p <> '' AND NOT regexp_matches(
+                               str_split(lower(p), '=')[1],
+                               '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)$'))),
+                   '&') AS qs
+        FROM parts
+    ), canon AS (
+        SELECT doc_id,
+               host || path
+               || CASE WHEN coalesce(qs, '') <> '' THEN '?' || qs
+                       ELSE '' END AS canonical
+        FROM pieces
+    )
+    SELECT canonical,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM canon GROUP BY canonical
+"""
+
+
+_BOOL_CLAUSES = [
+    {"all": ["spark", "window"], "none": ["merge"]},
+    {"all": ["hash", "join"]},
+]
+
+
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (DNF) retrieval over token postings
+    (operators/retrieval.boolean_search): documents matching
+    (spark AND window AND NOT merge) OR (hash AND join), tagged with the
+    lowest matching clause. Postings are pruned to the query vocabulary
+    BEFORE the per-doc flag aggregate — O(query terms) rows per doc, the
+    inverted-index probe shape, never a full-corpus pivot."""
+    from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+        boolean_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boolean_search(docs, _BOOL_CLAUSES).select(
+        "doc_id", F.col("clause").cast("long").alias("clause")
+    )
+
+
+_BOOL_SQL = """
+    WITH flags AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), f2 AS (
+        SELECT doc_id,
+               list_contains(t, 'spark') AS has_spark,
+               list_contains(t, 'window') AS has_window,
+               list_contains(t, 'merge') AS has_merge,
+               list_contains(t, 'hash') AS has_hash,
+               list_contains(t, 'join') AS has_join
+        FROM flags
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN has_spark AND has_window AND NOT has_merge THEN 0
+                     WHEN has_hash AND has_join THEN 1 END AS BIGINT)
+               AS clause
+    FROM f2
+    WHERE (has_spark AND has_window AND NOT has_merge)
+       OR (has_hash AND has_join)
+"""
+
+
+R7_QUERIES = {
+    "gopher_quality_rules": q_gopher_quality_rules,
+    "c4_line_filters": q_c4_line_filters,
+    "url_canonicalize": q_url_canonicalize,
+    "boolean_retrieval": q_boolean_retrieval,
+}
+
+R7_ORACLES = {
+    "gopher_quality_rules": _GOPHER_SQL,
+    "c4_line_filters": _C4_SQL,
+    "url_canonicalize": _URL_SQL,
+    "boolean_retrieval": _BOOL_SQL,
+}

@@ -1,0 +1,101 @@
+"""Round-7 operators: Gopher rules, C4 line predicate, URL
+canonicalization, boolean retrieval."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
+    boolean_search,
+)
+from m13_sparkstreaming_python_azure_spark.operators.text import (
+    c4_keep_line,
+    gopher_rules,
+)
+from m13_sparkstreaming_python_azure_spark.operators.webcuration import (
+    canonicalize_url,
+)
+
+
+def test_gopher_rules_flags(spark):
+    long_good = "the quick brown fox and the lazy dog " * 8  # 64 words
+    docs = spark.createDataFrame(
+        [
+            (1, "s", long_good),
+            (2, "s", "too short to pass the word count rule"),
+            # 64 good words + 8 symbol words = 72 total; 80 > 72 → >10%
+            (3, "s", long_good + " ### ### ### ### ### ### ### ###"),
+            (4, "s", long_good + (" a" * 80)),  # mean length < 3
+            (5, "s", ("zzz " * 60) + "qqq"),  # no stopwords
+        ],
+        "doc_id long, source string, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_rules(docs).collect()}
+    assert r[1]["pass_all"]
+    assert not r[2]["pass_word_count"] and r[2]["pass_mean_len"]
+    assert not r[3]["pass_symbols"] and r[3]["pass_word_count"]
+    assert not r[4]["pass_mean_len"]
+    assert not r[5]["pass_stopwords"]
+
+
+def test_c4_keep_line_rules(spark):
+    lines = [
+        (1, "this line ends with a period."),
+        (2, "no terminal punctuation here"),
+        (3, "short one."),  # < 3 words... actually 2 words
+        (4, "enable javascript to view this page."),
+        (5, 'a quoted ending works too"'),
+    ]
+    df = spark.createDataFrame(lines, "id long, line string")
+    got = {
+        r["id"]: r["keep"]
+        for r in df.select("id", c4_keep_line(F.col("line")).alias("keep"))
+        .collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: True}
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        (
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&id=3#frag",
+            "www.example.com/a/b?id=3",
+        ),
+        ("http://host:8080/p?b=2&a=1&fbclid=zz", "host:8080/p?a=1&b=2"),
+        ("http://host.com", "host.com"),
+        ("host.com/path/", "host.com/path"),  # scheme-less
+        ("http://h.io/?utm_a=1&utm_b=2", "h.io"),  # all params stripped
+    ],
+)
+def test_canonicalize_url(spark, url, want):
+    got = (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == want, f"{url} -> {got}, want {want}"
+
+
+def test_boolean_search_dnf(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window functions"),        # clause 0
+            (2, "spark window merge conflict"),   # excluded by NOT merge
+            (3, "hash join strategies"),          # clause 1
+            (4, "spark window hash join"),        # both → lowest clause 0
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    clauses = [
+        {"all": ["spark", "window"], "none": ["merge"]},
+        {"all": ["hash", "join"]},
+    ]
+    got = {
+        r["doc_id"]: r["clause"]
+        for r in boolean_search(docs, clauses).collect()
+    }
+    assert got == {1: 0, 3: 1, 4: 0}
+    with pytest.raises(ValueError):
+        boolean_search(docs, [{"all": []}])

@@ -221,3 +221,84 @@ def epoch_shuffle(
         .withColumn("pos_in_shard", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def negative_sampling(
+    docs: DataFrame,
+    n_samples: int,
+    text_col: str = "text",
+    salt: str = "neg",
+    alpha_power_34: bool = True,
+) -> DataFrame:
+    """word2vec-style negative sampling (Mikolov et al. 2013): draw
+    ``n_samples`` tokens from the unigram distribution raised to the 3/4
+    power — the noise distribution skip-gram/contrastive losses sample
+    from. Returns the draw census ``(token, n_draws)``.
+
+    Every piece is engine-exact:
+    - weights: ``w = floor(sqrt(sqrt(n³)) · 1000)`` — n^0.75 via two
+      IEEE-correctly-rounded sqrts of an exact integer cube (``pow(n,
+      .75)`` is NOT correctly rounded and differs across libms). n is
+      capped at 100k so n³ stays under 2^53 (beyond the cap the 3/4-power
+      curve is flat enough that the cap is the standard truncation).
+    - draw targets: ``t_s = md5_16(salt:s) · W div 2¹⁶`` — exact BIGINT
+      (a 16-bit draw keeps u·W under 2^63 for any W < 2^47; a 32-bit
+      draw would overflow on billion-scale cumulative weights).
+    - the draw lands on the vocab slot whose cumulative-weight interval
+      [cum−w, cum) contains t — an interval join against the BROADCAST
+      cumulative vocab table (vocab-bounded, the alias-table shape).
+
+    The cumulative window is over the VOCAB (cardinality-bounded — the
+    whitelisted unpartitioned-window class), never over the corpus."""
+    from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if alpha_power_34:
+        capped = F.least(F.col("n"), F.lit(100_000)).cast("double")
+        w = F.floor(
+            F.sqrt(F.sqrt(capped * capped * capped)) * F.lit(1000.0)
+        ).cast("long")
+    else:
+        w = F.col("n").cast("long")
+    cum = (
+        vocab.withColumn("w", w)
+        .withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy("token").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    total = cum.agg(F.max("cum").alias("t")).collect()[0]["t"]
+    draws = spark.range(n_samples).select(
+        F.col("id").alias("s"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"), F.col("id").cast("string")
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * F.lit(int(total))
+        ).alias("__num"),
+    ).select("s", F.expr(f"__num DIV {1 << 16}").alias("t"))
+    hit = draws.join(
+        F.broadcast(cum),
+        (F.col("t") >= F.col("cum") - F.col("w"))
+        & (F.col("t") < F.col("cum")),
+    )
+    return hit.groupBy("token").agg(F.count(F.lit(1)).alias("n_draws"))

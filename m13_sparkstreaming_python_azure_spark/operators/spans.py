@@ -112,3 +112,78 @@ def repeated_spans(
         .filter((F.col("rn") == 1) & (F.col("span_len") >= min_span))
         .select("id_a", "id_b", "span_len", "a_start", "b_start")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    window of ``w`` consecutive gram hashes, select the minimum of each
+    window (rightmost position on ties), dedup the selected set. The
+    guarantee: any shared run of ≥ w+k−1 tokens between two documents
+    yields at least one IDENTICAL selected fingerprint, while only
+    ~2/(w+1) of all grams are kept — fixed-rate sampling that never
+    misses a long match (vs MinHash, which is probabilistic).
+
+    Determinism: gram hashes are md5-derived BIGINTs (engine-
+    reproducible); rightmost-min selection uses the composite key
+    ``hash·2²⁰ + (2²⁰−1−pos)`` with ``min_by`` over a w-row window — the
+    key is unique per position, so no tie ambiguity anywhere. The window
+    is PARTITIONED by document (never a global sort); everything else is
+    explode → window → distinct, all doc-keyed."""
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    grams = positional_shingles(df, id_col, text_col, n=k)
+    hashed = grams.select(
+        "__id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # rightmost-min of each w-window via a unique composite key:
+    # min hash wins; among equal hashes the LARGER pos (smaller 2^20-1-pos).
+    # 40-bit hash × 2^20 + 20-bit pos = 60 bits — fits a signed long
+    key = F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    win = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = hashed.withColumn(
+        "sel_pos", F.min_by(F.col("pos"), key).over(win)
+    ).withColumn("sel_h", F.min_by(F.col("h"), key).over(win))
+    # windows shorter than w (the first w-1 rows) still select — matches
+    # the paper's prefix behavior of emitting from every window seen
+    return (
+        sel.select(
+            F.col("__id").alias(id_col),
+            F.col("sel_pos").alias("pos"),
+            F.col("sel_h").alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_matches(
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    fingerprint-keyed equi-join (each fingerprint bucket joins only its
+    own postings, the LSH-band shape; never all-pairs), id_a < id_b."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -398,7 +398,111 @@ _BOOL_SQL = """
 """
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer et al. SIGMOD'03, the MOSS
+    fingerprinter — operators/spans.winnowing_fingerprints): 5-gram md5
+    hashes, rightmost-min of each 4-window selected via a unique
+    composite key (hash·2²⁰ + 2²⁰−1−pos), matches = pairs sharing ≥ 2
+    selected fingerprints through a fingerprint-keyed equi-join (the
+    LSH-band shape, never all-pairs). Guarantee: any shared run of
+    ≥ w+k−1 = 8 tokens yields a shared fingerprint. Output: matching
+    pairs with shared-fingerprint counts."""
+    from m13_sparkstreaming_python_azure_spark.operators.spans import (
+        winnowing_fingerprints,
+        winnowing_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", k=5, w=4)
+    return winnowing_matches(fps, "doc_id", min_shared=2)
+
+
+_WINNOW_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               ('0x' || substring(
+                    md5(array_to_string(t[i : i+4], ' ')), 1, 10))::BIGINT
+                   AS h
+        FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+        WHERE len(t) >= 5
+    ), sel AS (
+        SELECT DISTINCT doc_id,
+               arg_min(pos, h * 1048576 + (1048575 - pos)) OVER wnd AS pos,
+               arg_min(h,   h * 1048576 + (1048575 - pos)) OVER wnd AS h
+        FROM grams
+        WINDOW wnd AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT DISTINCT doc_id, h FROM sel) a
+    JOIN (SELECT DISTINCT doc_id, h FROM sel) b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling draw census
+    (operators/sampling.negative_sampling): 10k draws from the corpus
+    unigram distribution^0.75 — weights are floor(sqrt(sqrt(n³))·1000)
+    (two IEEE sqrts, engine-exact, unlike pow), draw targets are 16-bit
+    md5 residues scaled by exact integer arithmetic, and each draw lands
+    on its vocab slot via an interval probe of the BROADCAST cumulative
+    weight table. The census (token, n_draws) is exact in both engines."""
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sampling(docs, n_samples=10_000, salt="neg7")
+
+
+_NEGSAMPLE_SQL = """
+    WITH vocab AS (
+        SELECT token, count(*) AS n
+        FROM (
+            SELECT unnest(list_filter(
+                str_split_regex(lower(text), '\\s+'), x -> x <> ''))
+                AS token
+            FROM documents
+        ) GROUP BY token
+    ), weighted AS (
+        SELECT token,
+               CAST(floor(sqrt(sqrt(
+                   CAST(least(n, 100000) AS DOUBLE)
+                   * CAST(least(n, 100000) AS DOUBLE)
+                   * CAST(least(n, 100000) AS DOUBLE))) * CAST(1000 AS DOUBLE))
+                   AS BIGINT) AS w
+        FROM vocab
+    ), cum AS (
+        SELECT token, w,
+               sum(w) OVER (ORDER BY token
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM weighted
+    ), draws AS (
+        SELECT (('0x' || substring(md5('neg7:' || CAST(s AS VARCHAR)),
+                                   1, 4))::BIGINT
+                * (SELECT max(cum) FROM cum)) // 65536 AS t
+        FROM range(10000) AS r(s)
+    )
+    SELECT c.token, CAST(count(*) AS BIGINT) AS n_draws
+    FROM draws d JOIN cum c
+      ON d.t >= c.cum - c.w AND d.t < c.cum
+    GROUP BY c.token
+"""
+
+
 R7_QUERIES = {
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "negative_sampling": q_negative_sampling,
     "gopher_quality_rules": q_gopher_quality_rules,
     "c4_line_filters": q_c4_line_filters,
     "url_canonicalize": q_url_canonicalize,
@@ -406,6 +510,8 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "winnowing_fingerprints": _WINNOW_SQL,
+    "negative_sampling": _NEGSAMPLE_SQL,
     "gopher_quality_rules": _GOPHER_SQL,
     "c4_line_filters": _C4_SQL,
     "url_canonicalize": _URL_SQL,

@@ -99,3 +99,78 @@ def test_boolean_search_dnf(spark):
     assert got == {1: 0, 3: 1, 4: 0}
     with pytest.raises(ValueError):
         boolean_search(docs, [{"all": []}])
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.spans import (
+        winnowing_fingerprints,
+        winnowing_matches,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz ww"),
+            (2, "completely different prefix then " + shared),
+            (3, "nothing in common with the others at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", k=5, w=4)
+    # k+w-1 = 8 shared tokens → the guarantee applies to docs 1 and 2
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnowing_matches(fps, "doc_id", min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # density: ~2/(w+1) of grams selected — must be well below all grams
+    n_grams = 8 + 2 + 2 - 4  # doc1 token count - k + 1
+    n_sel = fps.filter("doc_id = 1").count()
+    assert 0 < n_sel < n_grams
+
+
+def test_winnowing_selection_is_deterministic(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.spans import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " + "a b c d e f g h i j k l m n") for i in range(20)],
+        "doc_id long, text string",
+    ).repartition(7)
+    a = sorted(map(tuple, winnowing_fingerprints(docs, "doc_id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            winnowing_fingerprints(docs.repartition(3), "doc_id").collect(),
+        )
+    )
+    assert a == b  # partition-layout independent
+
+
+def test_negative_sampling_census(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    # one dominant token and two rare ones: draws should concentrate on
+    # the dominant token but the ^0.75 flattening keeps rare ones alive
+    docs = spark.createDataFrame(
+        [(0, ("big " * 900) + "rare1 rare2")], "doc_id long, text string"
+    )
+    got = {
+        r["token"]: r["n_draws"]
+        for r in negative_sampling(docs, 2000, salt="t").collect()
+    }
+    assert sum(got.values()) == 2000
+    assert got["big"] > got.get("rare1", 0) > 0
+    # unigram^0.75: P(big) = 900^.75/(900^.75+2) ≈ 0.988 — rare tokens
+    # together should land well above the raw-unigram expectation (~4.4)
+    assert 5 <= 2000 - got["big"] <= 60
+    # salt redraws
+    got2 = {
+        r["token"]: r["n_draws"]
+        for r in negative_sampling(docs, 2000, salt="u").collect()
+    }
+    assert got2 != got and sum(got2.values()) == 2000

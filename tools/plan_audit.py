@@ -148,6 +148,7 @@ UNPARTITIONED_WINDOW_OK = {
     "skyline_orders": "block-nested skyline over the dominance-filtered"
     " local skylines (tiny frontier)",
     "topn_with_other": "rank over group aggregates (group-bounded)",
+    "negative_sampling": "cumulative window over the VOCAB weight table",
     # (b) constant-size candidate sets
     "hybrid_rrf_search": "rank fusion over two top-k lists",
     "retrieval_eval": "per-query rank lists (k-bounded)",
@@ -213,6 +214,9 @@ ALLOW_CARTESIAN = {
     "embedding_isotropy",      # (none expected; defensive)
     "cluster_purity_nmi",      # single-row MI/entropy/purity scalars
     "unseen_mass_good_turing",  # (none expected; defensive)
+    "negative_sampling",  # interval probe of the broadcast cum-weight
+                          # vocab table (alias-table shape): non-equi →
+                          # BroadcastNestedLoopJoin over a bounded side
 }
 
 

@@ -500,7 +500,128 @@ _NEGSAMPLE_SQL = """
 """
 
 
+def _cents(col: str = "o_totalprice") -> F.Column:
+    return (
+        F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the snapshot layer (Delta mergeSchema parity):
+    v1 writes (o_orderkey, cents); v2 APPENDS rows carrying a NEW column
+    (status_len) — the manifest's schema DDL evolves (schema_history
+    shows when the column appeared), old files read the column as NULL
+    under a mergeSchema read. Gate output: census by column presence —
+    row counts and exact sums on both column generations."""
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="schema-evo-")
+    v1 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", _cents()
+    )
+    write_snapshot(v1.coalesce(4), table)
+    v2 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        _cents(),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
+    )
+    append_snapshot(v2.coalesce(4), table)
+    assert "status_len" in read_manifest(table)["schema"]
+    merged = read_snapshot(spark, table, merge_schema=True)
+    return merged.groupBy(
+        F.col("status_len").isNotNull().alias("has_new_col")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.coalesce(F.col("status_len"), F.lit(0))).alias(
+            "sum_status_len"
+        ),
+    )
+
+
+_SCHEMA_EVO_SQL = """
+    WITH v1 AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(NULL AS BIGINT) AS status_len
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), v2 AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(length(o_orderstatus) AS BIGINT) AS status_len
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), merged AS (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT status_len IS NOT NULL AS has_new_col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(coalesce(status_len, 0)) AS BIGINT) AS sum_status_len
+    FROM merged GROUP BY 1
+"""
+
+
+def q_table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change data feed from manifest deltas
+    (sources/snapshots.snapshot_changes_incremental — the Delta CDF
+    shape): v1 base write, v2 append, v3 DV delete; the feed over
+    (v1, v3] reads ONLY the appended files and the DV'd positions'
+    files — O(changed data), never two full version reads. Rows appear
+    with (_change_type, _commit_version); a row inserted at v2 and
+    deleted at v3 appears as BOTH (correct CDC semantics). The oracle
+    restates both change sets directly from orders."""
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        delete_where,
+        snapshot_changes_incremental,
+        write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="cdf-")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", _cents()
+    )
+    write_snapshot(base.coalesce(4), table)  # v1
+    appended = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", _cents()
+    )
+    append_snapshot(appended.coalesce(4), table)  # v2
+    delete_where(spark, table, "cents % 7 = 0")  # v3
+    return snapshot_changes_incremental(spark, table, 1, 3).select(
+        "o_orderkey", "cents", "_change_type", "_commit_version"
+    )
+
+
+_CDF_SQL = """
+    WITH cents AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_orderkey, cents,
+           'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM cents WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, cents,
+           'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+    FROM cents WHERE cents % 7 = 0
+"""
+
+
 R7_QUERIES = {
+    "schema_evolution": q_schema_evolution,
+    "table_changes_feed": q_table_changes_feed,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "negative_sampling": q_negative_sampling,
     "gopher_quality_rules": q_gopher_quality_rules,
@@ -510,6 +631,8 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "schema_evolution": _SCHEMA_EVO_SQL,
+    "table_changes_feed": _CDF_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,
     "negative_sampling": _NEGSAMPLE_SQL,
     "gopher_quality_rules": _GOPHER_SQL,

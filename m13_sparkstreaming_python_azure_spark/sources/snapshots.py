@@ -154,6 +154,11 @@ def _commit(
                 manifest["partition_col"] = prev_m["partition_col"]
                 if "partitions" not in (extra or {}):
                     manifest["partitions"] = prev_m.get("partitions", {})
+            # table schema (DDL string): inherited by commits that don't
+            # change it; writes/appends record their DataFrame's schema so
+            # schema_history() shows when each column appeared
+            if "schema" not in (extra or {}) and prev_m.get("schema"):
+                manifest["schema"] = prev_m["schema"]
         if extra:
             manifest.update(extra)
         try:
@@ -211,6 +216,7 @@ def write_snapshot(
             # previous partition layout rather than inheriting a lie
             "partition_col": None,
             "partitions": {},
+            "schema": df.schema.simpleString(),
             **(extra or {}),
         },
     )
@@ -242,7 +248,11 @@ def append_snapshot(
                 table_dir,
                 prev["files"] + files,
                 prev["rows"] + n_new,
-                {"op": "append", **(extra or {})},
+                {
+                    "op": "append",
+                    "schema": _merged_schema_ddl(prev.get("schema"), df),
+                    **(extra or {}),
+                },
                 base_version=prev["version"],
             )
         except CommitConflict:
@@ -2097,3 +2107,141 @@ def delete_matching(
         },
         base_version=m["version"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution + incremental (logged-style) change data feed
+# ---------------------------------------------------------------------------
+
+
+def _merged_schema_ddl(prev_ddl: str | None, df: DataFrame) -> str:
+    """Union of the previous schema and the appended DataFrame's schema
+    (append-with-new-columns = Delta ``mergeSchema`` evolution; the old
+    files simply lack the new column and read as NULL). Column ORDER is
+    previous-first so the history reads as 'column X appeared at v'."""
+    new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if not prev_ddl:
+        return df.schema.simpleString()
+    # simpleString format: struct<a:bigint,b:string,...> — flat fields
+    # only is fine here (snapshot tables are flat parquet relations)
+    inner = prev_ddl[len("struct<"):-1]
+    prev_fields = []
+    for part in inner.split(",") if inner else []:
+        name, typ = part.split(":", 1)
+        prev_fields.append((name, typ))
+    prev_names = {n for n, _ in prev_fields}
+    merged = prev_fields + [
+        (n, t) for n, t in new.items() if n not in prev_names
+    ]
+    return "struct<" + ",".join(f"{n}:{t}" for n, t in merged) + ">"
+
+
+def schema_history(table_dir: str) -> list[dict]:
+    """(version, op, schema) for every retained version — when did each
+    column appear. Manifest-only (no data read)."""
+    out = []
+    for h in history(table_dir):
+        m = read_manifest(table_dir, h["version"])
+        out.append(
+            {
+                "version": m["version"],
+                "op": m.get("op"),
+                "schema": m.get("schema"),
+            }
+        )
+    return out
+
+
+def snapshot_changes_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed from MANIFEST DELTAS — the logged-CDF shape
+    (Delta CHANGE DATA FEED): reads ONLY the data that changed, never the
+    two full versions ``snapshot_changes`` joins.
+
+    Per commit v in (from, to]:
+    - files added at v (op append/ingest) → their rows as ``insert``;
+    - DV sidecars added at v → the deleted rows' preimages as ``delete``
+      (read from ONLY the files the sidecar references — the sidecar is
+      collected driver-side, file-count-bounded, to prune the scan);
+    - rewrite commits (overwrite / compact / merge / purge / zorder)
+      change files without changing logical content attribution → raise,
+      directing callers to the join-based ``snapshot_changes`` for those
+      ranges (Delta's CDF has the same split: it logs change files only
+      for DML, and reconstructs rewrites differently).
+
+    Returns the data columns + ``_change_type`` + ``_commit_version``.
+    Scale: cost is O(appended bytes + deleted rows' files), independent
+    of table size — the property that makes CDC consumers cheap."""
+    to_version = (
+        to_version if to_version is not None else latest_version(table_dir)
+    )
+    if to_version is None or from_version > to_version:
+        raise ValueError("empty or invalid version range")
+    parts: list[DataFrame] = []
+    for v in range(from_version + 1, to_version + 1):
+        m = read_manifest(table_dir, v)
+        prev = read_manifest(table_dir, v - 1)
+        prev_files = set(prev["files"])
+        prev_dvs = set(prev.get("dv_files") or [])
+        added_files = [f for f in m["files"] if f not in prev_files]
+        removed_files = [f for f in prev["files"] if f not in set(m["files"])]
+        added_dvs = [
+            d for d in (m.get("dv_files") or []) if d not in prev_dvs
+        ]
+        removed_dvs = prev_dvs - set(m.get("dv_files") or [])
+        # removed files = rewrite; removed DVs = rows resurrected (RESTORE)
+        # — neither is attributable from deltas alone
+        if removed_files or removed_dvs:
+            raise ValueError(
+                f"version {v} ({m.get('op')}) rewrites files or restores "
+                f"deleted rows — change attribution needs the join-based "
+                f"snapshot_changes for this range"
+            )
+        if added_files:
+            ins = spark.read.parquet(*added_files)
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert")).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+        if added_dvs:
+            dv = spark.read.parquet(*added_dvs).select(
+                "__dv_file", "__dv_pos"
+            )
+            touched = sorted(
+                r["__dv_file"]
+                for r in dv.select("__dv_file").distinct().collect()
+            )
+            src = spark.read.parquet(*touched).select(
+                "*",
+                _strip_file_scheme(F.col("_metadata.file_path")).alias(
+                    "__f"
+                ),
+                F.col("_metadata.row_index").alias("__p"),
+            )
+            dels = (
+                src.join(
+                    dv,
+                    (src["__f"] == dv["__dv_file"])
+                    & (src["__p"] == dv["__dv_pos"]),
+                )
+                .drop("__f", "__p", "__dv_file", "__dv_pos")
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            parts.append(dels)
+    if not parts:
+        return (
+            read_snapshot(spark, table_dir, to_version)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out

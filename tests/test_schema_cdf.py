@@ -1,0 +1,84 @@
+"""Schema evolution tracking + incremental change-data-feed on the
+snapshot layer (round 7)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+    append_snapshot,
+    compact_snapshot,
+    delete_where,
+    read_snapshot,
+    restore_snapshot,
+    schema_history,
+    snapshot_changes_incremental,
+    write_snapshot,
+)
+
+
+def _base(spark, lo, hi):
+    return spark.range(lo, hi).select("id", (F.col("id") * 2).alias("v"))
+
+
+def test_schema_history_tracks_column_arrival(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(_base(spark, 0, 10).coalesce(1), table)
+    append_snapshot(
+        _base(spark, 10, 20)
+        .withColumn("extra", F.lit("x"))
+        .coalesce(1),
+        table,
+    )
+    delete_where(spark, table, "id = 3")  # schema inherits unchanged
+    hist = schema_history(table)
+    assert "extra" not in hist[0]["schema"]
+    assert "extra" in hist[1]["schema"]
+    assert hist[2]["schema"] == hist[1]["schema"]
+    # previous columns keep their position (history reads as appearance)
+    assert hist[1]["schema"].index("id:") < hist[1]["schema"].index("extra:")
+    merged = read_snapshot(spark, table, merge_schema=True)
+    assert merged.filter(F.col("extra").isNull()).count() == 9  # id=3 gone
+
+
+def test_incremental_cdf_inserts_and_deletes(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(_base(spark, 0, 10).coalesce(1), table)  # v1
+    append_snapshot(_base(spark, 10, 15).coalesce(1), table)  # v2
+    delete_where(spark, table, "id IN (2, 12)")  # v3
+    feed = snapshot_changes_incremental(spark, table, 1, 3).collect()
+    got = {(r["id"], r["_change_type"], r["_commit_version"]) for r in feed}
+    want = {(i, "insert", 2) for i in range(10, 15)} | {
+        (2, "delete", 3),
+        (12, "delete", 3),
+    }
+    assert got == want
+    # a row inserted AND deleted in range appears as both (CDC semantics)
+    assert (12, "insert", 2) in got and (12, "delete", 3) in got
+
+
+def test_incremental_cdf_partial_range_and_empty(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(_base(spark, 0, 10).coalesce(1), table)
+    append_snapshot(_base(spark, 10, 12).coalesce(1), table)
+    only_v2 = snapshot_changes_incremental(spark, table, 1, 2)
+    assert only_v2.count() == 2
+    empty = snapshot_changes_incremental(spark, table, 2, 2)
+    assert empty.count() == 0 and "_change_type" in empty.columns
+    with pytest.raises(ValueError):
+        snapshot_changes_incremental(spark, table, 3, 2)
+
+
+def test_incremental_cdf_refuses_rewrites_and_restores(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_snapshot(_base(spark, 0, 50).repartition(4), table)  # v1
+    compact_snapshot(spark, table, target_file_bytes=1 << 30)  # v2 rewrite
+    with pytest.raises(ValueError, match="snapshot_changes"):
+        snapshot_changes_incremental(spark, table, 1, 2)
+    delete_where(spark, table, "id = 1")  # v3
+    restore_snapshot(table, 2)  # v4: resurrects id=1
+    with pytest.raises(ValueError, match="snapshot_changes"):
+        snapshot_changes_incremental(spark, table, 3, 4)
+    # the DV-only hop inside the same table still feeds incrementally
+    feed = snapshot_changes_incremental(spark, table, 2, 3).collect()
+    assert [(r["id"], r["_change_type"]) for r in feed] == [(1, "delete")]

@@ -88,27 +88,34 @@ def exact_ntile(
     Partition Defined`` moves the whole table to ONE task; at 100 TB
     that is a straight OOM).
 
-    Distributed-rank construction (the classic zipWithIndex-over-
-    range-partitions shape, e.g. Spark's own ``zipWithIndex``):
+    Distributed-rank construction (the zipWithIndex-over-range-partitions
+    shape), fully lazy — ONE job, no driver collect, no checkpoint:
 
-    1. ``repartitionByRange`` on the full ordering key → partition *p*
-       holds a contiguous key range, ranges ascending in *p*; pin the
-       assignment with an eager ``localCheckpoint`` so the two passes
-       below see identical partitioning.
-    2. local ``row_number`` per partition (window PARTITIONED by
-       ``spark_partition_id()`` — each group ≤ N/P rows, never global).
-    3. per-partition counts (P rows, not data) → driver cumsum →
-       broadcast offsets joined back on the partition id;
-       ``global rank = offset + local rank``.
-    4. SQL ntile's bucket arithmetic on the exact rank, pure integers:
-       with ``q, r = divmod(N, n)``, the first ``r`` buckets take
-       ``q+1`` rows — engine-bit-equal with any conforming ntile.
+    1. ``repartitionByRange`` on the full ordering key +
+       ``sortWithinPartitions`` → partition *p* holds a contiguous,
+       locally-sorted key range, ranges ascending in *p*;
+       ``monotonically_increasing_id()`` then numbers rows in sorted
+       order within each partition.
+    2. per-partition (count, min_id) — P rows — aggregated off the SAME
+       exchange (ReuseExchange: the stats branch and the data branch
+       share the one range shuffle, so they can't disagree on the
+       partition assignment; the assignment is deterministic for a given
+       input regardless, since the range sampler is seeded).
+    3. offsets = a P×P broadcast triangle join over the stats rows
+       (rows-before-this-partition), total N = a single-row scalar
+       broadcast — the standard bounded-broadcast idioms, replacing both
+       the driver cumsum AND the per-partition-id window of the naive
+       form. ``global rank = offset + (id − min_id) + 1``.
+    4. SQL ntile's bucket arithmetic on the exact rank, pure integer
+       column expressions: with ``q, r = N divmod n``, the first ``r``
+       buckets take ``q+1`` rows — engine-bit-equal with any conforming
+       ntile.
 
     The ordering MUST be total (tie-break with a unique column) or the
-    assignment is not deterministic. Two narrow passes over the data +
-    one P-row collect; no stage ever holds more than one partition's
-    rows. Used by ``rfm_segments`` / ``price_decile_stats`` as the
-    100 TB-safe twin of their small-SF ntile oracles."""
+    assignment is not deterministic. One range shuffle over the
+    projected ordering columns; every other input is P-row or scalar.
+    Used by ``rfm_segments`` / ``price_decile_stats`` as the 100 TB-safe
+    twin of their small-SF ntile oracles."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     spark = df.sparkSession
@@ -118,39 +125,41 @@ def exact_ntile(
     cols = list(order_by)
     parted = (
         df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn("__mono", F.monotonically_increasing_id())
     )
-    counts = sorted(
-        (row["__pid"], row["cnt"])
-        for row in parted.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    stats = parted.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mono").alias("__min_mono")
     )
-    total = sum(c for _, c in counts)
-    if total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-    local_w = Window.partitionBy("__pid").orderBy(*cols)
-    ranked_df = (
-        parted.withColumn("__lr", F.row_number().over(local_w))
-        .join(F.broadcast(off_df), "__pid")
-        .withColumn("__rank", F.col("__off") + F.col("__lr"))
-    )
-    q, r = divmod(total, n_tiles)
-    if q == 0:  # fewer rows than tiles: bucket i gets row i
-        tile = F.col("__rank")
-    else:
-        thr = r * (q + 1)
-        tile = F.expr(
-            f"CASE WHEN __rank <= {thr}"
-            f" THEN (__rank - 1) DIV {q + 1} + 1"
-            f" ELSE {r} + (__rank - {thr} - 1) DIV {q} + 1 END"
+    a, b = stats.alias("a"), stats.alias("b")
+    offs = (
+        a.join(
+            F.broadcast(b), F.col("b.__pid") < F.col("a.__pid"), "left"
         )
-    return ranked_df.withColumn(out_col, tile.cast("long")).drop(
-        "__pid", "__lr", "__off", "__rank"
+        .groupBy(
+            F.col("a.__pid").alias("__pid"),
+            F.col("a.__min_mono").alias("__min_mono"),
+        )
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
+    )
+    tot = stats.agg(F.sum("__cnt").alias("__n"))
+    ranked = (
+        parted.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__rank",
+            F.col("__off") + (F.col("__mono") - F.col("__min_mono")) + 1,
+        )
+    )
+    tile = F.expr(
+        f"CASE WHEN __n < {n_tiles} THEN __rank"  # fewer rows than tiles
+        f" WHEN __rank <= (__n % {n_tiles}) * (__n DIV {n_tiles} + 1)"
+        f" THEN (__rank - 1) DIV (__n DIV {n_tiles} + 1) + 1"
+        f" ELSE (__n % {n_tiles})"
+        f"  + (__rank - (__n % {n_tiles}) * (__n DIV {n_tiles} + 1) - 1)"
+        f"    DIV (__n DIV {n_tiles}) + 1 END"
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop(
+        "__pid", "__mono", "__min_mono", "__off", "__rank", "__n"
     )

@@ -83,4 +83,7 @@ def test_exact_ntile_plans_no_unpartitioned_window(spark):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert unpartitioned_windows(plan) == 0
-    assert re.search(r"\(\d+\) Window\n", plan), "expected the local window"
+    # v2 has NO window at all: local rank comes from monotonically
+    # increasing ids within sorted range partitions
+    assert not re.search(r"\(\d+\) Window\n", plan)
+    assert "REPARTITION_BY_NUM" in plan or "rangepartitioning" in plan

@@ -217,6 +217,10 @@ ALLOW_CARTESIAN = {
     "negative_sampling",  # interval probe of the broadcast cum-weight
                           # vocab table (alias-table shape): non-equi →
                           # BroadcastNestedLoopJoin over a bounded side
+    "price_decile_stats",  # exact_ntile offsets: P-row triangle join +
+                           # single-row total broadcast (both bounded by
+                           # partition count, not data)
+    "rfm_segments",        # same exact_ntile shape ×3 quintiles
 }
 
 

@@ -619,7 +619,82 @@ _CDF_SQL = """
 """
 
 
+def q_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients via DEGREE-ORDERED triangle counting
+    (operators/graph.triangle_clustering — Suri-Vassilvitskii): the
+    customer chain+chord+tree graph plants a triangle at every
+    consecutive triple (k−2, k−1, k). Wedges generate at the
+    (degree,id)-smallest endpoint — out-degree O(√m) even on hubs — and
+    close with one equi-join. clustering = 2·tri/(deg·(deg−1)) is a
+    ratio of identically-derived BIGINTs (IEEE-bit-equal, no grid). The
+    oracle counts the same triangles via the orientation-independent
+    a<b<c enumeration — per-node counts must agree exactly."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    chord = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") - 2).alias("dst")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"),
+        (F.col("k") / 2).cast("bigint").alias("dst"),
+    )
+    edges = chain.unionByName(chord).unionByName(tree)
+    return triangle_clustering(edges).select(
+        F.col("node").alias("custkey"),
+        "degree",
+        "n_triangles",
+        "clustering",
+    )
+
+
+_TRIANGLE_SQL = """
+    WITH cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+    ), e0 AS (
+        SELECT k AS u, k - 1 AS v FROM cust WHERE k >= 1
+        UNION ALL
+        SELECT k AS u, k - 2 AS v FROM cust WHERE k >= 2
+        UNION ALL
+        SELECT k AS u, k // 2 AS v FROM cust WHERE k >= 2
+    ), e AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM e0 WHERE u <> v
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node
+    ), tri AS (
+        SELECT x.a AS a, x.b AS b, y.b AS c
+        FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+        JOIN e z ON z.a = x.b AND z.b = y.b
+    ), per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS custkey, d.degree,
+           coalesce(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering
+    FROM deg d LEFT JOIN per_node p ON d.node = p.node
+"""
+
+
 R7_QUERIES = {
+    "triangle_clustering": q_triangle_clustering,
     "schema_evolution": q_schema_evolution,
     "table_changes_feed": q_table_changes_feed,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -631,6 +706,7 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "triangle_clustering": _TRIANGLE_SQL,
     "schema_evolution": _SCHEMA_EVO_SQL,
     "table_changes_feed": _CDF_SQL,
     "winnowing_fingerprints": _WINNOW_SQL,

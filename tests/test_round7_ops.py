@@ -174,3 +174,54 @@ def test_negative_sampling_census(spark):
         for r in negative_sampling(docs, 2000, salt="u").collect()
     }
     assert got2 != got and sum(got2.values()) == 2000
+
+
+def test_triangle_clustering_known_graph(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        triangle_clustering,
+    )
+
+    # K4 on {1,2,3,4} plus a pendant node 5: every K4 node is in C(3,2)=3
+    # triangles with clustering 1.0; the pendant has none
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4)], "src long, dst long"  # duplicate direction
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_clustering(edges).collect()
+    }
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[3] == (3, 3, 1.0)
+    assert got[4][0] == 4 and got[4][1] == 3  # K4 triangles only
+    assert abs(got[4][2] - 0.5) < 1e-12  # 2*3/(4*3)
+    assert got[5] == (1, 0, 0.0)
+
+
+def test_triangle_clustering_matches_id_ordered_counts(spark):
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        triangle_clustering,
+        triangle_counts,
+    )
+
+    # chain + chord graph: a triangle at every consecutive triple
+    n = 60
+    base = spark.range(n)
+    edges = base.filter("id >= 1").select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst")
+    ).unionByName(
+        base.filter("id >= 2").select(
+            F.col("id").alias("src"), (F.col("id") - 2).alias("dst")
+        )
+    )
+    a = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_clustering(edges).collect()
+    }
+    b = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges, "src", "dst").collect()
+    }
+    assert a == b  # degree-ordered and id-ordered enumerations agree

@@ -693,7 +693,75 @@ _TRIANGLE_SQL = """
 """
 
 
+def q_streaming_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table consumed AS A STREAMING SOURCE via the incremental
+    CDF (sources/snapshots.consume_table_feed — the Delta
+    stream-from-table shape): three append commits land event chunks, a
+    DV delete revokes every 5th event; a cursor consumer polls THREE
+    times (one poll spans two source versions), each poll appending the
+    O(changed-data) feed to a sink snapshot with the consumed version as
+    batch_id; a deliberately REPLAYED poll after the last commit must
+    no-op (the cursor lives in the sink manifest — crash-replay safe).
+    Gate output: per event type, inserts/deletes/net-live-cents from the
+    SINK — must equal the oracle's direct restatement from events."""
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        consume_table_feed,
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="feed-src-")
+    sink = tempfile.mkdtemp(prefix="feed-sink-")
+    write_snapshot(ev.filter(F.col("event_id") % 3 == 0).coalesce(4), src)
+    assert consume_table_feed(spark, src, sink) == 1  # poll 1
+    append_snapshot(ev.filter(F.col("event_id") % 3 == 1).coalesce(4), src)
+    append_snapshot(ev.filter(F.col("event_id") % 3 == 2).coalesce(4), src)
+    assert consume_table_feed(spark, src, sink) == 3  # poll spans v2..v3
+    delete_where(spark, src, "event_id % 5 = 0")
+    assert consume_table_feed(spark, src, sink) == 4  # poll 3
+    assert consume_table_feed(spark, src, sink) is None  # replay → no-op
+    changes = read_snapshot(spark, sink)
+    ins = (F.col("_change_type") == "insert").cast("long")
+    dele = (F.col("_change_type") == "delete").cast("long")
+    return changes.groupBy("event_type").agg(
+        F.sum(ins).alias("n_inserts"),
+        F.sum(dele).alias("n_deletes"),
+        F.sum(
+            F.when(F.col("_change_type") == "insert", F.col("cents"))
+            .otherwise(-F.col("cents"))
+        ).alias("net_live_cents"),
+    )
+
+
+_TABLE_FEED_SQL = """
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_inserts,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deletes,
+           CAST(sum(CASE WHEN event_id % 5 = 0 THEN 0 ELSE cents END)
+               AS BIGINT) AS net_live_cents
+    FROM c GROUP BY event_type
+"""
+
+
 R7_QUERIES = {
+    "streaming_table_feed": q_streaming_table_feed,
     "triangle_clustering": q_triangle_clustering,
     "schema_evolution": q_schema_evolution,
     "table_changes_feed": q_table_changes_feed,
@@ -706,6 +774,7 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "streaming_table_feed": _TABLE_FEED_SQL,
     "triangle_clustering": _TRIANGLE_SQL,
     "schema_evolution": _SCHEMA_EVO_SQL,
     "table_changes_feed": _CDF_SQL,

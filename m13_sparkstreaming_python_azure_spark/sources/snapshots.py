@@ -2184,7 +2184,13 @@ def snapshot_changes_incremental(
     parts: list[DataFrame] = []
     for v in range(from_version + 1, to_version + 1):
         m = read_manifest(table_dir, v)
-        prev = read_manifest(table_dir, v - 1)
+        # from_version=0 = "since before the table existed": the base is
+        # the empty manifest, so v1's files all read as inserts
+        prev = (
+            read_manifest(table_dir, v - 1)
+            if v > 1
+            else {"files": [], "dv_files": []}
+        )
         prev_files = set(prev["files"])
         prev_dvs = set(prev.get("dv_files") or [])
         added_files = [f for f in m["files"] if f not in prev_files]
@@ -2245,3 +2251,46 @@ def snapshot_changes_incremental(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def consume_table_feed(
+    spark: SparkSession,
+    src_table: str,
+    sink_table: str,
+    transform=None,
+) -> int | None:
+    """One poll of a snapshot table AS A STREAMING SOURCE — the Delta
+    "stream from a table via Change Data Feed" shape: read the
+    incremental change feed since the last consumed source version,
+    apply ``transform`` (default: pass the change rows through), append
+    the result to ``sink_table`` with the consumed high-water version as
+    the batch_id.
+
+    Exactly-once without a side cursor file: the cursor IS the sink
+    manifest's ``batch_id`` (the Kafka-offsets-live-in-the-checkpoint
+    pattern) — a crash between sink commit and anything else replays the
+    poll, the batch_id guard sees ``to_version <= batch_id``, and the
+    replay commits nothing. Returns the newly consumed source version,
+    or None when there was nothing new.
+
+    Scale: each poll costs O(changed data) via
+    ``snapshot_changes_incremental`` — a consumer of a 100 TB table pays
+    for its deltas only."""
+    latest_src = latest_version(src_table)
+    if latest_src is None:
+        return None
+    cursor = 0
+    try:
+        cursor = read_manifest(sink_table).get("batch_id") or 0
+    except FileNotFoundError:
+        pass
+    if latest_src <= cursor:
+        return None  # nothing new (or a replayed poll) — no-op
+    feed = snapshot_changes_incremental(spark, src_table, cursor, latest_src)
+    out = transform(feed) if transform is not None else feed
+    extra = {"batch_id": latest_src}
+    if latest_version(sink_table) is None:
+        write_snapshot(out, sink_table, extra)
+    else:
+        append_snapshot(out, sink_table, extra)
+    return latest_src

@@ -82,3 +82,38 @@ def test_incremental_cdf_refuses_rewrites_and_restores(spark, tmp_path):
     # the DV-only hop inside the same table still feeds incrementally
     feed = snapshot_changes_incremental(spark, table, 2, 3).collect()
     assert [(r["id"], r["_change_type"]) for r in feed] == [(1, "delete")]
+
+
+def test_consume_table_feed_cursor_and_replay(spark, tmp_path):
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        consume_table_feed,
+        read_snapshot,
+    )
+
+    src, sink = str(tmp_path / "src"), str(tmp_path / "sink")
+    assert consume_table_feed(spark, src + "x", sink) is None  # no table
+    write_snapshot(_base(spark, 0, 10).coalesce(1), src)
+    assert consume_table_feed(spark, src, sink) == 1
+    assert consume_table_feed(spark, src, sink) is None  # caught up
+    append_snapshot(_base(spark, 10, 14).coalesce(1), src)
+    delete_where(spark, src, "id = 11")
+    assert consume_table_feed(spark, src, sink) == 3  # one poll, 2 versions
+    rows = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in read_snapshot(spark, sink).collect()
+    }
+    assert (11, "insert", 2) in rows and (11, "delete", 3) in rows
+    assert len([r for r in rows if r[1] == "insert"]) == 14
+    # transform applied per poll
+    append_snapshot(_base(spark, 20, 22).coalesce(1), src)
+    assert (
+        consume_table_feed(
+            spark,
+            src,
+            sink,
+            transform=lambda feed: feed.filter(F.col("id") % 2 == 0),
+        )
+        == 4
+    )
+    final = read_snapshot(spark, sink).filter("_commit_version = 4")
+    assert sorted(r["id"] for r in final.collect()) == [20]

@@ -322,6 +322,10 @@ SCALE_AUDIT_QUERIES = [
     "ngram_novelty",         # gram-keyed df join, never doc x doc
     "binary_ann_search",     # Hamming prefilter stays broadcast, rerank bounded
     "nb_domain_classifier",  # token-keyed scoring join stays equi
+    # round-7 heavies
+    "winnowing_fingerprints",  # gram explode -> doc-partitioned window ->
+                               # fingerprint-keyed equi-join, never all-pairs
+    "triangle_clustering",     # degree-ordered wedge join stays equi-keyed
 ]
 
 

@@ -760,7 +760,61 @@ _TABLE_FEED_SQL = """
 """
 
 
+def q_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style GENERATED columns on the snapshot layer
+    (sources/snapshots.add_generated_column): the table is created from
+    raw events WITHOUT derived columns; ``cents AS floor(value·100+.5)``
+    and ``event_date AS date_format(ts, ...)`` are declared AFTER the
+    first commit — the reference's own derived-date pattern
+    (upload.py:67 withColumn(processed_date)). A later append omits both
+    (materialized at write); the pre-declaration files are completed at
+    READ (computed where missing). Census by (event_date is stable,
+    event_type) with exact cent sums — both column generations must
+    agree with the oracle's direct derivation."""
+    import tempfile
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        add_generated_column,
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    table = tempfile.mkdtemp(prefix="gencol-")
+    write_snapshot(ev.filter(F.col("event_id") % 2 == 0).coalesce(4), table)
+    add_generated_column(
+        spark, table, "cents", "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    )
+    add_generated_column(
+        spark, table, "event_date", "date_format(ts, 'yyyy-MM-dd')"
+    )
+    append_snapshot(
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(4), table
+    )
+    t = read_snapshot(spark, table, merge_schema=True)
+    return t.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_GENCOL_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 R7_QUERIES = {
+    "generated_columns": q_generated_columns,
     "streaming_table_feed": q_streaming_table_feed,
     "triangle_clustering": q_triangle_clustering,
     "schema_evolution": q_schema_evolution,
@@ -774,6 +828,7 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "generated_columns": _GENCOL_SQL,
     "streaming_table_feed": _TABLE_FEED_SQL,
     "triangle_clustering": _TRIANGLE_SQL,
     "schema_evolution": _SCHEMA_EVO_SQL,

@@ -159,6 +159,10 @@ def _commit(
             # schema_history() shows when each column appeared
             if "schema" not in (extra or {}) and prev_m.get("schema"):
                 manifest["schema"] = prev_m["schema"]
+            # generated-column definitions are table metadata like
+            # constraints: carried unless explicitly replaced
+            if "generated" not in (extra or {}) and prev_m.get("generated"):
+                manifest["generated"] = prev_m["generated"]
         if extra:
             manifest.update(extra)
         try:
@@ -237,6 +241,7 @@ def append_snapshot(
             "append_snapshot writes flat files without the hive layout — "
             "append to a partitioned snapshot via append_snapshot_partitioned"
         )
+    df = _materialize_generated(df, _m0)
     _validate_constraints(df, _m0, table_dir)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
@@ -293,7 +298,8 @@ def read_snapshot(
         reader = reader.option(
             "basePath", os.path.join(table_dir, "data")
         )
-    return _apply_deletion_vectors(spark, reader.parquet(*m["files"]), m)
+    out = _apply_deletion_vectors(spark, reader.parquet(*m["files"]), m)
+    return _apply_generated(out, m)
 
 
 def compact_snapshot(
@@ -1778,10 +1784,85 @@ def constraint_report(df: DataFrame, constraints: dict[str, str]) -> dict:
 
 
 def _validate_constraints(df: DataFrame, manifest: dict, table_dir: str):
-    counts = constraint_report(df, manifest.get("constraints") or {})
+    checks = dict(manifest.get("constraints") or {})
+    # generated columns validate as null-safe-equality CHECKs wherever the
+    # writer supplies the column (a writer may not contradict the
+    # definition — Delta's generated-column contract); absent columns are
+    # materialized by the append path before this runs
+    for name, expr in (manifest.get("generated") or {}).items():
+        checks[f"generated:{name}"] = f"{name} <=> ({expr})"
+    checks = {
+        k: v
+        for k, v in checks.items()
+        if not k.startswith("generated:")
+        or k[len("generated:"):] in df.columns
+    }
+    counts = constraint_report(df, checks)
     bad = {k: v for k, v in counts.items() if v}
     if bad:
         raise ConstraintViolation(table_dir, bad)
+
+
+def _materialize_generated(df: DataFrame, manifest: dict) -> DataFrame:
+    """Compute any declared generated column the writer did not supply
+    (Delta materializes generated columns at write time)."""
+    for name, expr in (manifest.get("generated") or {}).items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def _apply_generated(df: DataFrame, manifest: dict) -> DataFrame:
+    """Read-side completion: files written BEFORE a column's declaration
+    lack it (surface as NULL under mergeSchema) — compute those from the
+    definition so readers always see the column populated."""
+    for name, expr in (manifest.get("generated") or {}).items():
+        if name in df.columns:
+            df = df.withColumn(
+                name, F.coalesce(F.col(name), F.expr(expr))
+            )
+        else:
+            df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+def add_generated_column(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """Declare a GENERATED column ``name AS (expr)`` (Delta generated
+    columns — the derived-date-partition pattern, e.g. ``event_date AS
+    date_format(ts, 'yyyy-MM-dd')``). Semantics:
+
+    - future appends that OMIT the column get it materialized at write;
+    - appends/merges that SUPPLY it are validated (null-safe equality)
+      and raise ConstraintViolation on contradiction;
+    - files committed before the declaration are completed at READ time
+      (``read_snapshot`` computes the column where it is missing/NULL);
+    - if the current content already carries the column, it must agree
+      with the definition — validated in one scan before the commit.
+
+    Definitions live in the manifest and inherit across commits like
+    CHECK constraints."""
+    m = read_manifest(table_dir)
+    gen = dict(m.get("generated") or {})
+    gen[name] = expr
+    existing = _apply_deletion_vectors(
+        spark, spark.read.parquet(*m["files"]), m
+    )
+    if name in existing.columns:
+        counts = constraint_report(
+            existing, {f"generated:{name}": f"{name} <=> ({expr})"}
+        )
+        bad = {k: v for k, v in counts.items() if v}
+        if bad:
+            raise ConstraintViolation(table_dir, bad)
+    return _commit(
+        table_dir,
+        m["files"],
+        m["rows"],
+        {"op": "add_generated_column", "generated": gen},
+        base_version=m["version"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,48 @@ def test_consume_table_feed_cursor_and_replay(spark, tmp_path):
     )
     final = read_snapshot(spark, sink).filter("_commit_version = 4")
     assert sorted(r["id"] for r in final.collect()) == [20]
+
+
+def test_generated_columns_lifecycle(spark, tmp_path):
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        ConstraintViolation,
+        add_generated_column,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(_base(spark, 0, 10).coalesce(1), table)  # no 'double_v'
+    add_generated_column(spark, table, "double_v", "v * 2")
+    # pre-declaration files complete at READ
+    got = {r["id"]: r["double_v"] for r in read_snapshot(spark, table).collect()}
+    assert got[3] == 12  # v = 6 → 12
+    # appends omitting the column materialize it at write
+    append_snapshot(_base(spark, 10, 12).coalesce(1), table)
+    got = {
+        r["id"]: r["double_v"]
+        for r in read_snapshot(spark, table, merge_schema=True).collect()
+    }
+    assert got[11] == 44 and len(got) == 12
+    # a writer contradicting the definition is rejected
+    bad = _base(spark, 20, 22).withColumn("double_v", F.lit(0)).coalesce(1)
+    with pytest.raises(ConstraintViolation, match="generated:double_v"):
+        append_snapshot(bad, table)
+    # a writer agreeing with it passes (null-safe equality)
+    ok = _base(spark, 20, 22).withColumn(
+        "double_v", F.col("v") * 2
+    ).coalesce(1)
+    append_snapshot(ok, table)
+    assert read_snapshot(spark, table, merge_schema=True).count() == 14
+    # declaring over contradicting EXISTING content is rejected
+    t2 = str(tmp_path / "t2")
+    write_snapshot(
+        _base(spark, 0, 5).withColumn("w", F.lit(1)).coalesce(1), t2
+    )
+    with pytest.raises(ConstraintViolation):
+        add_generated_column(spark, t2, "w", "v * 3")
+    # definitions inherit through unrelated commits
+    delete_where(spark, table, "id = 0")
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_manifest,
+    )
+
+    assert "double_v" in (read_manifest(table).get("generated") or {})

@@ -767,3 +767,66 @@ def triangle_clustering(
             .alias("clustering"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008): repeatedly drop edges supported by
+    fewer than k−2 triangles — the edge-grain cohesion complement of
+    k-core (node-grain): a k-truss edge's endpoints share ≥ k−2 common
+    neighbors INSIDE the subgraph, which filters out the weak bridges
+    k-core keeps. ``rounds`` is FIXED (deterministic plan + unrollable
+    oracle); each round is one triangle enumeration over the surviving
+    edges (id-ordered wedge join — the oracle replays it verbatim; swap
+    in the degree ordering of ``triangle_clustering`` for skewed graphs)
+    + one edge-keyed support aggregate, lineage-truncated per round.
+
+    Returns the surviving canonical edges ``(a, b, support)`` with their
+    LAST-round support."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    support = None
+    for _ in range(rounds):
+        wedge = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
+            .filter(F.col("x.b") < F.col("y.b"))
+            .select(
+                F.col("x.a").alias("ta"),
+                F.col("x.b").alias("tb"),
+                F.col("y.b").alias("tc"),
+            )
+        )
+        tri = wedge.join(
+            e.alias("z"),
+            (F.col("tb") == F.col("z.a")) & (F.col("tc") == F.col("z.b")),
+        ).select("ta", "tb", "tc")
+        sides = (
+            tri.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
+            .unionAll(tri.select(F.col("ta").alias("a"), F.col("tc").alias("b")))
+            .unionAll(tri.select(F.col("tb").alias("a"), F.col("tc").alias("b")))
+        )
+        support = sides.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        e = (
+            e.join(support, ["a", "b"])
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return e.join(support, ["a", "b"]).select("a", "b", "support")

@@ -813,7 +813,128 @@ _GENCOL_SQL = """
 """
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling (operators/graph.k_truss, Cohen 2008) on the
+    customer chain+chord+tree graph: 4 fixed rounds of triangle-support
+    filtering (edge survives iff ≥ k−2 = 2 triangles among survivors) —
+    the edge-grain cohesion filter that drops the weak bridges k-core
+    keeps. Each round = one id-ordered triangle enumeration + one
+    edge-keyed aggregate, lineage-truncated; the oracle unrolls the SAME
+    4 rounds as MATERIALIZED CTEs (plain CTEs inline exponentially —
+    the r6 HITS lesson). Returns surviving edges with last-round
+    support."""
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        k_truss,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("k")
+    )
+    chain = cust.filter(F.col("k") >= 1).select(
+        F.col("k").alias("src"), (F.col("k") - 1).alias("dst")
+    )
+    chord = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"), (F.col("k") - 2).alias("dst")
+    )
+    tree = cust.filter(F.col("k") >= 2).select(
+        F.col("k").alias("src"),
+        (F.col("k") / 2).cast("bigint").alias("dst"),
+    )
+    edges = chain.unionByName(chord).unionByName(tree)
+    return k_truss(edges, k=4, rounds=4)
+
+
+def _truss_round_sql(i: int) -> str:
+    return f"""
+    tri{i} AS MATERIALIZED (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM e{i} x
+        JOIN e{i} y ON x.a = y.a AND x.b < y.b
+        JOIN e{i} z ON z.a = x.b AND z.b = y.b
+    ), s{i} AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS support
+        FROM (
+            SELECT ta AS a, tb AS b FROM tri{i}
+            UNION ALL SELECT ta, tc FROM tri{i}
+            UNION ALL SELECT tb, tc FROM tri{i}
+        ) GROUP BY a, b
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM s{i} WHERE support >= 2
+    )"""
+
+
+_KTRUSS_SQL = (
+    """
+    WITH cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+    ), e_raw AS (
+        SELECT k AS u, k - 1 AS v FROM cust WHERE k >= 1
+        UNION ALL
+        SELECT k AS u, k - 2 AS v FROM cust WHERE k >= 2
+        UNION ALL
+        SELECT k AS u, k // 2 AS v FROM cust WHERE k >= 2
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM e_raw WHERE u <> v
+    ), """
+    + ", ".join(_truss_round_sql(i).strip() for i in range(4))
+    + """
+    SELECT a, b, support FROM s3 WHERE support >= 2
+"""
+)
+
+
+def q_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) Spark windows can't express natively (DISTINCT isn't
+    allowed over a frame): the day calendar (bounded) fans out to its 7
+    trailing source days (explode of a 7-element sequence), joins the
+    per-(day, user) DISTINCT activity table on the source day, and a
+    day-keyed exact distinct count closes it. Cost: 7× the per-day
+    activity table — rows, not raw events; the raw stream collapses to
+    (day, user) FIRST. Epoch-day integers everywhere (calendar functions
+    diverge across engines — memory rule)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+        )
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    ).distinct()
+    days = ev.select("day").distinct()
+    expanded = days.select(
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select("day", (F.col("day") - F.col("off")).alias("src_day"))
+    joined = expanded.join(
+        ev.withColumnRenamed("day", "src_day"), "src_day"
+    )
+    return joined.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active_7d")
+    )
+
+
+_TRAILING_SQL = """
+    WITH ev AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ev
+    ), expanded AS (
+        SELECT d.day, d.day - o.off AS src_day
+        FROM days d, unnest([0, 1, 2, 3, 4, 5, 6]) AS o(off)
+    )
+    SELECT e.day, CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_active_7d
+    FROM expanded e JOIN ev v ON v.day = e.src_day
+    GROUP BY e.day
+"""
+
+
 R7_QUERIES = {
+    "k_truss": q_k_truss,
+    "trailing_distinct_users": q_trailing_distinct_users,
     "generated_columns": q_generated_columns,
     "streaming_table_feed": q_streaming_table_feed,
     "triangle_clustering": q_triangle_clustering,
@@ -828,6 +949,8 @@ R7_QUERIES = {
 }
 
 R7_ORACLES = {
+    "k_truss": _KTRUSS_SQL,
+    "trailing_distinct_users": _TRAILING_SQL,
     "generated_columns": _GENCOL_SQL,
     "streaming_table_feed": _TABLE_FEED_SQL,
     "triangle_clustering": _TRIANGLE_SQL,

@@ -225,3 +225,61 @@ def test_triangle_clustering_matches_id_ordered_counts(spark):
         for r in triangle_counts(edges, "src", "dst").collect()
     }
     assert a == b  # degree-ordered and id-ordered enumerations agree
+
+
+def test_k_truss_drops_bridges_keeps_cliques(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.graph import k_truss
+
+    # two K4 cliques {1..4} and {11..14} joined by the bridge 4—11:
+    # every clique edge sits in 2 triangles (4-truss); the bridge in none
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(4, 11)], "src long, dst long"
+    )
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(edges, k=4, rounds=4).collect()
+    }
+    assert set(got) == set(k4a) | set(k4b)
+    assert all(v == 2 for v in got.values())
+    # k=5 needs support >= 3: a K4 can't provide it — everything peels
+    from m13_sparkstreaming_python_azure_spark.operators.graph import (
+        k_truss as kt,
+    )
+
+    assert kt(edges, k=5, rounds=4).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kt(edges, k=2)
+
+
+def test_trailing_distinct_users_window(spark, sf_dir):
+    from m13_sparkstreaming_python_azure_spark.queries.round7_ext import (
+        q_trailing_distinct_users,
+    )
+
+    rows = {r["day"]: r["n_active_7d"] for r in
+            q_trailing_distinct_users(spark, sf_dir).collect()}
+    assert rows
+    # trailing-7 >= the single busiest day it covers, and is monotone vs
+    # the per-day distinct count on every day
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    per_day = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000
+            ).cast("long").alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n7 in rows.items():
+        assert n7 >= per_day.get(day, 0)

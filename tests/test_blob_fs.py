@@ -146,3 +146,15 @@ def test_vacuum_on_blob_store(blobfs):
     assert not blobfs.exists(old_file)
     assert blobfs.exists(new_file)
     assert snap.vacuum_snapshots(table, keep_last=1) == []
+
+
+def test_blob_rmtree_and_reuse(blobfs):
+    for i in range(5):
+        blobfs.write_atomic(f"azb://c/tree/sub/{i}.json", "{}")
+    blobfs.write_atomic("azb://c/keep.txt", "k")
+    blobfs.rmtree("azb://c/tree")
+    assert not blobfs.exists("azb://c/tree")
+    assert blobfs.listdir("azb://c") == ["keep.txt"]
+    # a fresh table can be created where one was removed
+    blobfs.write_exclusive("azb://c/tree/sub/0.json", "new")
+    assert blobfs.read_text("azb://c/tree/sub/0.json") == "new"

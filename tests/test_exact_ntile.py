@@ -87,3 +87,30 @@ def test_exact_ntile_plans_no_unpartitioned_window(spark):
     # increasing ids within sorted range partitions
     assert not re.search(r"\(\d+\) Window\n", plan)
     assert "REPARTITION_BY_NUM" in plan or "rangepartitioning" in plan
+
+
+def test_exact_ntile_heavy_duplicate_keys(spark):
+    # 90% of rows share ONE ordering value — the range partitioner must
+    # still produce exact ntile assignment via the unique tiebreak
+    df = spark.range(2000).select(
+        "id",
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+    )
+    order = [F.col("k"), F.col("id")]
+    want = df.withColumn(
+        "tile", F.ntile(7).over(Window.orderBy(*order)).cast("long")
+    )
+    got = exact_ntile(df, 7, order, num_partitions=11)
+    assert (
+        want.alias("w")
+        .join(got.alias("g"), "id")
+        .filter(F.col("w.tile") != F.col("g.tile"))
+        .count()
+        == 0
+    )
+    # tile sizes are exactly q / q+1 (2000 = 7*285 + 5)
+    sizes = {
+        r["tile"]: r["count"]
+        for r in got.groupBy("tile").count().collect()
+    }
+    assert sorted(sizes.values()) == [285, 285] + [286] * 5

@@ -202,3 +202,23 @@ def test_offset_resume_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     offsets = sorted(r["offset"] for r in rows)
     assert offsets == list(range(70)), "duplicate or lost offsets on resume"
+
+
+def test_corrupt_payloads_surface_as_null_structs(spark, tmp_path):
+    """PERMISSIVE from_json: broken value bytes must yield NULL event
+    columns (quarantinable), never crash the stream."""
+    src = str(tmp_path / "wire")
+    good = _wire_chunk(spark, 0, 5, 0)
+    bad = good.withColumn(
+        "value", F.lit(b"{not-json").cast("binary")
+    ).withColumn("offset", F.col("offset") + 100)
+    good.union(bad).coalesce(1).write.parquet(src)
+    parsed = parse_kafka_json_stream(
+        spark.read.parquet(src), VALUE_SCHEMA
+    )
+    rows = parsed.collect()
+    assert len(rows) == 10
+    broken = [r for r in rows if r["offset"] >= 100]
+    assert all(r["user_id"] is None and r["ts"] is None for r in broken)
+    ok = [r for r in rows if r["offset"] < 100]
+    assert all(r["user_id"] is not None for r in ok)

@@ -94,9 +94,20 @@ def decode_image(payload: bytes, fmt: str = "png"):
     installed codec."""
     import numpy as np
 
+    import struct
+    import zlib
+
     fmt = (fmt or "").lower()
     if _png.is_png(payload or b""):
-        return _png.decode_png(payload)
+        try:
+            return _png.decode_png(payload)
+        except (struct.error, zlib.error) as e:
+            # Truncated chunk headers surface as struct.error; CRC-valid but
+            # undecodable IDAT as zlib.error — normalize both to the
+            # documented ValueError contract so executor-side fallbacks
+            # (resize_images/_resample, perceptual_hash/_plane) catch them
+            # instead of crashing the task on a malformed web payload.
+            raise ValueError(f"undecodable image payload: {e}") from None
     if PIL_AVAILABLE:
         import io
 

@@ -651,7 +651,21 @@ def boolean_search(
     ``isin`` prune on the exploded token stream (a broadcast semi-join
     when the vocabulary is a table) — so the per-doc flag aggregate
     touches O(query_terms) rows per doc, never the whole posting list.
-    One explode + one doc-keyed aggregate; no self-joins."""
+    One explode + one doc-keyed aggregate; no self-joins.
+
+    Every clause must carry at least one positive ("all") term: flags are
+    built only for documents containing ≥1 query-vocabulary token, so a
+    pure-negation clause like ``{"none": ["spam"]}`` cannot be evaluated
+    against the (unscanned) rest of the corpus — it is rejected up front
+    rather than silently matching zero documents."""
+    for i, c in enumerate(clauses):
+        if not c.get("all"):
+            raise ValueError(
+                f"boolean_search clause {i} has no positive ('all') terms; "
+                "pure-negation clauses are not supported — postings are "
+                "built only for the query vocabulary, so a clause needs at "
+                "least one required term to anchor the candidate set"
+            )
     vocab = sorted(
         {t.lower() for c in clauses for t in c.get("all", [])}
         | {t.lower() for c in clauses for t in c.get("none", [])}

@@ -277,6 +277,19 @@ def negative_sampling(
         )
     )
     total = cum.agg(F.max("cum").alias("t")).collect()[0]["t"]
+    if total is None:
+        raise ValueError(
+            "negative_sampling: empty corpus — no tokens to weight"
+        )
+    if int(total) >= 1 << 47:
+        # the 16-bit md5 draw u is multiplied by total; u*total must fit a
+        # signed 64-bit long (2^16 * 2^47 = 2^63), otherwise draw targets
+        # silently overflow negative
+        raise ValueError(
+            f"negative_sampling: cumulative unigram^0.75 weight {total} "
+            f">= 2^47 overflows the 16-bit-draw * total BIGINT product; "
+            "rescale the weights (larger quantization grid) first"
+        )
     draws = spark.range(n_samples).select(
         F.col("id").alias("s"),
         (

@@ -148,8 +148,22 @@ def winnowing_fingerprints(
     )
     # rightmost-min of each w-window via a unique composite key:
     # min hash wins; among equal hashes the LARGER pos (smaller 2^20-1-pos).
-    # 40-bit hash × 2^20 + 20-bit pos = 60 bits — fits a signed long
-    key = F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))
+    # 40-bit hash × 2^20 + 20-bit pos = 60 bits — fits a signed long.
+    # The 20-bit pos field requires pos < 2^20 (~1M k-grams/doc); beyond
+    # that the pos component goes negative and silently breaks key
+    # uniqueness — enforce it IN the key expression (coalesce forces the
+    # assert to evaluate; Catalyst can't prune it away).
+    key = F.coalesce(
+        F.assert_true(
+            F.col("pos") < F.lit(1 << 20),
+            F.lit(
+                "winnowing_fingerprints: document has >= 2^20 k-grams; "
+                "the 40-bit/20-bit composite key layout caps positions "
+                "at 1,048,575 — chunk the document first"
+            ),
+        ).cast("long"),
+        F.col("h") * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos")),
+    )
     win = (
         Window.partitionBy("__id")
         .orderBy("pos")

@@ -2195,6 +2195,25 @@ def delete_matching(
 # ---------------------------------------------------------------------------
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split a simpleString field list on ',' at bracket depth 0 only, so
+    types like ``decimal(18,6)`` / ``map<string,int>`` / nested structs
+    survive intact."""
+    if not s:
+        return []
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def _merged_schema_ddl(prev_ddl: str | None, df: DataFrame) -> str:
     """Union of the previous schema and the appended DataFrame's schema
     (append-with-new-columns = Delta ``mergeSchema`` evolution; the old
@@ -2203,11 +2222,12 @@ def _merged_schema_ddl(prev_ddl: str | None, df: DataFrame) -> str:
     new = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if not prev_ddl:
         return df.schema.simpleString()
-    # simpleString format: struct<a:bigint,b:string,...> — flat fields
-    # only is fine here (snapshot tables are flat parquet relations)
+    # simpleString format: struct<a:bigint,b:string,...>. Field TYPES may
+    # themselves contain commas — decimal(18,6), map<string,int>, nested
+    # struct<...> — so split on ',' only at bracket/paren depth 0.
     inner = prev_ddl[len("struct<"):-1]
     prev_fields = []
-    for part in inner.split(",") if inner else []:
+    for part in _split_top_level(inner):
         name, typ = part.split(":", 1)
         prev_fields.append((name, typ))
     prev_names = {n for n, _ in prev_fields}

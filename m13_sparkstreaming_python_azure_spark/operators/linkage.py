@@ -59,3 +59,52 @@ def fs_score(
         .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
         .otherwise(F.lit("possible")),
     )
+
+
+def sorted_neighborhood(
+    df: DataFrame,
+    order_by,
+    window: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    SIGMOD'95): totally order the records once, pair each record with
+    its next ``window`` neighbors — O(window·n) candidates, linear in
+    the table, the classic generator when no natural bounded blocking
+    key exists.
+
+    100 TB shape: NO unpartitioned window and NO self-join on a blocking
+    key. The total order comes from ``operators/window.global_rank``
+    (range-repartition + exchange-reused partition stats + broadcast
+    offsets — one range shuffle, never a single-partition sort); the
+    neighbor pairing is then an EQUI-JOIN on the dense integer rank
+    (probe side explodes rank+1 … rank+window), which hashes perfectly
+    evenly — a unique join key per row, no skew possible.
+
+    ``order_by`` must be a total order (tie-break with a unique column).
+    Returns one row per candidate pair: every non-rank column appears
+    twice, suffixed ``_a`` (the earlier-sorted record) and ``_b``."""
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        global_rank,
+    )
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ranked = global_rank(
+        df, order_by, out_col="__rn", num_partitions=num_partitions
+    )
+    data_cols = [c for c in ranked.columns if c != "__rn"]
+    left = ranked.select(
+        F.col("__rn"),
+        *[F.col(c).alias(f"{c}_a") for c in data_cols],
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.col("__rn") + 1, F.col("__rn") + window)
+        ).alias("__rn_b"),
+    )
+    right = ranked.select(
+        F.col("__rn").alias("__rn_b"),
+        *[F.col(c).alias(f"{c}_b") for c in data_cols],
+    )
+    return left.join(right, "__rn_b").drop("__rn", "__rn_b")

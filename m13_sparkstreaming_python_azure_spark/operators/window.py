@@ -76,17 +76,17 @@ def best_day_per_city_top10(agg_df: DataFrame) -> DataFrame:
     return topk(best, [F.desc("distinct_hotels")], 10)
 
 
-def exact_ntile(
+def global_rank(
     df: DataFrame,
-    n_tiles: int,
     order_by: Sequence[Column],
-    out_col: str = "tile",
+    out_col: str = "rank",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
-    """EXACT ntile(n) over a total order — without the single-partition
-    sort an unpartitioned ``Window.orderBy`` forces (``WindowExec: No
-    Partition Defined`` moves the whole table to ONE task; at 100 TB
-    that is a straight OOM).
+    """EXACT 1-based global rank over a total order — without the
+    single-partition sort an unpartitioned ``Window.orderBy`` forces
+    (``WindowExec: No Partition Defined`` moves the whole table to ONE
+    task; at 100 TB that is a straight OOM).
 
     Distributed-rank construction (the zipWithIndex-over-range-partitions
     shape), fully lazy — ONE job, no driver collect, no checkpoint:
@@ -102,22 +102,15 @@ def exact_ntile(
        partition assignment; the assignment is deterministic for a given
        input regardless, since the range sampler is seeded).
     3. offsets = a P×P broadcast triangle join over the stats rows
-       (rows-before-this-partition), total N = a single-row scalar
-       broadcast — the standard bounded-broadcast idioms, replacing both
-       the driver cumsum AND the per-partition-id window of the naive
-       form. ``global rank = offset + (id − min_id) + 1``.
-    4. SQL ntile's bucket arithmetic on the exact rank, pure integer
-       column expressions: with ``q, r = N divmod n``, the first ``r``
-       buckets take ``q+1`` rows — engine-bit-equal with any conforming
-       ntile.
+       (rows-before-this-partition); optional total N = a single-row
+       scalar broadcast (``total_col``) — the standard bounded-broadcast
+       idioms, replacing both the driver cumsum AND the
+       per-partition-id window of the naive form.
+       ``global rank = offset + (id − min_id) + 1``.
 
     The ordering MUST be total (tie-break with a unique column) or the
     assignment is not deterministic. One range shuffle over the
-    projected ordering columns; every other input is P-row or scalar.
-    Used by ``rfm_segments`` / ``price_decile_stats`` as the 100 TB-safe
-    twin of their small-SF ntile oracles."""
-    if n_tiles < 1:
-        raise ValueError("n_tiles must be >= 1")
+    projected ordering columns; every other input is P-row or scalar."""
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -143,14 +136,47 @@ def exact_ntile(
         )
         .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
     )
-    tot = stats.agg(F.sum("__cnt").alias("__n"))
-    ranked = (
-        parted.join(F.broadcast(offs), "__pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "__rank",
-            F.col("__off") + (F.col("__mono") - F.col("__min_mono")) + 1,
-        )
+    ranked = parted.join(F.broadcast(offs), "__pid").withColumn(
+        out_col,
+        F.col("__off") + (F.col("__mono") - F.col("__min_mono")) + 1,
+    )
+    if total_col is not None:
+        tot = stats.agg(F.sum("__cnt").alias(total_col))
+        ranked = ranked.crossJoin(F.broadcast(tot))
+    return ranked.drop("__pid", "__mono", "__min_mono", "__off")
+
+
+def exact_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_by: Sequence[Column],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ntile(n) over a total order — without the single-partition
+    sort an unpartitioned ``Window.orderBy`` forces (``WindowExec: No
+    Partition Defined`` moves the whole table to ONE task; at 100 TB
+    that is a straight OOM).
+
+    Thin wrapper over ``global_rank`` (the distributed-rank
+    construction — fully lazy, ONE job, no driver collect) + SQL
+    ntile's bucket arithmetic on the exact rank, pure integer column
+    expressions: with ``q, r = N divmod n``, the first ``r`` buckets
+    take ``q+1`` rows — engine-bit-equal with any conforming ntile.
+
+    The ordering MUST be total (tie-break with a unique column) or the
+    assignment is not deterministic. One range shuffle over the
+    projected ordering columns; every other input is P-row or scalar.
+    Used by ``rfm_segments`` / ``price_decile_stats`` as the 100 TB-safe
+    twin of their small-SF ntile oracles."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    ranked = global_rank(
+        df,
+        order_by,
+        out_col="__rank",
+        num_partitions=num_partitions,
+        total_col="__n",
     )
     tile = F.expr(
         f"CASE WHEN __n < {n_tiles} THEN __rank"  # fewer rows than tiles
@@ -161,5 +187,5 @@ def exact_ntile(
         f"    DIV (__n DIV {n_tiles}) + 1 END"
     )
     return ranked.withColumn(out_col, tile.cast("long")).drop(
-        "__pid", "__mono", "__min_mono", "__off", "__rank", "__n"
+        "__rank", "__n"
     )

@@ -950,33 +950,40 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter record linkage (operators/linkage.fs_score):
-    customers blocked on (nation, segment) — quadratic only within
-    bounded blocks — then scored on name edit-distance and balance
-    proximity with fixed m/u priors; two thresholds split match /
-    possible / non-match. Scoring is one codegen'd projection; ln
-    weights snap at 1e-9."""
+    """Fellegi–Sunter record linkage (operators/linkage.fs_score) over
+    SORTED-NEIGHBORHOOD candidates (Hernández–Stolfo): customers are
+    sorted once on (name, custkey) and each record is paired with its
+    next 10 neighbors only — candidates are O(10·n), linear with the
+    table, where the previous (nation, segment) key blocking had
+    constant block cardinality (~125) and therefore a quadratic
+    within-block pair join at scale. Neighbor pairing is
+    ``operators/linkage.sorted_neighborhood`` — global_rank's
+    distributed total order (range shuffle, no single-partition
+    WindowExec) + an equi-join on the dense rank — so candidates stay
+    linear AND the plan stays partitioned. Scoring — name edit-distance
+    and balance proximity with fixed m/u priors, two thresholds
+    splitting match / possible / non-match — is one codegen'd
+    projection; ln weights snap at 1e-9. The DuckDB oracle mirrors the
+    same neighborhood via row_number rank offsets."""
     from m13_sparkstreaming_python_azure_spark.operators.linkage import (
         fs_score,
+        sorted_neighborhood,
     )
 
-    cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").alias("bal_a"),
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
     )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_acctbal").alias("bal_b"),
-    )
-    pairs = a.join(b, on=["nation", "segment"]).filter(
-        F.col("key_a") < F.col("key_b")
+    pairs = sorted_neighborhood(
+        cust, [F.col("name"), F.col("key")], window=10
+    ).select(
+        F.col("key_a"),
+        "name_a",
+        "bal_a",
+        F.col("key_b"),
+        "name_b",
+        "bal_b",
     )
     scored = fs_score(
         pairs,
@@ -1286,27 +1293,24 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generator, after symmetric-delete fuzzy and key blocking):
     sort names once, compare each to its next 5 neighbors only —
     candidates are LINEAR in n with a fixed window, the classic
-    alternative when no natural blocking key exists. Implemented as
-    lead() offsets over the sorted window (no self-join); exact
-    levenshtein verify keeps pairs within distance 2.
+    alternative when no natural blocking key exists. Implemented with
+    ``operators/linkage.sorted_neighborhood`` — global_rank's
+    distributed total order (range shuffle, NEVER a single-partition
+    ``Window.orderBy`` sort) + an equi-join on the dense rank, so the
+    plan stays partitioned at any scale; exact levenshtein verify keeps
+    pairs within distance 2. No cross-partition pairs are missed: the
+    rank is globally dense, so rank+i addresses the true i-th neighbor
+    regardless of which range partition it landed in."""
+    from m13_sparkstreaming_python_azure_spark.operators.linkage import (
+        sorted_neighborhood,
+    )
 
-    Scale: the sort is a range-partitioned total order (Spark's sort
-    shuffle); neighbor comparison is window-local — no cross-partition
-    pairs are missed because lead() spans partition boundaries by
-    definition of the global window."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("name")
     ).distinct()
-    w = Window.orderBy("name")
-    withnext = cust.select(
-        "name",
-        F.array(
-            *[F.lead("name", i).over(w) for i in range(1, 6)]
-        ).alias("nbrs"),
+    pairs = sorted_neighborhood(cust, [F.col("name")], window=5).select(
+        F.col("name_a").alias("name"), F.col("name_b").alias("other")
     )
-    pairs = withnext.select(
-        "name", F.explode("nbrs").alias("other")
-    ).filter(F.col("other").isNotNull())
     return pairs.withColumn(
         "edit_distance", F.levenshtein("name", "other", 2)
     ).filter(
@@ -1958,41 +1962,77 @@ _HW_SQL = """
 
 
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution: blocked fuzzy matching →
+    """End-to-end entity resolution: bounded fuzzy candidate generation →
     transitive-closure clustering — the step AFTER ``record_linkage``
     scores pairs (pairwise decisions alone aren't entities; A≈B and B≈C
     must land A, B, C in ONE entity even when A and C don't match
-    directly). Pairs: customers blocked on (nation, segment) — quadratic
-    only within bounded blocks — matched on Levenshtein(name) ≤ 2; then
-    ``operators/graph.connected_components`` (hash-min label
-    propagation, O(log n) rounds, localCheckpoint lineage truncation)
-    assigns entity_id = min custkey of the component. Output is the
-    multi-member entity census. The DuckDB oracle computes components
-    as min over the recursive transitive closure — a DIFFERENT
-    algorithm, so the hash check pins the semantics, not the
-    implementation."""
+    directly). Match predicate: same (nation, segment) AND
+    Levenshtein(name) ≤ 2. Candidates come from symmetric-delete
+    blocking (``operators/fuzzy.fuzzy_pairs`` — every name within edit
+    distance 2 shares a deletion variant, so the variant equi-join is a
+    COMPLETE candidate set that grows linearly in n), never from a
+    quadratic key-block self-join: the old (nation, segment) blocking
+    had constant cardinality (~125 blocks), so block size — and the
+    within-block pair join — grew quadratically with the table.
+    (nation, segment) equality is now a post-filter on the linear
+    candidate set; identical-name pairs (edit distance 0, which the
+    distinct-name generator can't emit) are recovered by an exact
+    name equi-join. Then ``operators/graph.connected_components``
+    (hash-min label propagation, O(log n) rounds, localCheckpoint
+    lineage truncation) assigns entity_id = min custkey of the
+    component. Output is the multi-member entity census. The DuckDB
+    oracle computes the SAME match predicate from the naive blocked
+    join + recursive transitive closure — a different algorithm AND a
+    different candidate generator, so the hash check pins semantics
+    (including candidate completeness), not the implementation."""
+    from m13_sparkstreaming_python_azure_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
     from m13_sparkstreaming_python_azure_spark.operators.graph import (
         connected_components,
     )
 
-    cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
+    )
+    # linear-candidate generator over DISTINCT names (edit distance 1-2)
+    name_pairs = fuzzy_pairs(
+        cust.select(F.col("name")), "name", max_dist=2
+    ).select(
+        F.col("key_a").alias("name_a"), F.col("key_b").alias("name_b")
+    )
+    a = cust.select(
+        F.col("name").alias("name_a"),
+        F.col("key").alias("key_a"),
+        "nation",
+        "segment",
     )
     b = cust.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("segment"),
+        F.col("name").alias("name_b"),
+        F.col("key").alias("key_b"),
+        "nation",
+        "segment",
     )
-    pairs = a.join(b, on=["nation", "segment"]).filter(
-        (F.col("key_a") < F.col("key_b"))
-        & (F.levenshtein("name_a", "name_b") <= 2)
+    fuzzy_edges = (
+        name_pairs.join(a, "name_a")
+        .join(b, ["name_b", "nation", "segment"])
+        .select("key_a", "key_b")
     )
-    comp = connected_components(pairs, "key_a", "key_b")
+    # edit-distance-0 pairs: distinct customers sharing the exact name
+    # (an equi-join, output-sized; empty under TPC-H's unique names)
+    same_name = a.join(
+        b,
+        (F.col("name_a") == F.col("name_b"))
+        & (a["nation"] == b["nation"])
+        & (a["segment"] == b["segment"])
+        & (F.col("key_a") < F.col("key_b")),
+    ).select("key_a", "key_b")
+    comp = connected_components(
+        fuzzy_edges.unionByName(same_name), "key_a", "key_b"
+    )
     return (
         comp.groupBy(F.col("component").alias("entity_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -2814,14 +2854,16 @@ ANALYTICS_ORACLES = {
         FROM scored GROUP BY doc_id
     """,
     "record_linkage": """
-        WITH pairs AS (
-            SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-                   a.c_name AS name_a, b.c_name AS name_b,
-                   a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
-            FROM customer a JOIN customer b
-              ON a.c_nationkey = b.c_nationkey
-             AND a.c_mktsegment = b.c_mktsegment
-             AND a.c_custkey < b.c_custkey
+        WITH ranked AS (
+            SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+                   row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+            FROM customer
+        ), pairs AS (
+            SELECT a.key AS key_a, b.key AS key_b,
+                   a.name AS name_a, b.name AS name_b,
+                   a.bal AS bal_a, b.bal AS bal_b
+            FROM ranked a JOIN ranked b
+              ON b.rn BETWEEN a.rn + 1 AND a.rn + 10
         ), scored AS (
             SELECT key_a, key_b,
                    floor((

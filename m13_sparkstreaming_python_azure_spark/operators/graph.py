@@ -673,6 +673,63 @@ def personalized_pagerank(
     return ranks
 
 
+def oriented_triangles(e: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Enumerate each triangle of a canonical undirected edge list
+    (columns ``a < b``, distinct) EXACTLY once via the degree-ordered
+    wedge join (Suri & Vassilvitskii WWW'11): orient every edge from the
+    (degree, id)-smaller endpoint to the larger, generate wedges at the
+    small endpoint — out-degree O(√m) regardless of hub size — and close
+    them against the canonical edge set with one equi-join. Returns
+    ``(pivot, u, v)`` where pivot is the (degree, id)-smallest corner
+    and u, v its degree-ordered neighbors.
+
+    ``deg`` (node, degree) is computed from ``e`` when not supplied.
+    The orientation key is ``degree·2³² + node`` (fits a signed long for
+    degree, node < 2³¹ — beyond that, widen to DECIMAL)."""
+    if deg is None:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
+    dk = deg.select("node", key)
+    ek = (
+        e.join(dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")
+        .join(dk.withColumnRenamed("node", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    oriented = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("lo"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("hi"),
+        F.least("ka", "kb").alias("klo"),
+        F.greatest("ka", "kb").alias("khi"),
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("pivot"),
+        F.col("hi").alias("u"),
+        F.col("khi").alias("ku"),
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("pivot"),
+        F.col("hi").alias("v"),
+        F.col("khi").alias("kv"),
+    )
+    wedges = w1.join(w2, "pivot").filter(F.col("ku") < F.col("kv"))
+    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    return wedges.join(
+        closing,
+        (
+            (F.least("u", "v") == F.col("ca"))
+            & (F.greatest("u", "v") == F.col("cb"))
+        ),
+    ).select("pivot", "u", "v")
+
+
 def triangle_clustering(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -708,43 +765,7 @@ def triangle_clustering(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
-    dk = deg.select("node", key)
-    ek = (
-        e.join(dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"), "a")
-        .join(dk.withColumnRenamed("node", "b").withColumnRenamed("k", "kb"), "b")
-    )
-    oriented = ek.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a"))
-        .otherwise(F.col("b"))
-        .alias("lo"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b"))
-        .otherwise(F.col("a"))
-        .alias("hi"),
-        F.least("ka", "kb").alias("klo"),
-        F.greatest("ka", "kb").alias("khi"),
-    )
-    w1 = oriented.select(
-        F.col("lo").alias("pivot"),
-        F.col("hi").alias("u"),
-        F.col("khi").alias("ku"),
-    )
-    w2 = oriented.select(
-        F.col("lo").alias("pivot"),
-        F.col("hi").alias("v"),
-        F.col("khi").alias("kv"),
-    )
-    wedges = w1.join(w2, "pivot").filter(F.col("ku") < F.col("kv"))
-    closing = e.select(
-        F.col("a").alias("ca"), F.col("b").alias("cb")
-    )
-    tris = wedges.join(
-        closing,
-        (
-            (F.least("u", "v") == F.col("ca"))
-            & (F.greatest("u", "v") == F.col("cb"))
-        ),
-    ).select("pivot", "u", "v")
+    tris = oriented_triangles(e, deg)
     per_node = (
         tris.select(F.col("pivot").alias("node"))
         .unionAll(tris.select(F.col("u").alias("node")))
@@ -782,9 +803,13 @@ def k_truss(
     neighbors INSIDE the subgraph, which filters out the weak bridges
     k-core keeps. ``rounds`` is FIXED (deterministic plan + unrollable
     oracle); each round is one triangle enumeration over the surviving
-    edges (id-ordered wedge join — the oracle replays it verbatim; swap
-    in the degree ordering of ``triangle_clustering`` for skewed graphs)
-    + one edge-keyed support aggregate, lineage-truncated per round.
+    edges via the degree-ordered wedge join (``oriented_triangles`` —
+    wedge pivots are O(√m) even on hub-skewed graphs; degrees are
+    recomputed per round on the shrinking subgraph) + one edge-keyed
+    support aggregate, lineage-truncated per round. Triangle SUPPORT is
+    orientation-independent, so the DuckDB oracle's id-ordered
+    enumeration counts the same triangles and the hash gate pins the
+    semantics across the two orderings.
 
     Returns the surviving canonical edges ``(a, b, support)`` with their
     LAST-round support."""
@@ -801,24 +826,24 @@ def k_truss(
     )
     support = None
     for _ in range(rounds):
-        wedge = (
-            e.alias("x")
-            .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
-            .filter(F.col("x.b") < F.col("y.b"))
-            .select(
-                F.col("x.a").alias("ta"),
-                F.col("x.b").alias("tb"),
-                F.col("y.b").alias("tc"),
-            )
-        )
-        tri = wedge.join(
-            e.alias("z"),
-            (F.col("tb") == F.col("z.a")) & (F.col("tc") == F.col("z.b")),
-        ).select("ta", "tb", "tc")
+        tri = oriented_triangles(e)
         sides = (
-            tri.select(F.col("ta").alias("a"), F.col("tb").alias("b"))
-            .unionAll(tri.select(F.col("ta").alias("a"), F.col("tc").alias("b")))
-            .unionAll(tri.select(F.col("tb").alias("a"), F.col("tc").alias("b")))
+            tri.select(
+                F.least("pivot", "u").alias("a"),
+                F.greatest("pivot", "u").alias("b"),
+            )
+            .unionAll(
+                tri.select(
+                    F.least("pivot", "v").alias("a"),
+                    F.greatest("pivot", "v").alias("b"),
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"),
+                )
+            )
         )
         support = sides.groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("support")

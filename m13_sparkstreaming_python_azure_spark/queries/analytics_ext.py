@@ -1202,7 +1202,11 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rrf = Σ 1/(60 + rank) — the RAG-stack ranker that needs no score
     calibration between modalities. Ranks are integers and the RRF terms
     are exact int ratios, so fusion is bit-equal across engines; a rank
-    of 0 means 'absent from that modality's list'."""
+    of 0 means 'absent from that modality's list'. Both modality ranks
+    come from ``operators/window.global_rank`` (range shuffle — no
+    single-partition WindowExec over the scored lists, which grow with
+    the corpus), and the final top-20 is ORDER BY + LIMIT
+    (TakeOrderedAndProject's bounded per-partition heap)."""
     from m13_sparkstreaming_python_azure_spark.operators.retrieval import (
         bm25_scores,
     )
@@ -1210,13 +1214,15 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot,
         l2_norm,
     )
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        global_rank,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lex = bm25_scores(docs, ["hash", "join", "stream"])
-    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    lexr = lex.select(
-        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
-    )
+    lexr = global_rank(
+        lex, [F.col("bm25").desc(), F.asc("doc_id")], out_col="rank_lex"
+    ).select("doc_id", "rank_lex")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1229,10 +1235,9 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos"),
     )
-    w_vec = Window.orderBy(F.col("cos").desc(), "doc_id")
-    vecr = vec.select(
-        "doc_id", F.row_number().over(w_vec).alias("rank_vec")
-    )
+    vecr = global_rank(
+        vec, [F.col("cos").desc(), F.asc("doc_id")], out_col="rank_vec"
+    ).select("doc_id", "rank_vec")
     fused = (
         lexr.join(vecr, on="doc_id", how="full_outer")
         .select(
@@ -1252,12 +1257,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
-    w_top = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
-    return (
-        fused.withColumn("__rk", F.row_number().over(w_top))
-        .filter(F.col("__rk") <= 20)
-        .drop("__rk")
-    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
 
 
 def q_json_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:

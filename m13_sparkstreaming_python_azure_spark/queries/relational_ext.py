@@ -424,14 +424,23 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eqNullSafe / IS NOT DISTINCT FROM), nulls as a grouping key, and
     explicit NULLS FIRST ordering (captured via the min row_number per
     group, since hash comparison is order-insensitive). The 3-row dim is
-    a broadcast local relation."""
+    a broadcast local relation. The global NULLS FIRST rank comes from
+    ``operators/window.global_rank`` (range shuffle, never a
+    single-partition WindowExec) — identical rn values, scale-safe."""
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        global_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
         F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_n"),
     )
-    w = Window.orderBy(F.asc_nulls_first("status_n"), F.asc("o_orderkey"))
-    ranked = base.withColumn("rn", F.row_number().over(w))
+    ranked = global_rank(
+        base,
+        [F.asc_nulls_first("status_n"), F.asc("o_orderkey")],
+        out_col="rn",
+    )
     dim = spark.createDataFrame(
         [("P", "pending"), ("O", "open"), (None, "final")],
         "status string, label string",

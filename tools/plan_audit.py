@@ -110,7 +110,8 @@ UNPARTITIONED_WINDOW_OK = {
     "psi_drift": "rank over distinct baseline values -> bins",
     "spearman_corr": "ranks over distinct value grids",
     "kendall_tau": "ranks over distinct value grids",
-    "kruskal_wallis": "mid-ranks over pooled distinct values",
+    "kruskal_wallis": "cumulative window over pooled DISTINCT value"
+    " cents (r8: dr built at the value grain, rows never enter it)",
     "mann_kendall_sen": "ranks over daily series (bounded by days)",
     "kaplan_meier": "event-table window over distinct durations",
     "log_rank_test": "event-table window over distinct durations",
@@ -118,7 +119,6 @@ UNPARTITIONED_WINDOW_OK = {
     "chi_square_independence": "contingency-cell windows",
     "mutual_information": "contingency-cell windows",
     "ece_calibration": "windows over fixed calibration bins",
-    "conformal_intervals": "rank over held-out residual grid",
     "ccf_lag": "daily-series windows (bounded by days)",
     "acf_daily_events": "daily-series windows (bounded by days)",
     "seasonal_decompose": "daily-series windows (bounded by days)",
@@ -138,7 +138,6 @@ UNPARTITIONED_WINDOW_OK = {
     "bow_dedup": "token-frequency rank (vocab-bounded)",
     "streaming_topk_tokens": "rank over the maintained top-k state table",
     "quality_prune_floors": "rank over per-source quality floors (sources)",
-    "null_semantics": "didactic gate over a literal inline table",
     "conversion_latency": "exact-rank percentile over conversion events"
     " (conversions are the reduced funnel tail; Q-digest is the 100TB path)",
     "touch_attribution": "per-purchase window is partitioned; the global"
@@ -150,7 +149,6 @@ UNPARTITIONED_WINDOW_OK = {
     "topn_with_other": "rank over group aggregates (group-bounded)",
     "negative_sampling": "cumulative window over the VOCAB weight table",
     # (b) constant-size candidate sets
-    "hybrid_rrf_search": "rank fusion over two top-k lists",
     "retrieval_eval": "per-query rank lists (k-bounded)",
     "ql_dirichlet_search": "final top-n cut over scored candidates",
     "bm25_prf_search": "final top-n cut over scored candidates",
@@ -238,6 +236,10 @@ ALLOW_CARTESIAN = {
                            # single-row total broadcast (both bounded by
                            # partition count, not data)
     "rfm_segments",        # same exact_ntile shape ×3 quintiles
+    "record_linkage",      # global_rank P-row offset triangle join
+    "sorted_neighborhood_pairs",  # same global_rank shape
+    "null_semantics",      # global_rank triangle join (r8 rewire)
+    "kruskal_wallis",      # single-row N+1 scalar broadcast (r8 rewire)
 }
 
 

@@ -43,29 +43,47 @@ from m13_sparkstreaming_python_azure_spark.queries.tpch_ext import (
     TPCH_EXT_QUERIES,
 )
 
-def _narrow_shuffle(fn, n: int = 8):
-    """Run a STREAMING gate with a narrow shuffle width. Stateful
-    micro-batch operators keep one state-store instance per shuffle
-    partition per batch; at gate volume 32 partitions bound the state
-    bookkeeping, not the data. Warm-session A/B at sf0.1 shows modest
-    wins (~10% on the state-heavy gates, larger on cold first runs
-    where 32-way state-store init dominates); the real point is the
-    principle the two hand-tuned gates already applied — streaming
-    width is pinned by the FIRST micro-batch and AQE can't fix it later,
-    so it must be right before the stream starts. Session width is
-    restored on exit; the returned sink-table aggregation runs at the
-    restored width."""
+def _narrow_shuffle(fn, n: int = 8, nodata_batches: bool = False):
+    """Run a STREAMING gate with a narrow shuffle width and without
+    no-data micro-batches. Stateful micro-batch operators keep one
+    state-store instance per shuffle partition per batch; at gate volume
+    32 partitions bound the state bookkeeping, not the data. Warm-session
+    A/B at sf0.1 shows modest wins (~10% on the state-heavy gates, larger
+    on cold first runs where 32-way state-store init dominates); the real
+    point is the principle the two hand-tuned gates already applied —
+    streaming width is pinned by the FIRST micro-batch and AQE can't fix
+    it later, so it must be right before the stream starts.
+
+    ``noDataMicroBatchesEnabled=false`` (VERDICT r7 #4): by default every
+    data batch is FOLLOWED by an empty batch whose only job is advancing
+    the watermark and evicting state — under the replay harness that
+    doubles the batch count, and the gates don't need it: every gate
+    already pushes the watermark with explicit far-future SENTINEL DATA
+    batches (the chunked-replay contract), so eviction/flush happens on
+    those real batches. Gate outputs are hash-verified unchanged. The
+    exception (``nodata_batches=True``): append-mode window gates whose
+    FINAL windows only emit on the trailing watermark-advance batch —
+    ``_NODATA_GATES`` keeps the default for exactly those. Session confs
+    are restored on exit; the returned sink-table aggregation runs at
+    the restored width."""
 
     import functools
 
     @functools.wraps(fn)  # keep docstring/module for QUERIES.md generation
     def wrapped(spark, sf_dir):
+        nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_nodata = spark.conf.get(nodata, None)
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        spark.conf.set(nodata, "true" if nodata_batches else "false")
         try:
             return fn(spark, sf_dir)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if prev_nodata is None:
+                spark.conf.unset(nodata)
+            else:
+                spark.conf.set(nodata, prev_nodata)
 
     return wrapped
 
@@ -100,8 +118,18 @@ _ALL_QUERIES = {
     **R6_QUERIES,
     **R7_QUERIES,
 }
+# append-mode window gates whose final windows emit ONLY on the trailing
+# no-data watermark-advance batch (their replay scripts end on real data,
+# not far-future sentinels) — keep the default for these three
+_NODATA_GATES = {
+    "streaming_append_windows",
+    "streaming_late_data_drop",
+    "streaming_sliding_windows",
+}
 for _name in _STREAMING_GATES:
-    _ALL_QUERIES[_name] = _narrow_shuffle(_ALL_QUERIES[_name])
+    _ALL_QUERIES[_name] = _narrow_shuffle(
+        _ALL_QUERIES[_name], nodata_batches=_name in _NODATA_GATES
+    )
 ORACLES = {
     **CORE_ORACLES,
     **EXT_ORACLES,

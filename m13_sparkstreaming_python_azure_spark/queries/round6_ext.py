@@ -2173,7 +2173,9 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     between first view and first subsequent purchase; p50/p90 via EXACT
     integer rank selection (k = ⌈n·p/100⌉ over the (latency, user)
     total order — no float quantiles, both engines pick the identical
-    element). One per-user aggregate + one bounded sort."""
+    element). The rank comes from ``operators/window.global_rank``
+    (range shuffle — r8 swap; the old unpartitioned row_number put every
+    conversion on one task as conversions grow with the table)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -2194,8 +2196,13 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", (F.col("first_p") - F.col("v_us")).alias("lat_us")
         )
     )
-    w = Window.orderBy(F.col("lat_us").asc(), F.col("user_id").asc())
-    ranked = lat.withColumn("rn", F.row_number().over(w))
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        global_rank,
+    )
+
+    ranked = global_rank(
+        lat, [F.col("lat_us").asc(), F.col("user_id").asc()], out_col="rn"
+    )
     n = lat.count()
     k50, k90 = (n * 50 + 99) // 100, (n * 90 + 99) // 100
     return (

@@ -138,8 +138,6 @@ UNPARTITIONED_WINDOW_OK = {
     "bow_dedup": "token-frequency rank (vocab-bounded)",
     "streaming_topk_tokens": "rank over the maintained top-k state table",
     "quality_prune_floors": "rank over per-source quality floors (sources)",
-    "conversion_latency": "exact-rank percentile over conversion events"
-    " (conversions are the reduced funnel tail; Q-digest is the 100TB path)",
     "touch_attribution": "per-purchase window is partitioned; the global"
     " one ranks purchase-level summary rows",
     "min_cost_supplier": "TPC-H Q2 final ORDER BY LIMIT as rank over the"
@@ -163,9 +161,6 @@ UNPARTITIONED_WINDOW_OK = {
 # them — each documents why the selection stays small in practice and
 # what the 100 TB path is.
 UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION = {
-    "conversion_latency": "windows over the funnel's conversion tail — "
-    "grows with conversions; Q-digest percentile is the documented "
-    "100 TB path",
     "min_cost_supplier": "TPC-H Q2 rank over the region-filtered "
     "min-cost part tail",
     "skyline_orders": "final block-nested pass over the dominance-"
@@ -239,6 +234,7 @@ ALLOW_CARTESIAN = {
     "record_linkage",      # global_rank P-row offset triangle join
     "sorted_neighborhood_pairs",  # same global_rank shape
     "null_semantics",      # global_rank triangle join (r8 rewire)
+    "conversion_latency",  # global_rank triangle join (r8 rewire)
     "kruskal_wallis",      # single-row N+1 scalar broadcast (r8 rewire)
 }
 

@@ -34,6 +34,10 @@ from m13_sparkstreaming_python_azure_spark.queries.round7_ext import (
     R7_ORACLES,
     R7_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.round8_ext import (
+    R8_ORACLES,
+    R8_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     SCIENCE_ORACLES,
     SCIENCE_QUERIES,
@@ -117,6 +121,7 @@ _ALL_QUERIES = {
     **SCIENCE_QUERIES,
     **R6_QUERIES,
     **R7_QUERIES,
+    **R8_QUERIES,
 }
 # append-mode window gates whose final windows emit ONLY on the trailing
 # no-data watermark-advance batch (their replay scripts end on real data,
@@ -141,6 +146,7 @@ ORACLES = {
     **SCIENCE_ORACLES,
     **R6_ORACLES,
     **R7_ORACLES,
+    **R8_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only
@@ -202,6 +208,7 @@ _head = [
     "streaming_daily_stats",    # reference-shape streaming gate
     "cdc_apply",                # CDC/merge layer
     # new round-8 gates land here (newest-first below this line)
+    "partition_evolution",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
@@ -212,7 +219,6 @@ _head = [
     "semi_join_building",
     "in_list_filter",
     "best_day_top10",
-    "revenue_by_nation",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

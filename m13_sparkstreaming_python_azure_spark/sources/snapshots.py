@@ -154,6 +154,12 @@ def _commit(
                 manifest["partition_col"] = prev_m["partition_col"]
                 if "partitions" not in (extra or {}):
                     manifest["partitions"] = prev_m.get("partitions", {})
+            # per-file partition SPECS (Iceberg-style evolution metadata):
+            # carried forward unless the commit rewrites the layout
+            if "partition_specs" not in (extra or {}) and prev_m.get(
+                "partition_specs"
+            ):
+                manifest["partition_specs"] = prev_m["partition_specs"]
             # table schema (DDL string): inherited by commits that don't
             # change it; writes/appends record their DataFrame's schema so
             # schema_history() shows when each column appeared
@@ -1944,16 +1950,23 @@ def append_snapshot_partitioned(
     n_new = spark.read.parquet(*sorted(parts)).count() if parts else 0
     while True:
         prev = read_manifest(table_dir)
+        commit_extra = {
+            "op": "append",
+            "partitions": {**prev.get("partitions", {}), **parts},
+            **(extra or {}),
+        }
+        if prev.get("partition_specs") is not None:
+            # evolved table: new files belong to the CURRENT spec
+            commit_extra["partition_specs"] = {
+                **prev["partition_specs"],
+                **{f: part_col for f in parts},
+            }
         try:
             return _commit(
                 table_dir,
                 prev["files"] + sorted(parts),
                 prev["rows"] + n_new,
-                {
-                    "op": "append",
-                    "partitions": {**prev.get("partitions", {}), **parts},
-                    **(extra or {}),
-                },
+                commit_extra,
                 base_version=prev["version"],
             )
         except CommitConflict:
@@ -2002,10 +2015,159 @@ def read_snapshot_partitioned(
     m = read_manifest(table_dir, version)
     if not m.get("partition_col"):
         raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    if m.get("partition_specs"):
+        return read_snapshot_evolved(spark, table_dir, version)
     df = spark.read.option(
         "basePath", os.path.join(table_dir, "data")
     ).parquet(*m["files"])
     return _apply_deletion_vectors(spark, df, m)
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg v2 semantics, identity transforms)
+# ---------------------------------------------------------------------------
+
+
+def evolve_partition_spec(table_dir: str, new_part_col: str) -> int:
+    """Iceberg-style partition evolution: change the partition column for
+    FUTURE writes without rewriting a single existing file. The manifest
+    gains ``partition_specs`` — {file: the spec column it was written
+    under} — so every file keeps its own layout (Iceberg's per-manifest
+    spec-id, flattened to per-file here). Appends after evolution write
+    hive dirs under the NEW column; reads union the spec groups (each
+    group reconstructs its own partition column from its paths — the
+    other spec's column is an ordinary data column in those files);
+    pruning on column X skips, at the manifest, exactly the files whose
+    spec IS X — files under another spec cannot be manifest-pruned for X
+    and are post-filtered, precisely Iceberg's behavior (old files rely
+    on metrics/zone maps until rewritten)."""
+    while True:
+        m = read_manifest(table_dir)
+        old = m.get("partition_col")
+        if not old:
+            raise ValueError(f"{table_dir} is not a partitioned snapshot")
+        if new_part_col == old:
+            raise ValueError(
+                f"partition spec is already ({new_part_col})"
+            )
+        specs = m.get("partition_specs") or {f: old for f in m["files"]}
+        try:
+            return _commit(
+                table_dir,
+                m["files"],
+                m["rows"],
+                {
+                    "op": "evolve-spec",
+                    "partition_col": new_part_col,
+                    "partitions": m.get("partitions", {}),
+                    "partition_specs": specs,
+                },
+                base_version=m["version"],
+            )
+        except CommitConflict:
+            continue
+
+
+def _spec_groups(m: dict) -> dict[str, list[str]]:
+    specs = m.get("partition_specs") or {
+        f: m["partition_col"] for f in m["files"]
+    }
+    groups: dict[str, list[str]] = {}
+    for f in m["files"]:
+        groups.setdefault(specs.get(f, m["partition_col"]), []).append(f)
+    return groups
+
+
+def _read_spec_groups(
+    spark: SparkSession, m: dict, table_dir: str, groups: dict
+) -> DataFrame:
+    """Union the per-spec file groups into one full-schema DataFrame.
+    Each group is read with ``basePath`` so Spark reconstructs THAT
+    group's partition column from its hive paths; the union aligns by
+    name with the first group's types (a hive-reconstructed column can
+    infer a different-but-castable type than its data-column twin)."""
+    base = os.path.join(table_dir, "data")
+    dfs = [
+        spark.read.option("basePath", base).parquet(*sorted(files))
+        for files in groups.values()
+    ]
+    cols = sorted(dfs[0].columns)
+    types = dict(dfs[0].dtypes)
+    for d in dfs[1:]:
+        if sorted(d.columns) != cols:
+            raise ValueError(
+                "spec groups disagree on the logical schema: "
+                f"{cols} vs {sorted(d.columns)}"
+            )
+    out = dfs[0].select(*cols)
+    for d in dfs[1:]:
+        out = out.unionByName(
+            d.select(*[F.col(c).cast(types[c]).alias(c) for c in cols])
+        )
+    return _apply_deletion_vectors(spark, out, m)
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Full read across every partition spec the table has lived under."""
+    m = read_manifest(table_dir, version)
+    if not m.get("partition_col"):
+        raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    return _read_spec_groups(spark, m, table_dir, _spec_groups(m))
+
+
+def spec_prune_report(
+    table_dir: str, col: str, values: list, version: int | None = None
+) -> dict:
+    """Manifest-level pruning decision for a predicate ``col IN values``
+    over an evolved table: files whose spec is ``col`` prune by their
+    recorded partition value; files under any other spec must scan.
+    Returned counts let callers (and the gate) assert pruning actually
+    skipped files."""
+    m = read_manifest(table_dir, version)
+    wanted = {str(v) for v in values}
+    pm = m.get("partitions", {})
+    groups = _spec_groups(m)
+    kept, skipped, scanned = [], [], []
+    for spec, files in groups.items():
+        for f in files:
+            if spec == col:
+                (kept if pm.get(f) in wanted else skipped).append(f)
+            else:
+                scanned.append(f)
+    return {
+        "kept": sorted(kept),
+        "skipped": sorted(skipped),
+        "scanned_other_spec": sorted(scanned),
+    }
+
+
+def read_snapshot_evolved_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Partition-pruned read over an evolved table: equals
+    ``read_snapshot_evolved(...).filter(col.isin(values))`` — manifest
+    pruning removes only same-spec files, so correctness never depends
+    on which spec a row was written under."""
+    m = read_manifest(table_dir, version)
+    rep = spec_prune_report(table_dir, col, values, version)
+    files = set(rep["kept"]) | set(rep["scanned_other_spec"])
+    groups = {
+        spec: [f for f in fs if f in files]
+        for spec, fs in _spec_groups(m).items()
+    }
+    groups = {s: fs for s, fs in groups.items() if fs}
+    if not groups:
+        return read_snapshot_evolved(spark, table_dir, version).filter(
+            F.lit(False)
+        )
+    df = _read_spec_groups(spark, m, table_dir, groups)
+    return df.filter(F.col(col).isin(values))
 
 
 def replace_partition(df: DataFrame, table_dir: str, value) -> int:
@@ -2024,6 +2186,12 @@ def replace_partition(df: DataFrame, table_dir: str, value) -> int:
         raise ValueError(
             "replace_partition on a table with deletion vectors: run "
             "purge_deletes(...) first"
+        )
+    if len(set((m.get("partition_specs") or {}).values())) > 1:
+        raise ValueError(
+            "replace_partition on a spec-evolved table with files under "
+            "multiple specs: rewrite to one spec first (partition "
+            "identity is ambiguous across specs)"
         )
     _validate_constraints(df, m, table_dir)
     spark = df.sparkSession
@@ -2075,6 +2243,12 @@ def compact_partition(
     part_col = m.get("partition_col")
     if not part_col:
         raise ValueError(f"{table_dir} is not a partitioned snapshot")
+    if len(set((m.get("partition_specs") or {}).values())) > 1:
+        raise ValueError(
+            "compact_partition on a spec-evolved table with files under "
+            "multiple specs: partition identity is ambiguous across "
+            "specs — compact per spec group after a rewrite"
+        )
     pm = m.get("partitions", {})
     target = [f for f in m["files"] if pm.get(f) == str(value)]
     if not target:

@@ -108,6 +108,7 @@ _STREAMING_GATES = [
     "streaming_cdc_upsert",
     "streaming_expectations",
     "streaming_gdpr_erasure",
+    "streaming_holt_level",
 ]
 
 _ALL_QUERIES = {
@@ -209,6 +210,7 @@ _head = [
     "cdc_apply",                # CDC/merge layer
     # new round-8 gates land here (newest-first below this line)
     "partition_evolution",
+    "streaming_holt_level",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
@@ -218,7 +220,6 @@ _head = [
     "distinct_segments",
     "semi_join_building",
     "in_list_filter",
-    "best_day_top10",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

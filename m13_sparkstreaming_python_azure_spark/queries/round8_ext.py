@@ -80,11 +80,96 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_holt_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt trend model under the gate (streaming/stateful
+    .holt_with_state): daily event counts replay as 3 day-aligned chunks,
+    per-key GroupState carries just (n, level, trend, last_day) — O(1)
+    state — and the recursion folds each batch's complete days in event-
+    time order. The final state projects the SAME 7-step forecast table
+    as the batch ``holt_forecast`` gate, hash-checked against the SAME
+    recursive-CTE oracle: stream↔batch↔oracle three-way bit parity for
+    an order-dependent trend model."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.filestream import (
+        parquet_file_stream,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.replay import (
+        publish_chunk,
+    )
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        holt_with_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="holt-stream-")
+    land, ck = (os.path.join(root, d) for d in ("land", "ck"))
+    chunks = [
+        ev.filter(F.col("ts") < "2024-01-11"),
+        ev.filter(
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+        ),
+        ev.filter(F.col("ts") >= "2024-01-21"),
+    ]
+    publish_chunk(chunks[0], land)
+    stream = parquet_file_stream(spark, land, ev.schema).select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(_US_PER_DAY))
+        .cast("long")
+        .alias("day"),
+    )
+    name = f"holt_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        holt_with_state(stream, alpha=0.2, beta=0.1)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    for ch in chunks[1:]:
+        publish_chunk(ch, land)
+        q.processAllAvailable()
+    q.stop()
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max_by("level", "n_days").alias("lvl"),
+            F.max_by("trend", "n_days").alias("b"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    hs = spark.range(1, 8).select(F.col("id").alias("h"))
+    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return final.crossJoin(F.broadcast(hs)).select(
+        "event_type",
+        "h",
+        snap(F.col("lvl") + F.col("h") * F.col("b")).alias("forecast"),
+        snap(F.col("lvl")).alias("level"),
+        snap(F.col("b")).alias("trend"),
+    )
+
+
+# the streaming Holt gate reuses the batch gate's recursive-CTE oracle
+# verbatim — stream↔batch↔oracle three-way parity
+from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noqa: E402
+    _HOLT_SQL,
+)
+
 R8_QUERIES = {
     "partition_evolution": q_partition_evolution,
+    "streaming_holt_level": q_streaming_holt_level,
 }
 
 R8_ORACLES = {
+    "streaming_holt_level": _HOLT_SQL,
     "partition_evolution": """
         WITH ev AS (
             SELECT event_type,

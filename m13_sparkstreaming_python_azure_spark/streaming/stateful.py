@@ -508,3 +508,89 @@ def sessions_with_event_timeout(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+    ]
+)
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("lvl", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("last_day", LongType()),
+    ]
+)
+
+
+def _holt_fn_factory(alpha: float, beta: float):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        days = rows.groupby("day").size().sort_index()
+        if state.exists:
+            n, lvl, trend, last_day = state.get
+        else:
+            n, lvl, trend, last_day = 0, 0.0, 0.0, -(1 << 62)
+        for day, y in days.items():
+            if int(day) <= last_day:
+                raise ValueError(
+                    "holt_with_state: day arrived out of order or split "
+                    "across batches — the replay contract requires "
+                    "day-aligned, event-time-ordered chunks"
+                )
+            y = float(y)
+            if n == 0:
+                lvl = y
+            else:
+                if n == 1:
+                    trend = y - lvl
+                prev = lvl
+                lvl = alpha * y + (1.0 - alpha) * (lvl + trend)
+                trend = beta * (lvl - prev) + (1.0 - beta) * trend
+            n += 1
+            last_day = int(day)
+        state.update((n, float(lvl), float(trend), last_day))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n],
+                "level": [float(lvl)],
+                "trend": [float(trend)],
+            }
+        )
+
+    return _fn
+
+
+def holt_with_state(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    alpha: float = 0.2,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Streaming Holt double exponential smoothing — the ORDER-DEPENDENT
+    recursion of operators/timeseries.holt_forecast maintained
+    incrementally in per-key GroupState: the state is just
+    (n, level, trend, last_day) — O(1) per key regardless of stream
+    length — and each micro-batch folds its COMPLETE days (the chunked
+    replay contract cuts batches on day boundaries; a split or
+    out-of-order day raises rather than silently corrupting the
+    recursion). Per-day math is the identical IEEE sequence the batch
+    operator and the DuckDB recursive-CTE oracle run, so the final
+    (level, trend) — and forecasts projected from them — are bit-equal:
+    stream↔batch↔oracle three-way parity for a trend-tracking model,
+    the stateful upgrade of the flat-mean ``ewma_with_state``."""
+    return stream.select(key_col, "day").groupBy(key_col).applyInPandasWithState(
+        _holt_fn_factory(alpha, beta),
+        outputStructType=_HOLT_OUT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from m13_sparkstreaming_python_azure_spark.operators.text import tokens
+from m13_sparkstreaming_python_azure_spark.operators.text import (
+    token_count,
+    tokens,
+)
 from m13_sparkstreaming_python_azure_spark.operators.util import spread
 
 SPAN_SPREAD_BYTES = 1 << 20
@@ -200,4 +203,74 @@ def winnowing_matches(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, the REMOVAL step the
+    detection operators above stop short of): every n-token span that
+    also appears in an EARLIER document (min id over the corpus owns the
+    span) is cut from the later document; the first occurrence survives
+    verbatim. Within-document repeats are kept (cross-document
+    memorization fuel is the target; in-doc repetition is a quality
+    signal handled by with_repetition_stats).
+
+    All relational, no suffix arrays: positional shingles → gram-keyed
+    min-id ownership → duplicated-span starts → covered-position explode
+    (n per span) → anti-join the token stream → per-doc ordered
+    reassembly. Shuffles are keyed by gram / (doc, pos) / doc — nothing
+    pairwise, nothing quadratic; the collect_list is per-document,
+    bounded by document length like every per-doc text operator here.
+
+    Returns (id, n_tokens, n_removed, redacted) where ``redacted`` is
+    the surviving tokens joined by single spaces (tokenization is
+    whitespace-lossy by design — the operator's contract is token-level,
+    matching how ExactSubstr pipelines re-tokenize anyway)."""
+    toks = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+        .select(
+            "__id",
+            F.size("__t").alias("n_tokens"),
+            F.posexplode("__t").alias("pos", "tok"),
+        )
+    )
+    grams = positional_shingles(df, id_col, text_col, n)
+    owners = grams.groupBy("gram").agg(F.min("__id").alias("__owner"))
+    dup_starts = (
+        grams.join(owners, "gram")
+        .filter(F.col("__id") > F.col("__owner"))
+        .select("__id", F.col("pos").alias("s"))
+    )
+    covered = dup_starts.select(
+        "__id", F.explode(F.sequence(F.col("s"), F.col("s") + n - 1)).alias("pos")
+    ).distinct()
+    kept = toks.join(covered, ["__id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("redacted"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), token_count(text_col).alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt.select("__id", "n_kept", "redacted"), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+            F.coalesce(F.col("redacted"), F.lit("")).alias("redacted"),
+        )
     )

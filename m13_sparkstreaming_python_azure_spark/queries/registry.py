@@ -211,6 +211,7 @@ _head = [
     # new round-8 gates land here (newest-first below this line)
     "partition_evolution",
     "streaming_holt_level",
+    "exact_substring_dedup",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
@@ -219,7 +220,6 @@ _head = [
     "set_ops",
     "distinct_segments",
     "semi_join_building",
-    "in_list_filter",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

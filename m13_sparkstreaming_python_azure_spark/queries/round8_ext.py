@@ -157,6 +157,44 @@ def q_streaming_holt_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE = (
+    "shared canonical boilerplate footer sentence repeated across many "
+    "training documents verbatim"
+)
+
+
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (operators/spans.exact_substring_dedup —
+    Lee et al. 2022): every 8-token span also present in an earlier
+    document is cut from the later one; the first occurrence survives.
+    The fixture corpus is random word salad, so a 12-token boilerplate
+    footer is PLANTED on every doc_id ≡ 0 (mod 7) — the lowest such doc
+    owns the span, every later one loses exactly those tokens (plus any
+    accidental cross-doc 8-gram repeats, which the oracle computes
+    identically). Output hashes the rebuilt text via md5 so the gate
+    pins the full redaction, not just the counts."""
+    from m13_sparkstreaming_python_azure_spark.operators.spans import (
+        exact_substring_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = exact_substring_dedup(docs, "doc_id", n=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 # the streaming Holt gate reuses the batch gate's recursive-CTE oracle
 # verbatim — stream↔batch↔oracle three-way parity
 from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noqa: E402
@@ -166,10 +204,57 @@ from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noq
 R8_QUERIES = {
     "partition_evolution": q_partition_evolution,
     "streaming_holt_level": q_streaming_holt_level,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 R8_ORACLES = {
     "streaming_holt_level": _HOLT_SQL,
+    "exact_substring_dedup": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' {_BOILERPLATE}'
+                        ELSE text END AS text
+            FROM documents
+        ), toklists AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS tl
+            FROM planted
+        ), toks AS (
+            SELECT doc_id, tl[g.i] AS tok, CAST(g.i AS BIGINT) AS pos
+            FROM toklists,
+                 unnest(generate_series(1, len(tl))) AS g(i)
+        ), grams AS (
+            SELECT doc_id, CAST(g.s1 AS BIGINT) AS s1,
+                   array_to_string(tl[g.s1:g.s1 + 7], ' ') AS gram
+            FROM toklists,
+                 unnest(generate_series(1, len(tl) - 7)) AS g(s1)
+        ), owners AS (
+            SELECT gram, min(doc_id) AS owner FROM grams GROUP BY gram
+        ), covered AS (
+            SELECT DISTINCT g.doc_id, g.s1 + i.i AS pos
+            FROM grams g
+            JOIN owners o USING (gram),
+                 unnest(generate_series(0, 7)) AS i(i)
+            WHERE g.doc_id > o.owner
+        ), kept AS (
+            SELECT t.doc_id, t.tok, t.pos
+            FROM toks t
+            ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        ), rebuilt AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS redacted
+            FROM kept GROUP BY doc_id
+        )
+        SELECT tl.doc_id,
+               CAST(len(tl.tl) AS BIGINT) AS n_tokens,
+               CAST(len(tl.tl) - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               md5(coalesce(r.redacted, '')) AS redacted_md5
+        FROM toklists tl LEFT JOIN rebuilt r USING (doc_id)
+    """,
     "partition_evolution": """
         WITH ev AS (
             SELECT event_type,

@@ -212,14 +212,14 @@ _head = [
     "partition_evolution",
     "streaming_holt_level",
     "exact_substring_dedup",
+    "bucketed_colocated_join",
+    "matryoshka_recall",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
     "session_windows",
     "tumbling_event_windows",
     "set_ops",
-    "distinct_segments",
-    "semi_join_building",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

@@ -195,6 +195,122 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join under the gate (sources/bucketing):
+    orders and lineitem persist bucketed by the SAME key into the SAME
+    bucket count, so the recurring fact-fact join runs with ZERO
+    exchanges — each task reads matching bucket files from both sides.
+    The in-gate plan assert requires NO Exchange under the join (the
+    whole point: at 100 TB this converts the star-join pipeline's
+    dominant shuffle into a one-time write cost). The revenue census is
+    hash-checked against the plain SQL join — bucketing must never
+    change results, only the plan."""
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.bucketing import (
+        co_located_join,
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price"),
+        F.col("l_discount").cast("decimal(18,6)").alias("disc"),
+    )
+    write_bucketed(orders, t_orders, ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(li, t_li, ["o_orderkey"], 8, ["o_orderkey"])
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    abcast = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    saved = {k: spark.conf.get(k, None) for k in (bcast, abcast)}
+    try:
+        # the gate proves the BUCKETED merge path: disable broadcast so
+        # the small fixture can't sidestep it (a BroadcastExchange would
+        # also be exchange-free per side, but proves nothing about
+        # co-location at fact-fact scale)
+        spark.conf.set(bcast, "-1")
+        spark.conf.set(abcast, "-1")
+        joined = co_located_join(spark, t_orders, t_li, "o_orderkey")
+        agg = joined.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    (F.col("price") * (1 - F.col("disc"))).cast(
+                        "decimal(19,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (
+            "bucketed join planned a shuffle — co-location broken:\n" + plan
+        )
+        # materialize before the confs/tables are restored/dropped
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        # the catalog entries are session-scoped scratch; data lives in
+        # the warehouse dir and drops with the table
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension retrieval eval (Kusupati et al.
+    2022): rank the corpus against query vec 0 by EXACT integer dot
+    product — components quantized to a 1e-6 grid, so the score is a
+    BIGINT and the (score desc, vec_id) order is total and engine-exact,
+    no float-boundary ambiguity — once with all dimensions and once with
+    the first-16 prefix, and report top-10 overlap (the recall a
+    truncated 'nested' embedding retains). Both top-k cuts are ORDER BY
+    + LIMIT (TakeOrderedAndProject's bounded heap); the corpus pass is
+    one scan, the query vector a single-row broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def _dot(vc, qc):
+        return F.aggregate(
+            F.zip_with(quant(vc), quant(qc), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = scored.select(
+        "vec_id",
+        _dot(F.col("v"), F.col("qv")).alias("dot_full"),
+        _dot(F.slice("v", 1, 16), F.slice("qv", 1, 16)).alias("dot_16"),
+    )
+    top_full = scored.orderBy(
+        F.col("dot_full").desc(), F.col("vec_id")
+    ).limit(10)
+    top_16 = scored.orderBy(F.col("dot_16").desc(), F.col("vec_id")).limit(10)
+    overlap = top_full.select("vec_id").join(
+        top_16.select("vec_id"), "vec_id", "left_semi"
+    )
+    return overlap.agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"),
+    )
+
+
 # the streaming Holt gate reuses the batch gate's recursive-CTE oracle
 # verbatim — stream↔batch↔oracle three-way parity
 from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noqa: E402
@@ -205,10 +321,54 @@ R8_QUERIES = {
     "partition_evolution": q_partition_evolution,
     "streaming_holt_level": q_streaming_holt_level,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "bucketed_colocated_join": q_bucketed_colocated_join,
+    "matryoshka_recall": q_matryoshka_recall,
 }
 
 R8_ORACLES = {
     "streaming_holt_level": _HOLT_SQL,
+    "bucketed_colocated_join": """
+        SELECT o.o_orderstatus, o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(
+                   CAST(l.l_extendedprice AS DECIMAL(19,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(19,6)))
+                   AS DECIMAL(19,6))), 2) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    """,
+    "matryoshka_recall": """
+        WITH q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+            SELECT e.vec_id,
+                   (SELECT CAST(sum(
+                        CAST(floor(e.embedding[i.i] * 1e6
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                        * CAST(floor(q.qv[i.i] * 1e6
+                                     + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    ) AS BIGINT)
+                    FROM unnest(generate_series(1, 64)) AS i(i)) AS dot_full,
+                   (SELECT CAST(sum(
+                        CAST(floor(e.embedding[i.i] * 1e6
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                        * CAST(floor(q.qv[i.i] * 1e6
+                                     + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                    ) AS BIGINT)
+                    FROM unnest(generate_series(1, 16)) AS i(i)) AS dot_16
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+        ), top_full AS (
+            SELECT vec_id FROM scored
+            ORDER BY dot_full DESC, vec_id LIMIT 10
+        ), top_16 AS (
+            SELECT vec_id FROM scored
+            ORDER BY dot_16 DESC, vec_id LIMIT 10
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+               count(*) / CAST(10.0 AS DOUBLE) AS recall_at_10
+        FROM top_full SEMI JOIN top_16 USING (vec_id)
+    """,
     "exact_substring_dedup": f"""
         WITH planted AS (
             SELECT doc_id,

@@ -53,23 +53,36 @@ def fuzzy_pairs(
     df: DataFrame,
     key_col: str,
     max_dist: int = 1,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """All unordered pairs of DISTINCT ``key_col`` values with
     ``levenshtein ≤ max_dist`` — complete (symmetric-delete blocking is
     exhaustive for deletions+insertions+substitutions up to d) and exact
     (verified with the true edit distance). Returns
-    (key_a, key_b, edit_distance) with key_a < key_b."""
-    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    (key_a, key_b, edit_distance) with key_a < key_b.
+
+    ``block_cols``: when the caller's match predicate ALSO requires
+    equality on other columns (entity resolution: same nation, same
+    segment), folding them into the variant join key keeps candidate
+    completeness for that predicate while dividing the candidate set by
+    the block count — essential on dense similarity spaces (serial-id
+    name corpora put every name within distance 2 of hundreds of
+    others; without blocks the variant join is output²-heavy). With
+    blocks the output is (key_a, key_b, *block_cols, edit_distance),
+    distinct per block."""
+    blocks = list(block_cols or [])
+    keys = df.select(F.col(key_col).alias("__k"), *blocks).distinct()
     # join on the variant's xxhash64, not the variant string: the shuffle
     # key drops from ~L bytes to 8 and the join compares longs. A hash
     # collision only ADDS a false candidate, which the exact verify
     # removes — correctness is untouched (measured 6.0s -> 3.8s at sf0.1)
     variants = keys.select(
         "__k",
+        *blocks,
         F.explode(
             F.transform(
                 deletion_variants(F.col("__k"), max_dist),
-                lambda v: F.xxhash64(v),
+                lambda v: F.xxhash64(v, *[F.col(c) for c in blocks]),
             )
         ).alias("__h"),
     )
@@ -81,11 +94,19 @@ def fuzzy_pairs(
     # per shared variant) instead of the full candidate blowup. The
     # 3-arg bounded levenshtein (Spark >=3.5) caps the DP at O(d*L)
     # instead of O(L^2), returning -1 past the bound.
+    cond = F.col("a.__h") == F.col("b.__h")
+    for c in blocks:
+        # blocks are IN the hash (so the shuffle key carries them) and
+        # ALSO in the join predicate: a hash collision across blocks must
+        # not pair rows from different blocks
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
-        a.join(b, F.col("a.__h") == F.col("b.__h"))
+        a.join(b, cond)
         .filter(F.col("a.__k") < F.col("b.__k"))
         .select(
-            F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b")
+            F.col("a.__k").alias("key_a"),
+            F.col("b.__k").alias("key_b"),
+            *[F.col(f"a.{c}").alias(c) for c in blocks],
         )
         .withColumn(
             "edit_distance", F.levenshtein("key_a", "key_b", max_dist)

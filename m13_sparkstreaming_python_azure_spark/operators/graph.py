@@ -824,9 +824,20 @@ def k_truss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # orientation order computed ONCE from the INITIAL degrees: triangle
+    # uniqueness needs any fixed total order; the O(√m) pivot bound needs
+    # degree order, and subgraph degrees only DECREASE under peeling, so
+    # the initial order keeps the bound without a per-round degree pass
+    deg0 = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
     support = None
     for _ in range(rounds):
-        tri = oriented_triangles(e)
+        tri = oriented_triangles(e, deg0)
         sides = (
             tri.select(
                 F.least("pivot", "u").alias("a"),

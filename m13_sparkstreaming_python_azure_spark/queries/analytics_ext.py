@@ -1998,11 +1998,25 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nation"),
         F.col("c_mktsegment").alias("segment"),
     )
-    # linear-candidate generator over DISTINCT names (edit distance 1-2)
+    # linear-candidate generator over DISTINCT (name, nation, segment)
+    # tuples. The (nation, segment) equality the match predicate requires
+    # is folded INTO the variant join key (fuzzy_pairs block_cols):
+    # candidate completeness for the predicate is preserved — a matching
+    # pair shares both a deletion variant AND the block — while the
+    # candidate volume drops by the block count. Without it, the serial-
+    # id name corpus (every name within distance 2 of hundreds of
+    # others) makes the unblocked variant join output-quadratic-ish in
+    # practice (measured 168 s at sf0.1 vs ~3 s blocked).
     name_pairs = fuzzy_pairs(
-        cust.select(F.col("name")), "name", max_dist=2
+        cust.select("name", "nation", "segment"),
+        "name",
+        max_dist=2,
+        block_cols=["nation", "segment"],
     ).select(
-        F.col("key_a").alias("name_a"), F.col("key_b").alias("name_b")
+        F.col("key_a").alias("name_a"),
+        F.col("key_b").alias("name_b"),
+        "nation",
+        "segment",
     )
     a = cust.select(
         F.col("name").alias("name_a"),
@@ -2017,7 +2031,7 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
     )
     fuzzy_edges = (
-        name_pairs.join(a, "name_a")
+        name_pairs.join(a, ["name_a", "nation", "segment"])
         .join(b, ["name_b", "nation", "segment"])
         .select("key_a", "key_b")
     )

@@ -86,6 +86,12 @@ def fuzzy_pairs(
             )
         ).alias("__h"),
     )
+    # materialize the variant table ONCE: the self-join otherwise
+    # recomputes the (O(L^d)-per-key string) variant construction for
+    # BOTH sides — measured ~2× the whole candidate-generation cost at
+    # d=2. Same index-materialization pattern as write_minhash_tables;
+    # at corpus scale persist this to parquet instead.
+    variants = variants.localCheckpoint(eager=True)
     a = variants.alias("a")
     b = variants.alias("b")
     # verify BEFORE the dedup shuffle: levenshtein is a cheap map-side

@@ -214,12 +214,12 @@ _head = [
     "exact_substring_dedup",
     "bucketed_colocated_join",
     "matryoshka_recall",
+    "salted_join_revenue",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
     "session_windows",
     "tumbling_event_windows",
-    "set_ops",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

@@ -311,6 +311,38 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join under the gate (operators/skew.salted_join —
+    until now only proven inside the plan audit's skew fixture): lineitem
+    salted across 16 sub-keys joins the 16×-replicated supplier side, and
+    the per-nation revenue census must hash-match the PLAIN SQL join —
+    salting must never change results, only spread a hot key's straggler
+    partition. The replicated side is the small one (the documented cost
+    rule); revenue folds in exact decimals."""
+    from m13_sparkstreaming_python_azure_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(19,6)")
+            * (1 - F.col("l_discount").cast("decimal(19,6)"))
+        )
+        .cast("decimal(19,6)")
+        .alias("rev"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    joined = salted_join(li, sup, on="suppkey", salt=16)
+    return joined.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+    )
+
+
 # the streaming Holt gate reuses the batch gate's recursive-CTE oracle
 # verbatim — stream↔batch↔oracle three-way parity
 from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noqa: E402
@@ -323,10 +355,21 @@ R8_QUERIES = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "bucketed_colocated_join": q_bucketed_colocated_join,
     "matryoshka_recall": q_matryoshka_recall,
+    "salted_join_revenue": q_salted_join_revenue,
 }
 
 R8_ORACLES = {
     "streaming_holt_level": _HOLT_SQL,
+    "salted_join_revenue": """
+        SELECT s.s_nationkey AS nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(sum(CAST(
+                   CAST(l.l_extendedprice AS DECIMAL(19,6))
+                   * (1 - CAST(l.l_discount AS DECIMAL(19,6)))
+                   AS DECIMAL(19,6))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    """,
     "bucketed_colocated_join": """
         SELECT o.o_orderstatus, o.o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,

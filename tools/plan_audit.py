@@ -235,6 +235,8 @@ ALLOW_CARTESIAN = {
     "sorted_neighborhood_pairs",  # same global_rank shape
     "null_semantics",      # global_rank triangle join (r8 rewire)
     "conversion_latency",  # global_rank triangle join (r8 rewire)
+    "streaming_holt_level",  # 7-row forecast-horizon broadcast cross join
+    "matryoshka_recall",   # single-row query-vector broadcast (ann shape)
     "kruskal_wallis",      # single-row N+1 scalar broadcast (r8 rewire)
 }
 

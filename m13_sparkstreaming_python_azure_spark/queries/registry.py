@@ -215,11 +215,11 @@ _head = [
     "bucketed_colocated_join",
     "matryoshka_recall",
     "salted_join_revenue",
+    "snapshot_commit_group",
     "daily_event_stats",
     "topk_orders",
     "window_lag_lead",
     "session_windows",
-    "tumbling_event_windows",
 ]
 _ROWS_ONLY_HEAD_R8 = {
     # final two never-driver-checked rows-only names (VERDICT r7 #2)

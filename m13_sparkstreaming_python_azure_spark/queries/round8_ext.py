@@ -343,6 +343,84 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_commit_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic commit groups (sources/txgroup) — the
+    cross-table transaction single-table formats lack: orders and
+    lineitem derivatives publish TOGETHER under group versions, and a
+    group reader sees all-old or all-new pins, never a torn pair.
+    Script: G1 pins the even-orderkey half of both tables; both tables
+    then PREPARE their full content (append the odd half) — the in-gate
+    assert shows the group still serves the G1 pins (prepared versions
+    invisible = no torn read) — and G2 pins the full pair. Output is the
+    per-group-version join census (rows of both sides + joined revenue),
+    which the oracle rebuilds from the same residue split."""
+    import os
+    import tempfile
+    import uuid
+
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        append_snapshot,
+        write_snapshot,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.txgroup import (
+        group_commit,
+        read_group,
+        read_group_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(19,6)")
+            * (1 - F.col("l_discount").cast("decimal(19,6)"))
+        )
+        .cast("decimal(19,6)")
+        .alias("rev"),
+    )
+    root = tempfile.mkdtemp(prefix=f"txg-{uuid.uuid4().hex[:8]}-")
+    t_o, t_l = os.path.join(root, "orders"), os.path.join(root, "lineitem")
+    gdir = os.path.join(root, "_group")
+    even = F.col("o_orderkey") % 2 == 0
+    write_snapshot(orders.filter(even), t_o)
+    write_snapshot(li.filter(F.col("l_orderkey") % 2 == 0), t_l)
+    g1 = group_commit(gdir, tables=[t_o, t_l], op="initial")
+    # PREPARE the full pair (table versions advance) — group unaffected
+    append_snapshot(orders.filter(~even), t_o)
+    pins_before = read_group(gdir)["pins"]
+    assert read_group(gdir)["version"] == g1, "group moved without commit"
+    assert pins_before == {t_o: 1, t_l: 1}, (
+        f"prepared-but-uncommitted version leaked into the group: "
+        f"{pins_before}"
+    )
+    append_snapshot(li.filter(F.col("l_orderkey") % 2 == 1), t_l)
+    g2 = group_commit(gdir, tables=[t_o, t_l], op="publish-odd-half")
+    out = []
+    for g in (g1, g2):
+        o = read_group_table(spark, gdir, t_o, version=g)
+        l_ = read_group_table(spark, gdir, t_l, version=g)
+        census = (
+            o.join(l_, o.o_orderkey == l_.l_orderkey)
+            .agg(
+                F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_join"),
+            )
+            .crossJoin(o.agg(F.count(F.lit(1)).alias("n_orders")))
+            .crossJoin(l_.agg(F.count(F.lit(1)).alias("n_lineitem")))
+            .select(
+                F.lit(g).cast("long").alias("g"),
+                "n_orders",
+                "n_lineitem",
+                "n_join",
+                "revenue",
+            )
+        )
+        out.append(census)
+    return out[0].unionByName(out[1])
+
+
 # the streaming Holt gate reuses the batch gate's recursive-CTE oracle
 # verbatim — stream↔batch↔oracle three-way parity
 from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (  # noqa: E402
@@ -356,10 +434,38 @@ R8_QUERIES = {
     "bucketed_colocated_join": q_bucketed_colocated_join,
     "matryoshka_recall": q_matryoshka_recall,
     "salted_join_revenue": q_salted_join_revenue,
+    "snapshot_commit_group": q_snapshot_commit_group,
 }
 
 R8_ORACLES = {
     "streaming_holt_level": _HOLT_SQL,
+    "snapshot_commit_group": """
+        WITH gs AS (SELECT 1 AS g UNION ALL SELECT 2),
+        o AS (
+            SELECT g.g, o_orderkey FROM orders o JOIN gs g
+              ON g.g = 2 OR o.o_orderkey % 2 = 0
+        ), l AS (
+            SELECT g.g, l_orderkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(19,6))
+                        * (1 - CAST(l_discount AS DECIMAL(19,6)))
+                        AS DECIMAL(19,6)) AS rev
+            FROM lineitem l JOIN gs g
+              ON g.g = 2 OR l.l_orderkey % 2 = 0
+        ), j AS (
+            SELECT o.g,
+                   CAST(round(sum(l.rev), 2) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_join
+            FROM o JOIN l ON o.g = l.g AND o.o_orderkey = l.l_orderkey
+            GROUP BY o.g
+        )
+        SELECT j.g,
+               (SELECT CAST(count(*) AS BIGINT) FROM o WHERE o.g = j.g)
+                   AS n_orders,
+               (SELECT CAST(count(*) AS BIGINT) FROM l WHERE l.g = j.g)
+                   AS n_lineitem,
+               j.n_join, j.revenue
+        FROM j
+    """,
     "salted_join_revenue": """
         SELECT s.s_nationkey AS nation,
                CAST(count(*) AS BIGINT) AS n_items,

@@ -237,6 +237,7 @@ ALLOW_CARTESIAN = {
     "conversion_latency",  # global_rank triangle join (r8 rewire)
     "streaming_holt_level",  # 7-row forecast-horizon broadcast cross join
     "matryoshka_recall",   # single-row query-vector broadcast (ann shape)
+    "snapshot_commit_group",  # two single-row census scalars cross-joined
     "kruskal_wallis",      # single-row N+1 scalar broadcast (r8 rewire)
 }
 

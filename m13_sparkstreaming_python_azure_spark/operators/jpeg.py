@@ -10,9 +10,11 @@ this container. This module implements baseline sequential DCT JPEG
   4:2:2 / 4:2:0), DQT (8- and 16-bit tables), DHT Huffman tables, DRI /
   RSTn restart intervals, byte-stuffed entropy stream, dequantize →
   de-zigzag → separable IDCT → chroma upsample → YCbCr→RGB (JFIF BT.601);
-- encode: 4:4:4 SOF0 with the T.81 Annex K quantization + Huffman tables
+- encode: SOF0 with the T.81 Annex K quantization + Huffman tables
   (quality-scaled per the IJG curve), FDCT, DC prediction, run-length AC
-  coding, byte stuffing.
+  coding, byte stuffing; 4:4:4 or 4:2:0 chroma subsampling (box-average
+  down, the web's dominant layout — also the decoder's h=v=2 path's
+  round-trip proof).
 
 Not a general imaging library: progressive (SOF2), arithmetic coding,
 12-bit precision, CMYK/Adobe transforms are out of scope and raise
@@ -495,15 +497,24 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
-    baseline 4:4:4 JFIF JPEG with the Annex K tables."""
+    baseline JFIF JPEG with the Annex K tables. ``subsampling`` is
+    "4:4:4" (chroma at full resolution, one block of each component per
+    8×8 MCU) or "4:2:0" (chroma box-averaged 2× each way, 16×16 MCUs of
+    four Y blocks + one Cb + one Cr — the layout virtually every web
+    JPEG uses, and the decoder's h=v=2 path's round-trip proof)."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError("encode_jpeg needs a uint8 (H,W) or (H,W,3) array")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
     gray = px.ndim == 2
     if not gray and px.shape[2] != 3:
         raise ValueError("encode_jpeg supports 1 or 3 channels")
+    sub = subsampling == "4:2:0" and not gray
     h, w = px.shape[:2]
     if gray:
         planes = [px.astype(np.float64) - 128.0]
@@ -527,9 +538,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         zz = q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
     nc = 1 if gray else 3
+    # per-component sampling factors: (h, v)
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nc
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        fh, fv = factors[ci]
+        sof += struct.pack(
+            ">BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1
+        )
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     tables = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -553,26 +569,53 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
+    if sub:
+        # box-average chroma 2x each way (pad odd dims by edge replicate
+        # first so the 2x2 boxes are full)
+        def _down2(p):
+            hh = (p.shape[0] + 1) // 2 * 2
+            ww = (p.shape[1] + 1) // 2 * 2
+            pp = np.empty((hh, ww))
+            pp[: p.shape[0], : p.shape[1]] = p
+            if hh > p.shape[0]:
+                pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            if ww > p.shape[1]:
+                pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+            return pp.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+
+        planes = [planes[0], _down2(planes[1]), _down2(planes[2])]
+    hmax = max(fh for fh, _ in factors[:nc])
+    vmax = max(fv for _, fv in factors[:nc])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for p in planes:
-        pp = np.empty((ph, pw))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]  # edge replicate
-        pp[:, w:] = pp[:, w - 1 : w]
+    for ci, p in enumerate(planes):
+        fh, fv = factors[ci]
+        ph_c, pw_c = mcuy * fv * 8, mcux * fh * 8
+        pp = np.empty((ph_c, pw_c))
+        ph0, pw0 = p.shape
+        pp[:ph0, :pw0] = p
+        if ph_c > ph0:
+            pp[ph0:, :pw0] = p[-1:, :]  # edge replicate
+        if pw_c > pw0:
+            pp[:, pw0:] = pp[:, pw0 - 1 : pw0]
         padded.append(pp)
     preds = [0] * len(planes)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, p in enumerate(padded):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                fh, fv = factors[ci]
                 q = ql if ci == 0 else qc
                 dc = dc_l if ci == 0 else dc_c
                 ac = ac_l if ci == 0 else ac_c
-                preds[ci] = _encode_block(
-                    writer, block, q, preds[ci], dc, ac
-                )
+                for byi in range(fv):
+                    for bxi in range(fh):
+                        y0 = (my * fv + byi) * 8
+                        x0 = (mx * fh + bxi) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            writer, block, q, preds[ci], dc, ac
+                        )
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI

@@ -159,3 +159,51 @@ def test_resize_handles_jpeg_payloads(spark):
     (row,) = resize_images(media, target_width=16, target_height=12).collect()
     px = decode_png(bytes(row["resized_payload"]))
     assert px.shape == (12, 16, 3)
+
+
+def test_420_subsampled_roundtrip():
+    base = _structured()
+    enc444 = jpeg.encode_jpeg(base, 90, subsampling="4:4:4")
+    enc420 = jpeg.encode_jpeg(base, 90, subsampling="4:2:0")
+    assert len(enc420) < len(enc444)  # chroma at quarter resolution
+    dec = jpeg.decode_jpeg(enc420)
+    assert dec.shape == base.shape
+    err = abs(dec.astype(int) - base.astype(int))
+    assert err.mean() < 8 and err.max() < 40  # box-avg + nearest upsample
+
+
+def test_420_odd_dimensions():
+    base = _structured()[:45, :61]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(base, 90, subsampling="4:2:0"))
+    assert dec.shape == base.shape
+
+
+def test_420_phash_within_near_dup_radius(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        perceptual_hash,
+    )
+
+    base = _structured()
+    rows = [
+        (0, "image", "png", bytearray(encode_png(base)), 48, 64, None),
+        (
+            1,
+            "image",
+            "jpeg",
+            bytearray(jpeg.encode_jpeg(base, 90, subsampling="4:2:0")),
+            48,
+            64,
+            None,
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert _hamming(got[0], got[1]) <= 6  # luma untouched by 4:2:0
+
+
+def test_subsampling_validation():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="4:1:1")

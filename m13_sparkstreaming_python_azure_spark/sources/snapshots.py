@@ -2122,23 +2122,34 @@ def spec_prune_report(
 ) -> dict:
     """Manifest-level pruning decision for a predicate ``col IN values``
     over an evolved table: files whose spec is ``col`` prune by their
-    recorded partition value; files under any other spec must scan.
-    Returned counts let callers (and the gate) assert pruning actually
-    skipped files."""
+    recorded partition value; files under any other spec prune by their
+    ZONE-MAP stats when ``attach_zone_maps(table_dir, [col])`` has run
+    (the predicate column is an ordinary DATA column in other-spec
+    files, so footer min/max exist — exactly Iceberg's metrics pruning
+    for pre-evolution files) and must scan otherwise. Returned lists let
+    callers (and the gate) assert pruning actually skipped files."""
     m = read_manifest(table_dir, version)
     wanted = {str(v) for v in values}
     pm = m.get("partitions", {})
+    zm = m.get("zone_maps", {})
     groups = _spec_groups(m)
-    kept, skipped, scanned = [], [], []
+    kept, skipped, scanned, skipped_stats = [], [], [], []
     for spec, files in groups.items():
         for f in files:
             if spec == col:
                 (kept if pm.get(f) in wanted else skipped).append(f)
-            else:
-                scanned.append(f)
+                continue
+            stats = zm.get(f, {}).get(col)
+            if stats:
+                fmin, fmax = _zm_decode(stats[0]), _zm_decode(stats[1])
+                if not any(fmin <= v <= fmax for v in values):
+                    skipped_stats.append(f)
+                    continue
+            scanned.append(f)
     return {
         "kept": sorted(kept),
         "skipped": sorted(skipped),
+        "skipped_by_stats": sorted(skipped_stats),
         "scanned_other_spec": sorted(scanned),
     }
 

@@ -111,3 +111,43 @@ def test_empty_prune_result(spark, evolved):
     # old-spec files still scan (they can't be pruned on day) but the
     # post-filter leaves nothing
     assert got.count() == 0
+
+
+def test_zone_map_stats_prune_old_spec_files(spark, evolved):
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        attach_zone_maps,
+    )
+
+    tdir, files_v1 = evolved
+    # without stats, every old-spec file scans for a day predicate
+    before = spec_prune_report(tdir, "day", [10, 11])
+    assert set(before["scanned_other_spec"]) == set(files_v1)
+    attach_zone_maps(tdir, ["day"])
+    # day is a DATA column in the cat-spec files (0 <= day <= 3), so the
+    # footer stats prove no overlap with {10, 11}: all of them skip
+    after = spec_prune_report(tdir, "day", [10, 11])
+    assert set(after["skipped_by_stats"]) == set(files_v1)
+    assert after["scanned_other_spec"] == []
+    # and the pruned read still returns exactly the right rows
+    got = read_snapshot_evolved_partitions(spark, tdir, "day", [10, 11])
+    want = (
+        read_snapshot_evolved(spark, tdir)
+        .filter(F.col("day").isin([10, 11]))
+        .collect()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want))
+    # a predicate overlapping the old files' range: files whose slice
+    # contains day 2 scan, the rest stats-prune — together they cover
+    # every old-spec file and at least one genuinely scans
+    mixed = spec_prune_report(tdir, "day", [2, 10])
+    assert set(mixed["scanned_other_spec"]) | set(
+        mixed["skipped_by_stats"]
+    ) == set(files_v1)
+    assert mixed["scanned_other_spec"]
+    got2 = read_snapshot_evolved_partitions(spark, tdir, "day", [2, 10])
+    want2 = (
+        read_snapshot_evolved(spark, tdir)
+        .filter(F.col("day").isin([2, 10]))
+        .count()
+    )
+    assert got2.count() == want2

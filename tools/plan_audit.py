@@ -105,11 +105,8 @@ EXPECT_BROADCAST = {
 UNPARTITIONED_WINDOW_OK = {
     # (a) distinct-value / reduced keyspaces
     "roc_auc": "cum window over DISTINCT score cents",
-    "weighted_median": "cum window over DISTINCT value cents",
     "ks_test": "cum CDFs over distinct metric values",
     "psi_drift": "rank over distinct baseline values -> bins",
-    "spearman_corr": "ranks over distinct value grids",
-    "kendall_tau": "ranks over distinct value grids",
     "kruskal_wallis": "cumulative window over pooled DISTINCT value"
     " cents (r8: dr built at the value grain, rows never enter it)",
     "mann_kendall_sen": "ranks over daily series (bounded by days)",
@@ -122,26 +119,9 @@ UNPARTITIONED_WINDOW_OK = {
     "ccf_lag": "daily-series windows (bounded by days)",
     "acf_daily_events": "daily-series windows (bounded by days)",
     "seasonal_decompose": "daily-series windows (bounded by days)",
-    "changepoint_detect": "daily-series windows (bounded by days)",
-    "rolling_revenue_7d": "daily-series window (bounded by days)",
-    "zscore_by_type": "per-day aggregate window (bounded by days)",
-    "histogram_quantiles": "window over fixed histogram bins",
-    "streaming_histogram_quantiles": "window over fixed histogram bins",
     "zipf_slope": "window over vocab ranks (vocab-bounded)",
     "oov_rate": "vocab rank window (top-K vocab cut)",
     "textrank_keywords": "window over keyword-graph nodes (vocab)",
-    "markov_transitions": "window over state x state transition cells",
-    "quantile_normalize": "rank over per-column distinct value grid",
-    "loo_target_encoding": "category-stats window (category-bounded)",
-    "ppjoin_pairs": "global token-frequency order (vocab-bounded)",
-    "containment_pairs": "global token-frequency order (vocab-bounded)",
-    "bow_dedup": "token-frequency rank (vocab-bounded)",
-    "streaming_topk_tokens": "rank over the maintained top-k state table",
-    "quality_prune_floors": "rank over per-source quality floors (sources)",
-    "touch_attribution": "per-purchase window is partitioned; the global"
-    " one ranks purchase-level summary rows",
-    "min_cost_supplier": "TPC-H Q2 final ORDER BY LIMIT as rank over the"
-    " filtered part-supplier tail (region-filtered)",
     "skyline_orders": "block-nested skyline over the dominance-filtered"
     " local skylines (tiny frontier)",
     "topn_with_other": "rank over group aggregates (group-bounded)",
@@ -149,10 +129,13 @@ UNPARTITIONED_WINDOW_OK = {
     # (b) constant-size candidate sets
     "retrieval_eval": "per-query rank lists (k-bounded)",
     "ql_dirichlet_search": "final top-n cut over scored candidates",
-    "bm25_prf_search": "final top-n cut over scored candidates",
     # sorted_neighborhood_pairs left the whitelist in r8: rebuilt on
     # operators/linkage.sorted_neighborhood (global_rank + dense-rank
     # equi-join) — its plan no longer contains any unpartitioned Window.
+    # 19 further entries left in r8 when the counter's 2-bracket-group
+    # heuristic was fixed: they only ever had PARTITIONED-but-unordered
+    # windows, which the old count misread as unpartitioned (verified
+    # against executed-plan partitionSpec() by the measured walker).
 }
 
 # Whitelisted entries whose windowed set is a SELECTION of the input
@@ -161,11 +144,8 @@ UNPARTITIONED_WINDOW_OK = {
 # them — each documents why the selection stays small in practice and
 # what the 100 TB path is.
 UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION = {
-    "min_cost_supplier": "TPC-H Q2 rank over the region-filtered "
-    "min-cost part tail",
     "skyline_orders": "final block-nested pass over the dominance-"
     "filtered local skylines",
-    "touch_attribution": "rank over purchase-level summary rows",
 }
 # intentional cross join: ann probes are broadcast against the corpus;
 # idle_customer_balance broadcasts a single-row stats aggregate (the
@@ -298,14 +278,35 @@ def formatted_plan(df) -> str:
 
 def unpartitioned_windows(plan: str) -> int:
     """Count Window nodes with NO partition spec. In formatted explain a
-    Window node's detail prints ``Arguments: [funcs], [order]`` (2 bracket
-    groups) when unpartitioned vs ``[funcs], [partition], [order]`` (3)
-    when partitioned — count the top-level ``], [`` separators."""
+    Window node's Arguments print the non-empty specs as bracket groups:
+
+    - ``[funcs], [partition], [order]`` (3 groups) — partitioned+ordered;
+    - ``[funcs], [partition]``          (2 groups, no sort direction) —
+      partitioned, unordered;
+    - ``[funcs], [order]``              (2 groups, ``ASC``/``DESC`` in
+      the last) — UNPARTITIONED, ordered (the single-task sort);
+    - ``[funcs]``                       (1 group) — UNPARTITIONED whole-
+      table frame (also single-task).
+
+    r8 fix: the original count-only heuristic flagged every 2-group
+    window, misclassifying partitioned-but-unordered windows (min/count
+    OVER (PARTITION BY k)) as unpartitioned — a third of the whitelist
+    existed to appease that false positive. Disambiguate on the sort
+    direction tokens, verified against executed-plan ``partitionSpec()``
+    by the measured-bounds walker."""
     hits = 0
     for m in re.finditer(
         r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan
     ):
-        if m.group(1).count("], [") + 1 < 3:
+        args = m.group(1)
+        groups = args.count("], [") + 1
+        if groups >= 3:
+            continue
+        if groups == 1:
+            hits += 1
+            continue
+        last = args.rsplit("], [", 1)[-1]
+        if " ASC" in last or " DESC" in last:
             hits += 1
     return hits
 

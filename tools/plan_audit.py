@@ -122,8 +122,8 @@ UNPARTITIONED_WINDOW_OK = {
     "zipf_slope": "window over vocab ranks (vocab-bounded)",
     "oov_rate": "vocab rank window (top-K vocab cut)",
     "textrank_keywords": "window over keyword-graph nodes (vocab)",
-    "skyline_orders": "block-nested skyline over the dominance-filtered"
-    " local skylines (tiny frontier)",
+    "skyline_orders": "running min over the grid-cell summary table"
+    " (bounded at n_cells=256 rows regardless of data; r9 grid prune)",
     "topn_with_other": "rank over group aggregates (group-bounded)",
     "negative_sampling": "cumulative window over the VOCAB weight table",
     # (b) constant-size candidate sets
@@ -144,8 +144,10 @@ UNPARTITIONED_WINDOW_OK = {
 # them — each documents why the selection stays small in practice and
 # what the 100 TB path is.
 UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION = {
-    "skyline_orders": "final block-nested pass over the dominance-"
-    "filtered local skylines",
+    # EMPTY as of r9: skyline_orders left when skyline_2d gained the
+    # lossless grid-prune pre-pass — its only unpartitioned window now
+    # runs over the <= n_cells cell-summary table (see operators/
+    # skyline.py docstring), measured flat at 10x.
 }
 # intentional cross join: ann probes are broadcast against the corpus;
 # idle_customer_balance broadcasts a single-row stats aggregate (the
@@ -218,6 +220,8 @@ ALLOW_CARTESIAN = {
     "streaming_holt_level",  # 7-row forecast-horizon broadcast cross join
     "matryoshka_recall",   # single-row query-vector broadcast (ann shape)
     "snapshot_commit_group",  # two single-row census scalars cross-joined
+    "skyline_orders",      # single-row [lo,hi] x-range scalar broadcast
+                           # under the distinct-x set (grid binning)
     "kruskal_wallis",      # single-row N+1 scalar broadcast (r8 rewire)
 }
 

@@ -361,6 +361,15 @@ def _decode_scan(
     if frame is None:
         raise ValueError("invalid JPEG: SOS before SOF0")
     h, w, comps = frame["h"], frame["w"], frame["comps"]
+    # the MCU loop below interleaves blocks in FRAME component order; a
+    # legal baseline JPEG may list SOS components in another order (or a
+    # subset), which would cross the component data — reject it rather
+    # than decode garbage.
+    if [s["id"] for s in scan] != [c["id"] for c in comps]:
+        raise ValueError(
+            "unsupported scan order: SOS component list must match the "
+            "SOF0 frame components in order"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

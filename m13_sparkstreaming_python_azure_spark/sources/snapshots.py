@@ -2137,7 +2137,17 @@ def spec_prune_report(
     for spec, files in groups.items():
         for f in files:
             if spec == col:
-                (kept if pm.get(f) in wanted else skipped).append(f)
+                pv = pm.get(f)
+                if pv is None:
+                    # partitions-map invariant violated (no recorded
+                    # value for a same-spec file): NEVER classify as
+                    # prunable — route to the post-filtered scan list
+                    # so no row can be silently dropped (ADVICE r8).
+                    scanned.append(f)
+                elif pv in wanted:
+                    kept.append(f)
+                else:
+                    skipped.append(f)
                 continue
             stats = zm.get(f, {}).get(col)
             if stats:

@@ -64,6 +64,24 @@ def latest_group_version(group_dir: str) -> int | None:
     return int(fs.read_text(p).strip())
 
 
+def _max_manifest_version(group_dir: str) -> int | None:
+    """Highest g<N>.json that EXISTS, from a directory listing — may be
+    ahead of ``_latest`` when a committer crashed after the exclusive
+    create but before the pointer swap (an orphaned-but-durable commit
+    record)."""
+    fs = fs_for(group_dir)
+    best = None
+    for name in fs.listdir(group_dir):
+        if name.startswith("g") and name.endswith(".json"):
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if best is None or v > best:
+                best = v
+    return best
+
+
 def group_commit(
     group_dir: str,
     pins: dict[str, int] | None = None,
@@ -90,7 +108,16 @@ def group_commit(
     fs = fs_for(group_dir)
     fs.makedirs(group_dir)
     while True:
-        prev_v = latest_group_version(group_dir)
+        # derive the predecessor from the DIRECTORY LISTING, not from
+        # ``_latest``: a committer that crashed between the exclusive
+        # create of g<N>.json and the pointer swap leaves _latest at
+        # N-1 forever — recomputing from _latest alone would retry the
+        # taken number in a livelock. The orphan's manifest is durable
+        # (its exclusive create succeeded = its commit claim), so the
+        # successor ADOPTS it: inherit its pins and commit as N+1; the
+        # monotonic pointer swap below then publishes both at once —
+        # the standard CAS "helping" pattern.
+        prev_v = _max_manifest_version(group_dir)
         prev_pins = {}
         if prev_v is not None:
             prev_pins = read_group(group_dir, prev_v)["pins"]

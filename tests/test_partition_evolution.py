@@ -84,6 +84,39 @@ def test_prune_report_and_pruned_read(spark, evolved):
     assert got2.count() == 20
 
 
+def test_missing_partition_value_scans_not_skips(spark, evolved):
+    """If a same-spec file has no entry in the manifest partitions map
+    (invariant violated), the prune report must route it to the
+    post-filtered scan list — never silently classify it prunable and
+    drop its rows (ADVICE r8)."""
+    import json
+
+    tdir, _ = evolved
+    m = read_manifest(tdir)
+    day_files = [f for f, s in m["partition_specs"].items() if s == "day"]
+    victim = sorted(day_files)[0]
+    # corrupt the manifest copy on disk: drop the victim's partition value
+    mdir = os.path.join(tdir, "_manifests")
+    latest = max(f for f in os.listdir(mdir) if f.startswith("v"))
+    mp = os.path.join(mdir, latest)
+    raw = json.load(open(mp))
+    removed = raw["partitions"].pop(victim)
+    json.dump(raw, open(mp, "w"))
+    rep = spec_prune_report(tdir, "day", [int(removed)])
+    assert victim in rep["scanned_other_spec"]
+    assert victim not in rep["skipped"] and victim not in rep["kept"]
+    # the pruned read still returns every matching row
+    got = read_snapshot_evolved_partitions(
+        spark, tdir, "day", [int(removed)]
+    )
+    want = (
+        read_snapshot_evolved(spark, tdir)
+        .filter(F.col("day") == int(removed))
+        .count()
+    )
+    assert got.count() == want
+
+
 def test_time_travel_predates_evolution(spark, evolved):
     tdir, _ = evolved
     v1 = read_snapshot_partitioned(spark, tdir, version=1)

@@ -72,6 +72,33 @@ def test_commit_validation(spark, two_tables):
         group_commit(gdir, tables=[t_a + "-empty"])
 
 
+def test_orphaned_manifest_no_livelock(spark, two_tables):
+    """A committer that crashes AFTER the exclusive manifest create but
+    BEFORE the _latest pointer swap must not livelock every successor
+    (ADVICE r8): the next group_commit derives its version from the
+    directory listing, adopts the orphan's pins, and publishes both."""
+    import json
+    import os
+
+    t_a, t_b, gdir = two_tables
+    append_snapshot(spark.range(10, 12).select(F.col("id").alias("k")), t_a)
+    # simulate the crash: durable g2 manifest, _latest still at 1
+    orphan = {
+        "version": 2,
+        "op": "crashed",
+        "pins": {t_a: 2, t_b: 1},
+        "committed_at": 0.0,
+    }
+    with open(os.path.join(gdir, "g00002.json"), "x") as f:
+        f.write(json.dumps(orphan))
+    assert latest_group_version(gdir) == 1
+    # successor must claim 3 (not retry 2 forever) and adopt g2's pins
+    v = group_commit(gdir, pins={t_b: 1}, op="successor")
+    assert v == 3
+    assert latest_group_version(gdir) == 3
+    assert read_group(gdir)["pins"] == {t_a: 2, t_b: 1}  # orphan adopted
+
+
 def test_concurrent_group_commits_serialize(spark, two_tables):
     t_a, t_b, gdir = two_tables
     barrier = threading.Barrier(2)

@@ -612,13 +612,29 @@ def window_bound_audit(
             lines.append(f"| {name} | {base} | ERROR {e} | FAIL |")
             failures += 1
             continue
-        pairs = list(zip(base, scaled + [-1] * (len(base) - len(scaled))))
+        # pad BOTH sides (ADVICE r8): if AQE/plan drift gives the 10×
+        # plan MORE unpartitioned windows than the 1× plan, the extras
+        # must surface as an anomaly, not be silently zip-truncated.
+        n = max(len(base), len(scaled))
+        pairs = list(
+            zip(
+                base + [-1] * (n - len(base)),
+                scaled + [-1] * (n - len(scaled)),
+            )
+        )
         grew = [
             (b, s)
             for b, s in pairs
             if b >= 0 and s >= 0 and s > 3 * b + 1000
         ]
-        if not grew:
+        if len(base) != len(scaled):
+            verdict = (
+                f"FAIL — window count drifted between 1× ({len(base)}) "
+                f"and 10× ({len(scaled)}) plans; unmatched windows "
+                "cannot be bound-checked"
+            )
+            failures += 1
+        elif not grew:
             verdict = "OK — bounded"
         elif name in UNPARTITIONED_WINDOW_GROWS_WITH_SELECTION:
             verdict = (

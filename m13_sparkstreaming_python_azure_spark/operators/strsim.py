@@ -17,6 +17,7 @@ pair of the test corpus).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -66,13 +67,102 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
     return jaro
 
 
+def _codes(col: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-width UCS4 codepoint matrix (n, width>=1) + lengths."""
+    arr = np.asarray(col, dtype="U")
+    width = arr.dtype.itemsize // 4
+    if width == 0:
+        return np.zeros((n, 1), dtype=np.uint32), np.zeros(n, dtype=np.int64)
+    mat = np.frombuffer(arr.tobytes(), dtype=np.uint32).reshape(n, width)
+    return mat, np.char.str_len(arr).astype(np.int64)
+
+
+def _jw_batch(a, b) -> np.ndarray:
+    """Block-vectorized Jaro-Winkler over a whole Arrow batch (VERDICT
+    r8 #5): the greedy window matching runs as numpy boolean algebra
+    over (batch, position) matrices — the per-pair Python loop is gone.
+    Every float expression mirrors ``_jaro_winkler_py``'s IEEE order, so
+    results are bit-identical to the scalar reference (asserted by
+    test_jw_batch_bitwise_equals_scalar)."""
+    a = np.asarray(a, dtype=object)
+    b = np.asarray(b, dtype=object)
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    c1, l1 = _codes(a, n)
+    c2, l2 = _codes(b, n)
+    L1, L2 = c1.shape[1], c2.shape[1]
+    # s1 == s2 shortcut, vectorized: equal lengths (so both fit in the
+    # shared width) and identical codepoints over that width (padding
+    # zeros compare equal on both sides)
+    ew = min(L1, L2)
+    equal = (l1 == l2) & (c1[:, :ew] == c2[:, :ew]).all(axis=1)
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    j_idx = np.arange(L2, dtype=np.int64)[None, :]
+    used2 = np.zeros((n, L2), dtype=bool)
+    match1 = np.zeros((n, L1), dtype=bool)
+    imax = int(l1.max())
+    for i in range(min(L1, imax)):
+        lo = np.maximum(0, i - window)[:, None]
+        hi = np.minimum(l2, i + window + 1)[:, None]
+        elig = (
+            (~used2)
+            & (c2 == c1[:, i][:, None])
+            & (j_idx >= lo)
+            & (j_idx < hi)
+            & (i < l1)[:, None]
+        )
+        found = elig.any(axis=1)
+        first = elig.argmax(axis=1)
+        rows = np.nonzero(found)[0]
+        used2[rows, first[rows]] = True
+        match1[:, i] = found
+    m = match1.sum(axis=1).astype(np.int64)
+    # transpositions: compare s1's matched chars (i order) with s2's
+    # matched chars (j order) — compact both via cumsum-rank scatter
+    mw = max(int(m.max()), 1)
+    seq1 = np.zeros((n, mw), dtype=np.uint32)
+    seq2 = np.zeros((n, mw), dtype=np.uint32)
+    rows, cols = np.nonzero(match1)
+    ranks = match1.cumsum(axis=1) - 1
+    seq1[rows, ranks[rows, cols]] = c1[rows, cols]
+    rows, cols = np.nonzero(used2)
+    ranks = used2.cumsum(axis=1) - 1
+    seq2[rows, ranks[rows, cols]] = c2[rows, cols]
+    k_idx = np.arange(mw, dtype=np.int64)[None, :]
+    t = ((seq1 != seq2) & (k_idx < m[:, None])).sum(axis=1) // 2
+    mf = m.astype(np.float64)
+    tf = t.astype(np.float64)
+    l1f = l1.astype(np.float64)
+    l2f = l2.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (mf / l1f + mf / l2f + (mf - tf) / mf) / 3.0
+    # common prefix (max 4), positions valid in BOTH strings
+    pw = min(4, L1, L2)
+    pos = np.arange(pw, dtype=np.int64)[None, :]
+    pref_eq = (
+        (c1[:, :pw] == c2[:, :pw])
+        & (pos < l1[:, None])
+        & (pos < l2[:, None])
+    )
+    p = np.cumprod(pref_eq, axis=1).sum(axis=1).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        boosted = jaro + p * 0.1 * (1.0 - jaro)
+        res = np.where(jaro > 0.7, boosted, jaro)
+    res = np.where(m == 0, 0.0, res)
+    res = np.where((l1 == 0) | (l2 == 0), 0.0, res)
+    res = np.where(equal, 1.0, res)
+    return res
+
+
 def _jw_udf():
     # created lazily: decorating at import time parses the DDL return
     # type, which requires an active SparkSession
     @pandas_udf("double")
     def jw(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [_jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
+            _jw_batch(a.to_numpy(), b.to_numpy()),
+            dtype="float64",
         )
 
     return jw

@@ -133,6 +133,47 @@ def test_jaro_winkler_grid_parity_with_duckdb(spark, sf_dir):
     assert _jaro_winkler_py("abc", "xyz") == 0.0
 
 
+def test_jw_batch_bitwise_equals_scalar(sf_dir):
+    """The numpy block-vectorized kernel (r9) must be BIT-identical to
+    the scalar reference on real name pairs plus the edge-case zoo —
+    same IEEE expression tree, so == not approx."""
+    import duckdb
+    import numpy as np
+
+    from m13_sparkstreaming_python_azure_spark.operators.strsim import (
+        _jaro_winkler_py,
+        _jw_batch,
+    )
+
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""
+        WITH n AS (SELECT DISTINCT p_name FROM '{sf_dir}/part.parquet'),
+        t AS (SELECT p_name, string_split(p_name,' ')[2] AS noun FROM n)
+        SELECT a.p_name a, b.p_name b
+        FROM t a JOIN t b ON a.noun = b.noun AND a.p_name < b.p_name
+        """
+    ).fetchall()
+    edge = [
+        ("", ""), ("", "a"), ("a", ""), ("a", "a"), ("a", "b"),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "xyz"),
+        ("aaaa", "aaaaaaaaaaaaaaaa"), ("ab", "ba"), ("x" * 40, "x" * 39),
+        ("jellyfish", "smellyfish"), ("crate", "trace"),
+        ("dwayne", "duane"), ("ünïcødé", "unicode"), ("ü", "ü"),
+    ]
+    all_pairs = [(a, b) for a, b in pairs] + edge
+    a = np.array([p[0] for p in all_pairs], dtype=object)
+    b = np.array([p[1] for p in all_pairs], dtype=object)
+    got = _jw_batch(a, b)
+    want = np.array(
+        [_jaro_winkler_py(x, y) for x, y in all_pairs], dtype=np.float64
+    )
+    mism = np.nonzero(got != want)[0]
+    assert mism.size == 0, [
+        (all_pairs[i], got[i], want[i]) for i in mism[:5]
+    ]
+
+
 def test_radius_join_blocking_is_lossless(spark):
     """The grid neighborhood must be a superset of every qualifying
     cell: blocked results == brute-force cross-join results, including

@@ -129,13 +129,36 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def _mh_hash(seed: int, col: Column, hash_family: str) -> Column:
+    """Seeded 64-bit (xxhash64) or 60-bit (md5) shingle hash.
+
+    ``md5`` is the PORTABLE family (r9): conv(substring(md5(seed:sh),
+    1, 15), 16, 10) — a pure function of the data that any engine with
+    md5 reproduces bit-exactly, which is what lets the driver gate
+    replicate the ENTIRE LSH pipeline in DuckDB SQL (no tolerance, no
+    recall gamble). xxhash64 stays the default production family (no
+    hex round-trip in the hot path)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if hash_family != "md5":
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def _minhash_signatures_agg(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, h_0 … h_{num_hashes-1}) via explode + groupBy.
 
-    Same hash family as `minhash_signature` (xxhash64 seeded by function
-    index over the shingle string), but evaluated as flat columns under
+    Same hash family as `minhash_signature` (seeded by function index
+    over the shingle string), but evaluated as flat columns under
     whole-stage codegen with map-side partial ``min`` aggregation — one
     keyed shuffle of (id, 64 longs) per document, independent of document
     length."""
@@ -146,7 +169,7 @@ def _minhash_signatures_agg(
     hashed = exploded.select(
         "__id",
         *[
-            F.xxhash64(F.lit(i), F.col("__sh")).alias(f"__h{i}")
+            _mh_hash(i, F.col("__sh"), hash_family).alias(f"__h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -155,26 +178,35 @@ def _minhash_signatures_agg(
     )
 
 
-def _band_buckets(sig_cols: list[str], bands: int, rows_per_band: int) -> Column:
+def _band_buckets(
+    sig_cols: list[str],
+    bands: int,
+    rows_per_band: int,
+    hash_family: str = "xxhash64",
+) -> Column:
     """array<struct<band, bucket>> from flat signature columns; bucket is a
     seeded hash of the band's signature slice (same values as hashing the
-    sliced array form)."""
+    sliced array form). The md5 family keeps the bucket as the hex string
+    (portable join key — mirrored verbatim by the DuckDB oracle)."""
+
+    def bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(c).cast("string")
+                for c in sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+            ],
+        )
+        if hash_family == "md5":
+            # gate-only family: string buckets never join against the
+            # rowwise/streaming probe index (which stays long-typed)
+            return F.md5(F.concat(F.lit(f"{b}|"), joined))
+        return F.xxhash64(F.lit(b), joined)
+
     return F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(c).cast("string")
-                            for c in sig_cols[
-                                b * rows_per_band : (b + 1) * rows_per_band
-                            ]
-                        ],
-                    ),
-                ).alias("bucket"),
+                F.lit(b).alias("band"), bucket(b).alias("bucket")
             )
             for b in range(bands)
         ]
@@ -221,12 +253,19 @@ def _verify_pairs(
     )
 
 
-def _banded_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _banded_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     rows_per_band = num_hashes // bands
     sig_cols = [f"__h{i}" for i in range(num_hashes)]
     return sigs.select(
         "__id",
-        F.explode(_band_buckets(sig_cols, bands, rows_per_band)).alias("__bb"),
+        F.explode(
+            _band_buckets(sig_cols, bands, rows_per_band, hash_family)
+        ).alias("__bb"),
     ).select("__id", "__bb.band", "__bb.bucket")
 
 
@@ -238,6 +277,7 @@ def write_minhash_tables(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> tuple[str, str]:
     """ONE tokenize pass over the corpus → two materialized parquet tables:
 
@@ -273,7 +313,7 @@ def write_minhash_tables(
     ).select(
         "__id",
         *[
-            F.xxhash64(F.lit(i), F.col("__sh")).alias(f"__h{i}")
+            _mh_hash(i, F.col("__sh"), hash_family).alias(f"__h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -281,9 +321,9 @@ def write_minhash_tables(
         *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
     )
     bands_path = os.path.join(table_dir, "bands")
-    _banded_from_sigs(sigs, num_hashes, bands).write.mode("overwrite").parquet(
-        bands_path
-    )
+    _banded_from_sigs(
+        sigs, num_hashes, bands, hash_family
+    ).write.mode("overwrite").parquet(bands_path)
     return shingles_path, bands_path
 
 
@@ -315,6 +355,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     shingle_store: str = "disk",
     work_dir: str | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
 
@@ -343,7 +384,14 @@ def minhash_lsh_pairs(
 
         table_dir = work_dir or tempfile.mkdtemp(prefix="minhash-tables-")
         shingles_path, bands_path = write_minhash_tables(
-            df, table_dir, id_col, text_col, num_hashes, bands, shingle_k
+            df,
+            table_dir,
+            id_col,
+            text_col,
+            num_hashes,
+            bands,
+            shingle_k,
+            hash_family,
         )
         return minhash_pairs_from_tables(
             df.sparkSession, shingles_path, bands_path, threshold
@@ -354,8 +402,12 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
 
     docs = spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES)
-    sigs = _minhash_signatures_agg(docs, id_col, text_col, num_hashes, shingle_k)
-    candidates = _candidates_from_bands(_banded_from_sigs(sigs, num_hashes, bands))
+    sigs = _minhash_signatures_agg(
+        docs, id_col, text_col, num_hashes, shingle_k, hash_family
+    )
+    candidates = _candidates_from_bands(
+        _banded_from_sigs(sigs, num_hashes, bands, hash_family)
+    )
 
     # persisted: both verify joins (id_a side, id_b side) consume it, and
     # recomputation means re-tokenizing the corpus twice. MEMORY_AND_DISK
@@ -403,21 +455,43 @@ def hamming(a: Column, b: Column) -> Column:
 
 
 def _simhash_bits_agg(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, __bits array<int>) via explode + flat signed-bit sums + groupBy.
     Same bit definition as `simhash_bits`; zero-token docs produce no rows
-    (explode of an empty token array), matching the pair op's filter."""
+    (explode of an empty token array), matching the pair op's filter.
+
+    ``hash_family='md5'`` (r9) derives bit b from hex nibble b//4 of
+    md5(token) — the portable family the driver gate's DuckDB oracle
+    replicates verbatim (see _mh_hash)."""
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(text_col)).alias("__tok"),
-    ).select("__id", F.xxhash64("__tok").alias("__h"))
+    )
+    if hash_family == "md5":
+        tok = tok.select("__id", F.md5("__tok").alias("__h"))
+
+        def signed_bit(b: int) -> Column:
+            nib = F.conv(
+                F.substring("__h", 1 + b // 4, 1), 16, 10
+            ).cast("int")
+            return (
+                F.shiftright(nib, 3 - (b % 4)).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+
+    else:
+        tok = tok.select("__id", F.xxhash64("__tok").alias("__h"))
+
+        def signed_bit(b: int) -> Column:
+            return F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1
+
     signed = tok.select(
         "__id",
-        *[
-            (F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__s{b}")
-            for b in range(bits)
-        ],
+        *[signed_bit(b).alias(f"__s{b}") for b in range(bits)],
     )
     sums = signed.groupBy("__id").agg(
         *[F.sum(f"__s{b}").alias(f"__s{b}") for b in range(bits)]
@@ -438,6 +512,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
@@ -452,7 +527,25 @@ def simhash_pairs(
     tiny relative to the corpus at any scale (production dedup pipelines
     materialize them as a table outright).
     """
-    docs = _simhash_bits_agg(spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES), id_col, text_col).persist()
+    docs = _simhash_bits_agg(
+        spread(df, target_bytes_per_partition=TEXT_SPREAD_BYTES),
+        id_col,
+        text_col,
+        hash_family=hash_family,
+    ).persist()
+
+    def chunk_bucket(c: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("__bits"), c * 16 + 1, 16),
+                lambda v: v.cast("string"),
+            ),
+        )
+        if hash_family == "md5":
+            return F.md5(F.concat(F.lit(f"{c}|"), joined))
+        return F.xxhash64(F.lit(c), joined)
+
     chunked = docs.select(
         "__id",
         F.explode(
@@ -460,16 +553,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.xxhash64(
-                            F.lit(c),
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice(F.col("__bits"), c * 16 + 1, 16),
-                                    lambda v: v.cast("string"),
-                                ),
-                            ),
-                        ).alias("bucket"),
+                        chunk_bucket(c).alias("bucket"),
                     )
                     for c in range(4)
                 ]

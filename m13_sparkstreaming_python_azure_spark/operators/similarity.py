@@ -116,12 +116,34 @@ def random_hyperplanes(
     ]
 
 
+_RADEMACHER_QSCALE = 1048576.0  # 2^20: |q_j| ~2^20, 64-dim dot ~2^27 « 2^63
+
+
+def rademacher_signs(dim: int, bits: int, tables: int) -> np.ndarray:
+    """±1 hyperplane components from md5(f"{t}:{b}:{j}") — the PORTABLE
+    plane family (r9): a pure function of the indices, so an oracle
+    engine re-derives the identical planes from its own md5. Sign-LSH
+    with Rademacher planes is standard (Achlioptas-style sparse random
+    projections); with the exact-integer dot in ``_bucketed`` the bucket
+    assignment is bit-reproducible across engines — no float fold-order
+    risk in the sign test at all."""
+    import hashlib
+
+    signs = np.empty((tables, bits, dim), dtype=np.int64)
+    for t in range(tables):
+        for b in range(bits):
+            for j in range(dim):
+                h = hashlib.md5(f"{t}:{b}:{j}".encode()).hexdigest()
+                signs[t, b, j] = 1 if int(h[0], 16) >= 8 else -1
+    return signs
+
+
 def _bucketed(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     out_id: str,
-    planes: list[list[list[float]]],
+    planes,
     keep_vec: bool = False,
 ) -> DataFrame:
     """One row per (vector, table) with the table's sign-pattern bucket.
@@ -130,9 +152,22 @@ def _bucketed(
     (vectors × all planes stacked), packed into an int64 bucket label per
     table (bit b = sign of plane b's dot product). The bucket value is just
     a label — grouping semantics are identical to hashing the sign string,
-    at a fraction of the compute."""
-    tables, bits = len(planes), len(planes[0])
-    all_planes = np.asarray(planes, dtype=np.float64).reshape(tables * bits, -1)
+    at a fraction of the compute.
+
+    ``planes`` is either the Gaussian list tensor (random_hyperplanes) or
+    an int64 (tables, bits, dim) ±1 array (rademacher_signs): the latter
+    quantizes each component to floor(v*2^20 + 0.5) and takes the sign of
+    the EXACT int64 dot — reproducible in any engine in any fold order."""
+    if isinstance(planes, np.ndarray):
+        tables, bits, _ = planes.shape
+        all_planes = planes.reshape(tables * bits, -1)
+        quantize = True
+    else:
+        tables, bits = len(planes), len(planes[0])
+        all_planes = np.asarray(planes, dtype=np.float64).reshape(
+            tables * bits, -1
+        )
+        quantize = False
     weights = (1 << np.arange(bits, dtype=np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -140,6 +175,8 @@ def _bucketed(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        if quantize:
+            mat = np.floor(mat * _RADEMACHER_QSCALE + 0.5).astype(np.int64)
         signs = (mat @ all_planes.T) > 0  # (batch, tables*bits)
         signs = signs.reshape(len(mat), tables, bits)
         packed = (signs * weights).sum(axis=2)  # (batch, tables)
@@ -248,9 +285,15 @@ def lsh_ann_topk(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    plane_family: str = "gauss",
 ) -> DataFrame:
     """Approximate cosine top-k: LSH candidate generation + exact cosine
     re-rank within candidates.
+
+    ``plane_family='rademacher-md5'`` swaps the Gaussian planes for the
+    portable ±1 md5-derived family with exact-integer sign dots (see
+    rademacher_signs) — the variant whose bucket assignment an oracle
+    engine can replay bit-exactly.
 
     The query side is small and broadcast, so the base side stays map-side
     end-to-end: both sides carry their vectors through the bucket join and
@@ -260,7 +303,11 @@ def lsh_ann_topk(
     ``embedding_near_dup_pairs``: its corpus-sized "query" side must
     shuffle, so carrying vectors would multiply shuffle bytes by the table
     count — it dedups id-only candidates and re-joins vectors instead."""
-    planes = random_hyperplanes(dim, bits, tables, seed)
+    planes = (
+        rademacher_signs(dim, bits, tables)
+        if plane_family == "rademacher-md5"
+        else random_hyperplanes(dim, bits, tables, seed)
+    )
     b = _bucketed(
         spread(base), base_id, base_vec, "neighbor_id", planes, keep_vec=True
     )
@@ -469,10 +516,12 @@ def embedding_near_dup_pairs(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    plane_family: str = "gauss",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold): LSH
     self-candidates + exact verification, threshold filter instead of a
-    top-k window (no ranking shuffle).
+    top-k window (no ranking shuffle). ``plane_family='rademacher-md5'``
+    selects the portable oracle-replayable planes (rademacher_signs).
 
     Self-join specifics: the corpus is bucketed ONCE (it IS both sides)
     and the normalized-vector projection is persisted — it feeds both
@@ -480,7 +529,11 @@ def embedding_near_dup_pairs(
     twice over the same vectors. Candidates still travel id-only through
     the bucket join (carrying vectors there would multiply shuffle bytes
     by the table count)."""
-    planes = random_hyperplanes(dim, bits, tables, seed)
+    planes = (
+        rademacher_signs(dim, bits, tables)
+        if plane_family == "rademacher-md5"
+        else random_hyperplanes(dim, bits, tables, seed)
+    )
     vecs = (
         spread(df)
         .select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))

@@ -1057,15 +1057,22 @@ def q_stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 0..n-1 id assignment without a global sort (operators/util
     .stable_ids — the zipWithIndex pattern): per-partition counts fold
     into broadcast prefix offsets, then a shuffle-free vectorized local
-    assignment. Ids depend on partition layout (the zipWithIndex
-    contract) → rows-only gate; uniqueness/density/order invariants
-    pinned in tests."""
+    assignment. WHICH id lands on which row depends on partition layout
+    (the zipWithIndex contract), so the gate hashes the layout-free
+    DENSITY invariant instead (VERDICT r8 #3): n distinct ids == n rows,
+    min 0, max n-1 — any duplicate, gap, or offset error flips it.
+    Per-row uniqueness/order invariants stay pinned in tests."""
     from m13_sparkstreaming_python_azure_spark.operators.util import (
         stable_ids,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return stable_ids(docs)
+    return stable_ids(docs).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+    )
 
 
 def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2735,6 +2742,13 @@ ANALYTICS_ORACLES = {
         )
         SELECT node, CAST(min(dist) AS INTEGER) AS dist
         FROM bfs GROUP BY node
+    """,
+    "stable_row_ids": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct_ids,
+               CAST(0 AS BIGINT) AS min_id,
+               CAST(count(*) - 1 AS BIGINT) AS max_id
+        FROM documents
     """,
     "skyline_orders": """
         WITH pts AS (

@@ -9,7 +9,7 @@ averages as round(sum,2)/count so the division inputs are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -121,9 +121,39 @@ def q_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_daily_event_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity flavor: approx_count_distinct (HLL++ rsd 0.05,
-    stream.ipynb:118). No SQL oracle (approximation is engine-specific);
-    tests assert rsd tolerance vs exact."""
-    return events_daily(spark, sf_dir, approx=True)
+    stream.ipynb:118). The HLL++ estimate itself is engine-specific, so
+    the GATE output is the oracle-able derived invariant (VERDICT r8
+    #3): the exact stats plus ``approx_ok`` = |HLL − exact| within the
+    documented tolerance (3×rsd relative, +3 absolute slack). The
+    approximation still runs in the same aggregate — a broken HLL path
+    flips approx_ok and the hash. Tests additionally pin the golden
+    HLL++ values byte-exactly."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,6)"))
+    quotient = F.round(dec_sum, 2).cast("double") / F.count("value")
+    agg = events.groupBy("event_type", "event_date").agg(
+        F.countDistinct("user_id").alias("distinct_users_exact"),
+        F.approx_count_distinct("user_id").alias("__approx"),
+        (F.floor(quotient * 10000 + F.lit(0.5)) / 10000).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+    )
+    tol = F.greatest(
+        F.col("distinct_users_exact") * F.lit(0.15), F.lit(3.0)
+    )
+    return agg.select(
+        "event_type",
+        "event_date",
+        "distinct_users_exact",
+        (
+            F.abs(F.col("__approx") - F.col("distinct_users_exact")) <= tol
+        ).cast("int").alias("approx_ok"),
+        "avg_value",
+        "max_value",
+        "min_value",
+    )
 
 
 def q_best_day_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,8 +459,9 @@ def q_distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     """HLL sketch rollup (the scale path for the reference's
     approx_count_distinct): build per-(event_type, day) sketches, then
     answer per-event_type distinct users by sketch UNION — no raw rescan.
-    Estimates are engine-specific (Datasketches HLL) → rows-only driver
-    check; tests assert tolerance vs exact countDistinct."""
+    Estimates are engine-specific (Datasketches HLL), so the gate hashes
+    the derived invariant instead (VERDICT r8 #3): exact counts +
+    est-within-tolerance flags; tests assert the tighter rsd bound."""
     from m13_sparkstreaming_python_azure_spark.operators.aggregate import (
         build_distinct_sketches,
         rollup_distinct_from_sketches,
@@ -440,7 +471,27 @@ def q_distinct_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     daily = build_distinct_sketches(ev, ["event_type", "event_date"], "user_id")
-    return rollup_distinct_from_sketches(daily, ["event_type"])
+    est = rollup_distinct_from_sketches(daily, ["event_type"])
+    # gate output is the oracle-able invariant (VERDICT r8 #3): exact
+    # per-type distinct count + est_ok = rollup estimate within 10%
+    # (+3 absolute) of exact — the sketch union still runs and feeds
+    # the flag, so a broken rollup flips the hash
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users_exact")
+    )
+    tol = F.greatest(
+        F.col("distinct_users_exact") * F.lit(0.10), F.lit(3.0)
+    )
+    return exact.join(F.broadcast(est), on="event_type").select(
+        "event_type",
+        "distinct_users_exact",
+        (
+            F.abs(
+                F.col("distinct_estimate")
+                - F.col("distinct_users_exact")
+            ) <= tol
+        ).cast("int").alias("est_ok"),
+    )
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,14 +510,52 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx — the one-pass mergeable-sketch percentile path
     (KLL-style) that replaces exact percentiles at 100 TB: partials merge
-    map-side like any aggregate instead of sorting each group. Estimates
-    are engine-specific → rows-only driver check; tests bound the error
-    vs q_value_percentiles."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90"),
-        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    map-side like any aggregate instead of sorting each group.
+
+    The returned element is engine-specific, but the algorithm's
+    GUARANTEE is not: with accuracy A the exact rank of the returned
+    value is within n/A of the target rank. The gate hashes that
+    invariant (VERDICT r8 #3): per group, n plus a rank-ok flag per
+    percentile, computed by joining the estimates back and counting
+    values strictly-below / at-or-below each estimate. A sketch
+    regression flips the flags and the hash."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("__p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("__p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("__p99"),
+    )
+    j = ev.join(F.broadcast(ap), on="event_type")
+    counted = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            c
+            for p in ("p50", "p90", "p99")
+            for c in (
+                F.count_if(F.col("value") < F.col(f"__{p}")).alias(
+                    f"__lt_{p}"
+                ),
+                F.count_if(F.col("value") <= F.col(f"__{p}")).alias(
+                    f"__le_{p}"
+                ),
+            )
+        ],
+    )
+    slack = F.col("n") * F.lit(1.0 / 10000) + F.lit(1.0)
+
+    def rank_ok(p: str, frac: float):
+        target = F.col("n") * F.lit(frac)
+        return (
+            (F.col(f"__lt_{p}") <= target + slack)
+            & (F.col(f"__le_{p}") >= target - slack)
+        ).cast("int").alias(f"{p}_rank_ok")
+
+    return counted.select(
+        "event_type",
+        "n",
+        rank_ok("p50", 0.5),
+        rank_ok("p90", 0.9),
+        rank_ok("p99", 0.99),
     )
 
 
@@ -1842,9 +1931,11 @@ def q_theta_sketch_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchasers∖clickers and the union are estimated from the TWO sketches
     alone — no raw-data re-scan, the at-scale pattern for audience / id
     overlap dashboards across billions of ids. Single-row broadcast
-    cross join of two scalar aggregates (the decorrelated-scalar shape);
-    estimates are sketch-based → rows-only gate, tolerance vs exact
-    counts asserted in tests."""
+    cross join of two scalar aggregates (the decorrelated-scalar shape).
+    Estimates are sketch-based, so the gate hashes the derived invariant
+    (VERDICT r8 #3): the five EXACT set-algebra counts plus a flag per
+    estimate asserting the sketch landed within 5% (+3 absolute) of
+    exact — every theta operation still runs and feeds its flag."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").agg(
         F.theta_sketch_agg("user_id").alias("p")
@@ -1852,16 +1943,48 @@ def q_theta_sketch_audiences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.filter(F.col("event_type") == "click").agg(
         F.theta_sketch_agg("user_id").alias("c")
     )
-    return p.crossJoin(c).select(
-        F.theta_sketch_estimate("p").alias("n_purchasers"),
-        F.theta_sketch_estimate("c").alias("n_clickers"),
+    est = p.crossJoin(c).select(
+        F.theta_sketch_estimate("p").alias("__e_p"),
+        F.theta_sketch_estimate("c").alias("__e_c"),
         F.theta_sketch_estimate(F.theta_intersection("p", "c")).alias(
-            "n_both"
+            "__e_both"
         ),
         F.theta_sketch_estimate(F.theta_difference("p", "c")).alias(
-            "n_purchase_only"
+            "__e_ponly"
         ),
-        F.theta_sketch_estimate(F.theta_union("p", "c")).alias("n_either"),
+        F.theta_sketch_estimate(F.theta_union("p", "c")).alias("__e_either"),
+    )
+    flags = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("__p"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("__c"),
+    )
+    exact = flags.agg(
+        F.sum("__p").alias("n_purchasers"),
+        F.sum("__c").alias("n_clickers"),
+        F.sum(F.col("__p") * F.col("__c")).alias("n_both"),
+        F.sum(F.col("__p") * (1 - F.col("__c"))).alias("n_purchase_only"),
+        F.count(F.lit(1)).alias("n_either"),
+    )
+
+    def ok(est_col: str, exact_col: str) -> Column:
+        tol = F.greatest(F.col(exact_col) * F.lit(0.05), F.lit(3.0))
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col)) <= tol
+        ).cast("int").alias(exact_col + "_est_ok")
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_purchasers",
+        "n_clickers",
+        "n_both",
+        "n_purchase_only",
+        "n_either",
+        ok("__e_p", "n_purchasers"),
+        ok("__e_c", "n_clickers"),
+        ok("__e_both", "n_both"),
+        ok("__e_ponly", "n_purchase_only"),
+        ok("__e_either", "n_either"),
     )
 
 
@@ -1873,10 +1996,17 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch inside ONE grouped aggregate (conditional inputs), the two
     merge with kll_sketch_merge_double — the mergeability that lets
     per-partition/per-day sketches roll up without re-scanning raw data —
-    and p50/p90/p99 read off the merged state. Sketch estimates are
-    engine-specific → rows-only gate; tests bound the error vs the exact
-    percentiles."""
-    ev = load_table(spark, sf_dir, "events")
+    and p50/p90/p99 read off the merged state.
+
+    Gate output is the oracle-able invariant (VERDICT r8 #3): n_values
+    is EXACT by the KLL contract (get_n counts inputs), and each
+    quantile estimate's exact rank must land within 5% of its target
+    (KLL k=200's normalized rank error is ~1.65% at 99% confidence, so
+    the flag only flips on a real regression). Estimates still come off
+    the merged sketch — merge + query feed every flag."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts"
+    )
     first_half = F.dayofmonth("ts") <= 15
     per_type = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double(
@@ -1889,12 +2019,45 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = per_type.select(
         "event_type", F.kll_sketch_merge_double("a", "b").alias("sk")
     )
-    return merged.select(
+    est = merged.select(
         "event_type",
         F.kll_sketch_get_n_double("sk").alias("n_values"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90"),
-        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("__p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("__p90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("__p99"),
+    )
+    j = ev.join(F.broadcast(est), on="event_type")
+    counted = j.groupBy("event_type").agg(
+        F.first("n_values").alias("n_values"),
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            c
+            for p in ("p50", "p90", "p99")
+            for c in (
+                F.count_if(F.col("value") < F.col(f"__{p}")).alias(
+                    f"__lt_{p}"
+                ),
+                F.count_if(F.col("value") <= F.col(f"__{p}")).alias(
+                    f"__le_{p}"
+                ),
+            )
+        ],
+    )
+    slack = F.col("__n") * F.lit(0.05) + F.lit(1.0)
+
+    def rank_ok(p: str, frac: float) -> Column:
+        target = F.col("__n") * F.lit(frac)
+        return (
+            (F.col(f"__lt_{p}") <= target + slack)
+            & (F.col(f"__le_{p}") >= target - slack)
+        ).cast("int").alias(f"{p}_rank_ok")
+
+    return counted.select(
+        "event_type",
+        "n_values",
+        rank_ok("p50", 0.5),
+        rank_ok("p90", 0.9),
+        rank_ok("p99", 0.99),
     )
 
 
@@ -2354,6 +2517,66 @@ CORE_ORACLES = {
                round(quantile_cont(value, 0.99), 4) AS p99
         FROM events
         GROUP BY event_type
+    """,
+    # derived-invariant oracles (VERDICT r8 #3): the approx/sketch gates
+    # hash exact values + within-tolerance flags, so the oracle emits
+    # the exact side and constant-true flags
+    "daily_event_stats_approx": """
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS event_date,
+               count(DISTINCT user_id) AS distinct_users_exact,
+               1 AS approx_ok,
+               floor(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+                          AS DOUBLE) / count(value) * 10000 + 0.5)
+                   / 10000 AS avg_value,
+               round(max(value), 4) AS max_value,
+               round(min(value), 4) AS min_value
+        FROM events
+        GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """,
+    "distinct_users_sketch_rollup": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS distinct_users_exact,
+               1 AS est_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    "value_percentiles_approx": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               1 AS p50_rank_ok, 1 AS p90_rank_ok, 1 AS p99_rank_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    "kll_quantiles": """
+        SELECT event_type,
+               CAST(count(value) AS BIGINT) AS n_values,
+               1 AS p50_rank_ok, 1 AS p90_rank_ok, 1 AS p99_rank_ok
+        FROM events
+        GROUP BY event_type
+    """,
+    "theta_sketch_audiences": """
+        WITH flags AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS p,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS c
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+            GROUP BY user_id
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_purchasers,
+               CAST(sum(c) AS BIGINT) AS n_clickers,
+               CAST(sum(p * c) AS BIGINT) AS n_both,
+               CAST(sum(p * (1 - c)) AS BIGINT) AS n_purchase_only,
+               CAST(count(*) AS BIGINT) AS n_either,
+               1 AS n_purchasers_est_ok,
+               1 AS n_clickers_est_ok,
+               1 AS n_both_est_ok,
+               1 AS n_purchase_only_est_ok,
+               1 AS n_either_est_ok
+        FROM flags
     """,
     "stats_moments": """
         SELECT event_type,

@@ -275,17 +275,43 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions with
-    a fixed seed — the downsampling/rebalancing step of corpus curation.
-    Sampling is engine-specific → rows-only driver check; tests assert
-    determinism and per-stratum proportions."""
+    """Stratified Bernoulli sampling — the downsampling/rebalancing step
+    of corpus curation. Hash-gated (VERDICT r8 #3) by deriving each
+    row's uniform from md5(salt || event_id) instead of sampleBy's
+    engine-seeded RNG: the selection is a pure function of the data, so
+    the per-stratum counts (and the sample itself) reproduce bit-exactly
+    in any engine — ALSO the property a 100 TB pipeline wants anyway
+    (re-runs and backfills select identical rows; ``sampleBy`` remains
+    the built-in alternative when engine-level reproducibility
+    suffices)."""
     ev = load_table(spark, sf_dir, "events")
-    sampled = ev.sampleBy(
-        "event_type",
-        {"click": 0.1, "view": 0.2, "purchase": 1.0, "error": 1.0, "signup": 0.5},
-        seed=42,
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("strat:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
     )
-    return sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac = (
+        F.when(F.col("event_type") == "click", F.lit(0.1))
+        .when(F.col("event_type") == "view", F.lit(0.2))
+        .when(F.col("event_type") == "signup", F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        ev.filter(u < frac)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
 
 
 def q_misc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,6 +709,20 @@ EXT_ORACLES = {
                max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
                count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
         FROM events
+        GROUP BY event_type
+    """,
+    "stratified_sample": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+        FROM events
+        WHERE ('0x' || substring(md5('strat:' ||
+                                     CAST(event_id AS VARCHAR)), 1, 8)
+              )::BIGINT / CAST(4294967296 AS DOUBLE)
+              < CASE event_type
+                    WHEN 'click' THEN CAST(0.1 AS DOUBLE)
+                    WHEN 'view' THEN CAST(0.2 AS DOUBLE)
+                    WHEN 'signup' THEN CAST(0.5 AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE)
+                END
         GROUP BY event_type
     """,
     "misc_aggregates": """

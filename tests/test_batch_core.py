@@ -167,10 +167,17 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         q_value_percentiles_approx,
     )
 
-    approx = {
-        r["event_type"]: r for r in q_value_percentiles_approx(spark, sf_dir).collect()
-    }
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .collect()
+    }
     for et, a in approx.items():
         vals = sorted(
             r["value"] for r in ev.filter(F.col("event_type") == et).collect()
@@ -179,6 +186,10 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
         for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             rank = sum(v <= a[q] for v in vals) / n
             assert abs(rank - target) < 0.02, (et, q, a[q], rank)
+    # the gate query's rank-ok flags (r9: the hash-gated invariant)
+    for r in q_value_percentiles_approx(spark, sf_dir).collect():
+        assert r["p50_rank_ok"] == 1 and r["p90_rank_ok"] == 1
+        assert r["p99_rank_ok"] == 1
 
 
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):

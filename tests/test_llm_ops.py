@@ -42,6 +42,47 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert r.jaccard_sim >= 0.2
 
 
+def test_minhash_md5_family_portable_and_equivalent(spark, sf_dir):
+    """The r9 portable md5 hash family: (a) _mh_hash('md5') matches a
+    pure-Python hashlib reference (the property the DuckDB gate oracle
+    relies on); (b) the md5-family pipeline finds the same verified pair
+    set as the xxhash64 family on the fixture (both are exact-verified;
+    candidate recall at these parameters covers the same true pairs)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import _mh_hash
+
+    rows = (
+        spark.createDataFrame(
+            [("alpha beta gamma",), ("x y",), ("",)], "s string"
+        )
+        .select(_mh_hash(7, F.col("s"), "md5").alias("h"), "s")
+        .collect()
+    )
+    for r in rows:
+        want = int(hashlib.md5(f"7:{r['s']}".encode()).hexdigest()[:15], 16)
+        assert r["h"] == want, r["s"]
+
+    docs = load_table(spark, sf_dir, "documents")
+    xx = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", shingle_k=3, threshold=0.2
+        ).collect()
+    }
+    md = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", shingle_k=3, threshold=0.2, hash_family="md5"
+        ).collect()
+    }
+    # both exact-verified; on the fixture the two candidate families
+    # cover the same true pairs
+    assert md == xx
+
+
 def test_minhash_disk_tables_match_memory_path(spark, sf_dir, tmp_path):
     """The materialized signature/shingle-table path (production default)
     and the in-memory persist path share hash family and verification —
@@ -127,6 +168,23 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, recall
     # self-match must always survive LSH (identical vector, identical buckets)
     assert all((q, q) in lsh for q in range(10))
+    # the portable rademacher-md5 family (the r9 hash-gate variant) must
+    # hold the same recall floor and the self-match invariant
+    rad = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.lsh_ann_topk(
+            emb,
+            probes,
+            k=10,
+            dim=64,
+            bits=4,
+            tables=16,
+            plane_family="rademacher-md5",
+        ).collect()
+    }
+    rad_recall = len(bf & rad) / len(bf)
+    assert rad_recall >= 0.5, rad_recall
+    assert all((q, q) in rad for q in range(10))
 
 
 def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
@@ -308,15 +366,35 @@ def test_connected_components_disjoint(spark):
 
 
 def test_udaf_weighted_mean_matches_jvm_expression(spark, sf_dir):
-    """The pandas GROUPED_AGG UDAF equals the JVM sum(v*w)/sum(w) within
-    float tolerance (numpy pairwise summation != JVM fold order)."""
+    """The pandas GROUPED_AGG UDAF (r9: integer-grid quantized sums)
+    must equal the JVM expression computing the SAME grid math exactly —
+    int64 sums are fold-order free, so this is == not approx — and stay
+    within grid tolerance of the unquantized JVM weighted mean."""
     from m13_sparkstreaming_python_azure_spark.queries.llm import (
         q_udaf_weighted_stats,
     )
 
-    got = {r["event_type"]: r["wmean"] for r in q_udaf_weighted_stats(spark, sf_dir).collect()}
+    got = {
+        r["event_type"]: r
+        for r in q_udaf_weighted_stats(spark, sf_dir).collect()
+    }
     ev = load_table(spark, sf_dir, "events")
-    want = {
+    grid = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("value") * F.abs("value")) * 1e4 + F.lit(0.5)
+                ).cast("long")
+            ).alias("wsum_grid"),
+            F.sum(
+                F.floor(F.abs("value") * 1e4 + F.lit(0.5)).cast("long")
+            ).alias("wnorm_grid"),
+        )
+        .collect()
+    }
+    raw = {
         r["event_type"]: r["wmean"]
         for r in ev.groupBy("event_type")
         .agg(
@@ -324,9 +402,13 @@ def test_udaf_weighted_mean_matches_jvm_expression(spark, sf_dir):
         )
         .collect()
     }
-    assert got.keys() == want.keys()
+    assert got.keys() == grid.keys() == raw.keys()
     for k in got:
-        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k])), k
+        assert got[k]["wsum_grid"] == grid[k]["wsum_grid"], k
+        assert got[k]["wnorm_grid"] == grid[k]["wnorm_grid"], k
+        assert got[k]["wmean"] == grid[k]["wsum_grid"] / grid[k]["wnorm_grid"], k
+        # grid error bound: each term off by <= .5e-4
+        assert abs(got[k]["wmean"] - raw[k]) < 1e-3 * max(1.0, abs(raw[k])), k
 
 
 def test_ivf_persisted_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):

@@ -14,10 +14,18 @@ this container. This module implements baseline sequential DCT JPEG
   (quality-scaled per the IJG curve), FDCT, DC prediction, run-length AC
   coding, byte stuffing; 4:4:4 or 4:2:0 chroma subsampling (box-average
   down, the web's dominant layout — also the decoder's h=v=2 path's
-  round-trip proof).
+  round-trip proof);
+- progressive (SOF2, r9 — VERDICT r8 #2): full Huffman progressive
+  decode per T.81 G.2 — spectral selection bands, successive
+  approximation (DC shift + refinement bits, AC ±2^Al insertion +
+  correction bits), EOB runs, ZRL-in-refinement, restart intervals, and
+  interleaved DC / non-interleaved AC scan traversal; the matching
+  ``encode_jpeg(progressive=True)`` emits a standard 2+8-scan script so
+  the decoder's every path is exercised by round-trip tests (baseline
+  and progressive encodes of one image decode pixel-identically).
 
-Not a general imaging library: progressive (SOF2), arithmetic coding,
-12-bit precision, CMYK/Adobe transforms are out of scope and raise
+Not a general imaging library: arithmetic coding, 12-bit precision,
+hierarchical (SOF3+), CMYK/Adobe transforms are out of scope and raise
 cleanly. ``operators.multimodal.decode_image`` dispatches here on the
 FFD8 signature, after PNG and before the Pillow-optional fallback.
 
@@ -281,6 +289,7 @@ def _decode(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog_state: dict[int, np.ndarray] = {}
     while True:
         if data[pos] != 0xFF:
             raise ValueError("invalid JPEG: expected marker")
@@ -292,6 +301,10 @@ def _decode(data: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD8:  # SOI (again?)
             continue
+        if marker == 0xD9:  # EOI (standalone, no length)
+            if frame is not None and frame.get("progressive") and prog_state:
+                return _finish_progressive(frame, prog_state, quant)
+            raise ValueError("invalid JPEG: EOI before a decodable scan")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
@@ -312,21 +325,26 @@ def _decode(data: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.int32)
                 q[ZIGZAG] = tbl  # stored in zigzag order
                 quant[tq] = q.reshape(8, 8)
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit JPEG supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential (SOF0) JPEG supported"
+                "only baseline (SOF0) or progressive (SOF2) JPEG supported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -347,6 +365,15 @@ def _decode(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
             pos += seglen
+            if frame is not None and frame.get("progressive"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    data, pos, frame, scan, ss, se, ahal >> 4,
+                    ahal & 0x0F, huff_dc, huff_ac, restart_interval,
+                    prog_state,
+                )
+                continue
             return _decode_scan(
                 data, pos, frame, scan, quant, huff_dc, huff_ac,
                 restart_interval,
@@ -410,10 +437,15 @@ def _decode_scan(
                     "invalid JPEG: restart marker inside an MCU"
                 ) from None
             mcu_count += 1
+    return _assemble_image(comps, hmax, vmax, h, w)
+
+
+def _assemble_image(comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample each component's ``plane`` to full resolution (nearest —
+    JFIF allows any filter), crop, and convert YCbCr→RGB (BT.601)."""
     planes = []
     for c in comps:
         p = c["plane"]
-        # upsample to full resolution (nearest — JFIF allows any filter)
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -428,6 +460,244 @@ def _decode_scan(
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 G.2, successive approximation +
+# spectral selection, Huffman entropy coding (the libjpeg-compatible
+# subset that covers virtually every progressive web JPEG)
+# --------------------------------------------------------------------------
+
+
+def _comp_block_dims(frame, c) -> tuple[int, int]:
+    """(block rows, block cols) of one component for NON-interleaved
+    scans: ceil over the component's own sample dimensions (A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Advance past any pad bytes / stray RSTn to the next real marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("invalid JPEG: unterminated scan")
+
+
+def _ac_first_block(reader, coef, ss, se, al, actbl, eobrun) -> None:
+    """First AC scan of a band (G.2.2, Ah = 0): EOB runs + values shifted
+    left by the point transform."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, actbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += reader.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("invalid JPEG: AC index overrun")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, coef, ss, se, al, actbl, eobrun) -> None:
+    """AC refinement scan (G.2.3, Ah = Al + 1): newly-significant
+    coefficients arrive as ±2^Al; every previously-nonzero coefficient
+    in the traversed span carries one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, actbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.receive(r)
+                    break
+                val = 0  # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid JPEG: bad AC refinement magnitude"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                cv = int(coef[k])
+                if cv != 0:
+                    if reader.read_bit() and (cv & p1) == 0:
+                        coef[k] = cv + (p1 if cv >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            cv = int(coef[k])
+            if cv != 0:
+                if reader.read_bit() and (cv & p1) == 0:
+                    coef[k] = cv + (p1 if cv >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval, state,
+) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    state; returns the position of the next marker."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        if s["id"] not in by_id:
+            raise ValueError("invalid JPEG: scan references unknown component")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if c["id"] not in state:
+            state[c["id"]] = np.zeros(
+                (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+            )
+    sc = [by_id[s["id"]] for s in scan]
+    for s, c in zip(scan, sc):
+        c["td"], c["ta"] = s["td"], s["ta"]
+    reader = _BitReader(data, pos)
+    eobrun = [0]
+    if ss == 0:  # DC scan (interleaved allowed)
+        if se != 0:
+            raise ValueError("invalid JPEG: DC scan with Se != 0")
+        for c in sc:
+            c["pred"] = 0
+        interleaved = len(scan) > 1
+        if interleaved:
+            order = [c["id"] for c in comps]
+            sids = [s["id"] for s in scan]
+            if sids != [i for i in order if i in set(sids)]:
+                raise ValueError(
+                    "unsupported scan order: interleaved scan components "
+                    "must follow the frame order"
+                )
+
+            def unit_blocks(u):
+                my, mx = divmod(u, mcux)
+                for c in sc:
+                    for byi in range(c["v"]):
+                        for bxi in range(c["h"]):
+                            yield c, my * c["v"] + byi, mx * c["h"] + bxi
+
+            n_units = mcuy * mcux
+        else:
+            c0 = sc[0]
+            bh, bw = _comp_block_dims(frame, c0)
+
+            def unit_blocks(u):
+                yield c0, u // bw, u % bw
+
+            n_units = bh * bw
+        count = 0
+        for u in range(n_units):
+            if restart_interval and count == restart_interval:
+                reader.sync_restart()
+                for c in sc:
+                    c["pred"] = 0
+                count = 0
+            try:
+                for c, by, bx in unit_blocks(u):
+                    coef = state[c["id"]][by, bx]
+                    if ah == 0:
+                        t = _decode_huff(reader, huff_dc[c["td"]])
+                        diff = _extend(reader.receive(t), t) if t else 0
+                        c["pred"] += diff
+                        coef[0] = c["pred"] << al
+                    elif reader.read_bit():
+                        coef[0] = int(coef[0]) | (1 << al)
+            except _RestartMarker:
+                raise ValueError(
+                    "invalid JPEG: restart marker inside a unit"
+                ) from None
+            count += 1
+    else:  # AC scan — single component only (G.2)
+        if len(scan) != 1:
+            raise ValueError(
+                "invalid JPEG: progressive AC scan must be non-interleaved"
+            )
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("invalid JPEG: bad spectral band")
+        c0 = sc[0]
+        actbl = huff_ac[c0["ta"]]
+        bh, bw = _comp_block_dims(frame, c0)
+        arr = state[c0["id"]]
+        count = 0
+        for u in range(bh * bw):
+            if restart_interval and count == restart_interval:
+                reader.sync_restart()
+                eobrun[0] = 0
+                count = 0
+            coef = arr[u // bw, u % bw]
+            try:
+                if ah == 0:
+                    _ac_first_block(reader, coef, ss, se, al, actbl, eobrun)
+                else:
+                    _ac_refine_block(reader, coef, ss, se, al, actbl, eobrun)
+            except _RestartMarker:
+                raise ValueError(
+                    "invalid JPEG: restart marker inside a unit"
+                ) from None
+            count += 1
+    return _next_marker(data, reader.pos)
+
+
+def _finish_progressive(frame, state, quant) -> np.ndarray:
+    """All scans consumed: dequantize + IDCT every component's stored
+    coefficients (one einsum per component — no per-block Python loop)
+    and assemble the image like the baseline path."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        coef = state[c["id"]].astype(np.float64)  # (BH, BW, 64) zigzag
+        qzz = quant[c["tq"]].reshape(-1)[ZIGZAG].astype(np.float64)
+        dz = coef * qzz
+        nat = np.zeros_like(dz)
+        nat[:, :, ZIGZAG] = dz
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        out = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C)
+        c["plane"] = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble_image(comps, hmax, vmax, frame["h"], frame["w"])
 
 
 def _decode_block(reader, dc_tbl, ac_tbl, q, comp) -> np.ndarray:
@@ -469,13 +739,18 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.int32)
 
 
+def _block_zz(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8×8 block to zigzag-order int coefficients."""
+    coeff = _C @ block @ _C.T
+    return np.round(coeff.reshape(-1)[ZIGZAG] / q.reshape(-1)[ZIGZAG]).astype(
+        np.int64
+    )
+
+
 def _encode_block(
     writer, block, q, pred, dc_codes, ac_codes
 ) -> int:
-    coeff = _C @ block @ _C.T
-    zz = np.round(coeff.reshape(-1)[ZIGZAG] / q.reshape(-1)[ZIGZAG]).astype(
-        np.int64
-    )
+    zz = _block_zz(block, q)
     diff = int(zz[0]) - pred
     t = int(diff).bit_length() if diff else 0
     code, length = dc_codes[t]
@@ -506,15 +781,219 @@ def _encode_block(
     return int(zz[0])
 
 
+# AC Huffman table for OUR progressive scans: the Annex K baseline AC
+# tables define no EOBn symbols (n > 0), which progressive EOB runs
+# need. A flat canonical table (every symbol 9 bits) covering EOB0-EOB14,
+# ZRL, and all (run, size 1-10) symbols is legal (Kraft: 176/512) and
+# trivially decodable; compression is worse than an optimized table, but
+# the codec's job here is correctness, not rate.
+_PROG_AC_SYMBOLS = sorted(
+    [r << 4 for r in range(15)]            # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7
+
+
+def _sos_segment(comp_specs, ss, se, ah, al) -> bytes:
+    sos = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _emit_eobrun(wtr, ac_codes, run: list, pend_bits: list) -> None:
+    """Flush a pending EOBn run plus the correction bits buffered behind
+    it (refinement scans buffer bits; first scans never do)."""
+    if run[0] > 0:
+        nbits = run[0].bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        wtr.write(code, ln)
+        if nbits:
+            wtr.write(run[0] - (1 << nbits), nbits)
+        run[0] = 0
+    for b in pend_bits:
+        wtr.write(b, 1)
+    pend_bits.clear()
+
+
+def _progressive_scans(
+    coeffs, factors, nc, mcuy, mcux, dcs, acs, h, w
+) -> bytes:
+    """Emit the full progressive scan sequence (SOS headers + entropy
+    data) from per-component zigzag coefficient arrays. Scan script:
+
+      1. DC, interleaved, Ah=0 Al=1       (Huffman-coded shifted diffs)
+      2. DC, interleaved, Ah=1 Al=0       (one raw refinement bit/block)
+      3. per comp: AC Ss=1..5   Ah=0 Al=1 (first: EOB runs + values)
+      4. per comp: AC Ss=6..63  Ah=0 Al=1
+      5. per comp: AC Ss=1..5   Ah=1 Al=0 (refinement: correction bits)
+      6. per comp: AC Ss=6..63  Ah=1 Al=0
+    """
+    out = bytearray()
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    fh, fv = factors[ci]
+                    for byi in range(fv):
+                        for bxi in range(fh):
+                            yield ci, my * fv + byi, mx * fh + bxi
+
+    # --- scan 1: DC first (Al = 1) ------------------------------------
+    out += _sos_segment(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 0, 1
+    )
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for ci, by, bx in mcu_blocks():
+        v0 = int(coeffs[ci][by, bx, 0]) >> 1  # arithmetic point transform
+        diff = v0 - preds[ci]
+        preds[ci] = v0
+        t = int(diff).bit_length() if diff else 0
+        code, ln = dcs[ci][t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.buf
+
+    # --- scan 2: DC refinement (Al = 0, raw bits) ---------------------
+    out += _sos_segment(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 1, 0
+    )
+    wtr = _BitWriter()
+    for ci, by, bx in mcu_blocks():
+        wtr.write(int(coeffs[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    bands = [(1, 5), (6, 63)]
+    hmax = max(fh for fh, _ in factors[:nc])
+    vmax = max(fv for _, fv in factors[:nc])
+
+    def comp_dims(ci):
+        # NON-interleaved scans traverse the component's OWN block grid
+        # (A.2.2) — smaller than the MCU-padded array when dims are not
+        # MCU-aligned; the decoder iterates exactly this
+        fh, fv = factors[ci]
+        ch = -(-(h * fv) // vmax)  # ceil(h*fv/vmax)
+        cw = -(-(w * fh) // hmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # --- AC first scans (Ah = 0, Al = 1) ------------------------------
+    for ss, se in bands:
+        for ci in range(nc):
+            out += _sos_segment([(ci + 1, 0, 2)], ss, se, 0, 1)
+            wtr = _BitWriter()
+            run = [0]
+            bh_c, bw_c = comp_dims(ci)
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    zz = coeffs[ci][by, bx]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        t = (abs(v) >> 1) * (1 if v >= 0 else -1)
+                        if t == 0:
+                            r += 1
+                            continue
+                        _emit_eobrun(wtr, acs[ci], run, [])
+                        while r > 15:
+                            code, ln = acs[ci][0xF0]
+                            wtr.write(code, ln)
+                            r -= 16
+                        s = abs(t).bit_length()
+                        code, ln = acs[ci][(r << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(t if t > 0 else t + (1 << s) - 1, s)
+                        r = 0
+                    if r > 0:
+                        run[0] += 1
+                        if run[0] == 0x7FFF:
+                            _emit_eobrun(wtr, acs[ci], run, [])
+            _emit_eobrun(wtr, acs[ci], run, [])
+            wtr.flush()
+            out += wtr.buf
+
+    # --- AC refinement scans (Ah = 1, Al = 0) -------------------------
+    for ss, se in bands:
+        for ci in range(nc):
+            out += _sos_segment([(ci + 1, 0, 2)], ss, se, 1, 0)
+            wtr = _BitWriter()
+            run = [0]
+            pend: list = []
+            bh_c, bw_c = comp_dims(ci)
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    zz = coeffs[ci][by, bx]
+                    vals = [int(zz[k]) for k in range(ss, se + 1)]
+                    absv = [abs(v) for v in vals]  # Al = 0
+                    hist = [abs(v) >> 1 for v in vals]  # Ah = 1
+                    eobidx = -1
+                    for i, (a, h_) in enumerate(zip(absv, hist)):
+                        if a == 1 and h_ == 0:
+                            eobidx = i
+                    r = 0
+                    br: list = []
+                    for i, v in enumerate(vals):
+                        a = absv[i]
+                        if a == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eobidx:
+                            _emit_eobrun(wtr, acs[ci], run, pend)
+                            code, ln = acs[ci][0xF0]
+                            wtr.write(code, ln)
+                            r -= 16
+                            for b in br:
+                                wtr.write(b, 1)
+                            br = []
+                        if hist[i] != 0:
+                            br.append(a & 1)
+                            continue
+                        _emit_eobrun(wtr, acs[ci], run, pend)
+                        code, ln = acs[ci][(r << 4) | 1]
+                        wtr.write(code, ln)
+                        wtr.write(0 if v < 0 else 1, 1)
+                        for b in br:
+                            wtr.write(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        run[0] += 1
+                        pend.extend(br)
+                        if run[0] == 0x7FFF:
+                            _emit_eobrun(wtr, acs[ci], run, pend)
+            _emit_eobrun(wtr, acs[ci], run, pend)
+            wtr.flush()
+            out += wtr.buf
+    return bytes(out)
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     baseline JFIF JPEG with the Annex K tables. ``subsampling`` is
     "4:4:4" (chroma at full resolution, one block of each component per
     8×8 MCU) or "4:2:0" (chroma box-averaged 2× each way, 16×16 MCUs of
     four Y blocks + one Cb + one Cr — the layout virtually every web
-    JPEG uses, and the decoder's h=v=2 path's round-trip proof)."""
+    JPEG uses, and the decoder's h=v=2 path's round-trip proof).
+
+    ``progressive=True`` (r9) emits SOF2 with the standard scan script
+    shape: interleaved DC first at Al=1 + DC refinement, then per
+    component two spectral bands (1–5, 6–63) each as an Ah=0/Al=1 first
+    scan followed by an Ah=1/Al=0 refinement — exercising EOB runs,
+    ZRL-in-refinement, and correction bits, i.e. every decoder path of
+    ``_decode_progressive_scan``. Coefficients are identical to the
+    baseline encoding (same FDCT/quant), so baseline and progressive
+    encodes of one image decode to the same pixels."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8 or px.ndim not in (2, 3):
         raise ValueError("encode_jpeg needs a uint8 (H,W) or (H,W,3) array")
@@ -555,7 +1034,11 @@ def encode_jpeg(
         sof += struct.pack(
             ">BBB", ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1
         )
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+    )
     tables = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
         (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
@@ -568,16 +1051,10 @@ def encode_jpeg(
     for tid, bits, vals in tables:
         body = bytes([tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([nc])
-    for ci in range(nc):
-        sos += struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x11)
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    writer = _BitWriter()
     if sub:
         # box-average chroma 2x each way (pad odd dims by edge replicate
         # first so the 2x2 boxes are full)
@@ -609,6 +1086,37 @@ def encode_jpeg(
         if pw_c > pw0:
             pp[:, pw0:] = pp[:, pw0 - 1 : pw0]
         padded.append(pp)
+    if progressive:
+        coeffs = []
+        for ci, p in enumerate(padded):
+            fh, fv = factors[ci]
+            q = ql if ci == 0 else qc
+            bh, bw = mcuy * fv, mcux * fh
+            cz = np.empty((bh, bw, 64), dtype=np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    cz[by, bx] = _block_zz(
+                        p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                    )
+            coeffs.append(cz)
+        dcs = [dc_l if ci == 0 else dc_c for ci in range(nc)]
+        # extra DHT: AC class, table id 2 — the EOBn-capable flat table
+        body = bytes([0x12]) + bytes(_PROG_AC_BITS) + bytes(
+            _PROG_AC_SYMBOLS
+        )
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        ac_prog = _build_codes(_PROG_AC_BITS, _PROG_AC_SYMBOLS)
+        out += _progressive_scans(
+            coeffs, factors, nc, mcuy, mcux, dcs, [ac_prog] * nc, h, w
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += struct.pack(">BB", ci + 1, 0x00 if ci == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    writer = _BitWriter()
     preds = [0] * len(planes)
     for my in range(mcuy):
         for mx in range(mcux):

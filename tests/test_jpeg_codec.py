@@ -207,3 +207,111 @@ def test_subsampling_validation():
 
     with pytest.raises(ValueError, match="subsampling"):
         jpeg.encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="4:1:1")
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — r9, VERDICT r8 #2
+# --------------------------------------------------------------------------
+
+
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """The progressive scan script carries the SAME quantized
+    coefficients as the baseline scan, so both encodes of one image must
+    decode to bit-identical pixels — across gray/RGB, odd dimensions,
+    and 4:2:0 subsampling."""
+    rng = np.random.default_rng(7)
+    cases = [
+        ((16, 16), "4:4:4"),
+        ((24, 31, 3), "4:4:4"),
+        ((33, 47, 3), "4:2:0"),
+        ((1, 1), "4:4:4"),
+        ((7, 3, 3), "4:2:0"),
+        ((64, 64, 3), "4:2:0"),
+    ]
+    for shape, sub in cases:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 85, subsampling=sub))
+        p = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, 85, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(b, p), (shape, sub)
+
+
+def test_progressive_sof2_marker_and_multi_scan():
+    px = _gradient(40, 24)
+    data = jpeg.encode_jpeg(px, 90, progressive=True)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 14  # 2 DC + (2 bands x 3 comps) x 2
+    dec = jpeg.decode_jpeg(data)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+
+
+def test_progressive_sparse_spikes_exercise_eob_and_zrl():
+    """Near-black image with isolated bright pixels: AC bands are zero
+    for most blocks (long EOB runs spanning blocks) and sparse within
+    the spiked blocks (ZRL + correction-bit paths in refinement)."""
+    px = np.zeros((64, 64), np.uint8)
+    for i, (y, x) in enumerate([(3, 3), (20, 45), (50, 9), (61, 62)]):
+        px[y, x] = 200 + 10 * i
+    b = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 90))
+    p = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 90, progressive=True))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_through_decode_image_and_phash(spark):
+    """VERDICT r8 #2 'done' criterion: decode_image handles a
+    progressive fixture, and pHash is invariant across baseline vs
+    progressive re-encodes of the same pixels (identical coefficients →
+    identical pixels → identical hash)."""
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        perceptual_hash,
+    )
+
+    base = _structured()
+    rows = [
+        (0, "image", "jpeg", bytearray(jpeg.encode_jpeg(base, 90)), 48, 64, None),
+        (
+            1,
+            "image",
+            "jpeg",
+            bytearray(jpeg.encode_jpeg(base, 90, progressive=True)),
+            48,
+            64,
+            None,
+        ),
+        (
+            2,
+            "image",
+            "jpeg",
+            bytearray(
+                jpeg.encode_jpeg(
+                    base, 85, subsampling="4:2:0", progressive=True
+                )
+            ),
+            48,
+            64,
+            None,
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert got[0] == got[1]  # same coefficients -> identical pixels/hash
+    assert _hamming(got[0], got[2]) <= 6  # lossier re-encode: near-dup radius
+
+
+def test_baseline_rejects_crossed_scan_order():
+    """A baseline SOS listing components out of frame order would cross
+    component data in the MCU loop — must be rejected, not garbled."""
+    px = _gradient(16, 16)
+    data = bytearray(jpeg.encode_jpeg(px, 90))
+    i = data.find(b"\xff\xda")
+    # SOS layout: FFDA len ns (id, tdta)*ns ... — swap comps 1 and 2
+    ns = data[i + 4]
+    assert ns == 3
+    c1 = bytes(data[i + 5 : i + 7])
+    c2 = bytes(data[i + 7 : i + 9])
+    data[i + 5 : i + 7] = c2
+    data[i + 7 : i + 9] = c1
+    with pytest.raises(ValueError, match="scan order"):
+        jpeg.decode_jpeg(bytes(data))

@@ -1519,7 +1519,11 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"souter_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 2 partitions: a stream-stream join carries FOUR state stores per
+    # partition, so per-batch commit cost scales with the partition
+    # count; the replay fixture is tiny and the aggregate output is
+    # partitioning-independent (r9 floor shave, rows verified equal)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.format("memory")
@@ -1639,7 +1643,11 @@ def q_streaming_full_outer_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"sfo_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 2 partitions: a stream-stream join carries FOUR state stores per
+    # partition, so per-batch commit cost scales with the partition
+    # count; the replay fixture is tiny and the aggregate output is
+    # partitioning-independent (r9 floor shave, rows verified equal)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.format("memory")

@@ -13,9 +13,39 @@ group keys are deterministic across environments.
 
 from __future__ import annotations
 
+import importlib.util
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+
+def _ensure_vendored_protobuf() -> None:
+    """Make the vendored mini protobuf runtime importable (VERDICT r8
+    #7): transformWithStateInPandas needs ``google.protobuf`` at stream
+    start, the container ships none, and installs are not possible.
+    sys.path covers the driver process; PYTHONPATH must ALSO be set
+    before the JVM launches so the python workers and the driver-side
+    transformWithState worker (separate processes spawned by the JVM)
+    inherit it. No-op when a real protobuf is installed."""
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return
+    except ModuleNotFoundError:
+        pass  # no 'google' namespace at all — vendor it below
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+    )
+    if not os.path.isdir(os.path.join(vendor, "google", "protobuf")):
+        return
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + existing if existing else "")
+        )
 
 
 def _default_parallelism() -> int:
@@ -34,6 +64,7 @@ def get_spark(
     the cluster manager decide; locally we default to ``local[N]`` with N
     from ``$SPARK_GRAFT_CPUS``.
     """
+    _ensure_vendored_protobuf()
     cpus = _default_parallelism()
     if master is None:
         master = f"local[{cpus}]"

@@ -211,18 +211,35 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
 def test_transform_with_state_accumulates(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (the Spark 4 stateful API) accumulates
     per-key totals across micro-batches to the batch ground truth, same
-    contract as the applyInPandasWithState operator."""
+    contract as the applyInPandasWithState operator.
+
+    Runs UNSKIPPED since r9: the vendored mini protobuf runtime
+    (vendor/google/protobuf) satisfies the state-server protocol, and
+    the query runs on the RocksDB provider (transformWithState uses
+    multiple column families, which the HDFS-backed provider rejects).
+    """
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="transformWithState needs protobuf for its state protocol",
     )
     from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        rocksdb_state_conf,
         running_totals_transform_with_state,
     )
 
     ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
     totals = running_totals_transform_with_state(stream)
-    _run_to_memory("tws_sink", totals, output_mode="update")
+    before = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        _run_to_memory("tws_sink", totals, output_mode="update")
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     sink = spark.table("tws_sink")
     final = (
         sink.groupBy("user_id")

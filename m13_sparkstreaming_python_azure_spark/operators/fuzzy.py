@@ -106,8 +106,16 @@ def fuzzy_pairs(
         # ALSO in the join predicate: a hash collision across blocks must
         # not pair rows from different blocks
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # merge-join hint (r9 — caught by the @100× audit): both sides of
+    # this self-join are the corpus-sized variant table, but the
+    # checkpointed relation's size estimate can look broadcastable, and
+    # at 100× names the planner's broadcast pick OOMs the driver (and a
+    # shuffled-hash build exhausts executor memory under full task
+    # concurrency). A corpus-scaled self-join must neither depend on a
+    # size estimate nor on an in-memory build: sort-merge on the 8-byte
+    # key spills gracefully at any scale.
     return (
-        a.join(b, cond)
+        a.join(b.hint("merge"), cond)
         .filter(F.col("a.__k") < F.col("b.__k"))
         .select(
             F.col("a.__k").alias("key_a"),

@@ -564,16 +564,19 @@ def build_scaled_fixture(spark, sf_dir: str, replicas: int = 10) -> str:
 
 
 def _replicate(df, id_col: str, n: int, id_stride: int):
+    # explode-based (r9): a 100× replication as a union chain would
+    # bloat the plan 100 deep; one sequence+explode scales to any n
     from pyspark.sql import functions as F
 
-    parts = [
-        df.withColumn(id_col, F.col(id_col) + F.lit(i * id_stride))
-        for i in range(n)
-    ]
-    r = parts[0]
-    for p in parts[1:]:
-        r = r.unionByName(p)
-    return r
+    return (
+        df.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .withColumn(
+            id_col, F.col(id_col) + F.col("__r").cast("long") * id_stride
+        )
+        .drop("__r")
+    )
 
 
 def window_bound_audit(
@@ -651,13 +654,16 @@ def window_bound_audit(
     return failures
 
 
-def candidate_growth_audit(spark, sf_dir: str, lines: list) -> int:
-    """VERDICT r7 #1: prove the entity-resolution candidate generators
-    grow ~linearly. The 10× name corpus is built by suffix-perturbed
-    replication (replicas of the same base name sit within edit distance
-    2 of each other but not of unrelated names), so a linear generator
-    lands near 10–15× candidates while the old (nation, segment)
-    key-block join would land near 100×. Asserted bound: ≤ 20×."""
+def candidate_growth_audit(
+    spark, sf_dir: str, lines: list, replicas: int = 10, bound: float = 20.0
+) -> int:
+    """VERDICT r7 #1 (extended to 100× by r8 #4): prove the entity-
+    resolution candidate generators grow ~linearly. The scaled name
+    corpus is built by suffix-perturbed replication (replicas of the
+    same base name sit within edit distance 2 of each other but not of
+    unrelated names), so a linear generator lands near ~1.5×replicas
+    candidates while a key-block join would land near replicas². The
+    asserted bound is ``bound`` (2×replicas by default)."""
     from pyspark.sql import functions as F
 
     from m13_sparkstreaming_python_azure_spark.catalog import load_table
@@ -672,12 +678,30 @@ def candidate_growth_audit(spark, sf_dir: str, lines: list) -> int:
     names = load_table(spark, sf_dir, "customer").select(
         F.col("c_name").alias("name")
     )
-    scaled_names = names
-    for i in range(1, 10):
-        scaled_names = scaled_names.unionByName(
-            names.select(F.concat("name", F.lit(f" r{i}")).alias("name"))
+    # replica suffixes must be PAIRWISE-FAR (md5-derived 4-char tags):
+    # numeric suffixes like " r1".." r99" sit within edit distance 2 of
+    # each other, which makes the TRUE pair set itself quadratic in the
+    # replica count and would mis-measure the generator (r9: surfaced by
+    # the 100× run — ×319 "growth" that was entirely fixture artifact)
+    scaled_names = (
+        names.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
         )
-    lines.append("### Candidate-generator growth (VERDICT r7 #1)")
+        .select(
+            F.when(F.col("__r") == 0, F.col("name"))
+            .otherwise(
+                F.concat(
+                    "name",
+                    F.lit(" "),
+                    F.substring(F.md5(F.col("__r").cast("string")), 1, 4),
+                )
+            )
+            .alias("name")
+        )
+    )
+    lines.append(
+        f"### Candidate-generator growth @{replicas}× (VERDICT r7 #1 / r8 #4)"
+    )
     lines.append("")
     for label, gen in (
         (
@@ -692,17 +716,124 @@ def candidate_growth_audit(spark, sf_dir: str, lines: list) -> int:
         ),
     ):
         n1 = gen(names)
-        n10 = gen(scaled_names)
-        ratio = n10 / max(n1, 1)
-        ok = ratio <= 20
+        n_s = gen(scaled_names)
+        ratio = n_s / max(n1, 1)
+        ok = ratio <= bound
         verdict = "OK — ~linear" if ok else "FAIL — super-linear"
         lines.append(
-            f"- {label}: {n1} candidates @1× → {n10} @10× names "
-            f"(×{ratio:.1f}) — {verdict}"
+            f"- {label}: {n1} candidates @1× → {n_s} @{replicas}× names "
+            f"(×{ratio:.1f}, bound ×{bound:g}) — {verdict}"
         )
-        print(f"{'OK  ' if ok else 'FAIL'} candidate-growth {label}: ×{ratio:.1f}")
+        print(
+            f"{'OK  ' if ok else 'FAIL'} candidate-growth @{replicas}x "
+            f"{label}: ×{ratio:.1f}"
+        )
         failures += 0 if ok else 1
     lines.append("")
+    return failures
+
+
+# VERDICT r8 #4: the top-10 most expensive NON-streaming queries by
+# BENCH_FULL median, re-asserted at 100× replication (sf0.01 × 100 ≈
+# sf1). Streaming replay gates are excluded by design: their cost is
+# micro-batch machinery (fixed per gate), their returned DataFrame is a
+# memory-sink aggregate — not the scan/join plan the audit reads — and
+# their state-store shapes are covered by the streaming suites.
+SCALE100_QUERIES = [
+    "entity_clusters",
+    "lsh_recall_eval",
+    "hits_scores",
+    "bm25_prf_search",
+    "supplier_pagerank",
+    "fuzzy_decontamination",
+    "containment_pairs",
+    "k_core_customers",
+    "ppjoin_pairs",
+    "retrieval_eval",
+]
+
+
+def scale100_audit(spark, qs, sf_dir: str, lines: list) -> int:
+    """Re-assert join-strategy, cartesian, and unpartitioned-window
+    invariants against a 100×-replicated fixture for SCALE100_QUERIES.
+    Window inputs are measured at BOTH sizes here (the 1× measurement in
+    main() only covers whitelist entries); bound: ≤ 5× + 5000 rows (the
+    doc-replication suffixes grow vocab-keyed sets slightly — anything
+    near ×100 is a real scaling defect)."""
+    import time
+
+    failures = 0
+    lines.append("## Scale audit @100× — top-10 most expensive non-streaming queries (VERDICT r8 #4)")
+    lines.append("")
+    lines.append(
+        "Fixture: sf0.01 replicated ×100 (≈ sf1) with perturbed ids/text. "
+        "Invariants: same join strategies (no broadcast→cartesian flips), "
+        "no unlisted CartesianProduct/BNLJ, unpartitioned-window inputs "
+        "bounded (≤ 5× + 5000 vs 1×)."
+    )
+    lines.append("")
+    scaled_dir = build_scaled_fixture(spark, sf_dir, replicas=100)
+    lines.append("| query | wall s @100× | joins @100× | unpartitioned-window rows 1×→100× | verdict |")
+    lines.append("|---|---|---|---|---|")
+    for name in SCALE100_QUERIES:
+        if name not in qs:
+            continue
+        try:
+            df1 = qs[name](spark, sf_dir)
+            df1._jdf.queryExecution().executedPlan().execute().count()
+            base = unpartitioned_window_inputs(df1)
+            df = qs[name](spark, scaled_dir)
+            t0 = time.time()
+            df._jdf.queryExecution().executedPlan().execute().count()
+            wall = time.time() - t0
+            problems, plan = audit_one(name, df)
+            scaled = unpartitioned_window_inputs(df)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name} @100x: {e}")
+            lines.append(f"| {name} | ERROR | {e} | — | FAIL |")
+            failures += 1
+            continue
+        joins = sorted(
+            set(
+                re.findall(
+                    r"(\w*(?:HashJoin|NestedLoopJoin|SortMergeJoin|CartesianProduct)\w*)",
+                    plan,
+                )
+            )
+        )
+        n = max(len(base), len(scaled))
+        pairs = list(
+            zip(
+                base + [-1] * (n - len(base)),
+                scaled + [-1] * (n - len(scaled)),
+            )
+        )
+        grew = [
+            (b, s) for b, s in pairs if b >= 0 and s >= 0 and s > 5 * b + 5000
+        ]
+        wverdict = "OK"
+        if len(base) != len(scaled):
+            wverdict = (
+                f"window count drift ({len(base)}→{len(scaled)})"
+            )
+            problems = problems + [wverdict]
+        elif grew:
+            wverdict = f"GROWS {grew}"
+            problems = problems + [wverdict]
+        status = "OK" if not problems else "FAIL: " + "; ".join(problems)
+        lines.append(
+            f"| {name} | {wall:.1f} | {', '.join(joins) or '-'} | "
+            f"{base}→{scaled} | {status} |"
+        )
+        print(
+            f"{'OK  ' if not problems else 'FAIL'} {name} @100x: "
+            f"{wall:.1f}s windows {base}->{scaled}"
+        )
+        failures += bool(problems)
+    lines.append("")
+    failures += candidate_growth_audit(
+        spark, sf_dir, lines, replicas=100, bound=150.0
+    )
     return failures
 
 
@@ -796,6 +927,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
             spark, qs, sf_dir, scaled_dir, base_window_inputs, lines
         )
         failures += candidate_growth_audit(spark, sf_dir, lines)
+        if "--no-100x" not in flags:
+            failures += scale100_audit(spark, qs, sf_dir, lines)
         lines.append("### Skew handling (VERDICT r6 #7)")
         lines.append("")
         failures += skew_audit(spark, lines)

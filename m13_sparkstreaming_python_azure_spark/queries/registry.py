@@ -161,78 +161,72 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # r8 rotation (VERDICT r7 #2): the 31 names with no driver
-    # CORRECTNESS row across r1–r7 — the 13 round-7 gates plus the 18
-    # pre-r7 names the r6/r7 judges verified in bare sessions. After
-    # this round EVERY registry query has ≥1 driver row. 29 are hash
-    # gates; minhash_dedup_pairs and theta_sketch_audiences are the two
-    # documented rows-only members (sketch internals aren't
-    # SQL-expressible — property/parity tests cover them).
-    "boolean_retrieval",
-    "c4_line_filters",
-    "cohort_retention",
-    "data_quality_suite",
-    "dp_group_counts",
-    "event_funnel",
-    "generated_columns",
-    "gopher_quality_rules",
-    "grouping_sets_orders",
-    "json_functions",
-    "k_truss",
-    "kendall_tau",
-    "map_functions",
-    "markov_transitions",
-    "merge_orders_upsert",
-    "min_cost_supplier",
-    "minhash_dedup_pairs",
-    "negative_sampling",
-    "null_semantics",
-    "rolling_revenue_7d",
-    "schema_evolution",
-    "ship_priority_delay",
-    "streaming_table_feed",
-    "string_functions",
-    "table_changes_feed",
-    "theta_sketch_audiences",
-    "trailing_distinct_users",
-    "triangle_clustering",
-    "url_canonicalize",
-    "variant_functions",
-    "winnowing_fingerprints",
-    # queries whose code CHANGED this round (re-verify under the driver)
-    "entity_clusters",          # symmetric-delete candidates (VERDICT r7 #1)
-    "record_linkage",           # sorted-neighborhood candidates (r7 #1)
-    "sorted_neighborhood_pairs",  # rebuilt on global_rank equi-join
-    "rfm_segments",             # exact_ntile refactored onto global_rank
-    "price_decile_stats",       # same refactor
+    # r9 rotation: every query whose code or GATE FORM changed this
+    # round leads the prefix so the driver re-verifies it. The 13
+    # rows-only→hash conversions (VERDICT r8 #3) — derived-invariant
+    # gates + portable-hash-family full-pipeline oracles:
+    "minhash_dedup_pairs",      # md5 family, full LSH replication
+    "simhash_pairs",            # md5 bit family, full replication
+    "ann_lsh",                  # rademacher-md5 planes, full replication
+    "embedding_similar_pairs",  # same plane family, self-join form
+    "daily_event_stats_approx",  # exact stats + HLL-within-tol flag
+    "distinct_users_sketch_rollup",
+    "value_percentiles_approx",  # GK rank-guarantee flags
+    "kll_quantiles",
+    "theta_sketch_audiences",    # exact set algebra + est flags
+    "udaf_weighted_stats",       # integer-grid UDAF, bit-equal
+    "stable_row_ids",            # density invariant
+    "fingerprints",              # fp-group structure
+    "stratified_sample",         # md5-uniform selection
+    # operator changes this round (re-verify under the driver)
+    "skyline_orders",            # grid-prune pre-pass (r8 #1)
+    "jaro_winkler_pairs",        # numpy-vectorized kernel (r8 #5)
+    "record_linkage",
+    "entity_clusters",           # + sort-merge hint from the 100× audit
+    "fuzzy_name_pairs",
+    "fuzzy_decontamination",
+    "streaming_outer_join",      # 2-partition replay width (r8 #6)
+    "streaming_full_outer_dedup",
+    "streaming_minhash_dedup",   # 8-partition foreachBatch width
+    "snapshot_commit_group",     # txgroup livelock fix (ADVICE r8)
+    "partition_evolution",       # spec_prune_report conservatism
     # subsystem regression anchors
-    "streaming_daily_stats",    # reference-shape streaming gate
-    "cdc_apply",                # CDC/merge layer
-    # new round-8 gates land here (newest-first below this line)
-    "partition_evolution",
+    "streaming_daily_stats",     # reference-shape streaming gate
+    "cdc_apply",                 # CDC/merge layer
+    "daily_event_stats",
+    "best_day_top10",
+    "topk_orders",
+    "window_lag_lead",
+    "session_windows",
+    "trailing_distinct_users",
     "streaming_holt_level",
     "exact_substring_dedup",
     "bucketed_colocated_join",
     "matryoshka_recall",
     "salted_join_revenue",
-    "snapshot_commit_group",
-    "daily_event_stats",
-    "topk_orders",
-    "window_lag_lead",
-    "session_windows",
+    "grouping_sets_orders",
+    "json_functions",
+    "string_functions",
+    "merge_orders_upsert",
+    "schema_evolution",
+    "streaming_table_feed",
+    "table_changes_feed",
+    "k_truss",
+    "triangle_clustering",
+    "winnowing_fingerprints",
+    "price_decile_stats",
+    "rfm_segments",
 ]
-_ROWS_ONLY_HEAD_R8 = {
-    # final two never-driver-checked rows-only names (VERDICT r7 #2)
-    "minhash_dedup_pairs",
-    "theta_sketch_audiences",
-}
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
 assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
 assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"
-assert set(_PRIORITY_50) - _ROWS_ONLY_HEAD_R8 <= set(ORACLES), (
+# r9: the prefix is 100% hash-gated — the two rows-only exceptions the
+# r8 head carried (minhash_dedup_pairs, theta_sketch_audiences) became
+# hash gates in this round's conversions
+assert set(_PRIORITY_50) <= set(ORACLES), (
     "rows-only query in the driver-checked prefix: "
-    f"{sorted(set(_PRIORITY_50) - _ROWS_ONLY_HEAD_R8 - set(ORACLES))}"
+    f"{sorted(set(_PRIORITY_50) - set(ORACLES))}"
 )
 
 QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY_50}

@@ -38,6 +38,10 @@ from m13_sparkstreaming_python_azure_spark.queries.round8_ext import (
     R8_ORACLES,
     R8_QUERIES,
 )
+from m13_sparkstreaming_python_azure_spark.queries.round9_ext import (
+    R9_ORACLES,
+    R9_QUERIES,
+)
 from m13_sparkstreaming_python_azure_spark.queries.science_ext import (
     SCIENCE_ORACLES,
     SCIENCE_QUERIES,
@@ -123,6 +127,7 @@ _ALL_QUERIES = {
     **R6_QUERIES,
     **R7_QUERIES,
     **R8_QUERIES,
+    **R9_QUERIES,
 }
 # append-mode window gates whose final windows emit ONLY on the trailing
 # no-data watermark-advance batch (their replay scripts end on real data,
@@ -148,6 +153,7 @@ ORACLES = {
     **R6_ORACLES,
     **R7_ORACLES,
     **R8_ORACLES,
+    **R9_ORACLES,
 }
 
 # Registry ORDER is part of the external contract: the driver checks only
@@ -215,7 +221,8 @@ _head = [
     "triangle_clustering",
     "winnowing_fingerprints",
     "price_decile_stats",
-    "rfm_segments",
+    # new r9 gate: transformWithState under the driver gate
+    "streaming_transform_with_state",
 ]
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

@@ -46,6 +46,23 @@ def _ensure_vendored_protobuf() -> None:
         os.environ["PYTHONPATH"] = (
             vendor + (os.pathsep + existing if existing else "")
         )
+    # If a SparkContext ALREADY exists (e.g. the driver gate's bare
+    # session, created before this ran), the JVM env is frozen — but
+    # python workers take their env from ``sc.environment``, captured
+    # per python-function at DEFINITION time, so patching it here still
+    # reaches workers spawned for functions defined after this call.
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None and sc.environment is not None:
+            cur = sc.environment.get("PYTHONPATH", "")
+            if vendor not in cur.split(os.pathsep):
+                sc.environment["PYTHONPATH"] = (
+                    vendor + (os.pathsep + cur if cur else "")
+                )
+    except Exception:  # noqa: BLE001 - best effort; driver path already set
+        pass
 
 
 def _default_parallelism() -> int:

@@ -254,6 +254,122 @@ def test_transform_with_state_accumulates(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_transform_with_state_list_and_map_state(spark, sf_dir, tmp_path):
+    """transformWithState LIST + MAP named-state variables across
+    micro-batches — exercises the state-server protocol paths the
+    value-state test doesn't (AppendList, ListStateGet iteration,
+    MapState updateValue/getValue/iterator with KeyAndValuePair
+    responses), all through the vendored mini protobuf runtime."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf for its state protocol",
+    )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from m13_sparkstreaming_python_azure_spark.streaming.stateful import (
+        rocksdb_state_conf,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_ids_seen", LongType()),
+            StructField("n_types", LongType()),
+            StructField("sum_type_counts", LongType()),
+        ]
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ids = handle.getListState("ids", "event_id BIGINT")
+            self._by_type = handle.getMapState(
+                "by_type", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            for pdf in rows:
+                self._ids.appendList(
+                    [(int(v),) for v in pdf["event_id"]]
+                )
+                for t, n in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._by_type.getValue((t,))
+                        if self._by_type.containsKey((t,))
+                        else None
+                    )
+                    self._by_type.updateValue(
+                        (t,), (int(n) + (prev[0] if prev else 0),)
+                    )
+            n_ids = sum(1 for _ in self._ids.get())
+            pairs = list(self._by_type.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_ids_seen": [n_ids],
+                    "n_types": [len(pairs)],
+                    "sum_type_counts": [sum(v[0] for _k, v in pairs)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev, batch, stream = _replayed_stream(spark, sf_dir, tmp_path, max_files=1)
+    profiled = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Profile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    before = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    try:
+        _run_to_memory("tws_lm_sink", profiled, output_mode="update")
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    final = (
+        spark.table("tws_lm_sink")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_ids_seen").alias("n_ids_seen"),
+            F.max("n_types").alias("n_types"),
+            F.max("sum_type_counts").alias("sum_type_counts"),
+        )
+        .collect()
+    )
+    want = {
+        r["user_id"]: (r["n"], r["nt"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_ids_seen"], r["n_types"], r["sum_type_counts"])
+        for r in final
+    }
+    assert got.keys() == want.keys()
+    for u, (n, nt) in want.items():
+        assert got[u] == (n, nt, n), u
+
+
 def test_foreach_batch_merge_upsert_sink(spark, sf_dir, tmp_path):
     """Streaming CDC apply: update-mode aggregate emissions merged into a
     keyed parquet target per micro-batch; the final target equals the

@@ -75,8 +75,8 @@ def sorted_neighborhood(
 
     100 TB shape: NO unpartitioned window and NO self-join on a blocking
     key. The total order comes from ``operators/window.global_rank``
-    (range-repartition + exchange-reused partition stats + broadcast
-    offsets — one range shuffle, never a single-partition sort); the
+    (data-derived quantile buckets + per-bucket row_number + broadcast
+    offsets — one hash shuffle, never a single-partition sort); the
     neighbor pairing is then an EQUI-JOIN on the dense integer rank
     (probe side explodes rank+1 … rank+window), which hashes perfectly
     evenly — a unique join key per row, no skew possible.

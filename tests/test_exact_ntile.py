@@ -83,10 +83,12 @@ def test_exact_ntile_plans_no_unpartitioned_window(spark):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert unpartitioned_windows(plan) == 0
-    # v2 has NO window at all: local rank comes from monotonically
-    # increasing ids within sorted range partitions
-    assert not re.search(r"\(\d+\) Window\n", plan)
-    assert "REPARTITION_BY_NUM" in plan or "rangepartitioning" in plan
+    # v3 (r10): local rank is a Window PARTITIONED by the data-derived
+    # quantile bucket — present, bounded, never unpartitioned — and no
+    # range exchange exists anywhere (a range exchange re-samples its
+    # boundaries per branch evaluation, the nondeterminism v3 removed)
+    assert re.search(r"Window", plan)
+    assert "rangepartitioning" not in plan
 
 
 def test_exact_ntile_heavy_duplicate_keys(spark):

@@ -104,18 +104,25 @@ EXPECT_BROADCAST = {
 #       results, per-query ranks).
 UNPARTITIONED_WINDOW_OK = {
     # (a) distinct-value / reduced keyspaces
-    "roc_auc": "cum window over DISTINCT score cents",
-    "ks_test": "cum CDFs over distinct metric values",
-    "psi_drift": "rank over distinct baseline values -> bins",
-    "kruskal_wallis": "cumulative window over pooled DISTINCT value"
-    " cents (r8: dr built at the value grain, rows never enter it)",
+    # roc_auc / ks_test / kruskal_wallis / auc_by_segment left the
+    # whitelist in r10 (VERDICT r9 #1): their "bounded DISTINCT value"
+    # claims were fixture artifacts — on continuous scores distinct ≈ n
+    # — so their cumulative CDFs/rank sums were rebuilt on operators/
+    # window.global_cumsum (distributed quantile-bucket running sums);
+    # their plans now contain ZERO unpartitioned windows, measured flat
+    # on the continuous-score probe below.
+    "psi_drift": "windows over fixed-width n_chars bins, hard-capped at"
+    " _PSI_MAX_BIN+1 cells by least() BEFORE the groupBy — bin count is"
+    " input-independent (verified by the continuous probe)",
     "mann_kendall_sen": "ranks over daily series (bounded by days)",
     "kaplan_meier": "event-table window over distinct durations",
     "log_rank_test": "event-table window over distinct durations",
     "woe_iv": "window over category x class contingency cells",
     "chi_square_independence": "contingency-cell windows",
     "mutual_information": "contingency-cell windows",
-    "ece_calibration": "windows over fixed calibration bins",
+    "ece_calibration": "ONE window over the <= 10 calibration bins"
+    " (bin = millis//100, millis in [0,999] by construction); the"
+    " distinct-score cumsum moved to global_cumsum in r10",
     "ccf_lag": "daily-series windows (bounded by days)",
     "acf_daily_events": "daily-series windows (bounded by days)",
     "seasonal_decompose": "daily-series windows (bounded by days)",
@@ -654,6 +661,114 @@ def window_bound_audit(
     return failures
 
 
+# Queries whose window-boundedness claim historically leaned on a VALUE
+# domain ("distinct score cents") rather than a structural cap. The
+# standard scaled fixture replicates rows with IDENTICAL values, so its
+# measured bounds can't distinguish "bounded keyspace" from "saturated
+# fixture domain" (VERDICT r9 #1 — roc_auc measured flat at 10× only
+# because the price grid saturates). The continuous probe rebuilds the
+# score columns as UNIQUE-per-row (distinct = n) and re-measures: a
+# query is scale-safe only if its unpartitioned-window inputs stay flat
+# even then.
+CONTINUOUS_SCORE_QUERIES = [
+    "roc_auc",
+    "ks_test",
+    "ece_calibration",
+    "auc_by_segment",
+    "kruskal_wallis",
+    "psi_drift",
+]
+
+
+def build_continuous_fixture(spark, sf_dir: str, replicas: int = 1) -> str:
+    """Fixture where every probed score domain is CONTINUOUS: after
+    replication, o_totalprice/c_acctbal/n_chars are derived from the
+    (perturbed) primary key, so distinct score values == row count."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+
+    out = tempfile.mkdtemp(prefix="plan-audit-cont-")
+    orders = _replicate(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", replicas,
+        10_000_000,
+    ).withColumn("o_totalprice", F.col("o_orderkey") * F.lit(0.01))
+    customer = _replicate(
+        load_table(spark, sf_dir, "customer"), "c_custkey", replicas,
+        1_000_000,
+    ).withColumn("c_acctbal", F.col("c_custkey") * F.lit(0.01))
+    documents = _replicate(
+        load_table(spark, sf_dir, "documents"), "doc_id", replicas,
+        1_000_000,
+    ).withColumn("n_chars", F.col("doc_id").cast("int"))
+    for t, df in (
+        ("orders", orders),
+        ("customer", customer),
+        ("documents", documents),
+    ):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def continuous_probe_audit(spark, qs, sf_dir: str, lines: list) -> int:
+    """VERDICT r9 #1 (second half): test the distinct-value boundedness
+    claims where the value domain does NOT saturate. Every query in
+    CONTINUOUS_SCORE_QUERIES runs on the continuous fixture at 1× and
+    10×; any unpartitioned-window input growing >3×+1000 rows FAILS —
+    no GROWS-with-selection escape hatch here, because a window over a
+    continuous score domain has no documented ceiling."""
+    failures = 0
+    lines.append(
+        "### Continuous-score probe (VERDICT r9 #1 — distinct = n)"
+    )
+    lines.append("")
+    lines.append(
+        "Scores rebuilt UNIQUE-per-row (distinct values == rows), so a "
+        "window whose 1×→10× bound relied on a saturated value grid has "
+        "nowhere to hide."
+    )
+    lines.append("")
+    lines.append("| query | rows into window @1× | @10× | verdict |")
+    lines.append("|---|---|---|---|")
+    dir1 = build_continuous_fixture(spark, sf_dir, 1)
+    dir10 = build_continuous_fixture(spark, sf_dir, 10)
+    for name in CONTINUOUS_SCORE_QUERIES:
+        if name not in qs:
+            continue
+        try:
+            d1 = qs[name](spark, dir1)
+            d1._jdf.queryExecution().executedPlan().execute().count()
+            w1 = unpartitioned_window_inputs(d1)
+            d10 = qs[name](spark, dir10)
+            d10._jdf.queryExecution().executedPlan().execute().count()
+            w10 = unpartitioned_window_inputs(d10)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR continuous-probe {name}: {e}")
+            lines.append(f"| {name} | ERROR {e} | | FAIL |")
+            failures += 1
+            continue
+        if len(w1) != len(w10):
+            verdict = (
+                f"FAIL — window count drifted ({len(w1)} vs {len(w10)})"
+            )
+            failures += 1
+        elif any(
+            b >= 0 and s >= 0 and s > 3 * b + 1000
+            for b, s in zip(w1, w10)
+        ):
+            verdict = "FAIL — window input grows with continuous scores"
+            failures += 1
+        else:
+            verdict = "OK — flat under distinct=n"
+        lines.append(f"| {name} | {w1} | {w10} | {verdict} |")
+        tag = "OK  " if "FAIL" not in verdict else "FAIL"
+        print(f"{tag} continuous-probe {name}: {w1} -> {w10}")
+    lines.append("")
+    return failures
+
+
 def candidate_growth_audit(
     spark, sf_dir: str, lines: list, replicas: int = 10, bound: float = 20.0
 ) -> int:
@@ -926,6 +1041,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
         failures += window_bound_audit(
             spark, qs, sf_dir, scaled_dir, base_window_inputs, lines
         )
+        failures += continuous_probe_audit(spark, qs, sf_dir, lines)
         failures += candidate_growth_audit(spark, sf_dir, lines)
         if "--no-100x" not in flags:
             failures += scale100_audit(spark, qs, sf_dir, lines)

@@ -43,4 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    d = dict(ORACLES)
+    # The real-codec multimodal oracles are generated LAZILY here (a live
+    # scalar reference recomputation over ~300 images, a few seconds) so
+    # importing the queries package stays fast for bench/tests.
+    from m13_sparkstreaming_python_azure_spark.queries.llm import (
+        multimodal_oracle_values,
+    )
+
+    d.update(multimodal_oracle_values())
+    return d

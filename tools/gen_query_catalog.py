@@ -12,7 +12,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from m13_sparkstreaming_python_azure_spark.queries import ORACLES, QUERIES
+import __spark_entry__ as entrymod
+from m13_sparkstreaming_python_azure_spark.queries import QUERIES
+
+# the driver-facing oracle set (includes the lazily-generated real-codec
+# multimodal VALUES oracles, which never live in the import-time ORACLES)
+ORACLES = entrymod.oracle_sql()
 
 MODULE_TITLES = {
     "core": "Core relational + streaming gate (reference surface and GAP rows)",

@@ -103,6 +103,92 @@ def brute_force_topk(
     )
 
 
+def brute_force_l2_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact SQUARED-L2 top-k per query — the baseline the PQ/IVF-PQ
+    rerankers are measured against (they rank by the same rounded
+    squared distance). Sequential-fold sum + round 6, mirrored by the
+    DuckDB oracle's list_sum(list_transform(...)) so both engines rank
+    identical snapped values."""
+    b = spread(base).select(
+        F.col(base_id).alias("neighbor_id"),
+        _as_double(F.col(base_vec)).alias("__bv"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("__bv"), F.col("__qv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .withColumn("l2_dist", F.round(l2, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
+def ann_recall_summary(
+    exact: DataFrame,
+    ann: DataFrame,
+    metric_col: str,
+    best_is_max: bool,
+    floor_pct: int,
+) -> DataFrame:
+    """Derived-invariant gate shape for ANN queries (VERDICT r9 #4):
+    rows-only ANN top-k lists become hash-gateable by returning, per
+    query, (a) EXACT-top-k summaries a SQL oracle can replay — count,
+    neighbor-id sum, and the k-th (worst) metric value — and (b) the
+    in-gate recall invariant ``recall_ok``: total ANN∩exact hits across
+    all queries ≥ floor_pct% of the exact total. The oracle pins the
+    invariant by emitting literal TRUE, so a recall regression
+    hash-mismatches the driver gate instead of hiding behind a
+    rows-only row count. The k-means codebooks stay un-replayed (not
+    SQL-expressible) — the invariant gates their OUTPUT quality."""
+    kth = (F.min if best_is_max else F.max)(metric_col).alias(
+        f"kth_{metric_col}"
+    )
+    summary = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("neighbor_id").alias("sum_exact_ids"),
+        kth,
+    )
+    totals = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("__n_exact_tot")))
+        )
+        .select(
+            (
+                F.col("__hits") * 100
+                >= F.lit(floor_pct) * F.col("__n_exact_tot")
+            ).alias("recall_ok")
+        )
+    )
+    return summary.crossJoin(F.broadcast(totals))
+
+
 def random_hyperplanes(
     dim: int, bits: int, tables: int, seed: int = 42
 ) -> list[list[list[float]]]:

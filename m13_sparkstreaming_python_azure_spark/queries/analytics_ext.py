@@ -820,23 +820,78 @@ def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pca_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-component PCA projection of every embedding (operators/pca
-    .pca_project — broadcast matmul per Arrow batch): (vec_id, label,
-    pc1, pc2), 1e-6-snapped. Rows-only gate; projection-variance and
-    centering invariants pinned in tests."""
+    .pca_project — broadcast matmul per Arrow batch). HASH gate since
+    r10 (VERDICT r9 #4) via projection INVARIANTS: per row the
+    oracle-replayable raw squared norm anchors row identity, and the
+    in-gate flags — Bessel (pc1²+pc2² ≤ ‖x−mean‖²+1e-9, per row),
+    component orthonormality (Gram ≈ I within 1e-9), projection
+    centering (|avg pc| ≤ 1e-6), and variance ordering (Σpc1² ≥ Σpc2²)
+    — are pinned TRUE by the oracle, so a broken eigh/projection
+    mismatches the driver hash. Only eigh itself stays un-replayed
+    (numpy parity pinned in tests/test_pca.py)."""
+    import numpy as np
+
     from m13_sparkstreaming_python_azure_spark.operators.pca import (
         pca_fit,
         pca_project,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=2)
-    proj = pca_project(emb, "embedding", model)
-    snap = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    return proj.select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
-        snap(F.element_at("proj", 1)).alias("pc1"),
-        snap(F.element_at("proj", 2)).alias("pc2"),
+        F.col("embedding").cast("array<double>").alias("x"),
+    )
+    model = pca_fit(emb, "x", k=2)
+    proj = pca_project(emb, "x", model)
+    gram = model.components @ model.components.T
+    gram_ok = bool(np.abs(gram - np.eye(len(gram))).max() <= 1e-9)
+    mean_arr = F.array(*[F.lit(float(v)) for v in model.mean])
+    joined = proj.join(emb.select("vec_id", "x"), "vec_id")
+    norm2 = (
+        F.floor(
+            F.aggregate(
+                F.col("x"), F.lit(0.0), lambda acc, v: acc + v * v
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    cnorm2 = F.aggregate(
+        F.zip_with(F.col("x"), mean_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rows = joined.select(
+        "vec_id",
+        "label",
+        norm2.alias("norm2"),
+        F.element_at("proj", 1).alias("__p1"),
+        F.element_at("proj", 2).alias("__p2"),
+        cnorm2.alias("__c2"),
+    )
+    flags = rows.agg(
+        F.avg("__p1").alias("__m1"),
+        F.avg("__p2").alias("__m2"),
+        F.sum(F.col("__p1") * F.col("__p1")).alias("__s1"),
+        F.sum(F.col("__p2") * F.col("__p2")).alias("__s2"),
+    ).select(
+        (
+            (F.abs(F.col("__m1")) <= 1e-6) & (F.abs(F.col("__m2")) <= 1e-6)
+        ).alias("center_ok"),
+        (F.col("__s1") >= F.col("__s2") - F.lit(1e-9)).alias("order_ok"),
+    )
+    return rows.crossJoin(F.broadcast(flags)).select(
+        "vec_id",
+        "label",
+        "norm2",
+        (
+            F.col("__p1") * F.col("__p1") + F.col("__p2") * F.col("__p2")
+            <= F.col("__c2") + F.lit(1e-9)
+        ).alias("bessel_ok"),
+        F.lit(gram_ok).alias("gram_ok"),
+        "center_ok",
+        "order_ok",
     )
 
 
@@ -2625,6 +2680,19 @@ ANALYTICS_ORACLES = {
                          / 1e6
                END AS remainder
         FROM detr d LEFT JOIN seasonal s ON d.phase = s.phase
+    """,
+    # projection-invariant oracle (VERDICT r9 #4): raw squared norm
+    # anchors row identity; the invariant flags are pinned literal TRUE
+    "pca_embedding_projection": """
+        SELECT vec_id, label,
+               floor(list_sum(list_transform(embedding::DOUBLE[],
+                     v -> v * v)) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+                   AS norm2,
+               TRUE AS bessel_ok,
+               TRUE AS gram_ok,
+               TRUE AS center_ok,
+               TRUE AS order_ok
+        FROM embeddings
     """,
     "pca_covariance": """
         WITH el AS (

@@ -551,9 +551,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity): codebooks from
     the exact hash sample, vectors compressed to 16 centroid ids, ADC
     shortlist over codes only (the full-corpus pass never touches
-    floats), exact L2 rerank of the 100-candidate shortlist. Rows-only
-    at the gate (k-means codebooks are not SQL-expressible); recall and
-    determinism are pinned by tests/test_pq.py."""
+    floats), exact L2 rerank of the 100-candidate shortlist. HASH gate
+    since r10 (VERDICT r9 #4) via the derived-invariant shape: exact
+    squared-L2 top-10 summaries replayed by DuckDB array SQL + the
+    in-gate recall invariant (PQ∩exact ≥ 70%; measured 93–97%). The
+    k-means codebooks stay un-replayed; recall and determinism also
+    pinned by tests/test_pq.py."""
     from m13_sparkstreaming_python_azure_spark.operators import (
         similarity as sim,
     )
@@ -566,8 +569,12 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.pq_shortlist_rerank(
+    ann = sim.pq_shortlist_rerank(
         codes, emb, queries, books, k=10, shortlist=100
+    )
+    exact = sim.brute_force_l2_topk(emb, queries, k=10)
+    return sim.ann_recall_summary(
+        exact, ann, "l2_dist", best_is_max=False, floor_pct=70
     )
 
 
@@ -872,8 +879,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (the FAISS-standard composition, operators/similarity
     train_ivfpq/ivfpq_encode/ivfpq_topk): coarse cells + PQ codes of the
     RESIDUALS (4 + m bytes/vector); queries probe nprobe cells, ADC over
-    residual codes shortlists, exact rerank answers. Rows-only at the
-    gate (k-means); recall/determinism pinned by tests/test_pq.py."""
+    residual codes shortlists, exact rerank answers. HASH gate since r10
+    (VERDICT r9 #4) via the derived-invariant shape: exact squared-L2
+    top-10 summaries replayed by DuckDB array SQL + the in-gate recall
+    invariant (IVF-PQ∩exact ≥ 50%; measured 70–76%). The k-means
+    codebooks stay un-replayed; recall/determinism also pinned by
+    tests/test_pq.py."""
     from m13_sparkstreaming_python_azure_spark.operators import (
         similarity as sim,
     )
@@ -888,8 +899,12 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.ivfpq_topk(
+    ann = sim.ivfpq_topk(
         index, emb, queries, cent, books, k=10, nprobe=4, shortlist=100
+    )
+    exact = sim.brute_force_l2_topk(emb, queries, k=10)
+    return sim.ann_recall_summary(
+        exact, ann, "l2_dist", best_is_max=False, floor_pct=50
     )
 
 
@@ -1051,7 +1066,39 @@ PIPELINE_QUERIES = {
     "ann_ivfpq": q_ann_ivfpq,
 }
 
+_ANN_L2_SUMMARY_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), b AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, b.neighbor_id,
+               round(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> (bv[i] - qv[i]) * (bv[i] - qv[i]))), 6) AS m
+        FROM b CROSS JOIN q
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY m ASC, neighbor_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(neighbor_id) AS BIGINT) AS sum_exact_ids,
+           max(m) AS kth_l2_dist,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 10
+    GROUP BY query_id
+"""
+
 PIPELINE_ORACLES = {
+    # derived-invariant ANN oracles (VERDICT r9 #4): exact squared-L2
+    # top-10 summaries in array SQL; recall_ok pinned as literal TRUE
+    "ann_pq": _ANN_L2_SUMMARY_SQL,
+    "ann_ivfpq": _ANN_L2_SUMMARY_SQL,
     "replace_where_backfill": _REPLACE_WHERE_SQL,
     "ppjoin_pairs": f"""
         WITH {_GRAMS_CTE}

@@ -326,15 +326,28 @@ def test_avro_roundtrip_or_documented_absence(spark, tmp_path):
     )
 
     orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(100)
-    if not avro_available(spark):
-        import pytest
-
-        pytest.skip("spark-avro connector not on classpath (documented)")
+    # r10 (VERDICT r9 #7): no skip — when the spark-avro connector is
+    # absent (this container), read/write_avro fall back to the
+    # pure-Python OCF codec (sources/avro_py); parity tests for the
+    # wire format itself live in tests/test_avro_py.py
     path = str(tmp_path / "orders_avro")
     write_avro(orders, path)
     back = read_avro(spark, path)
     assert back.count() == 100
     assert sorted(back.columns) == sorted(orders.columns)
+    a = sorted(
+        (r["o_orderkey"], str(r["o_orderdate"]), r["o_totalprice"])
+        for r in orders.select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ).collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], str(r["o_orderdate"]), r["o_totalprice"])
+        for r in back.select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ).collect()
+    )
+    assert a == b
 
 
 def test_snapshot_table_time_travel_and_compaction(spark, tmp_path):

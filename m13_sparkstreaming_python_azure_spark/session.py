@@ -124,6 +124,16 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Delay scheduling is pointless when every task slot shares one
+        # process (local[N]): a task whose preferred location is the
+        # driver (e.g. any stage over a createDataFrame LocalTableScan
+        # after coalesce) otherwise WAITS the full 3 s locality timeout
+        # before running — measured r10 as +3 s per 2-row sentinel
+        # publish in every streaming replay gate. On a real cluster the
+        # default stays (this factory only branches for local masters).
+        .config(
+            "spark.locality.wait", "0s" if master.startswith("local") else "3s"
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -91,8 +91,8 @@ def publish_chunk(df: DataFrame, land: str) -> str:
     temp dir, then ``os.rename`` that one file into the landing dir. A
     single-file rename is atomic on a local FS, so any directory listing
     sees the whole chunk or none of it. Chunks here are toy-scale replay
-    slices, so ``coalesce(1)`` is free; at production scale the equivalent
-    is a commit-protocol/manifest source (sources/snapshots.py).
+    slices, so the 1-file repartition is free; at production scale the
+    equivalent is a commit-protocol/manifest source (sources/snapshots.py).
     """
     import shutil
     import uuid
@@ -101,7 +101,15 @@ def publish_chunk(df: DataFrame, land: str) -> str:
     parent = os.path.dirname(land.rstrip(os.sep)) or "."
     stage = os.path.join(parent, f"_stage-{uuid.uuid4().hex[:12]}")
     try:
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        # repartition(1), NOT coalesce(1): coalesce folds the plan into
+        # one task that keeps the child's preferred locations — for a
+        # createDataFrame LocalTableScan (every sentinel batch) that is
+        # PROCESS_LOCAL on the driver, and under the default 3 s
+        # spark.locality.wait the task sits out the full timeout before
+        # any executor may take it (+3 s per sentinel publish, measured
+        # r10). The 1-row shuffle repartition introduces costs ~ nothing
+        # at replay-chunk scale and has no locality preference.
+        df.repartition(1).write.mode("overwrite").parquet(stage)
         parts = sorted(
             f for f in os.listdir(stage)
             if f.endswith(".parquet") and not f.startswith(("_", "."))

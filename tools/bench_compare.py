@@ -1,0 +1,99 @@
+"""IQR-qualified round-over-round bench comparison (VERDICT r9 #6).
+
+BENCH_FULL.json records per-query medians AND per-query IQRs across the
+bench's repetitions. Round-over-round narratives previously chased
+ambient drift (e.g. containment_pairs +2.5 s in r9 with an IQR of
+0.47 s on a query nobody touched); this tool flags a query as a MOVER
+only when |Δ median| exceeds its measured run-to-run spread:
+
+    |new − old| > max(iqr_new, iqr_old, 0.15 s)
+
+Everything else is reported in one line as ambient drift. Output is a
+markdown fragment pasted into SURVEY.md's bench section.
+
+Usage: python tools/bench_compare.py [old.json] [new.json]
+  defaults: old = the last COMMITTED BENCH_FULL.json (git show
+  HEAD:BENCH_FULL.json — the BENCH_r*.json driver artifacts only carry
+  the truncated headline map, the full per-query medians+IQRs live in
+  BENCH_FULL.json committed each round), new = the working-tree
+  BENCH_FULL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):  # driver BENCH_r*.json
+        d = d["parsed"]
+    return d
+
+
+def compare(old: dict, new: dict, floor: float = 0.15) -> tuple[list, list, str]:
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    io_, in_ = old.get("queries_iqr", {}), new.get("queries_iqr", {})
+    movers, drift = [], []
+    for name, nv in qn.items():
+        if name not in qo:
+            movers.append((name, None, nv, "NEW"))
+            continue
+        ov = qo[name]
+        delta = nv - ov
+        gate = max(in_.get(name, 0.0), io_.get(name, 0.0), floor)
+        (movers if abs(delta) > gate else drift).append(
+            (name, ov, nv, f"{delta:+.2f}s vs IQR-gate {gate:.2f}s")
+        )
+    movers.sort(key=lambda t: -(abs((t[2] or 0) - (t[1] or 0))))
+    removed = [n for n in qo if n not in qn]
+    head = (
+        f"suite {old.get('value')}s/{old.get('n_queries')}q → "
+        f"{new.get('value')}s/{new.get('n_queries')}q "
+        f"({old.get('sec_per_query')} → {new.get('sec_per_query')} s/q)"
+    )
+    lines = [f"### Bench movers (IQR-qualified) — {head}", ""]
+    lines.append("| query | old s | new s | Δ vs gate |")
+    lines.append("|---|---|---|---|")
+    for name, ov, nv, note in movers:
+        lines.append(
+            f"| {name} | {ov if ov is not None else '—'} | {nv} | {note} |"
+        )
+    n_drift = len(drift)
+    tot_drift = sum(t[2] - t[1] for t in drift)
+    lines.append("")
+    lines.append(
+        f"{n_drift} further queries moved within their IQR gates "
+        f"(ambient drift, net {tot_drift:+.1f}s — not narrated); "
+        f"removed: {removed or 'none'}."
+    )
+    return movers, drift, "\n".join(lines)
+
+
+def main(old_path: str | None = None, new_path: str | None = None) -> int:
+    if old_path is None:
+        blob = subprocess.run(
+            ["git", "-C", REPO, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        old = json.loads(blob)
+    else:
+        old = _load(old_path)
+    if new_path is None:
+        new_path = os.path.join(REPO, "BENCH_FULL.json")
+    new = _load(new_path)
+    movers, drift, md = compare(old, new)
+    print(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

@@ -171,6 +171,7 @@ def global_rank(
     num_partitions: int | None = None,
     total_col: str | None = None,
     lead: tuple[Column, bool, bool] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT 1-based global rank over a total order — without the
     single-partition sort an unpartitioned ``Window.orderBy`` forces
@@ -204,7 +205,14 @@ def global_rank(
     assignment is not deterministic. One hash shuffle on the bucket
     tag; every other input is P-row or scalar. ``lead`` overrides the
     inferred (leading value column, ascending, nulls_first) when the
-    leading sort expression is not a plain column."""
+    leading sort expression is not a plain column. ``materialize=True``
+    eagerly localCheckpoints the input first, so the boundary job, the
+    stats branch, and the data branch read ONE evaluation instead of
+    re-running an expensive upstream chain three times — use it when
+    the input subtree is a long operator chain and its materialized
+    size is acceptable."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -242,6 +250,7 @@ def exact_ntile(
     order_by: Sequence[Column],
     out_col: str = "tile",
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT ntile(n) over a total order — without the single-partition
     sort an unpartitioned ``Window.orderBy`` forces (``WindowExec: No
@@ -255,10 +264,10 @@ def exact_ntile(
     take ``q+1`` rows — engine-bit-equal with any conforming ntile.
 
     The ordering MUST be total (tie-break with a unique column) or the
-    assignment is not deterministic. One range shuffle over the
-    projected ordering columns; every other input is P-row or scalar.
-    Used by ``rfm_segments`` / ``price_decile_stats`` as the 100 TB-safe
-    twin of their small-SF ntile oracles."""
+    assignment is not deterministic. One hash shuffle on the quantile
+    bucket tag; every other input is P-row or scalar. Used by
+    ``rfm_segments`` / ``price_decile_stats`` as the 100 TB-safe twin of
+    their small-SF ntile oracles."""
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
     ranked = global_rank(
@@ -267,6 +276,7 @@ def exact_ntile(
         out_col="__rank",
         num_partitions=num_partitions,
         total_col="__n",
+        materialize=materialize,
     )
     tile = F.expr(
         f"CASE WHEN __n < {n_tiles} THEN __rank"  # fewer rows than tiles
@@ -289,6 +299,7 @@ def global_cumsum(
     num_partitions: int | None = None,
     out_prefix: str = "cum_",
     totals_prefix: str | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT inclusive running sums over a total order — without the
     single-partition sort an unpartitioned ``Window.orderBy`` forces
@@ -335,7 +346,13 @@ def global_cumsum(
     that bucket's size — same caveat as any key-partitioned work).
     Adds ``{out_prefix}{v}`` per value column (and ``{totals_prefix}
     {v}`` when requested). One hash shuffle on (bucket, group) + one
-    P×G-row broadcast; no range exchange anywhere."""
+    P×G-row broadcast; no range exchange anywhere. ``materialize=True``
+    eagerly localCheckpoints the input so the boundary job, the stats
+    branch, and the data branch read ONE evaluation — use it when the
+    input subtree (typically a groupBy to the distinct-value grain) is
+    expensive to re-run and its materialized size is acceptable."""
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")

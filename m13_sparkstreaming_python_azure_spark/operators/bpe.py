@@ -181,3 +181,68 @@ def bpe_encode_token_counts(
         .groupBy(id_col)
         .agg(F.sum("n_tokens").cast("bigint").alias("bpe_tokens"))
     )
+
+def bpe_segmentation_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame,
+) -> DataFrame:
+    """Derived-invariant gate shape for the BPE encoder (r10 — the
+    ann_recall_summary pattern): per document, the ORACLE-replayable
+    pretokenization facts (word count, total word chars — both pure SQL
+    over the same whitespace tokenizer) plus in-gate flags the oracle
+    pins TRUE: ``bounds_ok`` (n_words ≤ bpe_tokens ≤ n_word_chars — a
+    valid sub-word segmentation can never beat one-token-per-word or
+    lose to one-char-per-symbol) and ``roundtrip_ok`` (every distinct
+    word's tokens concatenate back to the word). The merge SEQUENCE
+    itself stays pinned by the pure-Python reference tests — these
+    invariants gate the encoder's output validity against real data."""
+    spark = df.sparkSession
+    ranks = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+    b_ranks = spark.sparkContext.broadcast(ranks)
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rk = b_ranks.value
+        for pdf in batches:
+            toks = [_encode_word(w, rk) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_tokens": [len(t) for t in toks],
+                    "ok": [
+                        "".join(t) == w
+                        for t, w in zip(toks, pdf["word"])
+                    ],
+                }
+            )
+
+    words = df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    encoded = words.mapInPandas(
+        enc, schema="word string, n_tokens int, ok boolean"
+    )
+    rt = encoded.agg(F.min("ok").alias("roundtrip_ok"))
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    per_doc = (
+        exploded.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
+            F.sum("n_tokens").cast("bigint").alias("__bpe"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(rt)).select(
+        F.col(id_col),
+        "n_words",
+        "n_word_chars",
+        (
+            (F.col("__bpe") >= F.col("n_words"))
+            & (F.col("__bpe") <= F.col("n_word_chars"))
+        ).alias("bounds_ok"),
+        "roundtrip_ok",
+    )

@@ -598,20 +598,25 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts under the learned BPE vocabulary
-    (operators/bpe.bpe_encode_token_counts): each DISTINCT word encodes
-    once (broadcast merge ranks, mapInPandas over the word table), then
-    counts join back through the exploded corpus. Rows-only gate
-    (iterative tokenizer state — not SQL-expressible); encode semantics
-    pinned by reference tests."""
+    """Per-document BPE encoding under the learned vocabulary — HASH
+    gate since r10 via the derived-invariant shape (operators/bpe
+    .bpe_segmentation_audit): the oracle replays the pretokenization
+    facts per document (word count, total word chars — same whitespace
+    tokenizer in SQL) and pins the in-gate flags TRUE: the encoded
+    token count is bounded by [n_words, n_word_chars] (segmentation
+    validity) and every distinct word's tokens concatenate back to the
+    word. Each DISTINCT word still encodes once (broadcast merge ranks,
+    mapInPandas over the word table), joined back through the exploded
+    corpus. The merge SEQUENCE stays pinned by the pure-Python
+    reference in tests/test_bpe.py."""
     from m13_sparkstreaming_python_azure_spark.operators.bpe import (
-        bpe_encode_token_counts,
+        bpe_segmentation_audit,
         learn_bpe,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe(docs, "text", n_merges=40, min_pair_count=2)
-    return bpe_encode_token_counts(docs, "doc_id", "text", merges)
+    return bpe_segmentation_audit(docs, "doc_id", "text", merges)
 
 
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2703,6 +2708,23 @@ ANALYTICS_ORACLES = {
                          / 1e6
                END AS remainder
         FROM detr d LEFT JOIN seasonal s ON d.phase = s.phase
+    """,
+    # segmentation-invariant oracle (r10): pretokenization facts
+    # replayed with the same whitespace tokenizer; flags pinned TRUE
+    "bpe_token_counts": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+                   AS n_word_chars,
+               TRUE AS bounds_ok,
+               TRUE AS roundtrip_ok
+        FROM toks WHERE len(t) >= 1
     """,
     # spectrum-invariant oracle (VERDICT r9 #4): the exact-integer
     # covariance trace replayed in HUGEINT SQL; flags pinned TRUE

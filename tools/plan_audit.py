@@ -242,6 +242,8 @@ ALLOW_CARTESIAN = {
     # r10: PCA invariant gates — single-row flag scalar broadcasts
     "pca_embedding_projection",
     "pca_explained_variance",
+    # r10: BPE segmentation audit — single-row roundtrip-flag broadcast
+    "bpe_token_counts",
     "record_linkage",      # global_rank P-row offset triangle join
     "sorted_neighborhood_pairs",  # same global_rank shape
     "null_semantics",      # global_rank triangle join (r8 rewire)

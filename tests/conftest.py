@@ -22,3 +22,24 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF0001
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Zero-skip invariant (VERDICT r10 #8): the suite reached 0 skips in
+    round 10 (the last skip died with the pure-Python Avro codec); make
+    any regression loud by failing the whole run if ANYTHING skipped.
+    Deselection (-k/-m) and explicit single-file runs still work — this
+    only fires on tests that ran and reported 'skipped'. Override for a
+    genuinely degraded environment with SPARK_GRAFT_ALLOW_SKIPS=1."""
+    skipped = terminalreporter.stats.get("skipped", [])
+    if skipped and not os.environ.get("SPARK_GRAFT_ALLOW_SKIPS"):
+        terminalreporter.write_line(
+            f"\nERROR: {len(skipped)} skipped test(s) — this suite is "
+            "zero-skip by contract (VERDICT r10 #8):", red=True,
+        )
+        for rep in skipped:
+            terminalreporter.write_line(f"  {rep.nodeid}", red=True)
+        import _pytest.config as _cfg
+
+        # flip the session exit code to failure
+        terminalreporter._session.exitstatus = _cfg.ExitCode.TESTS_FAILED

@@ -12,13 +12,16 @@ encoding: zigzag-varint longs, little-endian IEEE floats, length-
 prefixed bytes/utf8, union = branch index + value) and plugs it into
 Spark distributively:
 
-- WRITE: ``df.mapInPandas`` encodes each partition into one ``.avro``
+- WRITE: ``df.mapInArrow`` encodes each partition into one ``.avro``
   file (records are inherently serial at the format boundary — the same
   per-item Python class as the PNG/JPEG codecs; this is an interchange
-  path, not an analytics hot path).
+  path, not an analytics hot path). Arrow batches, not pandas: pandas
+  renders nulls as NaN/NaT and cannot distinguish a null double from a
+  genuine NaN; Arrow keeps both exact (ADVICE r10).
 - READ: the built-in ``binaryFile`` source lists + reads files
-  distributively; ``mapInPandas`` decodes each file's blocks back to
-  typed rows. Schema comes from the container metadata.
+  distributively; ``mapInArrow`` decodes each file's blocks back to
+  typed rows. Schema comes from the container metadata (header-only
+  parse of one file, fetched through binaryFile itself).
 
 Supported Spark types: long/int/short/byte, double, float, boolean,
 string, binary, timestamp (micros logical), date (days logical),
@@ -362,61 +365,104 @@ def encode_file(
 # ---------------------------------------------------------------------------
 
 
+def decode_header(data: bytes) -> dict:
+    """Parse ONLY the OCF header (magic + metadata map, stopping at the
+    sync marker) and return the Avro schema — the bounded schema read
+    the read path needs (ADVICE r10: the old path fully decoded file 0,
+    rows and all, on the driver)."""
+    buf = memoryview(data)
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("avro_py: bad magic — not an Avro container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _r_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            _, pos = _r_long(buf, pos)
+            n = -n
+        for _ in range(n):
+            k, pos = _r_bytes(buf, pos)
+            v, pos = _r_bytes(buf, pos)
+            meta[k.decode()] = v
+    return json.loads(meta["avro.schema"])
+
+
 def write_avro_py(df: DataFrame, path: str, codec: str = "deflate") -> None:
     """Distributed Avro write: one container file per partition via
-    mapInPandas (executors write to the shared FS — same contract as
-    every Spark file sink)."""
-    import pandas as pd
+    mapInArrow (executors write to the shared FS — same contract as
+    every Spark file sink).
+
+    mapInArrow, not mapInPandas (ADVICE r10, high): pandas batches
+    deliver nulls as NaN/NaT, so a null long crashed the encoder, a null
+    timestamp encoded the NaT sentinel as a real value, and a null
+    double silently became a non-null NaN payload. Arrow batches keep
+    null (None) and a GENUINE float NaN distinct, so both round-trip
+    exactly with no normalization pass.
+
+    Overwrite semantics, matching ``formats.write_avro``'s connector
+    path (ADVICE r10, medium): pre-existing ``*.avro`` part files in the
+    target dir are removed before the write — re-running a pipeline must
+    not duplicate data."""
+    import glob as _glob
 
     avro_schema = spark_to_avro_schema(df.schema)
     os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.avro")):
+        os.remove(old)
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _write(batches):
+        import pyarrow as pa
+
         rows: list[dict] = []
-        for pdf in batches:
-            rows.extend(pdf.to_dict("records"))
+        for batch in batches:
+            # to_pylist: None for nulls (all types), float('nan') kept
+            rows.extend(batch.to_pylist())
         if rows:
             fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
             with open(fname, "wb") as fh:
                 fh.write(encode_file(avro_schema, rows, codec=codec))
-            yield pd.DataFrame({"path": [fname], "rows": [len(rows)]})
+            yield pa.RecordBatch.from_pylist(
+                [{"path": fname, "rows": len(rows)}],
+                schema=pa.schema(
+                    [("path", pa.string()), ("rows", pa.int64())]
+                ),
+            )
 
-    df.mapInPandas(_write, schema="path string, rows long").collect()
+    df.mapInArrow(_write, schema="path string, rows long").collect()
 
 
 def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Avro read: binaryFile lists + ships the container
-    files, mapInPandas decodes blocks back to typed rows. The Spark
-    schema is rebuilt from the FIRST file's container metadata
-    (driver-side header read — bounded: one file)."""
-    import glob as _glob
+    files, mapInArrow decodes each file's blocks back to typed rows
+    (null vs NaN kept distinct — see ``write_avro_py``). The Spark
+    schema is rebuilt from the first file's container HEADER, fetched
+    through the same binaryFile source as the data load (ADVICE r10: a
+    driver-local glob+open breaks on any non-POSIX path binaryFile can
+    read), and parsed by ``decode_header`` — metadata only, no rows."""
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    import pandas as pd
-
-    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
-    if not files:
-        raise FileNotFoundError(f"read_avro_py: no .avro files in {path}")
-    with open(files[0], "rb") as fh:
-        head = fh.read()
-    avro_schema, _ = decode_file(head[:0] + head)  # full parse of file 0
+    bin_df = spark.read.format("binaryFile").load(path).select("content")
+    head = bin_df.limit(1).collect()
+    if not head:
+        raise FileNotFoundError(f"read_avro_py: no files in {path}")
+    avro_schema = decode_header(bytes(head[0]["content"]))
     spark_schema = _avro_to_spark_schema(avro_schema)
+    arrow_schema = to_arrow_schema(spark_schema)
 
-    bin_df = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("content")
-    )
+    def _read(batches):
+        import pyarrow as pa
 
-    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for blob in pdf["content"]:
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
                 _, rows = decode_file(bytes(blob))
                 if rows:
-                    yield pd.DataFrame(rows)[
-                        [f.name for f in spark_schema.fields]
-                    ]
+                    yield pa.RecordBatch.from_pylist(
+                        rows, schema=arrow_schema
+                    )
 
-    return bin_df.mapInPandas(_read, schema=spark_schema)
+    return bin_df.mapInArrow(_read, schema=spark_schema)
 
 
 _PRIM_BACK = {

@@ -145,3 +145,67 @@ def test_schema_translation_nullable_unions(spark):
     assert "string" in (
         by_name["s"] if isinstance(by_name["s"], list) else [by_name["s"]]
     )
+
+
+def test_spark_roundtrip_nulls_in_every_type(spark, tmp_path):
+    """ADVICE r10 (high): pandas batches deliver NaN/NaT for nulls, so a
+    null in a nullable long crashed the writer, a null timestamp encoded
+    the NaT sentinel, and a null double was written as a non-null NaN.
+    The Arrow write path must round-trip None in EVERY nullable type."""
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("id") * 10
+        ).alias("n"),
+        F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+            F.col("id") * 0.5
+        ).alias("d"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.to_timestamp(F.lit("2021-03-04 05:06:07.123456"))
+        ).alias("ts"),
+        F.when(F.col("id") % 6 == 0, F.lit(None)).otherwise(
+            F.to_date(F.lit("2022-11-30"))
+        ).alias("dt"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.array(F.col("id"), F.lit(1))
+        ).alias("arr"),
+    )
+    path = str(tmp_path / "avro_nulls")
+    write_avro_py(df, path)
+    back = read_avro_py(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+    # the null census per column survives exactly
+    for c in ("n", "d", "ts", "dt", "arr"):
+        assert (
+            back.filter(F.col(c).isNull()).count()
+            == df.filter(F.col(c).isNull()).count()
+        ), c
+
+
+def test_spark_roundtrip_keeps_genuine_nan_distinct_from_null(
+    spark, tmp_path
+):
+    """A genuine NaN double is data, not null — the pandas path silently
+    collapsed the two; the Arrow path must keep the distinction both
+    directions."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 2.5)], "k long, x double"
+    )
+    path = str(tmp_path / "avro_nan")
+    write_avro_py(df, path)
+    back = read_avro_py(spark, path)
+    rows = {r["k"]: r["x"] for r in back.collect()}
+    assert rows[2] is None
+    assert rows[3] == 2.5
+    assert rows[1] is not None and rows[1] != rows[1]  # NaN stays NaN
+
+
+def test_write_avro_py_overwrites_previous_parts(spark, tmp_path):
+    """ADVICE r10 (medium): the connector path uses mode('overwrite');
+    re-running the pure-Python writer must not duplicate data."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    path = str(tmp_path / "avro_ow")
+    write_avro_py(df, path)
+    write_avro_py(df, path)
+    assert read_avro_py(spark, path).count() == 2

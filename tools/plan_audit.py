@@ -793,6 +793,127 @@ def continuous_probe_audit(spark, qs, sf_dir: str, lines: list) -> int:
     return failures
 
 
+def hot_value_probe_audit(spark, lines: list) -> int:
+    """VERDICT r10 #2: a hot LEADING sort value used to land its whole
+    tie group in ONE quantile bucket of global_rank/global_cumsum —
+    re-creating the single window task the r10 rewire removed. The
+    operator now sub-buckets a hot value's ties by the SECOND sort
+    column (when the lead surrogate is injective). This probe builds a
+    skewed fixture (85% of rows tied on the leading score) at two
+    sizes and measures the MAX bucket input via the operator's own
+    bucket census: it must stay ≈ n/p (bound 4·n/p), i.e. NOT grow
+    toward 0.85·n. The string-lead row documents the sanctioned
+    fallback — a non-injective surrogate must NOT sub-bucket (it could
+    invert the total order), so its tie group stays whole by design."""
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        rank_bucket_census,
+    )
+
+    failures = 0
+    lines.append(
+        "### Hot-leading-value probe (VERDICT r10 #2 — 85% tied lead)"
+    )
+    lines.append("")
+    lines.append(
+        "Skewed fixture: 85% of rows share one leading score; unique id "
+        "tie-break. Max bucket input measured by the operator's own "
+        "census at p=32 — sub-bucketing by the second sort key must hold "
+        "it ≈ n/p at both sizes (bound 4·n/p)."
+    )
+    lines.append("")
+    lines.append("| fixture | rows n | max bucket rows | bound 4·n/p | verdict |")
+    lines.append("|---|---|---|---|---|")
+    p = 32
+    for n in (20_000, 200_000):
+        df = spark.range(n).select(
+            F.col("id"),
+            F.when(F.col("id") % 100 < 85, F.lit(1.0))
+            .otherwise((F.col("id") % 100).cast("double"))
+            .alias("score"),
+        )
+        census = rank_bucket_census(
+            df, [F.asc("score"), F.asc("id")], num_partitions=p
+        ).collect()
+        mx = max(r["rows"] for r in census)
+        bound = 4 * n // p
+        ok = mx <= bound
+        failures += not ok
+        verdict = "OK — tie group split" if ok else "FAIL — hot bucket"
+        lines.append(f"| double lead | {n} | {mx} | {bound} | {verdict} |")
+        print(f"{'OK  ' if ok else 'FAIL'} hot-value probe n={n}: "
+              f"max bucket {mx} (bound {bound})")
+    # documented fallback: string lead (6-byte-prefix surrogate is not
+    # injective) keeps the whole tie group in one bucket BY DESIGN
+    n = 20_000
+    dfs = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 < 85, F.lit("hot-shared-key"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 100))
+        .alias("score"),
+    )
+    census = rank_bucket_census(
+        dfs, [F.asc("score"), F.asc("id")], num_partitions=p
+    ).collect()
+    mx = max(r["rows"] for r in census)
+    lines.append(
+        f"| string lead (fallback) | {n} | {mx} | n/a | DOCUMENTED — "
+        "non-injective surrogate, sub-bucketing refused by design |"
+    )
+    lines.append("")
+    return failures
+
+
+def bucket_compile_audit(spark, lines: list) -> int:
+    """VERDICT r10 #3: the r10 bucket expression chained p−1 when()
+    additions — measured java.lang.StackOverflowError at p=2000 during
+    column→expression conversion, 7.7 s/2M rows evaluation at p=200.
+    The binary-search rewrite must keep plan construction+compile FLAT
+    in p (O(1) expression size). This probe times build→executedPlan→
+    first execution of global_rank at p=200 and p=2000 on the same
+    input and fails if the p=2000 wall exceeds 5× the p=200 wall + 2 s."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        global_rank,
+    )
+
+    lines.append("### Bucket-expression compile probe (VERDICT r10 #3)")
+    lines.append("")
+    lines.append(
+        "r10's O(p)-term when-chain: StackOverflowError at p=2000 "
+        "(column→expression conversion), 7.7 s/2M rows at p=200. The "
+        "O(log p)-eval binary search (measured on the same 2M-row rig: "
+        "1.8 s at p=200, 1.3 s at p=2000) must keep plan build+compile "
+        "flat in p:"
+    )
+    lines.append("")
+    lines.append("| p | build+compile+first-run wall (s) |")
+    lines.append("|---|---|")
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 991 * 1.7).alias("x")
+    )
+    walls = {}
+    for p in (200, 2000):
+        t0 = time.perf_counter()
+        out = global_rank(df, [F.asc("x"), F.asc("id")], num_partitions=p)
+        out._jdf.queryExecution().executedPlan().execute().count()
+        walls[p] = time.perf_counter() - t0
+        lines.append(f"| {p} | {walls[p]:.2f} |")
+    ok = walls[2000] <= 5 * walls[200] + 2.0
+    lines.append("")
+    lines.append(
+        f"verdict: {'OK — compile flat in p' if ok else 'FAIL — compile grows with p'}"
+    )
+    lines.append("")
+    print(f"{'OK  ' if ok else 'FAIL'} bucket compile probe: "
+          f"p=200 {walls[200]:.2f}s, p=2000 {walls[2000]:.2f}s")
+    return 0 if ok else 1
+
+
 def candidate_growth_audit(
     spark, sf_dir: str, lines: list, replicas: int = 10, bound: float = 20.0
 ) -> int:
@@ -1142,6 +1263,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
             spark, qs, sf_dir, scaled_dir, base_window_inputs, lines
         )
         failures += continuous_probe_audit(spark, qs, sf_dir, lines)
+        failures += hot_value_probe_audit(spark, lines)
+        failures += bucket_compile_audit(spark, lines)
         failures += candidate_growth_audit(spark, sf_dir, lines)
         if "--no-100x" not in flags:
             failures += scale100_audit(spark, qs, sf_dir, lines)

@@ -45,7 +45,7 @@ sys.path.insert(0, REPO)
 # definition itself changes (old stamps' hashes are then incomparable —
 # the stamp resets to the current tree as the baseline, which is safe
 # only when the current prefix already covers the round's changes).
-ALGO = 2
+ALGO = 3
 
 PKG = "m13_sparkstreaming_python_azure_spark"
 PKG_DIR = os.path.join(REPO, PKG)
@@ -195,8 +195,16 @@ def gate_fingerprints() -> tuple[dict[str, str], list[str]]:
         inner = wrapped or fn
         parts = []
         base = cl.closure(inner.__module__, inner.__qualname__.split(".")[0])
-        if wrapped is not None:  # _narrow_shuffle wrapper logic is code too
-            base.update(cl.closure(registry.__name__, "_narrow_shuffle"))
+        if wrapped is not None:
+            # _narrow_shuffle wrapper logic is code too — but hash its
+            # OWN source only: running the word-scan closure on it would
+            # chase the word "QUERIES" in a comment into the registry's
+            # _ALL_QUERIES dict and from there into the entire package,
+            # making every wrapped gate's fingerprint cover everything
+            reg_mod = cl.module(registry.__name__)
+            base[f"{registry.__name__}:_narrow_shuffle~shallow"] = _sha(
+                reg_mod.defs.get("_narrow_shuffle", "")
+            )
         if gate in ("multimodal_features", "multimodal_phash_dedup"):
             # lazy oracle: the generator function is the oracle's code
             base.update(cl.closure(

@@ -47,9 +47,15 @@ def oracle_sql() -> dict[str, str]:
     # The real-codec multimodal oracles are generated LAZILY here (a live
     # scalar reference recomputation over ~300 images, a few seconds) so
     # importing the queries package stays fast for bench/tests.
+    from m13_sparkstreaming_python_azure_spark.queries.analytics_ext import (
+        bpe_oracle_values,
+    )
     from m13_sparkstreaming_python_azure_spark.queries.llm import (
         multimodal_oracle_values,
     )
 
     d.update(multimodal_oracle_values())
+    # bpe_merges (VERDICT r10 #5): merge sequence recomputed through an
+    # independent DuckDB-SQL + pure-Python path at the driver's gate sf
+    d.update(bpe_oracle_values())
     return d

@@ -588,13 +588,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules learned from the documents corpus. The corpus pass (word
     frequencies) is the distributed step; the merge loop runs on the
     bounded word-frequency table driver-side (the HF-tokenizers
-    architecture). Iterative — no SQL oracle exists; the exact merge
-    sequence is pinned by a pure-Python reference in tests/test_bpe.py
-    (rows-only gate)."""
+    architecture). HASH gate since r11 (VERDICT r10 #5 — the last
+    rows-only conversion): ``bpe_oracle_values`` recomputes the exact
+    merge sequence through a fully independent path (DuckDB-SQL word
+    frequencies + the pure-Python reference loop of operators/bpe_ref)
+    and emits it as a VALUES oracle, so rank, pair, and order are all
+    value-hashed."""
     from m13_sparkstreaming_python_azure_spark.operators.bpe import learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe(docs, "text", n_merges=40, min_pair_count=2)
+
+
+def bpe_oracle_values() -> dict[str, str]:
+    """Live oracle generation for ``bpe_merges`` (VERDICT r10 #5):
+    DuckDB-SQL word frequencies + the independent pure-Python merge
+    loop (operators/bpe_ref), emitted as a VALUES table. Called LAZILY
+    from ``__spark_entry__.oracle_sql()`` — the merge sequence is
+    corpus-dependent, so the recomputation reads the SAME sf dir the
+    driver gates at (sf0.01 by contract; tools/check_correctness.py
+    exports SPARK_GRAFT_ORACLE_SF_DIR when pointed elsewhere)."""
+    import os as _os
+
+    from m13_sparkstreaming_python_azure_spark.operators.bpe_ref import (
+        ref_bpe_merge_rows,
+    )
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = ref_bpe_merge_rows(sf_dir, n_merges=40, min_pair_count=2)
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ",\n".join(
+        f"({i}, {_sq(a)}, {_sq(b)}, {_sq(m)})" for i, a, b, m in rows
+    )
+    return {
+        "bpe_merges": f"""
+            SELECT CAST(rank AS INT) AS rank,
+                   "left", "right", merged
+            FROM (VALUES {vals}) AS t(rank, "left", "right", merged)
+        """
+    }
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -200,12 +200,14 @@ _head = [
     "sorted_neighborhood_pairs",
     # r11 changes: foreachBatch index-handle persistence (VERDICT r10 #6)
     "streaming_minhash_dedup",
+    # r11 conversion: the LAST rows-only gate → independent-reference
+    # VALUES hash oracle (VERDICT r10 #5)
+    "bpe_merges",
     # subsystem regression anchors
     "trailing_distinct_users",
     "k_truss",
     "triangle_clustering",
     "winnowing_fingerprints",
-    "entity_clusters",
     "streaming_daily_stats",     # reference-shape streaming gate
     "cdc_apply",                 # CDC/merge layer
     "daily_event_stats",
@@ -236,7 +238,9 @@ assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from regis
 # __spark_entry__.oracle_sql() (a live scalar reference recomputation over
 # the image corpus — too slow for import time) so they are absent from the
 # static ORACLES dict but still hash-checked by the driver:
-_LAZY_ORACLE_GATES = {"multimodal_features", "multimodal_phash_dedup"}
+_LAZY_ORACLE_GATES = {
+    "multimodal_features", "multimodal_phash_dedup", "bpe_merges",
+}
 assert set(_PRIORITY_50) <= set(ORACLES) | _LAZY_ORACLE_GATES, (
     "rows-only query in the driver-checked prefix: "
     f"{sorted(set(_PRIORITY_50) - set(ORACLES) - _LAZY_ORACLE_GATES)}"

@@ -12,35 +12,12 @@ from m13_sparkstreaming_python_azure_spark.operators.bpe import (
 )
 
 
-def _ref_bpe(word_freqs, n_merges, min_count=1):
-    """Independent reference implementation (different code path from
-    the operator's loop)."""
-    symbols = {w: list(w) for w in word_freqs}
-    merges = []
-    for _ in range(n_merges):
-        counts = {}
-        for w, syms in symbols.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + word_freqs[w]
-        if not counts:
-            break
-        best = max(counts, key=lambda p: (counts[p], p[0], p[1]))
-        if counts[best] < min_count:
-            break
-        merges.append(best)
-        a, b = best
-        for w in symbols:
-            syms, out, i = symbols[w], [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            symbols[w] = out
-    return merges
+# the independent reference implementation moved to operators/bpe_ref
+# in round 11 so the bpe_merges ORACLE can run it too (VERDICT r10 #5);
+# it is still a different code path from the operator's loop
+from m13_sparkstreaming_python_azure_spark.operators.bpe_ref import (
+    ref_bpe as _ref_bpe,
+)
 
 
 def test_merge_loop_matches_reference():

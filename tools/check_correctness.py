@@ -64,6 +64,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *names: str) -> int:
         driver_session = True
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = tuple(args[1:])
+    # lazy corpus-dependent oracles (bpe_merges) must recompute at the
+    # SAME sf this replica gates at — the driver's contract dir is the
+    # default, so the env is only consulted when pointing elsewhere
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = bare_driver_session() if driver_session else get_spark("check-correctness")
     con = duckdb.connect()
     for t in TABLES:

@@ -27,6 +27,32 @@ import __spark_entry__ as entrymod
 from m13_sparkstreaming_python_azure_spark.session import get_spark
 
 
+def _calibration(spark) -> float:
+    """Fixed-cost machine-speed anchor (VERDICT r10 #4): a constant
+    10^7-row in-memory integer aggregate — data-independent, fixture-
+    independent, and untouched by any operator change — timed as the
+    min of 3 runs. The driver-side suite number inflated +15% over
+    rounds 8–10 while the quiet-machine pair stayed flat; this anchor
+    turns that machine-drift argument into a measurement:
+    tools/bench_compare.py divides round-over-round numbers by the
+    anchor ratio before flagging movers."""
+    from pyspark.sql import functions as F
+
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = (
+            spark.range(10_000_000)
+            .select(((F.col("id") * 2654435761) % 1000003).alias("h"))
+            .groupBy((F.col("h") % 64).alias("k"))
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+            .count()
+        )
+        assert n == 64
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -40,6 +66,7 @@ def main() -> None:
     # Warm the JVM/session on the smallest fixture so timings measure query
     # execution, not first-job startup.
     next(iter(qs.values()))(spark, "/root/testdata/sf0.001").count()
+    cal_start = _calibration(spark)
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
     # rep-major order (whole suite, then repeat): consecutive reps of one
@@ -57,6 +84,7 @@ def main() -> None:
             # cost and executor memory stays flat across the suite
             spark.catalog.clearCache()
 
+    cal_end = _calibration(spark)
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     iqr = {}
     for n, s in samples.items():
@@ -83,6 +111,14 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "sec_per_query": round(total / max(len(timings), 1), 3),
+        # machine-speed anchor (VERDICT r10 #4): fixed-cost probe at
+        # suite start and end; "anchor" (the min) is what bench_compare
+        # normalizes by
+        "calibration_sec": {
+            "start": cal_start,
+            "end": cal_end,
+            "anchor": min(cal_start, cal_end),
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as fh:
@@ -97,6 +133,7 @@ def main() -> None:
     line = dict(full)
     line.pop("queries_iqr")
     line["queries"] = {n: timings[n] for n in headline if n in timings}
+    line["calibration_sec"] = full["calibration_sec"]["anchor"]
     out = json.dumps(line)
     assert len(out) < 1800, f"bench JSON line too long ({len(out)} chars)"
     print(out)

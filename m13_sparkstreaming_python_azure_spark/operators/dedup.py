@@ -930,23 +930,33 @@ def md5_minhash_banded(
         F.col(id_col).alias("__id"),
         word_shingles(text_col, shingle_k).alias("__shingles"),
     ).filter(F.size("__shingles") > 0)
+    # per-shingle work is the hot loop (docs × shingles × num_hashes):
+    # keep only the md5 + substring there. min over FIXED-WIDTH lowercase
+    # hex == numeric min (lexicographic order of equal-length hex is the
+    # value order), so the radix conversion to bigint — measurably the
+    # most expensive scalar here — runs once per DOC per hash after the
+    # aggregate, not once per shingle (VERDICT r10 #6: the signature pass
+    # was ~half the streaming-minhash gate's wall). Same signatures,
+    # same oracle derivation rule h_i = int(md5(i ‖ ':' ‖ s)[:15hex], 16).
     hashed = sh.select(
         "__id", F.explode("__shingles").alias("__sh")
     ).select(
         "__id",
         *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))), 1, 15),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias(f"__h{i}")
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("__sh"))), 1, 15
+            ).alias(f"__x{i}")
             for i in range(num_hashes)
         ],
     )
     sigs = hashed.groupBy("__id").agg(
-        *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(num_hashes)]
+        *[F.min(f"__x{i}").alias(f"__x{i}") for i in range(num_hashes)]
+    ).select(
+        "__id",
+        *[
+            F.conv(F.col(f"__x{i}"), 16, 10).cast("bigint").alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
     )
     banded = sigs.select(
         "__id",
@@ -1035,33 +1045,56 @@ def streaming_minhash_dedup_sink(
             last = None
         corpus_done = last is not None and batch_id <= last
 
+        # A replayed chunk arrives as ONE file → ONE input partition, so
+        # the whole signature DAG (shingles × num_hashes md5s — the
+        # measured majority of this sink's wall, VERDICT r10 #6) would
+        # run on a single task. Spread narrow batches across the
+        # executor cores first; every downstream stage re-shuffles at
+        # the session width anyway, so file counts/writes don't widen.
+        cores = spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < cores:
+            batch_df = batch_df.repartition(cores)
+
         sh, banded = md5_minhash_banded(
             batch_df, id_col, text_col, num_hashes, bands, shingle_k
         )
         sh = sh.persist()
         banded = banded.persist()
 
-        # candidate pairs, batch-batch: banded self-join, ids only
+        # candidate pairs, batch-batch: banded self-join, ids only (the
+        # final cand.distinct() dedups — inner distincts were redundant
+        # shuffles, VERDICT r10 #6)
         left = banded.select(F.col("__id").alias("id_a"), "bkt")
         right = banded.select(F.col("__id").alias("id_b"), "bkt")
         batch_pairs = (
             left.join(right, on="bkt")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
 
-        # candidate pairs, history-batch: probe ONLY touched band buckets
-        touched = sorted(
-            r["b"]
-            for r in banded.select(
+        # touched store buckets for the band PROBE, the bands APPEND
+        # (same key → same set) and the shingles APPEND — ONE combined
+        # job instead of three per-consumer collects (VERDICT r10 #6)
+        trows = (
+            banded.select(
                 F.pmod(F.xxhash64("bkt"), F.lit(n_buckets))
                 .cast("int")
-                .alias("b")
+                .alias("b"),
+                F.lit(0).alias("t"),
+            )
+            .unionByName(
+                sh.select(
+                    F.pmod(F.xxhash64("__id"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b"),
+                    F.lit(1).alias("t"),
+                )
             )
             .distinct()
             .collect()
         )
+        touched = sorted(r["b"] for r in trows if r["t"] == 0)
+        sh_touched = sorted(r["b"] for r in trows if r["t"] == 1)
         hist_bands = (
             read_keyed_buckets(spark, bands_dir, touched) if touched else None
         )
@@ -1071,11 +1104,10 @@ def streaming_minhash_dedup_sink(
                 .join(banded.select(F.col("__id").alias("id_b"), "bkt"), on="bkt")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
-                .distinct()
             )
             cand = batch_pairs.unionByName(hist_pairs).distinct()
         else:
-            cand = batch_pairs
+            cand = batch_pairs.distinct()
         cand = cand.persist()
 
         # partner (id_a) shingle arrays: batch docs from sh, history docs
@@ -1127,9 +1159,23 @@ def streaming_minhash_dedup_sink(
             else:
                 append_snapshot(survivors, corpus_dir, extra)
         # index appends LAST (same ordering argument as
-        # incremental_dedup_sink); each sink has its own batch_id guard
-        bands_sink(banded, batch_id)
-        sh_sink(sh, batch_id)
+        # incremental_dedup_sink); each sink has its own batch_id guard.
+        # The two appends hit INDEPENDENT tables and replay safely in
+        # either order, so they run concurrently — Spark schedules jobs
+        # from multiple driver threads fine, and the measured serial
+        # cost was ~1.2 s/batch of the micro-batch floor (VERDICT r10
+        # #6). Touched buckets were precomputed in the combined job.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fb = pool.submit(
+                bands_sink, banded, batch_id, touched_buckets=touched
+            )
+            fsh = pool.submit(
+                sh_sink, sh, batch_id, touched_buckets=sh_touched
+            )
+            fb.result()
+            fsh.result()
         survivors.unpersist()
         cand.unpersist()
         banded.unpersist()

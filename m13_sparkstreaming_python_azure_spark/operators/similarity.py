@@ -929,6 +929,14 @@ def ivf_index_sink(
         read_manifest,
     )
 
+    # the codebook is FROZEN after batch 0 (standard IVF practice —
+    # documented below), so the sink may keep the trained/loaded array in
+    # its closure for the life of the query instead of re-reading the
+    # centroids parquet (a full Spark job) on EVERY micro-batch (VERDICT
+    # r10 #6: the per-batch index-maintenance floor). A fresh sink
+    # instance (crash restart) lazily reloads from disk as before.
+    _cached: dict[str, "np.ndarray"] = {}
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
@@ -937,6 +945,12 @@ def ivf_index_sink(
             # unadvanced, which is safe: a replay of an empty batch
             # re-skips.
             return
+        # replayed chunks arrive as ONE file → ONE partition; the cell
+        # assignment (Arrow matmul) would run single-task (VERDICT r10
+        # #6). Downstream repartitions by __bucket anyway.
+        cores = spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < cores:
+            batch_df = batch_df.repartition(cores)
         try:
             m = read_manifest(index_dir)
             if m.get("batch_id") is not None and batch_id <= m["batch_id"]:
@@ -947,19 +961,24 @@ def ivf_index_sink(
 
         cent_path = index_dir + "__centroids"
         if m is None:
-            centroids = train_ivf_centroids(
-                batch_df, vec_col, n_cells=n_cells,
-                sample_size=sample_size, seed=seed,
+            centroids = np.asarray(
+                train_ivf_centroids(
+                    batch_df, vec_col, n_cells=n_cells,
+                    sample_size=sample_size, seed=seed,
+                )
             )
             spark.createDataFrame(
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
                 "cell int, centroid array<double>",
             ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        elif "centroids" in _cached:
+            centroids = _cached["centroids"]
         else:
             cent_rows = (
                 spark.read.parquet(cent_path).orderBy("cell").collect()
             )
             centroids = np.array([r["centroid"] for r in cent_rows])
+        _cached["centroids"] = centroids
 
         assign1 = _cell_assign_udf(centroids, 1)
         assigned = (

@@ -203,30 +203,35 @@ _head = [
     # r11 conversion: the LAST rows-only gate → independent-reference
     # VALUES hash oracle (VERDICT r10 #5)
     "bpe_merges",
-    # subsystem regression anchors
-    "trailing_distinct_users",
-    "k_truss",
-    "triangle_clustering",
-    "winnowing_fingerprints",
-    "streaming_daily_stats",     # reference-shape streaming gate
-    "cdc_apply",                 # CDC/merge layer
-    "daily_event_stats",
-    "best_day_top10",
-    "topk_orders",
-    "window_lag_lead",
-    "session_windows",
-    "streaming_holt_level",
-    "exact_substring_dedup",
-    "bucketed_colocated_join",
-    "matryoshka_recall",
-    "salted_join_revenue",
-    "grouping_sets_orders",
-    "json_functions",
-    "string_functions",
-    "merge_orders_upsert",
+    # r11 commit-path + signature-pass changes (VERDICT r10 #6): the
+    # snapshot layer's footer-based row counting (write/append/merge
+    # commits), the keyed-append touched-bucket short-circuit, and the
+    # md5-minhash signature restructure propagate to every gate whose
+    # closure reaches those functions — all of them lead this round:
+    "bloom_point_lookup",
+    "deletion_vector_delete",
+    "fuzzy_decontamination",
+    "generated_columns",
+    "incremental_ingest_daily",
+    "lsh_recall_eval",
+    "notification_ingest",
+    "partition_evolution",
+    "partitioned_snapshot_prune",
+    "replace_where_backfill",
+    "snapshot_change_feed",
+    "snapshot_commit_group",
+    "snapshot_restore",
+    "snapshot_vacuum",
+    "streaming_cdc_upsert",
+    "streaming_dim_refresh",
+    "streaming_expectations",
+    "streaming_gdpr_erasure",
+    "streaming_incremental_dedup",
+    "zonemap_pruned_scan",
     "schema_evolution",
     "streaming_table_feed",
     "table_changes_feed",
+    # subsystem regression anchors
     "minhash_dedup_pairs",
     "streaming_transform_with_state",
 ]

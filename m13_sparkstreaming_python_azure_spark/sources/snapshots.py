@@ -207,6 +207,20 @@ def _write_data_files(
     return moved
 
 
+def _count_files_rows(spark, files: list[str]) -> int:
+    """Row count of freshly-written data files. Plain local paths count
+    from parquet FOOTERS driver-side (`_parquet_rows`) — under
+    foreachBatch commits the old `spark.read.parquet(*files).count()`
+    cost one full Spark job per commit, a measurable slice of the
+    micro-batch floor (VERDICT r10 #6). Scheme'd paths (blob seam) keep
+    the Spark count."""
+    if not files:
+        return 0
+    if all("://" not in f for f in files):
+        return sum(_parquet_rows(f) for f in files)
+    return spark.read.parquet(*files).count()
+
+
 def write_snapshot(
     df: DataFrame, table_dir: str, extra: dict | None = None
 ) -> int:
@@ -214,7 +228,7 @@ def write_snapshot(
     fs_for(table_dir).makedirs(_manifest_dir(table_dir))
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
-    n = spark.read.parquet(*files).count() if files else 0
+    n = _count_files_rows(spark, files)
     return _commit(
         table_dir,
         files,
@@ -251,7 +265,7 @@ def append_snapshot(
     _validate_constraints(df, _m0, table_dir)
     files = _write_data_files(df, table_dir)
     spark = df.sparkSession
-    n_new = spark.read.parquet(*files).count() if files else 0
+    n_new = _count_files_rows(spark, files)
     while True:
         prev = read_manifest(table_dir)
         try:
@@ -402,7 +416,7 @@ def merge_snapshot(
     merged = merge_upsert(target, source, keys)
     _validate_constraints(merged, m, table_dir)
     files = _write_data_files(merged, table_dir)
-    n = spark.read.parquet(*files).count() if files else 0
+    n = _count_files_rows(spark, files)
     # like compaction: stale-base MERGEs must not publish — raise and
     # let the caller recompute against the advanced table
     return _commit(
@@ -440,7 +454,7 @@ def merge_into_snapshot(
     merged = merge_into(target, source, keys, clauses)
     _validate_constraints(merged, m, table_dir)
     files = _write_data_files(merged, table_dir)
-    n = spark.read.parquet(*files).count() if files else 0
+    n = _count_files_rows(spark, files)
     return _commit(
         table_dir, files, n, {"op": "merge_into", "dv_files": []},
         base_version=m["version"],
@@ -952,7 +966,19 @@ def keyed_append_sink(
     run ``compact_keyed_snapshot`` periodically to bound per-bucket file
     counts."""
 
-    def _sink(batch_df: DataFrame, batch_id: int, _retries: int = 5) -> None:
+    def _sink(
+        batch_df: DataFrame,
+        batch_id: int,
+        _retries: int = 5,
+        *,
+        touched_buckets: list[int] | None = None,
+    ) -> None:
+        """``touched_buckets``: the batch's bucket ids when the CALLER
+        already computed them (the minhash sink derives both its index
+        sinks' touched sets in one combined job — VERDICT r10 #6, one
+        collect job saved per sink per batch). Only steers repartition
+        width and the empty-batch check; the manifest's parts mapping is
+        built from the files actually written either way."""
         try:
             base_manifest = read_manifest(table_dir)
             last = base_manifest.get("batch_id")
@@ -969,19 +995,27 @@ def keyed_append_sink(
 
         clustered = batch_df.withColumn(
             "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-        ).persist()
-        touched = sorted(
-            r["__bucket"] for r in clustered.select("__bucket").distinct().collect()
         )
+        persisted = touched_buckets is None
+        if persisted:
+            clustered = clustered.persist()
+            touched = sorted(
+                r["__bucket"]
+                for r in clustered.select("__bucket").distinct().collect()
+            )
+        else:
+            touched = sorted(set(touched_buckets))
         if not touched:
-            clustered.unpersist()
+            if persisted:
+                clustered.unpersist()
             return
 
         fs_for(table_dir).makedirs(_manifest_dir(table_dir))
         written = _write_bucketed_files(
             clustered.repartition(len(touched), "__bucket"), table_dir
         )
-        clustered.unpersist()
+        if persisted:
+            clustered.unpersist()
 
         parts = {bs: dict(p) for bs, p in prev_parts.items()}
         for bs, fls in written.items():
@@ -1920,7 +1954,7 @@ def write_snapshot_partitioned(
     parts = _write_partitioned_files(df, table_dir, part_col)
     spark = df.sparkSession
     files = sorted(parts)
-    n = df.sparkSession.read.parquet(*files).count() if files else 0
+    n = _count_files_rows(spark, files)
     return _commit(
         table_dir,
         files,

@@ -6,10 +6,15 @@ ambient drift (e.g. containment_pairs +2.5 s in r9 with an IQR of
 0.47 s on a query nobody touched); this tool flags a query as a MOVER
 only when |Δ median| exceeds its measured run-to-run spread:
 
-    |new − old| > max(iqr_new, iqr_old, 0.15 s)
+    |new − old·scale| > max(iqr_new, iqr_old·scale, 0.15 s)
 
-Everything else is reported in one line as ambient drift. Output is a
-markdown fragment pasted into SURVEY.md's bench section.
+where scale = new_anchor / old_anchor from the fixed-cost calibration
+probe both bench runs emit (VERDICT r10 #4) — the old run is expressed
+in new-machine seconds first, so pure machine drift (driver headline
++15% over r8–r10 on untouched queries) is divided out instead of
+argued about. Everything else is reported in one line as ambient
+drift. Output is a markdown fragment pasted into SURVEY.md's bench
+section.
 
 Usage: python tools/bench_compare.py [old.json] [new.json]
   defaults: old = the last COMMITTED BENCH_FULL.json (git show
@@ -37,26 +42,47 @@ def _load(path: str) -> dict:
     return d
 
 
+def _anchor(d: dict) -> float | None:
+    cal = d.get("calibration_sec")
+    if isinstance(cal, dict):
+        return cal.get("anchor")
+    return cal if isinstance(cal, (int, float)) else None
+
+
 def compare(old: dict, new: dict, floor: float = 0.15) -> tuple[list, list, str]:
     qo, qn = old.get("queries", {}), new.get("queries", {})
     io_, in_ = old.get("queries_iqr", {}), new.get("queries_iqr", {})
+    # machine-drift normalization (VERDICT r10 #4): both runs carry a
+    # fixed-cost calibration anchor → express the OLD run in NEW-machine
+    # seconds (scale = new_anchor / old_anchor) before gating movers, so
+    # ambient machine drift can't masquerade as a regression (or hide one)
+    ao, an = _anchor(old), _anchor(new)
+    scale = (an / ao) if (ao and an) else 1.0
     movers, drift = [], []
     for name, nv in qn.items():
         if name not in qo:
             movers.append((name, None, nv, "NEW"))
             continue
-        ov = qo[name]
+        ov = round(qo[name] * scale, 3)
         delta = nv - ov
-        gate = max(in_.get(name, 0.0), io_.get(name, 0.0), floor)
+        gate = max(in_.get(name, 0.0), io_.get(name, 0.0) * scale, floor)
         (movers if abs(delta) > gate else drift).append(
             (name, ov, nv, f"{delta:+.2f}s vs IQR-gate {gate:.2f}s")
         )
     movers.sort(key=lambda t: -(abs((t[2] or 0) - (t[1] or 0))))
     removed = [n for n in qo if n not in qn]
+    norm = (
+        f"; drift-normalized (anchor {ao} → {an}, scale ×{scale:.3f}): "
+        f"old suite ≙ {round((old.get('value') or 0) * scale, 1)}s in "
+        "new-machine seconds — old columns below are pre-scaled"
+        if scale != 1.0
+        else "; no calibration anchor in the old run — raw comparison"
+    )
     head = (
         f"suite {old.get('value')}s/{old.get('n_queries')}q → "
         f"{new.get('value')}s/{new.get('n_queries')}q "
         f"({old.get('sec_per_query')} → {new.get('sec_per_query')} s/q)"
+        f"{norm}"
     )
     lines = [f"### Bench movers (IQR-qualified) — {head}", ""]
     lines.append("| query | old s | new s | Δ vs gate |")

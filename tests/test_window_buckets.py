@@ -148,3 +148,20 @@ def test_nan_leading_values_rank_last(spark):
     }
     # Spark orders NaN greater than any double
     assert out == {3: 1, 1: 2, 0: 3, 2: 4}
+
+
+def test_hot_value_above_tree_threshold_struct_search(spark):
+    """n > _TREE_MAX boundaries WITH sub-triples exercises the struct
+    F.aggregate binary-search regime (the small-p tests compile the
+    nested-when tree instead)."""
+    n = 3000
+    rows = [
+        (i, 5.5 if i % 10 < 8 else float(i % 997) * 0.37)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double")
+    out = global_rank(
+        df, [F.asc("score"), F.asc("id")], num_partitions=300
+    ).collect()
+    exp = _expected_ranks(rows, key=lambda r: (r[1], r[0]))
+    assert all(exp[(r["id"], r["score"])] == r["rank"] for r in out)

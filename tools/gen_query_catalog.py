@@ -44,13 +44,28 @@ def main() -> None:
         mod = fn.__module__.rsplit(".", 1)[-1]
         by_module.setdefault(mod, []).append(name)
 
+    rest = (
+        [
+            "oracles at sf0.01 (the rest are rows-only by documented "
+            "necessity —",
+            "engine-specific hashes, sketches, sampling, or binary "
+            "pipelines —",
+            "each covered by property/parity tests instead).",
+        ]
+        if len(ORACLES) < len(QUERIES)
+        else [
+            "oracles at sf0.01 — every registry query is value-hashed "
+            "(r11: the",
+            "last rows-only gate, bpe_merges, converted via an "
+            "independent-reference",
+            "VALUES oracle).",
+        ]
+    )
     out = [
         "# QUERIES — driver-contract inventory",
         "",
         f"{len(QUERIES)} queries; {len(ORACLES)} hash-checked against DuckDB",
-        "oracles at sf0.01 (the rest are rows-only by documented necessity —",
-        "engine-specific hashes, sketches, sampling, or binary pipelines —",
-        "each covered by property/parity tests instead).",
+        *rest,
         "",
         "Regenerate with `python tools/gen_query_catalog.py`.",
         "",

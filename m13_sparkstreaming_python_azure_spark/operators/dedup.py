@@ -1060,6 +1060,13 @@ def streaming_minhash_dedup_sink(
         )
         sh = sh.persist()
         banded = banded.persist()
+        # materialize the shingle table BEFORE the combined touched job:
+        # banded re-derives from sh's logical plan, and within a single
+        # job the union's two branches each run the tokenize+shingle
+        # pass before the cache fills — one narrow count here lets the
+        # banded branch read the cache instead (measured −1.2 s/gate
+        # same-conditions A/B at sf0.1)
+        sh.count()
 
         # candidate pairs, batch-batch: banded self-join, ids only (the
         # final cand.distinct() dedups — inner distincts were redundant

@@ -124,7 +124,12 @@ def _surrogate(df: DataFrame, lead: Column, ascending: bool) -> Column:
     lead value is null."""
     dtype = df.select(lead.alias("__l")).schema[0].dataType.simpleString()
     if dtype == "string":
-        eff = F.conv(F.rpad(F.hex(lead), 12, "0"), 16, 10).cast("double")
+        # hex only a 12-char prefix (≥ 12 bytes — substring is
+        # character-based, chars are ≥ 1 byte): identical first-6-byte
+        # value, O(1) per row even when the lead is a document column
+        eff = F.conv(
+            F.rpad(F.hex(F.substring(lead, 1, 12)), 12, "0"), 16, 10
+        ).cast("double")
     elif dtype == "date":
         eff = F.unix_date(lead).cast("double")
     elif dtype.startswith("timestamp"):
@@ -134,25 +139,6 @@ def _surrogate(df: DataFrame, lead: Column, ascending: bool) -> Column:
     else:
         eff = lead.cast("double")
     return eff if ascending else -eff
-
-
-def _raw_quantiles(df: DataFrame, eff: Column, p: int) -> list[float]:
-    """p−1 even quantile boundaries of ``eff`` WITH duplicates kept —
-    ONE bounded construction-time action (≤ p−1 scalars collected, the
-    repo's bounded-scalar class), embedded as literals so every DAG
-    branch computes the SAME bucket for a row by construction.
-    Boundaries only steer load balance; correctness never depends on
-    where they fall. Duplicates are the free hot-value detector: a
-    value appearing k times among p−1 even quantiles spans ≈ k·n/p
-    rows (VERDICT r10 #2)."""
-    if p <= 1:
-        return []
-    row = df.select(
-        F.percentile_approx(eff, [i / p for i in range(1, p)], 10_000).alias(
-            "__b"
-        )
-    ).first()
-    return [b for b in (row["__b"] or []) if b is not None]
 
 
 # lead-column types whose order-monotone double surrogate is INJECTIVE on
@@ -165,55 +151,259 @@ _SUB_EXACT_TYPES = {
 }
 
 
-def _lead_injective(df: DataFrame, lead: Column, dtype: str) -> bool:
-    """True when ``_surrogate`` is injective on the OBSERVED domain of
-    the leading sort column. bigint/decimal go through a double cast
-    that merges values beyond 2^53 — for those, one bounded scalar job
-    checks the observed magnitude (only ever run when a hot value was
-    actually detected). Strings truncate to a 6-byte prefix: never
-    injective, so string leads keep the single-bucket-per-tie plan."""
-    if dtype in _SUB_EXACT_TYPES or dtype.startswith("timestamp"):
-        return True
-    if dtype == "bigint":
-        row = df.select(F.max(F.abs(lead.cast("long"))).alias("m")).first()
-        return row["m"] is not None and row["m"] <= 2**53
-    if dtype.startswith("decimal"):
-        try:
-            prec = int(dtype.split("(")[1].split(",")[0])
-        except (IndexError, ValueError):
-            return False
-        return prec <= 15
-    return False
+def _string_w(lead: Column, ascending: bool) -> Column:
+    """Second-LEVEL string surrogate: bytes 7–12 of the UTF-8 encoding
+    as a 48-bit integer (zero-right-padded, exactly like
+    ``_surrogate``'s bytes 1–6). Within a first-level tie — strings
+    whose zero-padded first 6 bytes agree — this is order-monotone in
+    Spark's binary string order: zero-padding merges a string with its
+    NUL-extension (0x00 is the minimum byte), never inverts. Only ever
+    compared inside a ``w_hot`` group, where first-6-byte equality is
+    already established by ``eff``."""
+    h = F.hex(F.substring(lead, 1, 12))  # ≥ bytes 1–12 (chars ≥ 1 byte)
+    w = F.conv(F.rpad(F.substring(h, 13, 12), 12, "0"), 16, 10).cast(
+        "double"
+    )
+    return w if ascending else -w
 
 
-def _hot_sub_bounds(
-    df: DataFrame, eff: Column, sub_eff: Column, hot: dict[float, int]
-) -> dict[float, list[float]]:
-    """Per hot leading value h (multiplicity k in the raw quantile
-    list), k sub-boundaries = even quantiles of the SECOND-column
-    surrogate within h's tie group. ONE aggregation job; Σ(k_h+1) ≤ 2p
-    scalars collected (bounded-scalar class). percentile_approx ignores
-    the nulls the when() guard produces for non-h rows."""
-    aggs, names = [], []
-    for i, (h, mult) in enumerate(sorted(hot.items())):
-        m = mult + 1  # split ≈ k·n/p tied rows into k+1 ~n/p sub-buckets
-        fr = [j / m for j in range(1, m)]
-        # accuracy 2 000 (vs the lead pass's 10 000): sub-boundaries only
-        # steer load balance INSIDE one tie group — coarser placement
-        # costs nothing but evenness, and the guarded percentile runs
-        # over the whole input per hot value, so this is the cheap knob
-        # on the one extra construction job hot detection adds
-        aggs.append(
-            F.percentile_approx(
-                F.when(eff == F.lit(h), sub_eff), fr, 2_000
-            ).alias(f"__h{i}")
+class RankBounds:
+    """Precomputed bucket boundaries for ONE global_rank / exact_ntile
+    ordering — the product of the bounded construction jobs, ready to
+    embed as literals. ``raw``: lead-surrogate quantiles (duplicates
+    kept — the free hot-value detector). ``sub``: hot lead value → its
+    u-axis sub-boundaries. ``w_hot``: the hot STRING lead values whose
+    u-axis is the second-level string surrogate (``_string_w``) instead
+    of the second sort column. Obtain via ``plan_rank_bounds`` to batch
+    construction across several orderings of the SAME input (VERDICT
+    r11 #3 — rfm_segments' three quintile passes share one pass)."""
+
+    __slots__ = ("raw", "sub", "w_hot")
+
+    def __init__(
+        self,
+        raw: list[float],
+        sub: dict[float, list[float]],
+        w_hot: list[float],
+    ):
+        self.raw, self.sub, self.w_hot = raw, sub, w_hot
+
+
+def _plan_items_bounds(
+    df: DataFrame,
+    items: Sequence[tuple],
+    p: int,
+) -> list[RankBounds]:
+    """At most TWO bounded aggregation jobs computing ``RankBounds``
+    for every ``(eff, sub_eff, lead, ascending, dtype)`` item over the
+    SAME input (≤ p−1 scalars per item per job — the repo's
+    bounded-scalar collect class).
+
+    Job A — p−1 even quantiles of each lead surrogate WITH duplicates
+    kept (a value appearing k times among the quantiles spans ≈ k·n/p
+    rows: the free hot-value detector, VERDICT r10 #2) plus, for
+    bigint AND timestamp leads, the observed max |magnitude| deciding
+    whether the double surrogate is injective. ADVICE r11: timestamps
+    are no longer unconditionally injective — ``unix_micros`` beyond
+    ±2^53 µs (before ~1685 / after ~2255) merges distinct instants in
+    the double cast exactly like bigints, so they take the same
+    observed-magnitude check (folded into job A, so it costs no extra
+    job even when hot values fire).
+
+    Job B — only when job A detected hot values on a splittable lead:
+    per hot value h (multiplicity k), k sub-boundaries = even quantiles
+    of the u-axis within h's tie group, at accuracy 2 000 (vs the lead
+    pass's 10 000: sub-boundaries only steer load balance INSIDE one
+    tie group, so coarse placement costs nothing but evenness).
+    percentile_approx ignores the nulls the when() guard produces for
+    non-h rows. For an INJECTIVE lead the u-axis is the second sort
+    column. For a STRING lead (6-byte-prefix surrogate, never
+    injective — VERDICT r11 #2) job B also takes min/max of the full
+    string per group and dispatches:
+
+    - min == max ⟹ the whole tie group is ONE exact string: the lead
+      is pinned, so the second sort column splits the group exactly as
+      an injective numeric lead would. This is the common real shape —
+      a low-cardinality status / language / category column.
+    - min != max ⟹ the group mixes distinct strings sharing a 6-byte
+      prefix: quantiles of the second-LEVEL surrogate (bytes 7–12,
+      ``_string_w``) split it along the string order itself; the value
+      lands in ``w_hot`` so the key's u-axis switches to ``_string_w``
+      for exactly these groups (boundaries at v==h only ever compare
+      against keys with v==h, so per-group axes never mix). Residual,
+      documented in PLANS.md: ONE exact string dominating such a mixed
+      group is pinned only at 12 bytes — splitting it by the second
+      column would need a third construction job; not built until a
+      gate needs it."""
+    aggs_a: list[Column] = []
+    for i, (eff, _sub, lead, _asc, dtype) in enumerate(items):
+        if p > 1:
+            aggs_a.append(
+                F.percentile_approx(
+                    eff, [j / p for j in range(1, p)], 10_000
+                ).alias(f"__q{i}")
+            )
+        if dtype == "bigint":
+            aggs_a.append(
+                F.max(F.abs(lead.cast("long"))).alias(f"__m{i}")
+            )
+        elif dtype.startswith("timestamp"):
+            aggs_a.append(
+                F.max(F.abs(F.unix_micros(lead.cast("timestamp")))).alias(
+                    f"__m{i}"
+                )
+            )
+    row_a = df.select(*aggs_a).first() if aggs_a else None
+
+    plans = []  # (raw, hot, mode) per item
+    for i, (eff, sub_eff, lead, _asc, dtype) in enumerate(items):
+        raw: list[float] = []
+        if row_a is not None and p > 1:
+            raw = [b for b in (row_a[f"__q{i}"] or []) if b is not None]
+        counts: dict[float, int] = {}
+        for b in raw:
+            counts[b] = counts.get(b, 0) + 1
+        # HOT = multiplicity ≥ 4 (tie group ≥ ~3n/p rows — below that
+        # the group already fits a few buckets' worth and splitting buys
+        # nothing), capped to the 32 hottest: Σ multiplicities ≤ p−1, so
+        # after splitting the top 32 any UNSPLIT tie group has
+        # multiplicity ≤ (p−1)/33 → ≤ ~n/33 rows, a bounded fraction of
+        # the table regardless of p. Without the threshold,
+        # p ≫ distinct(lead) marks EVERY value hot and the sub-bounds
+        # aggregation degenerates into thousands of percentile columns —
+        # measured 42 s of plan+eval at p=2000 over 991 distinct values.
+        hot = {v: c for v, c in counts.items() if c >= 4}
+        if len(hot) > 32:
+            keep = sorted(hot, key=lambda v: hot[v], reverse=True)[:32]
+            hot = {v: hot[v] for v in keep}
+        if dtype in _SUB_EXACT_TYPES:
+            inj = True
+        elif dtype == "bigint" or dtype.startswith("timestamp"):
+            m = row_a[f"__m{i}"] if row_a is not None else None
+            inj = m is not None and m <= 2**53
+        elif dtype.startswith("decimal"):
+            try:
+                inj = int(dtype.split("(")[1].split(",")[0]) <= 15
+            except (IndexError, ValueError):
+                inj = False
+        else:
+            inj = False
+        mode = None
+        if hot:
+            if dtype == "string" and lead is not None:
+                mode = "string"
+            elif inj and sub_eff is not None:
+                mode = "numeric"
+        plans.append((raw, hot, mode))
+
+    aggs_b: list[Column] = []
+    binfo: list[list[tuple]] = []
+    for i, ((eff, sub_eff, lead, asc, _dt), (_raw, hot, mode)) in enumerate(
+        zip(items, plans)
+    ):
+        entries: list[tuple] = []
+        if mode == "numeric":
+            for k, (h, mult) in enumerate(sorted(hot.items())):
+                m = mult + 1  # k·n/p tied rows → k+1 ~n/p sub-buckets
+                fr = [j / m for j in range(1, m)]
+                nm = f"__s{i}_{k}"
+                aggs_b.append(
+                    F.percentile_approx(
+                        F.when(eff == F.lit(h), sub_eff), fr, 2_000
+                    ).alias(nm)
+                )
+                entries.append((h, "u", nm))
+        elif mode == "string":
+            w = _string_w(lead, asc)
+            for k, (h, mult) in enumerate(sorted(hot.items())):
+                m = mult + 1
+                fr = [j / m for j in range(1, m)]
+                g = eff == F.lit(h)
+                nms = (
+                    f"__mn{i}_{k}", f"__mx{i}_{k}",
+                    f"__w{i}_{k}", f"__u{i}_{k}",
+                )
+                aggs_b.append(F.min(F.when(g, lead)).alias(nms[0]))
+                aggs_b.append(F.max(F.when(g, lead)).alias(nms[1]))
+                aggs_b.append(
+                    F.percentile_approx(
+                        F.when(g, w), fr, 2_000
+                    ).alias(nms[2])
+                )
+                if sub_eff is not None:
+                    aggs_b.append(
+                        F.percentile_approx(
+                            F.when(g, sub_eff), fr, 2_000
+                        ).alias(nms[3])
+                    )
+                entries.append((h, "str", nms))
+        binfo.append(entries)
+    row_b = df.select(*aggs_b).first() if aggs_b else None
+
+    out: list[RankBounds] = []
+    for (item, (raw, _hot, _mode), entries) in zip(items, plans, binfo):
+        sub_eff = item[1]
+        sub_bounds: dict[float, list[float]] = {}
+        w_hot: list[float] = []
+        for (h, kind, nm) in entries:
+            if kind == "u":
+                qs = sorted(
+                    {u for u in (row_b[nm] or []) if u is not None}
+                )
+                if qs:
+                    sub_bounds[h] = qs
+            else:
+                mn, mx = row_b[nm[0]], row_b[nm[1]]
+                if mn is None:
+                    continue
+                if mn == mx and sub_eff is not None:
+                    qs = sorted(
+                        {u for u in (row_b[nm[3]] or []) if u is not None}
+                    )
+                    if qs:
+                        sub_bounds[h] = qs
+                elif mn != mx:
+                    qs = sorted(
+                        {u for u in (row_b[nm[2]] or []) if u is not None}
+                    )
+                    if qs:
+                        sub_bounds[h] = qs
+                        w_hot.append(h)
+        out.append(RankBounds(raw=raw, sub=sub_bounds, w_hot=w_hot))
+    return out
+
+
+def plan_rank_bounds(
+    df: DataFrame,
+    order_specs: Sequence[Sequence[Column]],
+    num_partitions: int | None = None,
+) -> list[RankBounds]:
+    """Batch the bucket-boundary construction for SEVERAL global_rank /
+    exact_ntile calls over the SAME input into at most two aggregation
+    jobs (VERDICT r11 #3 — rfm_segments' three quintile passes used to
+    each pay their own quantile + hot-detection jobs). EAGER: runs the
+    jobs now; pass each returned ``RankBounds`` to the matching call's
+    ``bounds=``. The input should already be materialized
+    (localCheckpoint) when its lineage is expensive — boundary literals
+    stay valid for any derived frame that preserves the rows (e.g. a
+    ``withColumn`` chain), which is what lets one materialized base
+    serve all three rfm passes."""
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    items = []
+    for order_by in order_specs:
+        cols = list(order_by)
+        lead_col, asc, _nf = _lead_spec(cols[0])
+        eff = _surrogate(df, lead_col, asc)
+        sub_eff = _second_surrogate(df, cols[1]) if len(cols) > 1 else None
+        dtype = (
+            df.select(lead_col.alias("__l")).schema[0].dataType
+            .simpleString()
         )
-        names.append((h, f"__h{i}"))
-    row = df.select(*aggs).first()
-    return {
-        h: sorted({u for u in (row[nm] or []) if u is not None})
-        for h, nm in names
-    }
+        items.append((eff, sub_eff, lead_col, asc, dtype))
+    return _plan_items_bounds(df, items, p)
 
 
 def _boundary_triples(
@@ -342,39 +532,38 @@ def _bucket_assignment(
     sub_eff: Column | None,
     nulls_first: bool,
     p: int,
-    injective,
+    lead: Column | None = None,
+    ascending: bool = True,
+    dtype: str | None = None,
+    bounds: RankBounds | None = None,
 ) -> tuple[Column, Column, int]:
     """The full bucket plan: returns (key_col, bucket_expr_over_key,
-    n_buckets). ``injective`` is a thunk — the bigint magnitude check
-    only runs when a hot value was actually detected. Nulls in the
+    n_buckets). Boundary construction (quantiles, hot detection,
+    injectivity magnitude checks, string dispatch) lives in
+    ``_plan_items_bounds`` — run here unless the caller already batched
+    it via ``plan_rank_bounds`` and passed ``bounds``. Nulls in the
     LEADING value route to a sentinel bucket at the correct end; nulls
     in the second column fold to ±inf matching its nulls placement
-    (callers bake that into ``sub_eff``)."""
-    raw = _raw_quantiles(df, eff, p)
-    counts: dict[float, int] = {}
-    for b in raw:
-        counts[b] = counts.get(b, 0) + 1
-    # HOT = multiplicity ≥ 4 (tie group ≥ ~3n/p rows — below that the
-    # group already fits a few buckets' worth and splitting buys
-    # nothing), capped to the 32 hottest: Σ multiplicities ≤ p−1, so
-    # after splitting the top 32 any UNSPLIT tie group has multiplicity
-    # ≤ (p−1)/33 → ≤ ~n/33 rows, a bounded fraction of the table
-    # regardless of p. Without the threshold, p ≫ distinct(lead) marks
-    # EVERY value hot (multiplicity ≈ p/distinct) and the sub-bounds
-    # aggregation degenerates into thousands of percentile columns —
-    # measured 42 s of plan+eval at p=2000 over 991 distinct values.
-    hot = {v: c for v, c in counts.items() if c >= 4}
-    if len(hot) > 32:
-        keep = sorted(hot, key=lambda v: hot[v], reverse=True)[:32]
-        hot = {v: hot[v] for v in keep}
-    sub_bounds: dict[float, list[float]] = {}
-    if hot and sub_eff is not None and injective():
-        sub_bounds = _hot_sub_bounds(df, eff, sub_eff, hot)
-    triples = _boundary_triples(raw, sub_bounds)
+    (callers bake that into ``sub_eff``). For ``w_hot`` string groups
+    the key's u-axis switches from the second sort column to the
+    second-level string surrogate — safe because boundaries at v==h
+    only ever compare u against keys with v==h."""
+    if bounds is None:
+        bounds = _plan_items_bounds(
+            df, [(eff, sub_eff, lead, ascending, dtype)], p
+        )[0]
+    triples = _boundary_triples(bounds.raw, bounds.sub)
+    u_base = sub_eff if sub_eff is not None else F.lit(0.0)
+    if bounds.w_hot and lead is not None:
+        u_expr = F.when(
+            eff.isin(list(bounds.w_hot)), _string_w(lead, ascending)
+        ).otherwise(u_base)
+    else:
+        u_expr = u_base
     key = F.struct(
         eff.alias("v"),
         F.lit(0).alias("s"),
-        (sub_eff if sub_eff is not None else F.lit(0.0)).alias("u"),
+        u_expr.alias("u"),
     )
     n_buckets = len(triples) + 1
     sentinel = F.lit(-1 if nulls_first else n_buckets)
@@ -398,14 +587,18 @@ def _tag_buckets(
     sub_eff: Column | None,
     nulls_first: bool,
     p: int,
-    injective,
+    lead: Column | None = None,
+    ascending: bool = True,
+    dtype: str | None = None,
+    bounds: RankBounds | None = None,
     tag: str = "__bkt",
 ) -> DataFrame:
     """Project the (lead, 0, second) key once, then tag each row with
     its bucket id — the shared front half of global_rank /
     global_cumsum and the load-balance census probe."""
     key, build, _ = _bucket_assignment(
-        df, eff, sub_eff, nulls_first, p, injective
+        df, eff, sub_eff, nulls_first, p,
+        lead=lead, ascending=ascending, dtype=dtype, bounds=bounds,
     )
     return (
         df.withColumn("__key", key)
@@ -438,6 +631,7 @@ def global_rank(
     total_col: str | None = None,
     lead: tuple[Column, bool, bool] | None = None,
     materialize: bool = False,
+    bounds: RankBounds | None = None,
 ) -> DataFrame:
     """EXACT 1-based global rank over a total order — without the
     single-partition sort an unpartitioned ``Window.orderBy`` forces
@@ -459,7 +653,7 @@ def global_rank(
        tags by pure row-local arithmetic; there is nothing left to
        disagree about, exchange reuse or not. A value appearing k≥2
        times among the quantiles is HOT (≈ k·n/p tied rows): when the
-       lead surrogate is injective (``_lead_injective``) its tie group
+       lead surrogate is injective (``_plan_items_bounds``) its tie group
        is sub-bucketed by quantiles of the SECOND sort column
        (``_boundary_triples`` — VERDICT r10 #2), so a degenerate score
        distribution no longer concentrates one window task. Bucket
@@ -498,7 +692,7 @@ def global_rank(
     dtype = df.select(lead_col.alias("__l")).schema[0].dataType.simpleString()
     tagged = _tag_buckets(
         df, eff, sub_eff, nulls_first, p,
-        injective=lambda: _lead_injective(df, lead_col, dtype),
+        lead=lead_col, ascending=asc, dtype=dtype, bounds=bounds,
     )
     w_loc = Window.partitionBy("__bkt").orderBy(*cols)
     stats = tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -527,6 +721,7 @@ def exact_ntile(
     out_col: str = "tile",
     num_partitions: int | None = None,
     materialize: bool = False,
+    bounds: RankBounds | None = None,
 ) -> DataFrame:
     """EXACT ntile(n) over a total order — without the single-partition
     sort an unpartitioned ``Window.orderBy`` forces (``WindowExec: No
@@ -553,8 +748,19 @@ def exact_ntile(
         num_partitions=num_partitions,
         total_col="__n",
         materialize=materialize,
+        bounds=bounds,
     )
-    tile = F.expr(
+    return ranked.withColumn(
+        out_col, _ntile_expr(n_tiles).cast("long")
+    ).drop("__rank", "__n")
+
+
+def _ntile_expr(n_tiles: int) -> Column:
+    """SQL ntile's bucket arithmetic over an exact ``__rank`` and total
+    ``__n`` — pure integer expressions: with ``q, r = N divmod n``, the
+    first ``r`` buckets take ``q+1`` rows (engine-bit-equal with any
+    conforming ntile)."""
+    return F.expr(
         f"CASE WHEN __n < {n_tiles} THEN __rank"  # fewer rows than tiles
         f" WHEN __rank <= (__n % {n_tiles}) * (__n DIV {n_tiles} + 1)"
         f" THEN (__rank - 1) DIV (__n DIV {n_tiles} + 1) + 1"
@@ -562,9 +768,117 @@ def exact_ntile(
         f"  + (__rank - (__n % {n_tiles}) * (__n DIV {n_tiles} + 1) - 1)"
         f"    DIV (__n DIV {n_tiles}) + 1 END"
     )
-    return ranked.withColumn(out_col, tile.cast("long")).drop(
-        "__rank", "__n"
+
+
+def exact_ntile_multi(
+    df: DataFrame,
+    n_tiles: int,
+    specs: Sequence[Sequence[Column]],
+    out_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SEVERAL exact ntile(n) columns over the SAME rows in ONE plan
+    (VERDICT r11 #3 — rfm_segments' r/f/m quintiles). Identical tile
+    assignment to chained ``exact_ntile`` calls, but:
+
+    - ONE eager localCheckpoint + ONE batched boundary pass
+      (``plan_rank_bounds``: ≤ 2 construction jobs for all orderings)
+      instead of a checkpoint + up to 2 jobs per ordering;
+    - each ordering's bucket-count stats are computed from the
+      CHECKPOINTED BASE, not from the previous ntile's output — the
+      broadcast offset branches re-scan ~|base| rows instead of
+      re-evaluating the accumulated window chain (which is what made
+      un-checkpointed chaining quadratic), so no intermediate
+      checkpoints are needed;
+    - the data branch is one linear chain of per-ordering
+      (bucket-tag join + row_number window): k window shuffles for k
+      orderings, evaluated once.
+
+    Every ordering MUST be total (tie-break with a unique column)."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    if len(specs) != len(out_cols):
+        raise ValueError("specs and out_cols must pair up")
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    df = df.localCheckpoint(eager=True)
+    all_bounds = plan_rank_bounds(df, specs, num_partitions=p)
+    dims = []  # (key_expr, build, n_buckets) per ordering
+    for spec, bounds in zip(specs, all_bounds):
+        cols = list(spec)
+        lead_col, asc, nulls_first = _lead_spec(cols[0])
+        eff = _surrogate(df, lead_col, asc)
+        sub_eff = _second_surrogate(df, cols[1]) if len(cols) > 1 else None
+        dtype = (
+            df.select(lead_col.alias("__l")).schema[0].dataType
+            .simpleString()
+        )
+        dims.append(
+            _bucket_assignment(
+                df, eff, sub_eff, nulls_first, p,
+                lead=lead_col, ascending=asc, dtype=dtype, bounds=bounds,
+            )
+        )
+    # ONE stats job for every ordering: tag each row with all k bucket
+    # ids, unpivot, count per (dim, bucket). The collect is bounded by
+    # Σ(n_buckets_i + 2) ≤ k·(3p+2) rows — config-bounded, not
+    # data-bounded (the repo's bounded collect class). Collecting the
+    # per-bucket counts lets the offsets embed as ONE array literal per
+    # ordering, so the data branch has NO join at all — the r11 shape
+    # (per-ordering broadcast triangle joins) paid 3 broadcast-exchange
+    # jobs per ordering on top of the stats scans.
+    tagged = df
+    for i, (key, _build, _nb) in enumerate(dims):
+        tagged = tagged.withColumn(f"__key{i}", key)
+    cnt_rows = (
+        tagged.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        dims[i][1](F.col(f"__key{i}"))
+                        for i in range(len(dims))
+                    ]
+                )
+            ).alias("__d", "__b")
+        )
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    counts: list[dict[int, int]] = [dict() for _ in dims]
+    for r in cnt_rows:
+        counts[r["__d"]][r["__b"]] = r["__cnt"]
+    total = sum(counts[0].values())
+
+    out = df
+    for (key, build, n_buckets), spec, oc, cnt in zip(
+        dims, specs, out_cols, counts
+    ):
+        # offsets[bucket] = rows in earlier buckets; bucket ids span
+        # [-1, n_buckets] (null sentinels at either end). element_at is
+        # 1-based: element_at(arr, id + 2) reads python index id + 1.
+        offs_arr = [0] * (n_buckets + 2)
+        run = 0
+        for b in sorted(cnt):
+            offs_arr[b + 1] = run
+            run += cnt[b]
+        w_loc = Window.partitionBy("__bkt").orderBy(*list(spec))
+        out = (
+            out.withColumn("__key", key)
+            .withColumn("__bkt", build(F.col("__key")))
+            .drop("__key")
+            .withColumn(
+                "__rank",
+                F.element_at(F.lit(offs_arr), F.col("__bkt") + F.lit(2))
+                + F.row_number().over(w_loc).cast("long"),
+            )
+            .withColumn("__n", F.lit(total))
+            .withColumn(oc, _ntile_expr(n_tiles).cast("long"))
+            .drop("__rank", "__n", "__bkt")
+        )
+    return out
 
 
 def global_cumsum(
@@ -658,7 +972,7 @@ def global_cumsum(
     )
     tagged = _tag_buckets(
         df, eff, sub_eff, nulls_first=True, p=p,
-        injective=lambda: _lead_injective(df, F.col(ords[0]), dtype0),
+        lead=F.col(ords[0]), ascending=True, dtype=dtype0,
     )
     stats = tagged.groupBy("__bkt", *keys).agg(
         *[F.sum(v).alias(f"__t_{v}") for v in vals]
@@ -739,6 +1053,6 @@ def rank_bucket_census(
     dtype = df.select(lead_col.alias("__l")).schema[0].dataType.simpleString()
     tagged = _tag_buckets(
         df, eff, sub_eff, nulls_first, p,
-        injective=lambda: _lead_injective(df, lead_col, dtype),
+        lead=lead_col, ascending=asc, dtype=dtype,
     )
     return tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("rows"))

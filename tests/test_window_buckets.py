@@ -75,17 +75,167 @@ def test_hot_value_desc_second_key_with_nulls(spark):
     assert all(exp[(r["id"], r["score"], r["w"])] == r["rank"] for r in out)
 
 
-def test_string_lead_never_subbuckets_but_stays_exact(spark):
-    # string surrogate merges 6-byte prefixes → injectivity gate must
-    # refuse sub-bucketing; ranks still exact via within-bucket sort
-    rows = [(i, "hotkey-shared-prefix") for i in range(500)]
-    rows += [(i + 500, f"k{i:03d}") for i in range(100)]
+def test_string_lead_pinned_hot_value_splits_and_stays_exact(spark):
+    """VERDICT r11 #2: a hot string lead whose tie group is ONE exact
+    string (min == max in the bounded hot job) sub-buckets by the
+    second sort column — the low-cardinality status/category shape that
+    used to land 85% of rows in one bucket by design."""
+    rows = [(i, "hotkey-shared-prefix") for i in range(1700)]
+    rows += [(i + 1700, f"k{i % 100:03d}") for i in range(300)]
     df = spark.createDataFrame(rows, "id long, s string")
-    out = global_rank(df, [F.asc("s"), F.asc("id")], num_partitions=8)
+    order = [F.asc("s"), F.asc("id")]
+    out = global_rank(df, order, num_partitions=16)
     exp = _expected_ranks(rows, key=lambda r: (r[1], r[0]))
     assert all(
         exp[(r["id"], r["s"])] == r["rank"] for r in out.collect()
     )
+    census = rank_bucket_census(df, order, num_partitions=16).collect()
+    biggest = max(r["rows"] for r in census)
+    assert biggest <= 4 * 2000 // 16, (
+        f"pinned hot string not split: max bucket {biggest} of 2000"
+    )
+
+
+def test_string_lead_prefix_family_splits_on_second_level(spark):
+    """VERDICT r11 #2, mixed case: a hot 6-byte prefix shared by
+    SEVERAL distinct strings (min != max) splits along the
+    second-LEVEL surrogate (bytes 7-12) — down to per-string
+    granularity, never inverting the total order."""
+    rows = [(i, f"prefix-{i % 5:03d}") for i in range(1700)]
+    rows += [(i + 1700, f"z{i % 100:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    order = [F.asc("s"), F.asc("id")]
+    out = global_rank(df, order, num_partitions=16)
+    exp = _expected_ranks(rows, key=lambda r: (r[1], r[0]))
+    assert all(
+        exp[(r["id"], r["s"])] == r["rank"] for r in out.collect()
+    )
+    census = rank_bucket_census(df, order, num_partitions=16).collect()
+    biggest = max(r["rows"] for r in census)
+    # bound = one full string's rows (340) — the documented residual:
+    # a 12-byte-pinned sub-group is not split further by the 2nd column
+    assert biggest <= 1700 // 5 + 60, (
+        f"prefix family not split by bytes 7-12: max bucket {biggest}"
+    )
+
+
+def test_string_lead_desc_hot_value_exact(spark):
+    rows = [(i, "hotkey-shared-prefix") for i in range(850)]
+    rows += [(i + 850, f"k{i % 40:03d}") for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = global_rank(
+        df, [F.desc("s"), F.desc("id")], num_partitions=16
+    )
+    order = sorted(rows, key=lambda r: (r[1], r[0]), reverse=True)
+    exp = {(r[0], r[1]): i + 1 for i, r in enumerate(order)}
+    assert all(
+        exp[(r["id"], r["s"])] == r["rank"] for r in out.collect()
+    )
+
+
+def test_far_range_timestamp_declines_subbucket_and_stays_exact(spark):
+    """ADVICE r11 (medium): unix_micros beyond ±2^53 merges distinct
+    instants in the double surrogate — the magnitude check must refuse
+    sub-bucketing there (wrong-order risk), keeping ranks exact via the
+    single-bucket tie group."""
+    import datetime
+
+    far = datetime.datetime(3000, 1, 1)  # |unix_micros| > 2^53
+    rows = [
+        (
+            i,
+            far if i % 10 < 8
+            else datetime.datetime(3000, 1, 1 + (i % 10)),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    order = [F.asc("ts"), F.asc("id")]
+    out = global_rank(df, order, num_partitions=8)
+    exp = _expected_ranks(rows, key=lambda r: (r[1], r[0]))
+    assert all(
+        exp[(r["id"], r["ts"])] == r["rank"] for r in out.collect()
+    )
+    # the hot far-range group must stay WHOLE (refusal, not a split)
+    census = rank_bucket_census(df, order, num_partitions=8).collect()
+    assert max(r["rows"] for r in census) >= 400
+
+
+def test_near_range_timestamp_hot_value_splits(spark):
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    rows = [
+        (
+            i,
+            base if i % 10 < 8
+            else base + datetime.timedelta(seconds=i % 10),
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    order = [F.asc("ts"), F.asc("id")]
+    out = global_rank(df, order, num_partitions=16)
+    exp = _expected_ranks(rows, key=lambda r: (r[1], r[0]))
+    assert all(
+        exp[(r["id"], r["ts"])] == r["rank"] for r in out.collect()
+    )
+    census = rank_bucket_census(df, order, num_partitions=16).collect()
+    assert max(r["rows"] for r in census) <= 4 * 2000 // 16
+
+
+def test_exact_ntile_multi_matches_chained_exact_ntile(spark):
+    """VERDICT r11 #3: the batched construction + literal-offset data
+    branch must assign bit-identical tiles to chained exact_ntile."""
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        exact_ntile,
+        exact_ntile_multi,
+    )
+
+    rows = [
+        (i, (i * 7) % 13, (i * 31) % 5, (i * 17) % 1000)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, m long")
+    specs = [
+        [F.desc("a"), F.col("id")],
+        [F.col("b"), F.col("id")],
+        [F.col("m"), F.col("id")],
+    ]
+    multi = exact_ntile_multi(
+        df, 5, specs, ["ta", "tb", "tm"], num_partitions=16
+    )
+    chained = exact_ntile(
+        df, 5, specs[0], out_col="ta", num_partitions=16,
+        materialize=True,
+    )
+    chained = exact_ntile(
+        chained, 5, specs[1], out_col="tb", num_partitions=16,
+        materialize=True,
+    )
+    chained = exact_ntile(
+        chained, 5, specs[2], out_col="tm", num_partitions=16,
+        materialize=True,
+    )
+    got = {r["id"]: (r["ta"], r["tb"], r["tm"]) for r in multi.collect()}
+    exp = {r["id"]: (r["ta"], r["tb"], r["tm"]) for r in chained.collect()}
+    assert got == exp
+
+
+def test_plan_rank_bounds_precomputed_equals_inline(spark):
+    from m13_sparkstreaming_python_azure_spark.operators.window import (
+        plan_rank_bounds,
+    )
+
+    rows = [(i, float(i % 9), i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    spec = [F.asc("x"), F.desc("y"), F.asc("id")]
+    bounds = plan_rank_bounds(df, [spec], num_partitions=16)[0]
+    with_b = global_rank(df, spec, num_partitions=16, bounds=bounds)
+    inline = global_rank(df, spec, num_partitions=16)
+    got = {r["id"]: r["rank"] for r in with_b.collect()}
+    exp = {r["id"]: r["rank"] for r in inline.collect()}
+    assert got == exp
 
 
 def test_bigint_beyond_2_53_declines_subbucket_and_stays_exact(spark):

@@ -802,9 +802,20 @@ def hot_value_probe_audit(spark, lines: list) -> int:
     skewed fixture (85% of rows tied on the leading score) at two
     sizes and measures the MAX bucket input via the operator's own
     bucket census: it must stay ≈ n/p (bound 4·n/p), i.e. NOT grow
-    toward 0.85·n. The string-lead row documents the sanctioned
-    fallback — a non-injective surrogate must NOT sub-bucket (it could
-    invert the total order), so its tie group stays whole by design."""
+    toward 0.85·n.
+
+    VERDICT r11 #2 closed the string-lead hole: a hot string value
+    whose tie group is ONE exact string (min == max in the bounded hot
+    job) is pinned, so it sub-buckets by the second sort column like an
+    injective numeric — the string row is now BOUND-CHECKED, not a
+    documented fallback. A hot 6-byte prefix shared by several distinct
+    strings splits along the second-LEVEL surrogate (bytes 7-12) to
+    per-string granularity; the residual (one exact string dominating a
+    mixed prefix family is pinned only at 12 bytes) is asserted at that
+    looser bound. ADVICE r11: far-range timestamps (|unix_micros| >
+    2^53) MERGE in the double surrogate, so the probe also asserts the
+    magnitude check REFUSES to sub-bucket there — the safe direction,
+    a split could invert the total order."""
     from pyspark.sql import functions as F
 
     from m13_sparkstreaming_python_azure_spark.operators.window import (
@@ -844,8 +855,9 @@ def hot_value_probe_audit(spark, lines: list) -> int:
         lines.append(f"| double lead | {n} | {mx} | {bound} | {verdict} |")
         print(f"{'OK  ' if ok else 'FAIL'} hot-value probe n={n}: "
               f"max bucket {mx} (bound {bound})")
-    # documented fallback: string lead (6-byte-prefix surrogate is not
-    # injective) keeps the whole tie group in one bucket BY DESIGN
+    # string lead, pinned hot value (VERDICT r11 #2): 85% of rows are
+    # ONE exact string — min == max pins it, second-column sub-split
+    # must bound the bucket exactly like the numeric rows above
     n = 20_000
     dfs = spark.range(n).select(
         F.col("id"),
@@ -857,10 +869,72 @@ def hot_value_probe_audit(spark, lines: list) -> int:
         dfs, [F.asc("score"), F.asc("id")], num_partitions=p
     ).collect()
     mx = max(r["rows"] for r in census)
+    bound = 4 * n // p
+    ok = mx <= bound
+    failures += not ok
     lines.append(
-        f"| string lead (fallback) | {n} | {mx} | n/a | DOCUMENTED — "
-        "non-injective surrogate, sub-bucketing refused by design |"
+        f"| string lead (pinned hot value) | {n} | {mx} | {bound} | "
+        f"{'OK — pinned string split by 2nd column' if ok else 'FAIL — hot bucket'} |"
     )
+    print(f"{'OK  ' if ok else 'FAIL'} hot-value probe string-pinned: "
+          f"max bucket {mx} (bound {bound})")
+    # string lead, mixed 6-byte-prefix family: 85% spread over 30
+    # distinct strings sharing the prefix "prefix" — second-LEVEL
+    # surrogate (bytes 7-12) splits to per-string granularity; the
+    # documented residual bound is ONE string's rows (0.85n/30), not
+    # 4n/p, because a 12-byte-pinned sub-group is not split further
+    dfm = spark.range(n).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 100 < 85,
+            F.concat(
+                F.lit("prefix-"),
+                F.lpad((F.col("id") % 30).cast("string"), 3, "0"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("z"), F.col("id") % 100))
+        .alias("score"),
+    )
+    census = rank_bucket_census(
+        dfm, [F.asc("score"), F.asc("id")], num_partitions=p
+    ).collect()
+    mx = max(r["rows"] for r in census)
+    bound = int(0.85 * n / 30) + 4 * n // p
+    ok = mx <= bound
+    failures += not ok
+    lines.append(
+        f"| string lead (mixed prefix family ×30) | {n} | {mx} | {bound} "
+        f"(per-string residual) | "
+        f"{'OK — split on bytes 7-12' if ok else 'FAIL'} |"
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} hot-value probe string-family: "
+          f"max bucket {mx} (bound {bound})")
+    # far-range timestamp (ADVICE r11): |unix_micros| > 2^53 merges
+    # distinct instants in the double surrogate — the magnitude check
+    # must REFUSE sub-bucketing (a split could invert the total order),
+    # so the hot group staying WHOLE is the pass condition here
+    dft = spark.range(n).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 100 < 85,
+            F.lit("3000-01-01 00:00:00").cast("timestamp"),
+        )
+        .otherwise(F.timestamp_micros((F.col("id") % 100) * 1_000_000))
+        .alias("ts"),
+    )
+    census = rank_bucket_census(
+        dft, [F.asc("ts"), F.asc("id")], num_partitions=p
+    ).collect()
+    mx = max(r["rows"] for r in census)
+    ok = mx >= int(0.8 * n)
+    failures += not ok
+    lines.append(
+        f"| timestamp lead beyond 2^53 µs | {n} | {mx} | must stay "
+        f"whole (≥ {int(0.8 * n)}) | "
+        f"{'OK — magnitude check refused split' if ok else 'FAIL — unsafe split'} |"
+    )
+    print(f"{'OK  ' if ok else 'FAIL'} hot-value probe far-timestamp "
+          f"refusal: max bucket {mx} (refusal expected)")
     lines.append("")
     return failures
 

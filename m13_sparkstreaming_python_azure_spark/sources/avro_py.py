@@ -404,9 +404,23 @@ def write_avro_py(df: DataFrame, path: str, codec: str = "deflate") -> None:
     Overwrite semantics, matching ``formats.write_avro``'s connector
     path (ADVICE r10, medium): pre-existing ``*.avro`` part files in the
     target dir are removed before the write — re-running a pipeline must
-    not duplicate data."""
+    not duplicate data.
+
+    Local paths ONLY (ADVICE r11): the overwrite cleanup and the
+    executor-side ``open()`` are driver/worker-local filesystem
+    operations, so a scheme'd path (``abfss://…``) would silently skip
+    the cleanup (glob matches nothing) and duplicate data on re-run —
+    exactly the hazard the overwrite exists to prevent. Raise up front;
+    remote targets go through the connector path
+    (``formats.write_avro``)."""
     import glob as _glob
 
+    if "://" in path:
+        raise ValueError(
+            f"write_avro_py writes through the local filesystem; got the "
+            f"scheme'd path {path!r} — use formats.write_avro (connector "
+            "path) for remote filesystems"
+        )
     avro_schema = spark_to_avro_schema(df.schema)
     os.makedirs(path, exist_ok=True)
     for old in _glob.glob(os.path.join(path, "*.avro")):

@@ -24,22 +24,26 @@ def sf_dir():
     return SF0001
 
 
-def pytest_terminal_summary(terminalreporter, exitstatus, config):
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
     """Zero-skip invariant (VERDICT r10 #8): the suite reached 0 skips in
     round 10 (the last skip died with the pure-Python Avro codec); make
-    any regression loud by failing the whole run if ANYTHING skipped.
-    Deselection (-k/-m) and explicit single-file runs still work — this
-    only fires on tests that ran and reported 'skipped'. Override for a
-    genuinely degraded environment with SPARK_GRAFT_ALLOW_SKIPS=1."""
-    skipped = terminalreporter.stats.get("skipped", [])
-    if skipped and not os.environ.get("SPARK_GRAFT_ALLOW_SKIPS"):
-        terminalreporter.write_line(
-            f"\nERROR: {len(skipped)} skipped test(s) — this suite is "
-            "zero-skip by contract (VERDICT r10 #8):", red=True,
+    any regression loud by converting a skip into a FAILURE at the test
+    that skipped. Public API only (ADVICE r11 — the previous version
+    flipped the run's exit code through terminalreporter._session and
+    _pytest.config internals, which a pytest upgrade could silently
+    defuse): a failed TestReport drives the exit status through pytest's
+    own machinery. Deselection (-k/-m) and explicit single-file runs
+    still work — this only fires on tests that ran and reported
+    'skipped'. Override for a genuinely degraded environment with
+    SPARK_GRAFT_ALLOW_SKIPS=1."""
+    outcome = yield
+    rep = outcome.get_result()
+    if rep.skipped and not os.environ.get("SPARK_GRAFT_ALLOW_SKIPS"):
+        rep.outcome = "failed"
+        rep.longrepr = (
+            f"{rep.nodeid}: SKIPPED, but this suite is zero-skip by "
+            f"contract (VERDICT r10 #8); original reason: {rep.longrepr}"
+            " — set SPARK_GRAFT_ALLOW_SKIPS=1 only for a genuinely "
+            "degraded environment"
         )
-        for rep in skipped:
-            terminalreporter.write_line(f"  {rep.nodeid}", red=True)
-        import _pytest.config as _cfg
-
-        # flip the session exit code to failure
-        terminalreporter._session.exitstatus = _cfg.ExitCode.TESTS_FAILED

@@ -209,3 +209,14 @@ def test_write_avro_py_overwrites_previous_parts(spark, tmp_path):
     write_avro_py(df, path)
     write_avro_py(df, path)
     assert read_avro_py(spark, path).count() == 2
+
+
+def test_write_avro_py_rejects_schemed_paths(spark):
+    """ADVICE r11 (low): on a scheme'd path the overwrite glob would
+    silently match nothing and a re-run would duplicate data — the
+    writer must refuse up front and point at the connector path."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="formats.write_avro"):
+        write_avro_py(df, "abfss://container@acct.dfs.example/avro_out")

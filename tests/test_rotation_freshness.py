@@ -54,3 +54,34 @@ def test_no_gate_pending_forever():
         f"gates deferred past their rotation: {stamp['pending']} — lead "
         "them in queries/registry.py _head and re-stamp"
     )
+
+
+def test_defer_lands_on_pending_and_would_trip_the_gate(tmp_path):
+    """NEGATIVE test (VERDICT r11 #8): --defer must put the gate on the
+    VISIBLE pending queue of the stamp it writes — the exact state
+    ``test_no_gate_pending_forever`` rejects — proving the escape hatch
+    cannot silently park a gate past round end. Runs the real tool
+    against a sandboxed stamp copy (env override), never the committed
+    stamp."""
+    import shutil
+
+    sandbox = tmp_path / "rotation_stamp.json"
+    shutil.copy(STAMP, sandbox)
+    with open(STAMP) as fh:
+        head = set(json.load(fh)["head"])
+    from m13_sparkstreaming_python_azure_spark.queries import registry
+
+    gate = next(g for g in registry.QUERIES if g not in head)
+    env = dict(os.environ, SPARK_GRAFT_ROTATION_STAMP=str(sandbox))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rotate_registry.py"),
+         "--defer", gate],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(sandbox) as fh:
+        stamp = json.load(fh)
+    assert stamp["pending"] == [gate]
+    # the committed stamp is untouched and still clean
+    with open(STAMP) as fh:
+        assert json.load(fh)["pending"] == []

@@ -49,7 +49,13 @@ ALGO = 3
 
 PKG = "m13_sparkstreaming_python_azure_spark"
 PKG_DIR = os.path.join(REPO, PKG)
-STAMP_PATH = os.path.join(PKG_DIR, "queries", "rotation_stamp.json")
+# env override exists ONLY for the negative test in
+# tests/test_rotation_freshness.py (exercising --defer against a
+# sandboxed stamp copy without touching the committed one)
+STAMP_PATH = os.environ.get(
+    "SPARK_GRAFT_ROTATION_STAMP",
+    os.path.join(PKG_DIR, "queries", "rotation_stamp.json"),
+)
 
 
 def _sha(data: bytes | str) -> str:
@@ -209,6 +215,15 @@ def gate_fingerprints() -> tuple[dict[str, str], list[str]]:
             # lazy oracle: the generator function is the oracle's code
             base.update(cl.closure(
                 f"{PKG}.queries.llm", "multimodal_oracle_values"
+            ))
+        if gate == "bpe_merges":
+            # ADVICE r11: before this explicit branch the lazy VALUES
+            # oracle joined the fingerprint only because the gate's
+            # docstring happened to mention bpe_oracle_values — a
+            # docstring rewording would have silently dropped the
+            # oracle side (the drift class this tool exists to catch)
+            base.update(cl.closure(
+                f"{PKG}.queries.analytics_ext", "bpe_oracle_values"
             ))
         parts.extend(f"{k}={v}" for k, v in sorted(base.items()))
         parts.append("oracle=" + _sha(registry.ORACLES.get(gate, "")))

@@ -808,23 +808,33 @@ def incremental_dedup_sink(
     continuously-crawled training-data pipeline.
 
     Crash safety / ordering: the corpus version commits FIRST (carrying
-    the batch_id high-water mark), the fingerprint upsert second. A
+    the batch_id high-water mark), the fingerprint append second. A
     replay after a crash between the two skips the corpus append (guard)
     and re-commits only the fingerprints — convergent. The reverse order
     would lose the batch: replayed survivors would anti-join against
     their own fingerprints and vanish before ever reaching the corpus.
+
+    The fingerprint table is APPEND-only (VERDICT r11 #1): ``fresh`` is
+    anti-joined against history, so a fingerprint can enter the table at
+    most once and the old merge mode's copy-on-write rewrite of touched
+    buckets — O(table/n_buckets × touched), i.e. O(table) for uniformly
+    hashed keys — bought nothing. Appends keep the per-batch write
+    O(batch) regardless of accumulated history; rebucketing compaction
+    (``compact_keyed_snapshot(n_buckets=...)``) keeps the PROBE side
+    O(batch) as history grows, and both the sink and this probe read the
+    live bucket count from the manifest.
     """
     from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
         append_snapshot,
-        keyed_batch_sink,
+        keyed_append_sink,
         latest_version,
+        live_n_buckets,
         read_keyed_buckets,
         read_manifest,
         write_snapshot,
     )
 
-    fp_sink = keyed_batch_sink(fp_dir, keys=["fp"], mode="merge",
-                               n_buckets=n_buckets)
+    fp_sink = keyed_append_sink(fp_dir, keys=["fp"], n_buckets=n_buckets)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -833,6 +843,7 @@ def incremental_dedup_sink(
         except FileNotFoundError:
             last = None
         corpus_done = last is not None and batch_id <= last
+        nb_fp = live_n_buckets(fp_dir, n_buckets)
         from pyspark.sql import Window
 
         withfp = batch_df.withColumn("fp", text_fingerprint(text_col))
@@ -843,7 +854,7 @@ def incremental_dedup_sink(
             .drop("__rn")
             .withColumn(
                 "__bucket",
-                F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int"),
+                F.pmod(F.xxhash64("fp"), F.lit(nb_fp)).cast("int"),
             )
             .persist()
         )
@@ -869,9 +880,14 @@ def incremental_dedup_sink(
                 write_snapshot(fresh, corpus_dir, extra)
             else:
                 append_snapshot(fresh, corpus_dir, extra)
-        # fingerprint upsert LAST (see ordering note); keyed sink has its
-        # own batch_id guard on fp_dir
-        fp_sink(fresh.select("fp", F.col(id_col).alias("first_id")), batch_id)
+        # fingerprint append LAST (see ordering note); keyed sink has its
+        # own batch_id guard on fp_dir. fresh's buckets ⊆ touched, so the
+        # precomputed set is a valid (super)set for the append sink.
+        fp_sink(
+            fresh.select("fp", F.col(id_col).alias("first_id")),
+            batch_id,
+            touched_buckets=touched,
+        )
         fresh.unpersist()
         winners.unpersist()
 
@@ -1029,6 +1045,7 @@ def streaming_minhash_dedup_sink(
         append_snapshot,
         keyed_append_sink,
         latest_version,
+        live_n_buckets,
         read_keyed_buckets,
         read_manifest,
         write_snapshot,
@@ -1044,6 +1061,11 @@ def streaming_minhash_dedup_sink(
         except FileNotFoundError:
             last = None
         corpus_done = last is not None and batch_id <= last
+        # live bucket counts (VERDICT r11 #1): rebucketing compaction
+        # resizes the hash index between batches; probing with a stale
+        # constant would read the wrong buckets and MISS duplicates
+        nb_bands = live_n_buckets(bands_dir, n_buckets)
+        nb_sh = live_n_buckets(shingles_dir, n_buckets)
 
         # A replayed chunk arrives as ONE file → ONE input partition, so
         # the whole signature DAG (shingles × num_hashes md5s — the
@@ -1084,14 +1106,14 @@ def streaming_minhash_dedup_sink(
         # job instead of three per-consumer collects (VERDICT r10 #6)
         trows = (
             banded.select(
-                F.pmod(F.xxhash64("bkt"), F.lit(n_buckets))
+                F.pmod(F.xxhash64("bkt"), F.lit(nb_bands))
                 .cast("int")
                 .alias("b"),
                 F.lit(0).alias("t"),
             )
             .unionByName(
                 sh.select(
-                    F.pmod(F.xxhash64("__id"), F.lit(n_buckets))
+                    F.pmod(F.xxhash64("__id"), F.lit(nb_sh))
                     .cast("int")
                     .alias("b"),
                     F.lit(1).alias("t"),
@@ -1125,7 +1147,7 @@ def streaming_minhash_dedup_sink(
         id_buckets = sorted(
             r["b"]
             for r in hist_ids.select(
-                F.pmod(F.xxhash64("__id"), F.lit(n_buckets)).cast("int").alias("b")
+                F.pmod(F.xxhash64("__id"), F.lit(nb_sh)).cast("int").alias("b")
             )
             .distinct()
             .collect()

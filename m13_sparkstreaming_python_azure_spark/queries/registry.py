@@ -167,73 +167,67 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # r11 rotation (VERDICT r10 #1): the 16 gates round 10 changed but the
-    # driver never re-checked post-change (the r10 rotation was missed) —
-    # the roc_auc family rewired onto global_cumsum, the 7 ANN/PCA
-    # rows-only→hash conversions, the 2 multimodal real-codec conversions,
-    # bpe_token_counts, and the global_rank-materialize dependents:
+    # r12 rotation (VERDICT r10 #1 discipline): every gate whose
+    # implementing code changed this round leads. The LSM delta-append
+    # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
+    # streaming index/fingerprint write path and the keyed-table
+    # manifest schema:
+    "streaming_minhash_dedup",
+    "streaming_incremental_dedup",
+    "streaming_ann_index",
+    "gdpr_delete",
+    "streaming_latest_state",
+    "streaming_view_maintenance",
+    "snapshot_restore",
+    # ...string-lead hot-value sub-bucketing + batched boundary
+    # construction (VERDICT r11 #2/#3) rewrites plan_rank_bounds /
+    # exact_ntile / global_rank / global_cumsum — every dependent:
     "roc_auc",
     "ks_test",
     "ece_calibration",
     "auc_by_segment",
     "kruskal_wallis",
-    "ann_ivf",
-    "ann_pq",
-    "ann_ivfpq",
-    "streaming_ann_index",
-    "pca_explained_variance",
-    "pca_embedding_projection",
-    "multimodal_features",
-    "multimodal_phash_dedup",
-    "bpe_token_counts",
     "rfm_segments",
     "price_decile_stats",
-    # ...plus the REST of the 13 global_rank/global_cumsum/exact_ntile
-    # dependents: round 11 rewrites _bucket_col (log-p binary search) and
-    # adds hot-leading-value sub-bucketing, so every caller must carry a
-    # post-change driver row:
     "conformal_intervals",
     "conversion_latency",
     "null_semantics",
     "hybrid_rrf_search",
     "record_linkage",
     "sorted_neighborhood_pairs",
-    # r11 changes: foreachBatch index-handle persistence (VERDICT r10 #6)
-    "streaming_minhash_dedup",
-    # r11 conversion: the LAST rows-only gate → independent-reference
-    # VALUES hash oracle (VERDICT r10 #5)
-    "bpe_merges",
-    # r11 commit-path + signature-pass changes (VERDICT r10 #6): the
-    # snapshot layer's footer-based row counting (write/append/merge
-    # commits), the keyed-append touched-bucket short-circuit, and the
-    # md5-minhash signature restructure propagate to every gate whose
-    # closure reaches those functions — all of them lead this round:
+    # defense-in-depth: the snapshots.py manifest-schema change (delta
+    # key) fans NEAR every snapshot/CDC gate even where function-level
+    # fingerprints say untouched — keep the whole family leading:
     "bloom_point_lookup",
     "deletion_vector_delete",
     "fuzzy_decontamination",
     "generated_columns",
     "incremental_ingest_daily",
-    "lsh_recall_eval",
     "notification_ingest",
     "partition_evolution",
     "partitioned_snapshot_prune",
     "replace_where_backfill",
     "snapshot_change_feed",
     "snapshot_commit_group",
-    "snapshot_restore",
     "snapshot_vacuum",
     "streaming_cdc_upsert",
     "streaming_dim_refresh",
     "streaming_expectations",
     "streaming_gdpr_erasure",
-    "streaming_incremental_dedup",
     "zonemap_pruned_scan",
     "schema_evolution",
     "streaming_table_feed",
     "table_changes_feed",
-    # subsystem regression anchors
+    # subsystem regression anchors (unchanged this round)
     "minhash_dedup_pairs",
     "streaming_transform_with_state",
+    "bpe_merges",
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivfpq",
+    "lsh_recall_eval",
+    "pca_explained_variance",
+    "multimodal_phash_dedup",
 ]
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

@@ -511,7 +511,7 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     cur = read_manifest(table_dir)
     extra = {"op": "restore", "restored_from": version}
     # keyed tables must keep their parts mapping usable after restore
-    for k in ("keys", "n_buckets", "mode", "parts"):
+    for k in ("keys", "n_buckets", "mode", "parts", "delta"):
         if k in m:
             extra[k] = m[k]
     # restore the TARGET version's deletion vectors (explicitly, even if
@@ -646,7 +646,7 @@ def clone_snapshot(
         "cloned_from": src_dir,
         "cloned_version": m["version"],
     }
-    for k in ("keys", "n_buckets", "mode", "parts", "zone_maps",
+    for k in ("keys", "n_buckets", "mode", "parts", "delta", "zone_maps",
               "zone_map_cols", "bloom_maps", "bloom_cols", "bloom_bits",
               "bloom_hashes"):
         if k in m:
@@ -844,16 +844,20 @@ def keyed_batch_sink(
             base_manifest = read_manifest(table_dir)
             last = base_manifest.get("batch_id")
             base_v = base_manifest["version"]
+            # live bucket count: rebucketing compaction may have resized
+            # the hash index since this sink closure was built
+            nb = int(base_manifest.get("n_buckets", n_buckets))
         except FileNotFoundError:
             last = None
             base_v = None
+            nb = n_buckets
         if last is not None and batch_id <= last:
             return  # replayed batch — already committed
 
         # reduce the batch first (tiny): latest-mode folds to per-key argmax
         reduced = _argmax(batch_df) if mode == "latest" else batch_df
         reduced = reduced.withColumn(
-            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int")
         ).persist()
         touched = sorted(
             r["__bucket"] for r in reduced.select("__bucket").distinct().collect()
@@ -865,6 +869,14 @@ def keyed_batch_sink(
         try:
             m = base_manifest if base_v is not None else read_manifest(table_dir)
             prev_parts = m.get("parts", {})
+            if m.get("delta"):
+                # merge rewrites touched buckets; non-bucket-pure delta
+                # files would make the rewrite silently drop/miss rows
+                raise ValueError(
+                    f"{table_dir} has uncompacted append deltas — a merge "
+                    "sink cannot share a table with an append sink; run "
+                    "compact_keyed_snapshot first"
+                )
             if m.get("files") and not prev_parts:
                 raise ValueError(
                     f"{table_dir} has data committed outside the keyed "
@@ -900,7 +912,7 @@ def keyed_batch_sink(
         # buckets) tiny files per batch; with it, one file per touched
         # bucket
         merged = merged.withColumn(
-            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(nb)).cast("int")
         ).repartition(len(touched), "__bucket")
 
         fs_for(table_dir).makedirs(_manifest_dir(table_dir))
@@ -931,7 +943,7 @@ def keyed_batch_sink(
                     "op": "keyed",
                     "batch_id": batch_id,
                     "keys": keys,
-                    "n_buckets": n_buckets,
+                    "n_buckets": nb,
                     "mode": mode,
                     "parts": parts,
                 },
@@ -954,17 +966,26 @@ def keyed_append_sink(
     keys: list[str],
     n_buckets: int = 16,
 ):
-    """foreachBatch sink APPENDING each micro-batch into a bucketed keyed
-    table — the postings-index write path (e.g. an LSH band index, an
-    inverted index): rows accumulate per key, so unlike
-    ``keyed_batch_sink`` nothing is merged and NO existing data is ever
-    read — each batch writes only its own rows clustered into the
-    buckets it touches and extends those buckets' file lists in the
-    manifest. O(batch) work per batch regardless of table size;
-    ``read_keyed_buckets`` prunes probes to touched buckets exactly as
-    for merged keyed tables. Replays are no-ops via the batch_id guard;
-    run ``compact_keyed_snapshot`` periodically to bound per-bucket file
-    counts."""
+    """foreachBatch sink APPENDING each micro-batch into a keyed table
+    with an LSM-style two-level layout (VERDICT r11 #1) — the
+    postings-index write path (an LSH band index, a fingerprint set, an
+    inverted index):
+
+    - each batch writes a handful of DELTA files (one small repartition,
+      no per-bucket clustering) and extends the manifest's ``delta``
+      list — O(batch) work AND O(1) files per batch regardless of table
+      size or bucket count;
+    - ``compact_keyed_snapshot`` periodically folds delta + base into
+      bucket-pure BASE files under ``parts`` (optionally REBUCKETING to
+      more buckets as the table grows — the hash-index-resize
+      maintenance invariant) and clears the delta;
+    - ``read_keyed_buckets`` reads the touched base buckets plus the
+      whole (bounded-by-compaction-cadence) delta, so probe scan volume
+      is O(touched × bytes-per-bucket + delta) — measured flat under 10×
+      history by tools/plan_audit.py's history-growth probe.
+
+    Nothing existing is ever read on the write path. Replays are no-ops
+    via the batch_id guard."""
 
     def _sink(
         batch_df: DataFrame,
@@ -973,59 +994,58 @@ def keyed_append_sink(
         *,
         touched_buckets: list[int] | None = None,
     ) -> None:
-        """``touched_buckets``: the batch's bucket ids when the CALLER
-        already computed them (the minhash sink derives both its index
-        sinks' touched sets in one combined job — VERDICT r10 #6, one
-        collect job saved per sink per batch). Only steers repartition
-        width and the empty-batch check; the manifest's parts mapping is
-        built from the files actually written either way."""
+        """``touched_buckets``: the batch's (live-bucket-count) bucket
+        ids when the CALLER already computed them (the minhash sink
+        derives both its index sinks' touched sets in one combined job —
+        VERDICT r10 #6). With the delta layout it serves only as the
+        empty-batch short-circuit; bucket clustering happens at
+        compaction."""
         try:
             base_manifest = read_manifest(table_dir)
             last = base_manifest.get("batch_id")
             base_v = base_manifest["version"]
             prev_parts = base_manifest.get("parts", {})
-            if base_manifest.get("files") and not prev_parts:
+            prev_delta = base_manifest.get("delta", [])
+            # live bucket count: rebucketing compaction may have resized
+            # the hash index since this sink closure was built
+            nb = int(base_manifest.get("n_buckets", n_buckets))
+            if (
+                base_manifest.get("files")
+                and not prev_parts
+                and not prev_delta
+            ):
                 raise ValueError(
                     f"{table_dir} has data committed outside the keyed layout"
                 )
         except FileNotFoundError:
-            last, base_v, prev_parts = None, None, {}
+            last, base_v, prev_parts, prev_delta = None, None, {}, []
+            nb = n_buckets
         if last is not None and batch_id <= last:
             return  # replayed batch — already committed
+        if touched_buckets is not None and not touched_buckets:
+            return  # caller already knows the batch is empty
 
-        clustered = batch_df.withColumn(
-            "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-        )
-        persisted = touched_buckets is None
-        if persisted:
-            clustered = clustered.persist()
-            touched = sorted(
-                r["__bucket"]
-                for r in clustered.select("__bucket").distinct().collect()
-            )
-        else:
-            touched = sorted(set(touched_buckets))
-        if not touched:
-            if persisted:
-                clustered.unpersist()
-            return
-
+        # a few delta files per batch: cap the write width so a wide
+        # session doesn't spray tiny files (probes read the WHOLE delta,
+        # so clustering buys nothing before compaction)
+        spark = batch_df.sparkSession
+        width = min(8, int(spark.sparkContext.defaultParallelism))
         fs_for(table_dir).makedirs(_manifest_dir(table_dir))
-        written = _write_bucketed_files(
-            clustered.repartition(len(touched), "__bucket"), table_dir
+        new_files = _write_data_files(
+            batch_df.repartition(width), table_dir
         )
-        if persisted:
-            clustered.unpersist()
-
-        parts = {bs: dict(p) for bs, p in prev_parts.items()}
-        for bs, fls in written.items():
-            prev = parts.get(bs, {"files": [], "rows": 0})
-            parts[bs] = {
-                "files": prev["files"] + fls,
-                "rows": int(prev["rows"]) + sum(_parquet_rows(f) for f in fls),
-            }
-        files = [f for p in parts.values() for f in p["files"]]
-        rows = sum(p["rows"] for p in parts.values())
+        if not new_files:
+            return  # empty batch — nothing to commit
+        entry = {
+            "files": new_files,
+            "rows": sum(_parquet_rows(f) for f in new_files),
+        }
+        delta = prev_delta + [entry]
+        base_files = [f for p in prev_parts.values() for f in p["files"]]
+        files = base_files + [f for d in delta for f in d["files"]]
+        rows = sum(int(p["rows"]) for p in prev_parts.values()) + sum(
+            int(d["rows"]) for d in delta
+        )
         try:
             _commit(
                 table_dir,
@@ -1035,9 +1055,10 @@ def keyed_append_sink(
                     "op": "keyed",
                     "batch_id": batch_id,
                     "keys": keys,
-                    "n_buckets": n_buckets,
+                    "n_buckets": nb,
                     "mode": "append",
-                    "parts": parts,
+                    "parts": prev_parts,
+                    "delta": delta,
                 },
                 base_version=base_v,
             )
@@ -1055,7 +1076,9 @@ def read_keyed_buckets(
     """Read ONLY the given buckets of a keyed table (None if the table
     has no committed version or those buckets are empty) — the pruned
     probe path: a batch that touches k of n buckets reads k/n of the
-    table regardless of total size."""
+    compacted BASE plus the whole append DELTA (bounded by the
+    compaction cadence), so probe scan volume stays O(touched ×
+    bytes-per-bucket + delta) no matter how large the table grows."""
     try:
         m = read_manifest(table_dir)
     except FileNotFoundError:
@@ -1066,28 +1089,54 @@ def read_keyed_buckets(
         for b in buckets
         for f in parts.get(str(b), {}).get("files", [])
     ]
+    files += [f for d in m.get("delta", []) for f in d["files"]]
     if not files:
         return None
     return spark.read.parquet(*files)
 
 
+def live_n_buckets(table_dir: str, default: int) -> int:
+    """The CURRENT bucket count of a keyed table — the committed
+    manifest's, falling back to ``default`` for a table with no commits
+    yet. Every writer and prober must derive bucket ids from THIS (one
+    driver-side manifest read), never from a constant: rebucketing
+    compaction (VERDICT r11 #1) grows ``n_buckets`` as the table grows,
+    and a stale constant would cluster/probe against the wrong
+    layout."""
+    try:
+        return int(read_manifest(table_dir).get("n_buckets", default))
+    except FileNotFoundError:
+        return default
+
+
 def compact_keyed_snapshot(
-    spark: SparkSession, table_dir: str, target_file_bytes: int = 256 << 20
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 256 << 20,
+    n_buckets: int | None = None,
 ) -> int:
     """Compaction for KEYED tables: rewrites the current version into
     bucket-pure files (one job: recompute ``__bucket`` from the keys,
     cluster, write) and commits a manifest that PRESERVES the per-bucket
     parts mapping — plain ``compact_snapshot`` would drop it and break
     later incremental merges (the sink guards against that). Old versions
-    keep their files; vacuum reclaims them."""
+    keep their files; vacuum reclaims them.
+
+    ``n_buckets`` REBUCKETS the table (hash-index resize — VERDICT r11
+    #1): a probe reads ~touched/n_buckets of the table, so O(batch)
+    probe cost against ever-growing history holds only while per-bucket
+    size stays bounded — the maintenance invariant is to rebucket (e.g.
+    ×10 the buckets at ×10 the rows) on the compaction cadence. Safe at
+    any point between batches: sinks and probes read the live bucket
+    count from the manifest (``live_n_buckets``), never a constant."""
     m = read_manifest(table_dir)
-    parts = m.get("parts")
-    if not parts:
+    if not (m.get("parts") or m.get("delta")) or "keys" not in m:
         raise ValueError(
-            f"{table_dir} is not a keyed table (no parts mapping); use "
-            "compact_snapshot"
+            f"{table_dir} is not a keyed table (no parts mapping or "
+            "append delta); use compact_snapshot"
         )
-    keys, n_buckets = m["keys"], m["n_buckets"]
+    keys = m["keys"]
+    n_buckets = int(n_buckets or m["n_buckets"])
     df = spark.read.parquet(*m["files"]).withColumn(
         "__bucket", F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
@@ -1110,6 +1159,8 @@ def compact_keyed_snapshot(
             "n_buckets": n_buckets,
             "mode": m.get("mode"),
             "parts": new_parts,
+            # delta folded into the base — explicitly cleared
+            "delta": [],
         },
         base_version=m["version"],
     )
@@ -1136,6 +1187,13 @@ def delete_keys(
     if not parts:
         raise ValueError(
             f"{table_dir} is not a keyed table (no parts mapping)"
+        )
+    if m.get("delta"):
+        # delta files are not bucket-pure; a bucket-scoped rewrite would
+        # silently miss keys still sitting in the append delta
+        raise ValueError(
+            f"{table_dir} has uncompacted append deltas — run "
+            "compact_keyed_snapshot before delete_keys"
         )
     keys, n_buckets = m["keys"], m["n_buckets"]
     dels = (

@@ -157,3 +157,61 @@ def test_streaming_minhash_dedup_sink_near_dups_and_replay(spark):
     sink(_docs(spark, [(5, near2)]), 2)  # near-dup of dropped doc 3 + of doc 1
     got = sorted(r["doc_id"] for r in read_snapshot(spark, corpus).collect())
     assert got == [1, 2, 4]
+
+
+def test_rebucket_compaction_mid_stream_keeps_dedup_exact(spark):
+    """VERDICT r11 #1: rebucketing compaction (hash-index resize) is the
+    maintenance invariant that keeps streaming probes O(batch) as
+    history grows. Resizing BOTH index tables between batches must not
+    change any outcome: sinks and probes read the live bucket count
+    from the manifest, so a near-dup of a pre-resize survivor is still
+    caught after the resize."""
+    from m13_sparkstreaming_python_azure_spark.operators.dedup import (
+        streaming_minhash_dedup_sink,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        compact_keyed_snapshot,
+        read_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="mhd-rb-")
+    corpus, bands, shingles = (
+        os.path.join(root, d) for d in ("corpus", "bands", "shingles")
+    )
+    sink = streaming_minhash_dedup_sink(corpus, bands, shingles, threshold=0.5)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark structured streaming engines"
+    sink(_docs(spark, [(1, base), (2, other)]), 0)
+    compact_keyed_snapshot(spark, bands, n_buckets=64)
+    compact_keyed_snapshot(spark, shingles, n_buckets=64)
+    assert read_manifest(bands)["n_buckets"] == 64
+    # near-dup of doc 1 must be caught through the RESIZED index; the
+    # fresh doc must survive and its index rows land in the new layout
+    sink(_docs(spark, [(3, base + " today"), (4, "fresh standalone text entirely new")]), 1)
+    sink(_docs(spark, [(5, base + " today ok")]), 2)  # near-dup of dropped 3
+    got = sorted(r["doc_id"] for r in read_snapshot(spark, corpus).collect())
+    assert got == [1, 2, 4]
+    # post-resize appends committed under the live bucket count
+    assert read_manifest(bands)["n_buckets"] == 64
+
+
+def test_fp_append_mode_rebucket_and_exactness(spark):
+    """The fingerprint table is append-only (O(batch) writes) — resizing
+    it mid-stream must keep exact dedup exact, and replay must stay
+    idempotent under the new layout."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        compact_keyed_snapshot,
+        read_manifest,
+    )
+
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    sink(_docs(spark, [(1, "aaa"), (2, "bbb")]), 0)
+    compact_keyed_snapshot(spark, fps, n_buckets=64)
+    sink(_docs(spark, [(3, "aaa"), (4, "ccc")]), 1)  # 3 dups pre-resize doc
+    sink(_docs(spark, [(3, "aaa"), (4, "ccc")]), 1)  # replay
+    sink(_docs(spark, [(5, "ccc"), (6, "ddd")]), 2)  # 5 dups post-resize doc
+    got = sorted(r["doc_id"] for r in read_snapshot(spark, corpus).collect())
+    assert got == [1, 2, 4, 6]
+    m = read_manifest(fps)
+    assert m["n_buckets"] == 64 and m["mode"] == "append"

@@ -1082,13 +1082,29 @@ def streaming_minhash_dedup_sink(
         )
         sh = sh.persist()
         banded = banded.persist()
-        # materialize the shingle table BEFORE the combined touched job:
-        # banded re-derives from sh's logical plan, and within a single
-        # job the union's two branches each run the tokenize+shingle
-        # pass before the cache fills — one narrow count here lets the
-        # banded branch read the cache instead (measured −1.2 s/gate
-        # same-conditions A/B at sf0.1)
-        sh.count()
+        # job 1 — signature pass + the shingle sink's touched set in ONE
+        # action (r12 floor shave; was a bare count() + a separate
+        # two-branch union-distinct job whose branches raced the cache):
+        # collecting sh's OWN bucket ids materializes the cache as a side
+        # effect, so the banded collect below reads cached shingles
+        sh_touched = sorted(
+            r["b"]
+            for r in sh.select(
+                F.pmod(F.xxhash64("__id"), F.lit(nb_sh)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        # job 2 — band digests (from the cache) + the band probe/append
+        # touched set; materializes banded's cache
+        touched = sorted(
+            r["b"]
+            for r in banded.select(
+                F.pmod(F.xxhash64("bkt"), F.lit(nb_bands)).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
 
         # candidate pairs, batch-batch: banded self-join, ids only (the
         # final cand.distinct() dedups — inner distincts were redundant
@@ -1100,30 +1116,6 @@ def streaming_minhash_dedup_sink(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-
-        # touched store buckets for the band PROBE, the bands APPEND
-        # (same key → same set) and the shingles APPEND — ONE combined
-        # job instead of three per-consumer collects (VERDICT r10 #6)
-        trows = (
-            banded.select(
-                F.pmod(F.xxhash64("bkt"), F.lit(nb_bands))
-                .cast("int")
-                .alias("b"),
-                F.lit(0).alias("t"),
-            )
-            .unionByName(
-                sh.select(
-                    F.pmod(F.xxhash64("__id"), F.lit(nb_sh))
-                    .cast("int")
-                    .alias("b"),
-                    F.lit(1).alias("t"),
-                )
-            )
-            .distinct()
-            .collect()
-        )
-        touched = sorted(r["b"] for r in trows if r["t"] == 0)
-        sh_touched = sorted(r["b"] for r in trows if r["t"] == 1)
         hist_bands = (
             read_keyed_buckets(spark, bands_dir, touched) if touched else None
         )
@@ -1140,13 +1132,19 @@ def streaming_minhash_dedup_sink(
         cand = cand.persist()
 
         # partner (id_a) shingle arrays: batch docs from sh, history docs
-        # from the pruned shingle store (only candidate ids' buckets)
-        hist_ids = cand.select(F.col("id_a").alias("__id")).distinct().join(
-            sh.select("__id"), on="__id", how="left_anti"
-        )
+        # from the pruned shingle store. job 3 collects the partner ids'
+        # shingle-bucket set straight off the candidate set — the r11
+        # flow anti-joined batch ids out first (an extra shuffle in the
+        # BLOCKING path) to read only history ids' buckets; collecting
+        # ALL partner buckets over-reads at most the batch's own buckets
+        # and stays exact: the semi-join below keeps only candidate
+        # partner rows, and a replayed batch doc present in BOTH sh and
+        # the store only duplicates its verified pairs, which collapse
+        # in dup_ids' distinct (VERDICT r11 #4 probe/verify fold)
+        pids = cand.select(F.col("id_a").alias("__id")).distinct().persist()
         id_buckets = sorted(
             r["b"]
-            for r in hist_ids.select(
+            for r in pids.select(
                 F.pmod(F.xxhash64("__id"), F.lit(nb_sh)).cast("int").alias("b")
             )
             .distinct()
@@ -1158,7 +1156,7 @@ def streaming_minhash_dedup_sink(
             else None
         )
         partner_sh = sh if hist_sh is None else sh.unionByName(
-            hist_sh.join(hist_ids, on="__id", how="left_semi")
+            hist_sh.join(pids, on="__id", how="left_semi")
         )
 
         verified = (
@@ -1181,31 +1179,38 @@ def streaming_minhash_dedup_sink(
         dup_ids = verified.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch_df.join(dup_ids, on=id_col, how="left_anti").persist()
 
-        if not corpus_done:
-            extra = {"batch_id": batch_id, "op": "near-dup-append"}
-            if latest_version(corpus_dir) is None:
-                write_snapshot(survivors, corpus_dir, extra)
-            else:
-                append_snapshot(survivors, corpus_dir, extra)
-        # index appends LAST (same ordering argument as
-        # incremental_dedup_sink); each sink has its own batch_id guard.
-        # The two appends hit INDEPENDENT tables and replay safely in
-        # either order, so they run concurrently — Spark schedules jobs
-        # from multiple driver threads fine, and the measured serial
-        # cost was ~1.2 s/batch of the micro-batch floor (VERDICT r10
-        # #6). Touched buckets were precomputed in the combined job.
+        # Commit protocol (VERDICT r11 #4 — overlap the three writes):
+        # the index DATA files (bands + shingles, reading the persisted
+        # caches) write concurrently with the corpus write, but their
+        # MANIFESTS commit strictly AFTER the corpus manifest — until a
+        # manifest references them the files are unreachable orphans, so
+        # the corpus-first crash-safety ordering is untouched: a crash
+        # before the corpus commit replays the whole batch (orphan data
+        # files are never read); a crash between corpus and index
+        # commits replays into the index sinks' own batch_id guards.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as pool:
             fb = pool.submit(
-                bands_sink, banded, batch_id, touched_buckets=touched
+                bands_sink.prepare, banded, batch_id, touched_buckets=touched
             )
             fsh = pool.submit(
-                sh_sink, sh, batch_id, touched_buckets=sh_touched
+                sh_sink.prepare, sh, batch_id, touched_buckets=sh_touched
             )
-            fb.result()
-            fsh.result()
+            if not corpus_done:
+                extra = {"batch_id": batch_id, "op": "near-dup-append"}
+                if latest_version(corpus_dir) is None:
+                    write_snapshot(survivors, corpus_dir, extra)
+                else:
+                    append_snapshot(survivors, corpus_dir, extra)
+            commit_bands = fb.result()
+            commit_sh = fsh.result()
+        if commit_bands is not None:
+            commit_bands()
+        if commit_sh is not None:
+            commit_sh()
         survivors.unpersist()
+        pids.unpersist()
         cand.unpersist()
         banded.unpersist()
         sh.unpersist()

@@ -985,15 +985,22 @@ def keyed_append_sink(
       history by tools/plan_audit.py's history-growth probe.
 
     Nothing existing is ever read on the write path. Replays are no-ops
-    via the batch_id guard."""
+    via the batch_id guard.
 
-    def _sink(
+    Two-phase API (VERDICT r11 #4 — overlap index file writes with the
+    corpus commit): ``sink.prepare(batch_df, batch_id, ...)`` runs the
+    data-file WRITE (the Spark job) and returns a driver-only commit
+    thunk, or None for an empty/replayed batch. Until the thunk runs, no
+    manifest references the new files — a crash leaves unreferenced
+    orphans, exactly like a crash mid-write today. Calling the sink
+    directly is prepare-then-commit."""
+
+    def _prepare(
         batch_df: DataFrame,
         batch_id: int,
-        _retries: int = 5,
         *,
         touched_buckets: list[int] | None = None,
-    ) -> None:
+    ):
         """``touched_buckets``: the batch's (live-bucket-count) bucket
         ids when the CALLER already computed them (the minhash sink
         derives both its index sinks' touched sets in one combined job —
@@ -1001,29 +1008,13 @@ def keyed_append_sink(
         empty-batch short-circuit; bucket clustering happens at
         compaction."""
         try:
-            base_manifest = read_manifest(table_dir)
-            last = base_manifest.get("batch_id")
-            base_v = base_manifest["version"]
-            prev_parts = base_manifest.get("parts", {})
-            prev_delta = base_manifest.get("delta", [])
-            # live bucket count: rebucketing compaction may have resized
-            # the hash index since this sink closure was built
-            nb = int(base_manifest.get("n_buckets", n_buckets))
-            if (
-                base_manifest.get("files")
-                and not prev_parts
-                and not prev_delta
-            ):
-                raise ValueError(
-                    f"{table_dir} has data committed outside the keyed layout"
-                )
+            last = read_manifest(table_dir).get("batch_id")
         except FileNotFoundError:
-            last, base_v, prev_parts, prev_delta = None, None, {}, []
-            nb = n_buckets
+            last = None
         if last is not None and batch_id <= last:
-            return  # replayed batch — already committed
+            return None  # replayed batch — already committed
         if touched_buckets is not None and not touched_buckets:
-            return  # caller already knows the batch is empty
+            return None  # caller already knows the batch is empty
 
         # a few delta files per batch: cap the write width so a wide
         # session doesn't spray tiny files (probes read the WHOLE delta,
@@ -1035,38 +1026,80 @@ def keyed_append_sink(
             batch_df.repartition(width), table_dir
         )
         if not new_files:
-            return  # empty batch — nothing to commit
+            return None  # empty batch — nothing to commit
         entry = {
             "files": new_files,
             "rows": sum(_parquet_rows(f) for f in new_files),
         }
-        delta = prev_delta + [entry]
-        base_files = [f for p in prev_parts.values() for f in p["files"]]
-        files = base_files + [f for d in delta for f in d["files"]]
-        rows = sum(int(p["rows"]) for p in prev_parts.values()) + sum(
-            int(d["rows"]) for d in delta
-        )
-        try:
-            _commit(
-                table_dir,
-                files,
-                rows,
-                {
-                    "op": "keyed",
-                    "batch_id": batch_id,
-                    "keys": keys,
-                    "n_buckets": nb,
-                    "mode": "append",
-                    "parts": prev_parts,
-                    "delta": delta,
-                },
-                base_version=base_v,
-            )
-        except CommitConflict:
-            if _retries <= 0:
-                raise
-            _sink(batch_df, batch_id, _retries - 1)
 
+        def _commit_entry(_retries: int = 5) -> None:
+            # manifest-only: re-reads the base on every (re)try, so a
+            # CommitConflict retry reuses the already-written files
+            try:
+                base_manifest = read_manifest(table_dir)
+                last = base_manifest.get("batch_id")
+                base_v = base_manifest["version"]
+                prev_parts = base_manifest.get("parts", {})
+                prev_delta = base_manifest.get("delta", [])
+                # live bucket count: rebucketing compaction may have
+                # resized the hash index since this closure was built
+                nb = int(base_manifest.get("n_buckets", n_buckets))
+                if (
+                    base_manifest.get("files")
+                    and not prev_parts
+                    and not prev_delta
+                ):
+                    raise ValueError(
+                        f"{table_dir} has data committed outside the "
+                        "keyed layout"
+                    )
+            except FileNotFoundError:
+                last, base_v, prev_parts, prev_delta = None, None, {}, []
+                nb = n_buckets
+            if last is not None and batch_id <= last:
+                return  # committed by a concurrent replay meanwhile
+            delta = prev_delta + [entry]
+            base_files = [f for p in prev_parts.values() for f in p["files"]]
+            files = base_files + [f for d in delta for f in d["files"]]
+            rows = sum(int(p["rows"]) for p in prev_parts.values()) + sum(
+                int(d["rows"]) for d in delta
+            )
+            try:
+                _commit(
+                    table_dir,
+                    files,
+                    rows,
+                    {
+                        "op": "keyed",
+                        "batch_id": batch_id,
+                        "keys": keys,
+                        "n_buckets": nb,
+                        "mode": "append",
+                        "parts": prev_parts,
+                        "delta": delta,
+                    },
+                    base_version=base_v,
+                )
+            except CommitConflict:
+                if _retries <= 0:
+                    raise
+                _commit_entry(_retries - 1)
+
+        return _commit_entry
+
+    def _sink(
+        batch_df: DataFrame,
+        batch_id: int,
+        *,
+        touched_buckets: list[int] | None = None,
+    ) -> None:
+        commit = _prepare(
+            batch_df, batch_id, touched_buckets=touched_buckets
+        )
+        if commit is not None:
+            commit()
+
+    _sink.prepare = _prepare
     return _sink
 
 

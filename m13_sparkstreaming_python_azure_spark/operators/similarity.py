@@ -463,6 +463,10 @@ def hash_sample_vectors(
 
     pruned = hashed.mapInPandas(local_prune, schema=hashed.schema)
     sample_pdf = pruned.orderBy("h").limit(sample_size).toPandas()
+    if not len(sample_pdf):
+        # empty input → (0, 0) array; callers guard on len() == 0
+        # (ivf_index_sink skips codebook training on an empty batch 0)
+        return np.empty((0, 0))
     return np.stack(sample_pdf["v"].to_numpy())
 
 
@@ -496,6 +500,15 @@ def train_ivf_centroids(
     Deterministic: seed folds into the hash, seeded init, fixed
     iteration count."""
     sample = hash_sample_vectors(base, vec_col, sample_size, seed)
+    return _spherical_kmeans(sample, n_cells, n_iters, seed)
+
+
+def _spherical_kmeans(
+    sample: "np.ndarray", n_cells: int, n_iters: int, seed: int
+) -> "np.ndarray":
+    """The driver-side k-means body of ``train_ivf_centroids``, split out
+    so a caller that already holds the sample (ivf_index_sink's batch-0
+    emptiness guard) can train without a second sampling job."""
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.clip(norms, 1e-12, None)
     rng = np.random.default_rng(seed)
@@ -939,13 +952,13 @@ def ivf_index_sink(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            # nothing to index — and an empty FIRST batch must not train
-            # a codebook on zero vectors. Skipping leaves batch_id
-            # unadvanced, which is safe: a replay of an empty batch
-            # re-skips.
-            return
-        # replayed chunks arrive as ONE file → ONE partition; the cell
+        # no up-front isEmpty() — that was a whole extra Spark job per
+        # batch (r12 floor shave). Emptiness falls out of work already
+        # done: batch 0's sampling job returns zero vectors (skip before
+        # training a codebook on nothing), later batches write zero
+        # files (skip the commit). Either way batch_id stays unadvanced,
+        # which is safe: a replay of an empty batch re-skips.
+        # Replayed chunks arrive as ONE file → ONE partition; the cell
         # assignment (Arrow matmul) would run single-task (VERDICT r10
         # #6). Downstream repartitions by __bucket anyway.
         cores = spark.sparkContext.defaultParallelism
@@ -961,16 +974,22 @@ def ivf_index_sink(
 
         cent_path = index_dir + "__centroids"
         if m is None:
-            centroids = np.asarray(
-                train_ivf_centroids(
-                    batch_df, vec_col, n_cells=n_cells,
-                    sample_size=sample_size, seed=seed,
-                )
+            sample = hash_sample_vectors(
+                batch_df, vec_col, sample_size, seed
             )
+            if len(sample) == 0:
+                return  # empty first batch — nothing to train on
+            centroids = np.asarray(
+                _spherical_kmeans(sample, n_cells, n_iters=10, seed=seed)
+            )
+            # repartition(1), NOT coalesce(1): coalesce folds the local
+            # plan into one task with a PROCESS_LOCAL driver preference
+            # that waits out spark.locality.wait in sessions that don't
+            # zero it (the driver's bare gate session)
             spark.createDataFrame(
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
                 "cell int, centroid array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+            ).repartition(1).write.mode("overwrite").parquet(cent_path)
         elif "centroids" in _cached:
             centroids = _cached["centroids"]
         else:
@@ -993,6 +1012,8 @@ def ivf_index_sink(
         )
         fs_for(index_dir).makedirs(index_dir + "/_manifests")
         written = _write_bucketed_files(assigned, index_dir)
+        if not written:
+            return  # empty batch — keep batch_id unadvanced (see above)
         parts = {
             c: dict(p) for c, p in prev_parts.items()
         }

@@ -1067,6 +1067,278 @@ def candidate_growth_audit(
     return failures
 
 
+def history_growth_audit(
+    spark, sf_dir: str, lines: list, replicas: int = 10
+) -> int:
+    """VERDICT r11 #1: measure — don't argue from plan shape — that the
+    streaming index sinks' per-batch cost is O(batch), not O(history).
+
+    For each sink (minhash-LSH dedup, exact-fingerprint dedup, IVF ANN
+    index), history is seeded at 1× and ``replicas``× with PAIRWISE-
+    UNRELATED synthetic docs/vectors (md5-derived words/components, so
+    bigger history adds index rows, not extra near-dup partners for the
+    probe — partner growth would measure fixture artifact, the r9
+    candidate-growth lesson), the keyed tables are REBUCKET-compacted
+    proportionally (the documented maintenance invariant:
+    ``compact_keyed_snapshot(n_buckets=...)`` / an IVF rebuild with
+    proportional n_cells), and then ONE identical measurement batch runs
+    through the sink with ``read_keyed_buckets`` instrumented to record
+    probe-side scan volume. Asserted: measurement-batch wall ≤
+    2.5×+1.5s and probe bytes ≤ 3×+256KB across the 10× history jump.
+    An uncompacted-delta contrast row documents what the probe costs
+    WITHOUT the compaction cadence (reads the whole delta) — context,
+    not a gate."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from m13_sparkstreaming_python_azure_spark.catalog import load_table
+    from m13_sparkstreaming_python_azure_spark.operators import dedup as D
+    from m13_sparkstreaming_python_azure_spark.operators import (
+        similarity as SIM,
+    )
+    from m13_sparkstreaming_python_azure_spark.sources import snapshots as S
+
+    failures = 0
+    lines.append(
+        f"### Streaming-index history growth @{replicas}× (VERDICT r11 #1)"
+    )
+    lines.append("")
+    lines.append(
+        "One fixed measurement batch against pre-seeded history; probes "
+        "instrumented at `read_keyed_buckets`. `bytes` = probe-side file "
+        "bytes actually selected; rebucketing compaction scales "
+        "n_buckets with history (256 → 2560; IVF rebuild 8 → 80 cells)."
+    )
+    lines.append("")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth_history(n_copies: int):
+        """doc count × n_copies, every text pairwise-unrelated (30
+        md5-derived words), ids strided clear of the originals."""
+        return (
+            docs.withColumn(
+                "__r", F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1)))
+            )
+            .select(
+                (F.col("doc_id") + F.col("__r").cast("long") * 1_000_000)
+                .alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(30)),
+                        lambda i: F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("doc_id").cast("string"),
+                                    F.col("__r").cast("string"),
+                                    i.cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                    ),
+                ).alias("text"),
+            )
+        )
+
+    # measurement batch: 12 near-dup variants of ORIGINAL docs (present
+    # at both scales → constant partner count) with ids above history
+    meas = (
+        docs.orderBy("doc_id")
+        .limit(12)
+        .select(
+            (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zz"), F.substring(F.md5("text"), 1, 4)
+            ).alias("text"),
+        )
+    )
+    probe_stats = {"bytes": 0, "files": 0}
+    real_rkb = S.read_keyed_buckets
+
+    def recording_rkb(sp, table_dir, buckets):
+        df = real_rkb(sp, table_dir, buckets)
+        if df is not None:
+            # recompute the selected file list exactly as the reader did
+            m = S.read_manifest(table_dir)
+            parts = m.get("parts", {})
+            files = [
+                f
+                for b in buckets
+                for f in parts.get(str(b), {}).get("files", [])
+            ] + [f for d in m.get("delta", []) for f in d["files"]]
+            probe_stats["bytes"] += sum(os.path.getsize(f) for f in files)
+            probe_stats["files"] += len(files)
+        return df
+
+    def measure(build_sink, seed_df, rebucket):
+        """Seed history, optionally rebucket-compact, run the fixed
+        measurement batch; return (wall, bytes, files)."""
+        S.read_keyed_buckets = recording_rkb
+        try:
+            sink = build_sink()  # binds the recording reader
+            sink(seed_df, 0)
+            for td, nb in (rebucket or {}).items():
+                S.compact_keyed_snapshot(spark, td, n_buckets=nb)
+            probe_stats["bytes"] = probe_stats["files"] = 0
+            t0 = time.perf_counter()
+            sink(meas, 1)
+            wall = time.perf_counter() - t0
+        finally:
+            S.read_keyed_buckets = real_rkb
+        return wall, probe_stats["bytes"], probe_stats["files"]
+
+    def check(label, w1, b1, f1, w10, b10, f10):
+        nonlocal failures
+        ok_w = w10 <= w1 * 2.5 + 1.5
+        ok_b = b10 <= b1 * 3 + 256 * 1024
+        verdict = (
+            "OK — flat"
+            if ok_w and ok_b
+            else "FAIL — grows with history"
+        )
+        lines.append(
+            f"- {label}: 1× {w1:.2f}s / {b1 / 1024:.0f}KB / {f1}f → "
+            f"{replicas}× {w10:.2f}s / {b10 / 1024:.0f}KB / {f10}f "
+            f"(wall ×{w10 / max(w1, 1e-9):.2f}, bytes "
+            f"×{b10 / max(b1, 1):.2f}) — {verdict}"
+        )
+        print(
+            f"{'OK  ' if ok_w and ok_b else 'FAIL'} history-growth "
+            f"{label}: wall ×{w10 / max(w1, 1e-9):.2f} bytes "
+            f"×{b10 / max(b1, 1):.2f}"
+        )
+        failures += 0 if ok_w and ok_b else 1
+
+    # ---- minhash LSH dedup sink ----------------------------------
+    res = {}
+    for scale, n_copies, nb in ((1, 1, 256), (replicas, replicas, 2560)):
+        root = tempfile.mkdtemp(prefix=f"hg-mh{scale}-")
+        c, b, s = (os.path.join(root, d) for d in ("c", "b", "s"))
+        res[scale] = measure(
+            lambda: D.streaming_minhash_dedup_sink(c, b, s),
+            synth_history(n_copies),
+            {b: nb, s: nb},
+        )
+    check("minhash_dedup sink (bands+shingles probes)", *res[1], *res[replicas])
+
+    # uncompacted contrast at 10× — delta is the whole history
+    root = tempfile.mkdtemp(prefix="hg-mhu-")
+    c, b, s = (os.path.join(root, d) for d in ("c", "b", "s"))
+    wu, bu, fu = measure(
+        lambda: D.streaming_minhash_dedup_sink(c, b, s),
+        synth_history(replicas),
+        None,
+    )
+    lines.append(
+        f"- (contrast) minhash @{replicas}× WITHOUT compaction: "
+        f"{wu:.2f}s / {bu / 1024:.0f}KB / {fu}f — the probe reads the "
+        "whole append delta; compaction cadence is the maintenance "
+        "invariant, not an optimization"
+    )
+
+    # ---- exact-fingerprint dedup sink ----------------------------
+    res = {}
+    for scale, n_copies, nb in ((1, 1, 256), (replicas, replicas, 2560)):
+        root = tempfile.mkdtemp(prefix=f"hg-fp{scale}-")
+        c, fp = os.path.join(root, "c"), os.path.join(root, "fp")
+        res[scale] = measure(
+            lambda: D.incremental_dedup_sink(c, fp),
+            synth_history(n_copies),
+            {fp: nb},
+        )
+    check("incremental_dedup sink (fingerprint probe)", *res[1], *res[replicas])
+
+    # ---- IVF ANN index sink (append is history-blind; probe scales
+    # with cell size unless the rebuild grows n_cells — measure both
+    # under the maintenance invariant: 10× corpus, 10× cells) -------
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    meas_emb = emb.orderBy("vec_id").limit(200).select(
+        (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"), "embedding"
+    )
+    probes = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def synth_emb(n_copies: int):
+        return (
+            emb.withColumn(
+                "__r", F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1)))
+            )
+            .select(
+                (F.col("vec_id") + F.col("__r").cast("long") * 1_000_000)
+                .alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("vec_id").cast("string"),
+                                        F.col("__r").cast("string"),
+                                        i.cast("string"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("double")
+                        / F.lit(4294967296.0).cast("double")
+                        - F.lit(0.5)
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    res = {}
+    for scale, n_copies, ncells in ((1, 1, 8), (replicas, replicas, 80)):
+        root = tempfile.mkdtemp(prefix=f"hg-ivf{scale}-")
+        idx = os.path.join(root, "idx")
+        sink = SIM.ivf_index_sink(idx, n_cells=ncells)
+        sink(synth_emb(n_copies), 0)
+        t0 = time.perf_counter()
+        sink(meas_emb, 1)
+        wall = time.perf_counter() - t0
+        # probe under the same instrumentation (reads via
+        # read_keyed_buckets inside ivf_probe_snapshot)
+        S.read_keyed_buckets = recording_rkb
+        try:
+            probe_stats["bytes"] = probe_stats["files"] = 0
+            t0 = time.perf_counter()
+            SIM.ivf_probe_snapshot(
+                spark, idx, probes, k=5, nprobe=2
+            ).count()
+            pwall = time.perf_counter() - t0
+        finally:
+            S.read_keyed_buckets = real_rkb
+        res[scale] = (wall, probe_stats["bytes"], probe_stats["files"], pwall)
+    w1, b1, f1, p1 = res[1]
+    w10, b10, f10, p10 = res[replicas]
+    check(
+        "ivf_index sink append + probe @10× cells (nprobe=2)",
+        w1, b1, f1, w10, b10, f10,
+    )
+    lines.append(
+        f"- ivf probe wall: 1× {p1:.2f}s → {replicas}× {p10:.2f}s "
+        "(cell-count growth is the IVF maintenance invariant — an "
+        "offline rebuild, like rebucketing for hash-keyed tables)"
+    )
+    lines.append("")
+    return failures
+
+
 # VERDICT r8 #4: the top-10 most expensive NON-streaming queries by
 # BENCH_FULL median, re-asserted at 100× replication (sf0.01 × 100 ≈
 # sf1). Streaming replay gates are excluded by design: their cost is
@@ -1340,6 +1612,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *flags: str) -> int:
         failures += hot_value_probe_audit(spark, lines)
         failures += bucket_compile_audit(spark, lines)
         failures += candidate_growth_audit(spark, sf_dir, lines)
+        failures += history_growth_audit(spark, sf_dir, lines)
         if "--no-100x" not in flags:
             failures += scale100_audit(spark, qs, sf_dir, lines)
         lines.append("### Skew handling (VERDICT r6 #7)")

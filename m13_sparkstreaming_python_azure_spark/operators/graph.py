@@ -543,48 +543,51 @@ def hits(
     fold-order independent (the L1 sums are BIGINT). Each round is two
     node-keyed join+aggregate pairs (the Pregel superstep plan);
     localCheckpoint truncates lineage per round. Overflow bound: raw sums
-    ≤ max_degree·G ≤ 1e5·1e6 = 1e11; ·G = 1e17 < 2^63."""
+    ≤ max_degree·G ≤ 1e5·1e6 = 1e11; ·G = 1e17 < 2^63.
+
+    The L1 totals stay IN-PLAN as broadcast one-row scalars over the
+    checkpointed raw aggregates (r12: two fewer driver round-trips per
+    iteration — 4 blocking jobs/round → 2; same math bit-for-bit, the
+    DIV divisor is a column instead of an inlined literal). Mass cannot
+    vanish mid-iteration on a nonempty edge set — hubs start at G on
+    every source, so each raw aggregate matches every edge, and each
+    normalization keeps its max entry ≥ G/n > 0 — hence the only guard
+    needed is the up-front emptiness check."""
     G = 1_000_000
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     e = e.localCheckpoint(eager=True)
+    if not e.head(1):
+        raise ValueError(
+            "hits: graph has no edges — HITS is undefined on an empty "
+            "link structure"
+        )
     hubs = e.select(F.col("s").alias("node")).distinct().withColumn(
         "h", F.lit(G).cast("long")
     )
     auths = None
     for _ in range(iterations):
-        # checkpoint the RAW aggregate, then read the L1 total off the
-        # checkpointed data — collecting before checkpointing would run
-        # the join+aggregate twice per half-round
+        # checkpoint the RAW aggregate; the total + normalization ride
+        # lazily on top (the broadcast scalar materializes inside the
+        # NEXT half-round's checkpoint job — no collect)
         a_raw = (
             e.join(hubs, e["s"] == hubs["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("h").alias("raw"))
         ).localCheckpoint(eager=True)
-        tot_a = a_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
-        if not tot_a:  # None (no edges matched) or 0 — nothing to normalize
-            raise ValueError(
-                "hits: authority mass vanished (graph has no edges, or all "
-                "hub mass sits on nodes with no outgoing edges) — HITS is "
-                "undefined on an empty link structure"
-            )
-        auths = a_raw.select(
+        tot_a = a_raw.agg(F.sum("raw").alias("t"))
+        auths = a_raw.crossJoin(F.broadcast(tot_a)).select(
             "node",
-            F.expr(f"(raw * {G}) DIV {int(tot_a)}").alias("a"),
+            F.expr(f"(raw * {G}) DIV t").alias("a"),
         )
         h_raw = (
             e.join(auths, e["d"] == auths["node"])
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").alias("raw"))
         ).localCheckpoint(eager=True)
-        tot_h = h_raw.agg(F.sum("raw").alias("t")).collect()[0]["t"]
-        if not tot_h:
-            raise ValueError(
-                "hits: hub mass vanished (no edge's destination carries "
-                "authority) — HITS is undefined on an empty link structure"
-            )
-        hubs = h_raw.select(
+        tot_h = h_raw.agg(F.sum("raw").alias("t"))
+        hubs = h_raw.crossJoin(F.broadcast(tot_h)).select(
             "node",
-            F.expr(f"(raw * {G}) DIV {int(tot_h)}").alias("h"),
+            F.expr(f"(raw * {G}) DIV t").alias("h"),
         )
     return hubs.join(auths, "node", "full_outer").select(
         "node",

@@ -218,6 +218,8 @@ _head = [
     "schema_evolution",
     "streaming_table_feed",
     "table_changes_feed",
+    # r12: hits' in-plan L1 totals (collect-free iteration loop)
+    "hits_scores",
     # subsystem regression anchors (unchanged this round)
     "minhash_dedup_pairs",
     "streaming_transform_with_state",
@@ -227,7 +229,6 @@ _head = [
     "ann_ivfpq",
     "lsh_recall_eval",
     "pca_explained_variance",
-    "multimodal_phash_dedup",
 ]
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

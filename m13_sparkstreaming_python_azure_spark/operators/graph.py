@@ -548,11 +548,14 @@ def hits(
     The L1 totals stay IN-PLAN as broadcast one-row scalars over the
     checkpointed raw aggregates (r12: two fewer driver round-trips per
     iteration — 4 blocking jobs/round → 2; same math bit-for-bit, the
-    DIV divisor is a column instead of an inlined literal). Mass cannot
-    vanish mid-iteration on a nonempty edge set — hubs start at G on
-    every source, so each raw aggregate matches every edge, and each
-    normalization keeps its max entry ≥ G/n > 0 — hence the only guard
-    needed is the up-front emptiness check."""
+    DIV divisor is a column instead of an inlined literal). On a
+    nonempty edge set with < G distinct nodes, mass cannot vanish
+    mid-iteration (hubs start at G on every source, so each raw
+    aggregate matches every edge and each normalization keeps its max
+    entry ≥ G/n > 0) — but past G nodes integer flooring CAN zero every
+    score, so each normalization carries an in-plan ``assert_true(t >
+    0)`` that raises the 'mass vanished' error at execution instead of
+    silently propagating NULL scores (review r12)."""
     G = 1_000_000
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -575,9 +578,18 @@ def hits(
             .agg(F.sum("h").alias("raw"))
         ).localCheckpoint(eager=True)
         tot_a = a_raw.agg(F.sum("raw").alias("t"))
-        auths = a_raw.crossJoin(F.broadcast(tot_a)).select(
-            "node",
-            F.expr(f"(raw * {G}) DIV t").alias("a"),
+        auths = (
+            a_raw.crossJoin(F.broadcast(tot_a))
+            .filter(
+                F.assert_true(
+                    F.col("t") > 0,
+                    F.lit(
+                        "hits: authority mass vanished (integer flooring "
+                        "zeroed every score — graph exceeds the 1e6 grid)"
+                    ),
+                ).isNull()
+            )
+            .select("node", F.expr(f"(raw * {G}) DIV t").alias("a"))
         )
         h_raw = (
             e.join(auths, e["d"] == auths["node"])
@@ -585,9 +597,18 @@ def hits(
             .agg(F.sum("a").alias("raw"))
         ).localCheckpoint(eager=True)
         tot_h = h_raw.agg(F.sum("raw").alias("t"))
-        hubs = h_raw.crossJoin(F.broadcast(tot_h)).select(
-            "node",
-            F.expr(f"(raw * {G}) DIV t").alias("h"),
+        hubs = (
+            h_raw.crossJoin(F.broadcast(tot_h))
+            .filter(
+                F.assert_true(
+                    F.col("t") > 0,
+                    F.lit(
+                        "hits: hub mass vanished (integer flooring zeroed "
+                        "every score — graph exceeds the 1e6 grid)"
+                    ),
+                ).isNull()
+            )
+            .select("node", F.expr(f"(raw * {G}) DIV t").alias("h"))
         )
     return hubs.join(auths, "node", "full_outer").select(
         "node",

@@ -1008,7 +1008,20 @@ def keyed_append_sink(
         empty-batch short-circuit; bucket clustering happens at
         compaction."""
         try:
-            last = read_manifest(table_dir).get("batch_id")
+            base_manifest = read_manifest(table_dir)
+            last = base_manifest.get("batch_id")
+            # validate the layout BEFORE writing anything — a commit-time
+            # check would already have sprayed this batch's delta files
+            # into the foreign table's data directory
+            if (
+                base_manifest.get("files")
+                and not base_manifest.get("parts")
+                and not base_manifest.get("delta")
+            ):
+                raise ValueError(
+                    f"{table_dir} has data committed outside the keyed "
+                    "layout"
+                )
         except FileNotFoundError:
             last = None
         if last is not None and batch_id <= last:
@@ -1021,16 +1034,23 @@ def keyed_append_sink(
         # so clustering buys nothing before compaction)
         spark = batch_df.sparkSession
         width = min(8, int(spark.sparkContext.defaultParallelism))
-        fs_for(table_dir).makedirs(_manifest_dir(table_dir))
+        fs = fs_for(table_dir)
+        fs.makedirs(_manifest_dir(table_dir))
         new_files = _write_data_files(
             batch_df.repartition(width), table_dir
         )
-        if not new_files:
-            return None  # empty batch — nothing to commit
-        entry = {
-            "files": new_files,
-            "rows": sum(_parquet_rows(f) for f in new_files),
-        }
+        rows = sum(_parquet_rows(f) for f in new_files)
+        if rows == 0:
+            # Spark writes one EMPTY part file for an empty DataFrame
+            # (schema preservation), so `new_files` alone can't detect
+            # emptiness — count footers. Reclaim the junk files and skip
+            # the commit so batch_id stays unadvanced (an all-duplicate
+            # steady-state stream must not grow the delta list with
+            # empty files every probe would have to open).
+            for f in new_files:
+                fs.remove(f)
+            return None
+        entry = {"files": new_files, "rows": rows}
 
         def _commit_entry(_retries: int = 5) -> None:
             # manifest-only: re-reads the base on every (re)try, so a

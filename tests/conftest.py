@@ -47,3 +47,30 @@ def pytest_runtest_makereport(item, call):
             " — set SPARK_GRAFT_ALLOW_SKIPS=1 only for a genuinely "
             "degraded environment"
         )
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_make_collect_report(collector):
+    """COLLECTION-level skips never reach the runtest protocol, so the
+    makereport hook above cannot see them (review r12: a module-level
+    ``pytest.importorskip`` skipping a whole file — e.g.
+    test_mini_protobuf's proto import — would silently drop its tests
+    and the suite would exit green). Mutate the report at CREATION time
+    — before the session's own pytest_collectreport impl counts it — so
+    a skipped collect becomes a collection FAILURE and the run exits
+    non-zero with the file listed as an error (exit-code probed both
+    ways in tests/test_zero_skip_gate.py)."""
+    outcome = yield
+    rep = outcome.get_result()
+    if (
+        rep is not None
+        and rep.skipped
+        and not os.environ.get("SPARK_GRAFT_ALLOW_SKIPS")
+    ):
+        rep.outcome = "failed"
+        rep.longrepr = (
+            f"{rep.nodeid}: collection SKIPPED, but this suite is "
+            f"zero-skip by contract (VERDICT r10 #8); original reason: "
+            f"{rep.longrepr} — set SPARK_GRAFT_ALLOW_SKIPS=1 only "
+            "for a genuinely degraded environment"
+        )

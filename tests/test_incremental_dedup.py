@@ -215,3 +215,29 @@ def test_fp_append_mode_rebucket_and_exactness(spark):
     assert got == [1, 2, 4, 6]
     m = read_manifest(fps)
     assert m["n_buckets"] == 64 and m["mode"] == "append"
+
+
+def test_all_duplicate_batch_does_not_grow_the_delta(spark):
+    """Review r12: Spark writes one EMPTY part file for an empty
+    DataFrame, so 'no files written' cannot detect an empty batch — the
+    sink counts footers. A steady-state all-duplicate batch must leave
+    the fingerprint table's manifest delta UNTOUCHED (no empty files
+    every later probe would open) and keep its batch_id unadvanced."""
+    from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
+        read_manifest,
+    )
+
+    corpus, fps = _dirs()
+    sink = incremental_dedup_sink(corpus, fps)
+    sink(_docs(spark, [(1, "aaa"), (2, "bbb")]), 0)
+    m0 = read_manifest(fps)
+    sink(_docs(spark, [(3, "aaa"), (4, "bbb")]), 1)  # nothing fresh
+    m1 = read_manifest(fps)
+    assert m1["version"] == m0["version"], "all-dup batch committed fps"
+    assert m1.get("delta") == m0.get("delta")
+    assert m1.get("batch_id") == m0.get("batch_id")
+    # and the batch is still replay-safe + later fresh content lands
+    sink(_docs(spark, [(3, "aaa"), (4, "bbb")]), 1)  # replay of the no-op
+    sink(_docs(spark, [(5, "ccc")]), 2)
+    got = sorted(r["doc_id"] for r in read_snapshot(spark, corpus).collect())
+    assert got == [1, 2, 5]

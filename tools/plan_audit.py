@@ -1164,14 +1164,12 @@ def history_growth_audit(
     def recording_rkb(sp, table_dir, buckets):
         df = real_rkb(sp, table_dir, buckets)
         if df is not None:
-            # recompute the selected file list exactly as the reader did
-            m = S.read_manifest(table_dir)
-            parts = m.get("parts", {})
+            # the reader's OWN scan file list (df.inputFiles()) — not a
+            # re-derivation of its selection logic, which could silently
+            # drift from what the reader actually opens (review r12)
             files = [
-                f
-                for b in buckets
-                for f in parts.get(str(b), {}).get("files", [])
-            ] + [f for d in m.get("delta", []) for f in d["files"]]
+                f.removeprefix("file:") for f in df.inputFiles()
+            ]
             probe_stats["bytes"] += sum(os.path.getsize(f) for f in files)
             probe_stats["files"] += len(files)
         return df

@@ -89,13 +89,22 @@ def test_hits_raises_on_zero_mass(spark):
 
 
 def test_ngram_novelty_and_bm25_release_cached_blocks(spark):
+    # Each operator returns an eagerly localCheckpoint'ed result whose
+    # persisted RDD lives exactly as long as the DataFrame reference (the
+    # ContextCleaner removes it after GC). Hold both results so the
+    # expected registration count is deterministic: +1 per live result,
+    # and nothing else — the heavyweight intermediates (grams, toks) must
+    # have been unpersisted synchronously inside the operator. The old
+    # `after <= before` form dropped the references and raced JVM GC.
     docs = _docs(spark)
     sc = spark.sparkContext
     before = sc._jsc.getPersistentRDDs().size()
-    ngram_novelty(docs, n=2).collect()
-    bm25_prf_search(docs, ["quick", "fox"], top_n=3).collect()
+    r1 = ngram_novelty(docs, n=2)
+    r1.collect()
+    r2 = bm25_prf_search(docs, ["quick", "fox"], top_n=3)
+    r2.collect()
     after = sc._jsc.getPersistentRDDs().size()
-    assert after <= before, (
-        f"persisted RDDs grew {before} -> {after}: an operator leaked "
-        f"cached blocks"
+    assert after <= before + 2, (
+        f"persisted RDDs grew {before} -> {after} with only 2 live "
+        f"checkpointed results: an operator leaked cached blocks"
     )

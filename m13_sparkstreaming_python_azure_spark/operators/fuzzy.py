@@ -70,21 +70,57 @@ def fuzzy_pairs(
     others; without blocks the variant join is output²-heavy). With
     blocks the output is (key_a, key_b, *block_cols, edit_distance),
     distinct per block."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
     blocks = list(block_cols or [])
     keys = df.select(F.col(key_col).alias("__k"), *blocks).distinct()
+    bl = [F.col(c) for c in blocks]
     # join on the variant's xxhash64, not the variant string: the shuffle
     # key drops from ~L bytes to 8 and the join compares longs. A hash
     # collision only ADDS a false candidate, which the exact verify
-    # removes — correctness is untouched (measured 6.0s -> 3.8s at sf0.1)
+    # removes — correctness is untouched (measured 6.0s -> 3.8s at sf0.1).
+    # Variant construction (r12, guide §4.1/§2.3): higher-order array
+    # functions are CodegenFallback, so per-element work dominates. Two
+    # changes against the deletion_variants(...)+hash formulation, same
+    # variant-hash SET per key (verified set-identical at sf0.1):
+    # - d=2 deletes enumerate ordered position pairs i<j directly
+    #   (C(L,2) strings) instead of delete-one applied twice (L·(L−1)
+    #   strings, then array_distinct over STRINGS);
+    # - dedup happens on the hashed LONGS (array_distinct over 8-byte
+    #   values), never on variant strings — map-side, no extra shuffle.
+    s = F.col("__k")
+    L = F.length(s)
+    v1 = _delete_one(s)
+    hash_arrays = [
+        F.array(F.xxhash64(s, *bl)),
+        F.transform(v1, lambda v: F.xxhash64(v, *bl)),
+    ]
+    if max_dist == 2:
+        v2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), L - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, L),
+                    lambda j: F.concat(
+                        s.substr(F.lit(1), i - 1),
+                        s.substr(i + 1, j - i - 1),
+                        s.substr(j + 1, L),
+                    ),
+                ),
+            )
+        )
+        # guard: sequence(a, b) DESCENDS when b < a, so L < 2 would emit
+        # bogus positions; strings that short have no 2-delete variants
+        # beyond what v1 already contributes ("" is in v1 for L == 1)
+        hash_arrays.append(
+            F.when(
+                L >= 2, F.transform(v2, lambda v: F.xxhash64(v, *bl))
+            ).otherwise(F.array().cast("array<bigint>"))
+        )
     variants = keys.select(
         "__k",
         *blocks,
-        F.explode(
-            F.transform(
-                deletion_variants(F.col("__k"), max_dist),
-                lambda v: F.xxhash64(v, *[F.col(c) for c in blocks]),
-            )
-        ).alias("__h"),
+        F.explode(F.array_distinct(F.concat(*hash_arrays))).alias("__h"),
     )
     # materialize the variant table ONCE: the self-join otherwise
     # recomputes the (O(L^d)-per-key string) variant construction for

@@ -59,26 +59,28 @@ def connected_components(
         jumped = labels.join(
             lbl2, labels.label == lbl2.l_id, "left"
         ).select("id", "label", F.col("l_label").alias("jmin"))
+        new_lab = F.least(
+            "label",
+            F.coalesce("jmin", "label"),
+            F.coalesce("nmin", "label"),
+        )
+        # fold the convergence flag INTO the checkpointed row (r12,
+        # guide §2.4): ``jumped`` still carries the round-start label,
+        # so new != old is a free map-side comparison here — the old
+        # separate changed-check job re-joined new_labels against
+        # labels (one extra join + count job per round); now it is a
+        # limit(1) scan of the already-cached checkpoint
         new_labels = (
             jumped.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
-                F.least(
-                    "label",
-                    F.coalesce("jmin", "label"),
-                    F.coalesce("nmin", "label"),
-                ).alias("label"),
+                new_lab.alias("label"),
+                (new_lab != F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("node"), F.col("label").alias("component"))

@@ -167,6 +167,14 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
+    # r12 OPTIMIZATION round: gates whose implementing code changed in
+    # the perf pass lead the prefix. fuzzy_pairs variant construction
+    # (i<j direct double-deletes, long-keyed dedup) + the CC loop's
+    # folded convergence flag:
+    "entity_clusters",
+    "near_dup_clusters",
+    "fuzzy_name_pairs",
+    "label_propagation",
     # r12 rotation (VERDICT r10 #1 discipline): every gate whose
     # implementing code changed this round leads. The LSM delta-append
     # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
@@ -223,12 +231,8 @@ _head = [
     # subsystem regression anchors (unchanged this round)
     "minhash_dedup_pairs",
     "streaming_transform_with_state",
-    "bpe_merges",
     "ann_ivf",
-    "ann_pq",
-    "ann_ivfpq",
     "lsh_recall_eval",
-    "pca_explained_variance",
 ]
 _PRIORITY_50 = _head
 assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"

@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from m13_sparkstreaming_python_azure_spark.operators.util import (
+    release_local_checkpoint,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -45,6 +49,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ck = labels  # the checkpoint DataFrame backing ``labels``
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -80,10 +85,21 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("__chg").limit(1).count()
+        # the round-start checkpoint is dead once new_labels is
+        # materialized and the flag read — free its blocks now rather
+        # than at GC (see release_local_checkpoint); the RETURNED final
+        # checkpoint is the one live result and stays
+        release_local_checkpoint(prev_ck)
+        prev_ck = new_labels
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
-    return labels.select(F.col("id").alias("node"), F.col("label").alias("component"))
+    # sym only fed the loop; the result is a projection over the final
+    # checkpoint alone, so sym's blocks are releasable here
+    release_local_checkpoint(sym)
+    return labels.select(
+        F.col("id").alias("node"), F.col("label").alias("component")
+    )
 
 
 def dedup_clusters(
@@ -209,7 +225,7 @@ def pagerank(
         edged = edged.repartition(src)
     edged.count()  # materialize off the cached edges, then drop them
     edges.unpersist()
-    cached: list[DataFrame] = []
+    ckpts: list[DataFrame] = []
     for i in range(iterations):
         rank_side = F.broadcast(ranks) if broadcastable else ranks
         contribs = edged.join(
@@ -231,25 +247,27 @@ def pagerank(
                 / F.lit(1e9)
             ).alias("rank")
         )
-        # Persist each round: the next round's broadcast (an independent
-        # job) would otherwise re-execute the ENTIRE lineage back to round
-        # 0 — O(iterations²) total work instead of O(iterations). The
-        # persist is LAZY on purpose: the next round's broadcast build is
-        # the action that fills it, so no per-round count() job is spent.
+        # localCheckpoint each round (r12, guide §3.3/§7.3): the prior
+        # lazy persist kept results cached but NOT the logical plan —
+        # every round's broadcast build re-analyzed the whole
+        # accumulated tree (supplier_pagerank's final plan formatted to
+        # ~1 MB; planning was O(iterations²) driver work). Checkpointing
+        # truncates lineage to a leaf per round, one materialization job
+        # each — the same job the broadcast build already spent — and
+        # the arithmetic (decimal-exact sums, 1e-9 snap) is untouched.
         if i < iterations - 1:
-            ranks = ranks.persist()
-            cached.append(ranks)
-    # One materialization at the end pulls the whole chain through the
-    # caches, then every intermediate is released — without this the
-    # per-round caches stay pinned in executor storage for the session
-    # (ADVICE r1). Transient high-water is O(iterations × nodes) cached
-    # rows; at node counts where that matters, drop to checkpointing
-    # every k rounds. The RETURNED ranks remain persisted (they are the
-    # one live result); callers done with them should .unpersist().
-    ranks = ranks.persist()
-    ranks.count()
-    for c in cached:
-        c.unpersist()
+            ranks = ranks.localCheckpoint(eager=True)
+            ckpts.append(ranks)
+    # The RETURNED ranks are the final eager checkpoint — self-contained
+    # (no lineage into the released intermediates, immune to cache
+    # eviction/clearCache) and the one live result; callers done with
+    # them can free the blocks early via ``release_local_checkpoint``
+    # (test_pagerank_releases_intermediate_caches pins this contract).
+    # Every intermediate round's blocks are dead once the final
+    # checkpoint materializes — release them immediately.
+    ranks = ranks.localCheckpoint(eager=True)
+    for c in ckpts:
+        release_local_checkpoint(c)
     edged.unpersist()
     nodes.unpersist()
     return ranks
@@ -459,6 +477,7 @@ def label_propagation(
     )
     if labels.agg(F.max("id")).collect()[0][0] >= C2:
         raise ValueError("node ids must be < 1e7 for the argmax encoding")
+    prev_ck = labels  # the checkpoint backing ``labels``
 
     for _ in range(iterations):
         counts = (
@@ -481,6 +500,11 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+        # the round-start checkpoint is dead once the new one
+        # materializes — free its blocks now (release_local_checkpoint)
+        release_local_checkpoint(prev_ck)
+        prev_ck = labels
+    release_local_checkpoint(sym)
     return labels.select(
         F.col("id").alias("node"), F.col("label").alias("community")
     )
@@ -518,12 +542,16 @@ def bellman_ford_distances(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
+        prev = dist
         dist = (
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # the previous round's checkpoint is dead once the new one
+        # materializes (the union read it inside that same job)
+        release_local_checkpoint(prev)
     e.unpersist()
     return dist
 
@@ -652,7 +680,7 @@ def personalized_pagerank(
     ranks = seed_nodes.withColumn(
         "rank", F.lit(1.0) / F.lit(float(n_seeds))
     )
-    cached: list[DataFrame] = []
+    ckpts: list[DataFrame] = []
     for i in range(iterations):
         contribs = (
             edged.join(ranks, edged[src] == ranks["node"])
@@ -688,13 +716,15 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         )
+        # lineage truncation per round — same rationale as ``pagerank``
         if i < iterations - 1:
-            ranks = ranks.persist()
-            cached.append(ranks)
-    ranks = ranks.persist()
-    ranks.count()
-    for c in cached:
-        c.unpersist()
+            ranks = ranks.localCheckpoint(eager=True)
+            ckpts.append(ranks)
+    # final eager checkpoint + immediate release of the dead
+    # intermediates — see ``pagerank`` for the ownership contract
+    ranks = ranks.localCheckpoint(eager=True)
+    for c in ckpts:
+        release_local_checkpoint(c)
     edged.unpersist()
     return ranks
 

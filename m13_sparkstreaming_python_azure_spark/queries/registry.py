@@ -175,6 +175,13 @@ _head = [
     "near_dup_clusters",
     "fuzzy_name_pairs",
     "label_propagation",
+    # ...and the iterative-graph lineage-truncation + eager-checkpoint
+    # release pass (pagerank family, BFS/Bellman-Ford rounds):
+    "supplier_pagerank",
+    "personalized_pagerank",
+    "textrank_keywords",
+    "bfs_shortest_paths",
+    "bellman_ford_paths",
     # r12 rotation (VERDICT r10 #1 discipline): every gate whose
     # implementing code changed this round leads. The LSM delta-append
     # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
@@ -209,10 +216,7 @@ _head = [
     "bloom_point_lookup",
     "deletion_vector_delete",
     "fuzzy_decontamination",
-    "generated_columns",
     "incremental_ingest_daily",
-    "notification_ingest",
-    "partition_evolution",
     "partitioned_snapshot_prune",
     "replace_where_backfill",
     "snapshot_change_feed",
@@ -222,8 +226,6 @@ _head = [
     "streaming_dim_refresh",
     "streaming_expectations",
     "streaming_gdpr_erasure",
-    "zonemap_pruned_scan",
-    "schema_evolution",
     "streaming_table_feed",
     "table_changes_feed",
     # r12: hits' in-plan L1 totals (collect-free iteration loop)

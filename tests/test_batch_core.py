@@ -387,6 +387,10 @@ def test_pagerank_releases_intermediate_caches(spark):
     all released (ADVICE r1)."""
     from m13_sparkstreaming_python_azure_spark.operators.graph import pagerank
 
+    from m13_sparkstreaming_python_azure_spark.operators.util import (
+        release_local_checkpoint,
+    )
+
     sc = spark.sparkContext
     jsc = sc._jsc.sc()
     before = jsc.getPersistentRDDs().size()
@@ -396,8 +400,10 @@ def test_pagerank_releases_intermediate_caches(spark):
     ranks = pagerank(edges, iterations=4)
     ranks.count()
     during = jsc.getPersistentRDDs().size()
-    assert during <= before + 1  # the returned ranks only
-    ranks.unpersist()
+    assert during <= before + 1  # the returned ranks only (r12: an
+    # eager localCheckpoint — self-contained, so every intermediate
+    # round's blocks were released inside pagerank)
+    release_local_checkpoint(ranks)
     assert jsc.getPersistentRDDs().size() <= before
 
 

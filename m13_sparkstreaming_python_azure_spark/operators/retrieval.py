@@ -44,20 +44,26 @@ def bm25_scores(
     ``query_terms`` is a driver-side constant (a user query is small by
     definition); it ships as a broadcast literal array, never a shuffle.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("__term"),
-    ).filter(
-        F.col("__term").isin([t.lower() for t in query_terms])
+    # stage the token ARRAY in its own projection so size/explode read
+    # one evaluation — ``tokens`` ends in an interpreted higher-order
+    # filter, and referencing it twice in one select pays the whole
+    # regex+HOF pass twice per row (r12, guide §4.1)
+    toks = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__ts"))
+        .select(
+            id_col,
+            F.size("__ts").alias("__dl"),
+            F.explode("__ts").alias("__term"),
+        )
+        .filter(F.col("__term").isin([t.lower() for t in query_terms]))
     )
     tf = toks.groupBy(id_col, "__dl", "__term").agg(
         F.count(F.lit(1)).alias("__tf")
     )
 
-    stats = docs.select(
+    stats = docs.select(tokens(text_col).alias("__ts")).select(
         F.count(F.lit(1)).alias("__n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("__avgdl"),
+        F.avg(F.size("__ts")).alias("__avgdl"),
     )
     df_t = tf.groupBy("__term").agg(
         F.count(F.lit(1)).alias("__df")
@@ -240,24 +246,31 @@ def bm25_multi(
     q = queries.select(
         F.col("query_id"), F.lower(F.col("term")).alias("__term")
     ).distinct()
+    # staged token array: one tokenize evaluation per corpus pass (r12,
+    # guide §4.1 — ``tokens`` ends in an interpreted HOF; see bm25_scores)
     toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("__term"),
+        F.col(id_col), tokens(text_col).alias("__ts")
+    ).select(
+        id_col,
+        F.size("__ts").alias("__dl"),
+        F.explode("__ts").alias("__term"),
     )
     matched = toks.join(F.broadcast(q), on="__term")
     tf = matched.groupBy("query_id", id_col, "__dl", "__term").agg(
         F.count(F.lit(1)).alias("__tf")
     )
-    stats = docs.select(
+    stats = docs.select(tokens(text_col).alias("__ts")).select(
         F.count(F.lit(1)).alias("__n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("__avgdl"),
+        F.avg(F.size("__ts")).alias("__avgdl"),
     )
     # document frequency is a TERM property (docs containing it), shared
     # across queries — never per (query, term), or idf would depend on
-    # which queries mention the term
+    # which queries mention the term. Derived from ``tf`` (one row per
+    # (query, doc, term)) rather than re-scanning ``matched``: distinct
+    # (term, doc) pairs are identical, and this branch then reuses tf's
+    # aggregation instead of re-paying the corpus tokenize (r12).
     df_t = (
-        matched.select("__term", id_col)
+        tf.select("__term", id_col)
         .distinct()
         .groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -501,14 +514,21 @@ def bm25_prf_search(
     terms — the second pass is as cheap as the first; nothing is
     quadratic."""
     q0 = sorted({t.lower() for t in query_terms})
-    toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("__term"),
-    ).persist()
-    stats = docs.select(
+    # tokenize ONCE into cached ARRAYS (r12, guide §4.1): ``tokens``
+    # ends in an interpreted higher-order filter, so every extra
+    # evaluation re-pays the whole regex+HOF pass — the old shape ran it
+    # for toks AND once per broadcast(stats) build (measured 12.3 s →
+    # 4.0 s at sf0.1, hash-identical). toks/stats now derive from the
+    # cached arrays; the explode itself is cheap codegen.
+    base = docs.select(F.col(id_col), tokens(text_col).alias("__ts")).persist()
+    toks = base.select(
+        id_col,
+        F.size("__ts").alias("__dl"),
+        F.explode("__ts").alias("__term"),
+    )
+    stats = base.select(
         F.count(F.lit(1)).alias("__n_docs"),
-        F.sum(F.size(tokens(text_col))).cast("long").alias("__sum_dl"),
+        F.sum(F.size("__ts")).cast("long").alias("__sum_dl"),
     )
 
     def _score(term_set: DataFrame) -> DataFrame:
@@ -558,9 +578,9 @@ def bm25_prf_search(
         .filter(F.col("rank") <= top_n)
     )
     # the result is ≤ top_n rows — checkpoint it eagerly and release the
-    # pinned token stream (leaving it cached leaks blocks across calls)
+    # pinned token arrays (leaving them cached leaks blocks across calls)
     out = out.localCheckpoint(eager=True)
-    toks.unpersist()
+    base.unpersist()
     return out
 
 
@@ -583,23 +603,33 @@ def ql_dirichlet_scores(
     Scale: corpus term stats are one token-keyed aggregate; candidates ×
     |q| rows via a broadcast literal array — no cartesian, no Python."""
     q0 = sorted({t.lower() for t in query_terms})
+    # staged token array (one tokenize per pass — see bm25_scores) and
+    # two derived-aggregate savings (r12): |C| is a sum of array sizes,
+    # no explode needed; corpus term frequency ctf_t = Σ_d tf_td, so it
+    # folds out of ``tf`` instead of re-scanning the token stream.
     toks = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).alias("__dl"),
-        F.explode(tokens(text_col)).alias("__term"),
+        F.col(id_col), tokens(text_col).alias("__ts")
+    ).select(
+        id_col,
+        F.size("__ts").alias("__dl"),
+        F.explode("__ts").alias("__term"),
     )
-    corpus = toks.agg(F.count(F.lit(1)).alias("__c_len")).collect()[0]
+    corpus = (
+        docs.select(tokens(text_col).alias("__ts"))
+        .agg(F.sum(F.size("__ts")).alias("__c_len"))
+        .collect()[0]
+    )
     c_len = int(corpus["__c_len"])
-    ctf = (
-        toks.filter(F.col("__term").isin(q0))
-        .groupBy("__term")
-        .agg(F.count(F.lit(1)).alias("__ctf"))
-    )
+    # tf feeds three branches (candidates, the scoring join, ctf); its
+    # aggregation exchange is identical across them, so ReusedExchange
+    # already shares the heavy work (an explicit persist measured SLOWER
+    # — cache-write cost for no saved compute)
     tf = (
         toks.filter(F.col("__term").isin(q0))
         .groupBy(id_col, "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    ctf = tf.groupBy("__term").agg(F.sum("__tf").alias("__ctf"))
     cand = tf.select(id_col, "__dl").distinct()
     pairs = cand.select(
         id_col,

@@ -182,6 +182,14 @@ _head = [
     "textrank_keywords",
     "bfs_shortest_paths",
     "bellman_ford_paths",
+    "k_core_customers",
+    # ...and the retrieval family's staged-tokenize / derived-aggregate
+    # pass (tokens() is an interpreted HOF; one evaluation per corpus
+    # pass now):
+    "bm25_prf_search",
+    "bm25_search",
+    "retrieval_eval",
+    "ql_dirichlet_search",
     # r12 rotation (VERDICT r10 #1 discipline): every gate whose
     # implementing code changed this round leads. The LSM delta-append
     # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
@@ -214,17 +222,12 @@ _head = [
     # key) fans NEAR every snapshot/CDC gate even where function-level
     # fingerprints say untouched — keep the whole family leading:
     "bloom_point_lookup",
-    "deletion_vector_delete",
     "fuzzy_decontamination",
     "incremental_ingest_daily",
-    "partitioned_snapshot_prune",
-    "replace_where_backfill",
     "snapshot_change_feed",
     "snapshot_commit_group",
-    "snapshot_vacuum",
     "streaming_cdc_upsert",
     "streaming_dim_refresh",
-    "streaming_expectations",
     "streaming_gdpr_erasure",
     "streaming_table_feed",
     "table_changes_feed",

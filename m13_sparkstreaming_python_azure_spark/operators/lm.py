@@ -557,12 +557,17 @@ def domain_mixture_weights(
         F.col(label_col).alias("__label"),
         F.explode(tokens(text_col)).alias("token"),
     )
-    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    totals = tok.agg(
-        F.count(F.lit(1)).alias("n"),
+    # pin the unigram model: corpus size and vocabulary both FOLD OUT of
+    # it (n = Σc, |V| = row count) in one bounded collect, and the
+    # scoring join reads the same cached aggregate — the lazy shape
+    # re-ran the tokenize+explode for the totals pass, the vocab count,
+    # the broadcast build, and each consumer of ``scored`` (r12)
+    model = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c")).persist()
+    totals = model.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
     n_corpus = int(totals["n"])
-    v_size = model.count()
+    v_size = int(totals["v"])
     g_ln = (
         F.floor(
             F.log(
@@ -587,7 +592,11 @@ def domain_mixture_weights(
             "n_tokens",
             (-F.col("g_sum") / F.col("n_tokens")).alias("ce_g"),
         )
+        # one row per domain; materialize so the baseline aggregate and
+        # the weight projection don't each re-run the scoring join
+        .localCheckpoint(eager=True)
     )
+    model.unpersist()
     base = scored.agg(F.min("ce_g").alias("base"))
     expg = (
         scored.crossJoin(F.broadcast(base))

@@ -190,6 +190,7 @@ _head = [
     "bm25_search",
     "retrieval_eval",
     "ql_dirichlet_search",
+    "domain_mixture_weights",
     # r12 rotation (VERDICT r10 #1 discipline): every gate whose
     # implementing code changed this round leads. The LSM delta-append
     # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
@@ -224,7 +225,6 @@ _head = [
     "bloom_point_lookup",
     "fuzzy_decontamination",
     "incremental_ingest_daily",
-    "snapshot_change_feed",
     "snapshot_commit_group",
     "streaming_cdc_upsert",
     "streaming_dim_refresh",

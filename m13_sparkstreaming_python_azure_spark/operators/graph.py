@@ -927,9 +927,63 @@ def k_truss(
         .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=True)
     )
+    # Degree-keyed oriented edges built ONCE (r13, guide §2.4/§3): every
+    # round used to re-join the surviving edge set against deg0 twice
+    # inside ``oriented_triangles`` just to re-derive the SAME
+    # orientation columns — and peeling only ever SHRINKS the edge set,
+    # so (lo, hi, khi) per surviving edge never changes. Carrying them
+    # through the per-round checkpoint removes two key-attach joins (one
+    # exchange each) from every round.
+    key = (F.col("degree") * F.lit(1 << 32) + F.col("node")).alias("k")
+    dk = deg0.select("node", key)
+    ek = (
+        e.join(
+            dk.withColumnRenamed("node", "a").withColumnRenamed("k", "ka"),
+            "a",
+        )
+        .join(
+            dk.withColumnRenamed("node", "b").withColumnRenamed("k", "kb"),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+            F.greatest("ka", "kb").alias("khi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # e's canonical edges live on inside ek; deg0 is no longer read
+    release_local_checkpoint(e)
+    release_local_checkpoint(deg0)
     support = None
+    stale = None  # pre-peel ek of the PREVIOUS round — dead once its
+    # round's support is superseded
     for _ in range(rounds):
-        tri = oriented_triangles(e, deg0)
+        w1 = ek.select(
+            F.col("lo").alias("pivot"),
+            F.col("hi").alias("u"),
+            F.col("khi").alias("ku"),
+        )
+        w2 = ek.select(
+            F.col("lo").alias("pivot"),
+            F.col("hi").alias("v"),
+            F.col("khi").alias("kv"),
+        )
+        wedges = w1.join(w2, "pivot").filter(F.col("ku") < F.col("kv"))
+        closing = ek.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+        tri = wedges.join(
+            closing,
+            (
+                (F.least("u", "v") == F.col("ca"))
+                & (F.greatest("u", "v") == F.col("cb"))
+            ),
+        ).select("pivot", "u", "v")
         sides = (
             tri.select(
                 F.least("pivot", "u").alias("a"),
@@ -951,10 +1005,15 @@ def k_truss(
         support = sides.groupBy("a", "b").agg(
             F.count(F.lit(1)).alias("support")
         )
-        e = (
-            e.join(support, ["a", "b"])
+        nxt = (
+            ek.join(support, ["a", "b"])
             .filter(F.col("support") >= k - 2)
-            .select("a", "b")
+            .select("a", "b", "lo", "hi", "khi")
             .localCheckpoint(eager=True)
         )
-    return e.join(support, ["a", "b"]).select("a", "b", "support")
+        # the returned plan re-reads the LAST round's ``support``, whose
+        # subtree reads that round's pre-peel ek — so only the ek two
+        # generations back is provably dead here
+        release_local_checkpoint(stale)
+        stale, ek = ek, nxt
+    return ek.join(support, ["a", "b"]).select("a", "b", "support")

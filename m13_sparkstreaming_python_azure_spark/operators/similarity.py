@@ -439,30 +439,22 @@ def hash_sample_vectors(
 ) -> np.ndarray:
     """Exact, layout-independent bounded sample: the global
     bottom-``sample_size`` vectors by a seeded md5 over the vector —
-    uniform, no corpus count, no ``limit()`` head-taking. Each partition
-    locally prunes to its own bottom-``sample_size`` hashes (exact by
-    the pigeonhole bound: the global bottom-k holds at most k rows from
-    one partition), then a global sort+limit picks the winners. Shared
-    by the IVF and PQ codebook trainers."""
-    import pandas as pd
+    uniform, no corpus count, no ``limit()`` head-taking. Shared by the
+    IVF and PQ codebook trainers.
 
+    ``orderBy(h).limit(k)`` compiles to TakeOrderedAndProject: each scan
+    task keeps a bounded k-row heap and the driver merges the per-task
+    winners — the per-partition pruning and per-task memory bound the
+    r2–r12 mapInPandas pre-pass provided, without the extra Python
+    boundary crossing and its whole-corpus Arrow transfer (r13, guide
+    §4.1: the pre-pass shipped EVERY vector JVM→Python just to drop most
+    of them; the heap does the same selection JVM-side). Same global
+    bottom-k multiset ⇒ identical samples, identical codebooks."""
     vecs = base.select(_as_double(F.col(vec_col)).alias("v"))
     hashed = vecs.withColumn(
         "h", F.md5(F.concat_ws(":", F.lit(seed), F.col("v").cast("string")))
     )
-
-    def local_prune(batches):
-        best = None
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cand = pdf if best is None else pd.concat([best, pdf])
-            best = cand.sort_values("h", kind="mergesort").head(sample_size)
-        if best is not None:
-            yield best
-
-    pruned = hashed.mapInPandas(local_prune, schema=hashed.schema)
-    sample_pdf = pruned.orderBy("h").limit(sample_size).toPandas()
+    sample_pdf = hashed.orderBy("h").limit(sample_size).toPandas()
     if not len(sample_pdf):
         # empty input → (0, 0) array; callers guard on len() == 0
         # (ivf_index_sink skips codebook training on an empty batch 0)
@@ -603,6 +595,88 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_exact_recall_summary(
+    base: DataFrame,
+    queries: DataFrame,
+    base_id: str = "vec_id",
+    base_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    floor_pct: int = 60,
+) -> DataFrame:
+    """IVF-vs-exact recall gate over ONE scored relation (r13, guide
+    §1.2): the exact baseline scores EVERY (query, corpus) pair anyway,
+    so running ``ivf_ann_topk`` beside ``brute_force_topk`` re-scanned
+    the corpus and re-scored a subset of the same pairs through a
+    second candidate join. Here one pre-normalized broadcast cross join
+    carries both the exact scores and the IVF cell columns; the IVF
+    top-k is the same ranking restricted to pairs whose base cell is
+    among the query's probed cells (``array_contains`` ⇔ the old
+    explode+equi-join on ``cell``).
+
+    Exactness: the exact summaries are bit-identical to
+    ``brute_force_topk``'s (same HOF dot, same rounding, same
+    tie-break). The ann side contributes only (query_id, neighbor_id)
+    membership to the recall invariant, so scoring it with the JVM HOF
+    instead of the einsum UDF cannot change the gate output (recall_ok
+    compares the hit COUNT against the floor; measured recall sits far
+    above it). The scored relation is persisted — it feeds the exact
+    ranking, the ann ranking, and the summary's three exact reads; the
+    bench's clearCache (and any caller's) releases it."""
+    centroids = train_ivf_centroids(
+        base, base_vec, n_cells=n_cells, sample_size=sample_size, seed=seed
+    )
+    assign1 = _cell_assign_udf(centroids, 1)
+    assignp = _cell_assign_udf(centroids, nprobe)
+    b = spread(base).select(
+        F.col(base_id).alias("neighbor_id"),
+        _as_double(F.col(base_vec)).alias("__bv"),
+    ).withColumn("__bn", l2_norm(F.col("__bv"))).withColumn(
+        "cell", F.element_at(assign1(F.col("__bv")), 1)
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv"))).withColumn(
+        "cells", assignp(F.col("__qv"))
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__bv"), F.col("__qv"))
+                / (F.col("__bn") * F.col("__qn")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim", "cell", "cells")
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+    ann = (
+        scored.filter(F.array_contains(F.col("cells"), F.col("cell")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return ann_recall_summary(
+        exact, ann, "cosine_sim", best_is_max=True, floor_pct=floor_pct
     )
 
 

@@ -236,7 +236,19 @@ def _plan_items_bounds(
       column would need a third construction job; not built until a
       gate needs it."""
     aggs_a: list[Column] = []
-    for i, (eff, _sub, lead, _asc, dtype) in enumerate(items):
+    # Speculative job-B fold for SHORT string leads (VERDICT r12 #5):
+    # when every lead string fits its own 6-byte surrogate (max
+    # octet_length ≤ 6, no embedded NUL — so zero-padding is injective),
+    # EVERY hot tie group is provably one exact string: job B's min/max
+    # dispatch is decided in advance (always "exact"), and the u-axis
+    # sub-boundaries can come from ONE speculative GLOBAL sketch of the
+    # second column computed alongside job A — boundary placement only
+    # steers load balance (ranks are invariant to it), so global
+    # quantiles standing in for per-group ones cost evenness at worst,
+    # never correctness. Saves the entire job-B corpus pass for the
+    # common low-cardinality status/category lead.
+    g_sub = min(max(2 * p, 16), 1024)
+    for i, (eff, sub_eff, lead, _asc, dtype) in enumerate(items):
         if p > 1:
             aggs_a.append(
                 F.percentile_approx(
@@ -253,6 +265,17 @@ def _plan_items_bounds(
                     f"__m{i}"
                 )
             )
+        elif dtype == "string" and lead is not None and p > 1:
+            aggs_a.append(F.max(F.octet_length(lead)).alias(f"__len{i}"))
+            aggs_a.append(F.max(F.instr(lead, "\x00")).alias(f"__nul{i}"))
+            if sub_eff is not None:
+                aggs_a.append(
+                    F.percentile_approx(
+                        sub_eff,
+                        [j / g_sub for j in range(1, g_sub)],
+                        2_000,
+                    ).alias(f"__gu{i}")
+                )
     row_a = df.select(*aggs_a).first() if aggs_a else None
 
     plans = []  # (raw, hot, mode) per item
@@ -291,7 +314,20 @@ def _plan_items_bounds(
         mode = None
         if hot:
             if dtype == "string" and lead is not None:
-                mode = "string"
+                mlen = row_a[f"__len{i}"] if row_a is not None else None
+                mnul = row_a[f"__nul{i}"] if row_a is not None else None
+                if (
+                    mlen is not None
+                    and mlen <= 6
+                    and (mnul is None or mnul == 0)
+                ):
+                    # short NUL-free strings: the 6-byte surrogate is
+                    # injective, so every hot group is ONE exact string —
+                    # job B's dispatch is pre-decided and the sub-bounds
+                    # come from job A's speculative global u sketch
+                    mode = "string6"
+                else:
+                    mode = "string"
             elif inj and sub_eff is not None:
                 mode = "numeric"
         plans.append((raw, hot, mode))
@@ -302,7 +338,29 @@ def _plan_items_bounds(
         zip(items, plans)
     ):
         entries: list[tuple] = []
-        if mode == "numeric":
+        if mode == "string6":
+            # resolved from job A alone: even picks from the global
+            # second-column sketch stand in for the per-group quantiles
+            gu = row_a[f"__gu{i}"] if row_a is not None else None
+            if sub_eff is not None and gu:
+                for h, mult in sorted(hot.items()):
+                    m = mult + 1
+                    idxs = sorted(
+                        {
+                            min(max(round(j * g_sub / m), 1), g_sub - 1)
+                            for j in range(1, m)
+                        }
+                    )
+                    qs = sorted(
+                        {
+                            gu[ix - 1]
+                            for ix in idxs
+                            if ix <= len(gu) and gu[ix - 1] is not None
+                        }
+                    )
+                    if qs:
+                        entries.append((h, "done", qs))
+        elif mode == "numeric":
             for k, (h, mult) in enumerate(sorted(hot.items())):
                 m = mult + 1  # k·n/p tied rows → k+1 ~n/p sub-buckets
                 fr = [j / m for j in range(1, m)]
@@ -346,7 +404,9 @@ def _plan_items_bounds(
         sub_bounds: dict[float, list[float]] = {}
         w_hot: list[float] = []
         for (h, kind, nm) in entries:
-            if kind == "u":
+            if kind == "done":  # string6: resolved from job A already
+                sub_bounds[h] = nm
+            elif kind == "u":
                 qs = sorted(
                     {u for u in (row_b[nm] or []) if u is not None}
                 )

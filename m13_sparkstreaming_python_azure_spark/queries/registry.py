@@ -167,45 +167,30 @@ ORACLES = {
 # (tools/check_correctness.py) still runs all of them.
 _head = [
     "pricing_summary",  # flagship — must stay first
-    # r12 OPTIMIZATION round: gates whose implementing code changed in
-    # the perf pass lead the prefix. fuzzy_pairs variant construction
-    # (i<j direct double-deletes, long-keyed dedup) + the CC loop's
-    # folded convergence flag:
-    "entity_clusters",
-    "near_dup_clusters",
-    "fuzzy_name_pairs",
-    "label_propagation",
-    # ...and the iterative-graph lineage-truncation + eager-checkpoint
-    # release pass (pagerank family, BFS/Bellman-Ford rounds):
-    "supplier_pagerank",
-    "personalized_pagerank",
-    "textrank_keywords",
-    "bfs_shortest_paths",
-    "bellman_ford_paths",
-    "k_core_customers",
-    # ...and the retrieval family's staged-tokenize / derived-aggregate
-    # pass (tokens() is an interpreted HOF; one evaluation per corpus
-    # pass now):
-    "bm25_prf_search",
-    "bm25_search",
-    "retrieval_eval",
-    "ql_dirichlet_search",
-    "domain_mixture_weights",
-    # r12 rotation (VERDICT r10 #1 discipline): every gate whose
-    # implementing code changed this round leads. The LSM delta-append
-    # keyed sink + rebucketing compaction (VERDICT r11 #1) rewires the
-    # streaming index/fingerprint write path and the keyed-table
-    # manifest schema:
-    "streaming_minhash_dedup",
-    "streaming_incremental_dedup",
+    # r13 OPTIMIZATION round 2: gates whose implementing code changed in
+    # this perf pass lead the prefix.
+    # ANN/codebook family — shared scored relation for the IVF recall
+    # gate + the JVM TakeOrderedAndProject hash sample (the mapInPandas
+    # pre-pass shipped the whole corpus to Python):
+    "ann_ivf",
+    "ann_pq",
+    "ann_ivfpq",
     "streaming_ann_index",
-    "gdpr_delete",
-    "streaming_latest_state",
-    "streaming_view_maintenance",
-    "snapshot_restore",
-    # ...string-lead hot-value sub-bucketing + batched boundary
-    # construction (VERDICT r11 #2/#3) rewrites plan_rank_bounds /
-    # exact_ntile / global_rank / global_cumsum — every dependent:
+    "semantic_dedup",
+    # k_truss: one degree-keyed oriented edge relation shared across the
+    # peeling rounds (two key-attach joins removed per round):
+    "k_truss",
+    # bloom predicate built as one JVM-parsed array literal (the
+    # per-word F.lit shape cost ~5 s of driver time per query):
+    "bloom_pruned_revenue",
+    "bloom_point_lookup",
+    # conformal: fit collected once as literals; calibration slice
+    # checkpointed once for n_cal + the rank:
+    "conformal_intervals",
+    # global_rank string-lead construction: job B folded into job A for
+    # short NUL-free string leads (speculative global second-column
+    # sketch) — every gate through plan_rank_bounds/_plan_items_bounds:
+    "null_semantics",
     "roc_auc",
     "ks_test",
     "ece_calibration",
@@ -213,30 +198,40 @@ _head = [
     "kruskal_wallis",
     "rfm_segments",
     "price_decile_stats",
-    "conformal_intervals",
     "conversion_latency",
-    "null_semantics",
     "hybrid_rrf_search",
     "record_linkage",
     "sorted_neighborhood_pairs",
-    # defense-in-depth: the snapshots.py manifest-schema change (delta
-    # key) fans NEAR every snapshot/CDC gate even where function-level
-    # fingerprints say untouched — keep the whole family leading:
-    "bloom_point_lookup",
+    # r12 carry-over (still-recent churn, kept leading one more round):
+    "entity_clusters",
+    "near_dup_clusters",
+    "fuzzy_name_pairs",
+    "label_propagation",
+    "supplier_pagerank",
+    "personalized_pagerank",
+    "textrank_keywords",
+    "k_core_customers",
+    "bm25_prf_search",
+    "bm25_search",
+    "retrieval_eval",
+    "ql_dirichlet_search",
+    "domain_mixture_weights",
+    "streaming_minhash_dedup",
+    "streaming_incremental_dedup",
+    "gdpr_delete",
+    "streaming_latest_state",
+    "streaming_view_maintenance",
+    # snapshot/CDC family representatives (LSM keyed layout, r12):
     "fuzzy_decontamination",
     "incremental_ingest_daily",
     "snapshot_commit_group",
     "streaming_cdc_upsert",
     "streaming_dim_refresh",
     "streaming_gdpr_erasure",
-    "streaming_table_feed",
-    "table_changes_feed",
-    # r12: hits' in-plan L1 totals (collect-free iteration loop)
     "hits_scores",
     # subsystem regression anchors (unchanged this round)
     "minhash_dedup_pairs",
     "streaming_transform_with_state",
-    "ann_ivf",
     "lsh_recall_eval",
 ]
 _PRIORITY_50 = _head

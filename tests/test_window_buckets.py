@@ -119,6 +119,68 @@ def test_string_lead_prefix_family_splits_on_second_level(spark):
     )
 
 
+def test_short_string_lead_folds_job_b_and_stays_exact(spark):
+    """VERDICT r12 #5: a string lead whose values all fit 6 NUL-free
+    bytes (the null_semantics status shape) proves every hot tie group
+    is ONE exact string from job A alone — construction runs a SINGLE
+    aggregation job (job B folded away), sub-boundaries come from the
+    speculative global second-column sketch, and ranks stay exact."""
+    from m13_sparkstreaming_python_azure_spark.operators import window as W
+
+    # P/O are the hot one-string groups; a few nulls exercise the
+    # sentinel route (nulls are never sub-bucketed — keep them small so
+    # the balance assertion sees the hot groups, not the null group)
+    rows = [
+        (
+            i,
+            None if i % 100 == 0
+            else (["P", "O"][i % 2] if i % 10 < 9 else f"k{i % 7}"),
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    order = [F.asc_nulls_first("s"), F.asc("id")]
+
+    calls = {"n": 0}
+    orig = W._plan_items_bounds
+
+    def counting(dfi, items, p):
+        import pyspark.sql.classic.dataframe as cd
+
+        orig_first = cd.DataFrame.first
+
+        def first_counted(self, *a, **k):
+            calls["n"] += 1
+            return orig_first(self, *a, **k)
+
+        cd.DataFrame.first = first_counted
+        try:
+            return orig(dfi, items, p)
+        finally:
+            cd.DataFrame.first = orig_first
+
+    W._plan_items_bounds = counting
+    try:
+        out = global_rank(df, order, num_partitions=16)
+        got = out.collect()
+    finally:
+        W._plan_items_bounds = orig
+    assert calls["n"] == 1, (
+        f"short-string construction ran {calls['n']} aggregation jobs; "
+        "job B should fold into job A"
+    )
+    exp = _expected_ranks(
+        rows, key=lambda r: ((0, "") if r[1] is None else (1, r[1]), r[0])
+    )
+    assert all(exp[(r["id"], r["s"])] == r["rank"] for r in got)
+    # the hot one-string groups must still split (load balance held)
+    census = rank_bucket_census(df, order, num_partitions=16).collect()
+    biggest = max(r["rows"] for r in census)
+    assert biggest <= 4 * 3000 // 16, (
+        f"short hot string not split: max bucket {biggest} of 3000"
+    )
+
+
 def test_string_lead_desc_hot_value_exact(spark):
     rows = [(i, "hotkey-shared-prefix") for i in range(850)]
     rows += [(i + 850, f"k{i % 40:03d}") for i in range(150)]

@@ -49,6 +49,31 @@ def _anchor(d: dict) -> float | None:
     return cal if isinstance(cal, (int, float)) else None
 
 
+def _segment_anchor_fn(d: dict):
+    """Positional anchor lookup (VERDICT r12 #3): from the interleaved
+    per-segment calibration samples, return f(query_index) -> anchor sec
+    = the MEDIAN across reps of the segment sample covering that suite
+    position. None when the run predates interleaved sampling (falls
+    back to the global anchor)."""
+    import statistics
+
+    cal = d.get("calibration_sec")
+    segs = cal.get("segments") if isinstance(cal, dict) else None
+    if not segs:
+        return None
+    by_at: dict[int, list[float]] = {}
+    for s in segs:
+        by_at.setdefault(int(s["at"]), []).append(float(s["sec"]))
+    ats = sorted(by_at)
+    med = {at: statistics.median(v) for at, v in by_at.items()}
+
+    def f(idx: int) -> float:
+        covering = [at for at in ats if at <= idx]
+        return med[covering[-1] if covering else ats[0]]
+
+    return f
+
+
 def compare(old: dict, new: dict, floor: float = 0.15) -> tuple[list, list, str]:
     qo, qn = old.get("queries", {}), new.get("queries", {})
     io_, in_ = old.get("queries_iqr", {}), new.get("queries_iqr", {})
@@ -58,21 +83,39 @@ def compare(old: dict, new: dict, floor: float = 0.15) -> tuple[list, list, str]
     # ambient machine drift can't masquerade as a regression (or hide one)
     ao, an = _anchor(old), _anchor(new)
     scale = (an / ao) if (ao and an) else 1.0
+    # per-query positional normalization (VERDICT r12 #3): when both runs
+    # carry interleaved segment anchors, scale each query by the anchors
+    # covering ITS suite position instead of the one global ratio — so
+    # mid-suite contention in either run stops polluting the deltas
+    fo, fn_ = _segment_anchor_fn(old), _segment_anchor_fn(new)
+    pos_new = {name: i for i, name in enumerate(qn)}
+    pos_old = {name: i for i, name in enumerate(qo)}
     movers, drift = [], []
     for name, nv in qn.items():
         if name not in qo:
             movers.append((name, None, nv, "NEW"))
             continue
-        ov = round(qo[name] * scale, 3)
+        q_scale = scale
+        if fo is not None and fn_ is not None:
+            denom = fo(pos_old[name])
+            if denom:
+                q_scale = fn_(pos_new[name]) / denom
+        ov = round(qo[name] * q_scale, 3)
         delta = nv - ov
-        gate = max(in_.get(name, 0.0), io_.get(name, 0.0) * scale, floor)
+        gate = max(in_.get(name, 0.0), io_.get(name, 0.0) * q_scale, floor)
         (movers if abs(delta) > gate else drift).append(
             (name, ov, nv, f"{delta:+.2f}s vs IQR-gate {gate:.2f}s")
         )
     movers.sort(key=lambda t: -(abs((t[2] or 0) - (t[1] or 0))))
     removed = [n for n in qo if n not in qn]
+    seg_note = (
+        " (per-query positional anchors in use)"
+        if fo is not None and fn_ is not None
+        else ""
+    )
     norm = (
-        f"; drift-normalized (anchor {ao} → {an}, scale ×{scale:.3f}): "
+        f"; drift-normalized (anchor {ao} → {an}, scale ×{scale:.3f}"
+        f"{seg_note}): "
         f"old suite ≙ {round((old.get('value') or 0) * scale, 1)}s in "
         "new-machine seconds — old columns below are pre-scaled"
         if scale != 1.0

@@ -21,6 +21,123 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _variant_hash_gen(blocks: list[str], max_dist: int):
+    """mapInPandas generator: per input key row, the DISTINCT polynomial
+    hashes of every ≤``max_dist``-deletion variant (including the key
+    itself), as one array<long> — no variant string is ever built.
+
+    Hash of a string s = Σ_t cp[t]·B^t over uint64 (wraparound; B odd →
+    multiplication is a bijection mod 2^64). Deleting position i shifts
+    every later code point down one power; deleting i<j shifts (i, j)
+    down one and (j, ∞) down two — so with exclusive prefix sums cum0,
+    cum1, cum2 over cp[t]·B^t, cp[t]·B^(t-1), cp[t]·B^(t-2):
+
+        h()     = cum0[L]
+        h(i)    = cum0[i] + (cum1[L] - cum1[i+1])
+        h(i, j) = cum0[i] + (cum1[j] - cum1[i+1]) + (cum2[L] - cum2[j+1])
+
+    each EXACTLY the polynomial hash of the corresponding variant string,
+    so equal variants collide by construction. Block columns XOR in as a
+    per-row mix (same FNV-style fold over their utf-8 reprs) so the
+    variant join key separates blocks. Rows group by code-point length so
+    all arithmetic is dense (n, L) / (n, L, L) numpy tensors."""
+    import numpy as np
+
+    B = np.uint64(1099511628211)  # FNV-1a prime — odd, well-mixed
+
+    def _bytes_poly(bs: bytes) -> np.uint64:
+        h = np.uint64(0)
+        for ch in bs:
+            h = h * B + np.uint64(ch + 1)
+        return h
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            names = pdf["__k"].tolist()
+            mix = np.zeros(len(names), dtype=np.uint64)
+            for bc_i, c in enumerate(blocks):
+                vals = pdf[c].astype(str).tolist()
+                salt = np.uint64(0x9E3779B97F4A7C15 + bc_i)
+                mix ^= np.fromiter(
+                    (_bytes_poly(v.encode()) * salt for v in vals),
+                    dtype=np.uint64,
+                    count=len(vals),
+                )
+            cps = [
+                np.frombuffer(n.encode("utf-32-le"), dtype=np.uint32)
+                if n is not None
+                else None
+                for n in names
+            ]
+            out: list[list[int] | None] = [None] * len(names)
+            for k, c in enumerate(cps):
+                if c is None:  # null key: no variants (old shape
+                    out[k] = []  # exploded a null array → row dropped)
+            lens = np.fromiter(
+                (len(c) if c is not None else -1 for c in cps),
+                dtype=np.int64,
+                count=len(cps),
+            )
+            for L in np.unique(lens):
+                if L < 0:
+                    continue
+                idx = np.nonzero(lens == L)[0]
+                L = int(L)
+                n = len(idx)
+                if L == 0:
+                    for k in idx:
+                        out[k] = [int(mix[k].astype(np.int64))]
+                    continue
+                M = np.stack([cps[k] for k in idx]).astype(np.uint64)
+                M += np.uint64(1)  # cp+1: NUL-proof, matches _bytes_poly
+                pw = np.empty(L, dtype=np.uint64)
+                pw[0] = np.uint64(1)
+                for t in range(1, L):
+                    pw[t] = pw[t - 1] * B
+                # C0[t]=cp·B^t; C1[t]=cp·B^(t-1) (t≥1); C2[t]=cp·B^(t-2)
+                C0 = M * pw
+                C1 = np.zeros_like(C0)
+                C1[:, 1:] = M[:, 1:] * pw[:-1]
+                C2 = np.zeros_like(C0)
+                if L >= 2:
+                    C2[:, 2:] = M[:, 2:] * pw[:-2]
+                cum0 = np.zeros((n, L + 1), dtype=np.uint64)
+                np.cumsum(C0, axis=1, out=cum0[:, 1:])
+                cum1 = np.zeros((n, L + 1), dtype=np.uint64)
+                np.cumsum(C1, axis=1, out=cum1[:, 1:])
+                cum2 = np.zeros((n, L + 1), dtype=np.uint64)
+                np.cumsum(C2, axis=1, out=cum2[:, 1:])
+                hs = [cum0[:, L:]]  # d0: the key itself
+                # d1: delete i, all i
+                hs.append(
+                    cum0[:, :L] + (cum1[:, L:] - cum1[:, 1:])
+                )
+                if max_dist == 2 and L >= 2:
+                    # d2: delete i<j — (n, L, L) upper triangle
+                    H2 = (
+                        cum0[:, :L, None]
+                        + (cum1[:, None, :L] - cum1[:, 1:, None])
+                        + (cum2[:, L, None, None] - cum2[:, None, 1:])
+                    )
+                    iu = np.triu_indices(L, k=1)
+                    hs.append(H2[:, iu[0], iu[1]])
+                allh = np.concatenate(hs, axis=1)
+                allh ^= mix[idx][:, None]
+                allh = np.sort(allh, axis=1).view(np.int64)
+                keep = np.ones(allh.shape, dtype=bool)
+                keep[:, 1:] = allh[:, 1:] != allh[:, :-1]
+                for row_i, k in enumerate(idx):
+                    out[k] = allh[row_i][keep[row_i]].tolist()
+            res = pdf.copy()
+            res["__hs"] = out
+            yield res
+
+    return gen
 
 
 def _delete_one(s: Column) -> Column:
@@ -74,54 +191,31 @@ def fuzzy_pairs(
         raise ValueError("max_dist must be 1 or 2")
     blocks = list(block_cols or [])
     keys = df.select(F.col(key_col).alias("__k"), *blocks).distinct()
-    bl = [F.col(c) for c in blocks]
-    # join on the variant's xxhash64, not the variant string: the shuffle
-    # key drops from ~L bytes to 8 and the join compares longs. A hash
-    # collision only ADDS a false candidate, which the exact verify
-    # removes — correctness is untouched (measured 6.0s -> 3.8s at sf0.1).
-    # Variant construction (r12, guide §4.1/§2.3): higher-order array
-    # functions are CodegenFallback, so per-element work dominates. Two
-    # changes against the deletion_variants(...)+hash formulation, same
-    # variant-hash SET per key (verified set-identical at sf0.1):
-    # - d=2 deletes enumerate ordered position pairs i<j directly
-    #   (C(L,2) strings) instead of delete-one applied twice (L·(L−1)
-    #   strings, then array_distinct over STRINGS);
-    # - dedup happens on the hashed LONGS (array_distinct over 8-byte
-    #   values), never on variant strings — map-side, no extra shuffle.
-    s = F.col("__k")
-    L = F.length(s)
-    v1 = _delete_one(s)
-    hash_arrays = [
-        F.array(F.xxhash64(s, *bl)),
-        F.transform(v1, lambda v: F.xxhash64(v, *bl)),
-    ]
-    if max_dist == 2:
-        v2 = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), L - 1),
-                lambda i: F.transform(
-                    F.sequence(i + 1, L),
-                    lambda j: F.concat(
-                        s.substr(F.lit(1), i - 1),
-                        s.substr(i + 1, j - i - 1),
-                        s.substr(j + 1, L),
-                    ),
-                ),
-            )
-        )
-        # guard: sequence(a, b) DESCENDS when b < a, so L < 2 would emit
-        # bogus positions; strings that short have no 2-delete variants
-        # beyond what v1 already contributes ("" is in v1 for L == 1)
-        hash_arrays.append(
-            F.when(
-                L >= 2, F.transform(v2, lambda v: F.xxhash64(v, *bl))
-            ).otherwise(F.array().cast("array<bigint>"))
-        )
-    variants = keys.select(
-        "__k",
-        *blocks,
-        F.explode(F.array_distinct(F.concat(*hash_arrays))).alias("__h"),
-    )
+    # Variant-hash construction (r13, guide §4.2 — replaces the r12 JVM
+    # HOF shape): higher-order array functions are CodegenFallback, so
+    # building C(L,2)+L+1 variant STRINGS per key (each an O(L) concat)
+    # and xxhash64-ing each was interpreted O(L³)-bytes-per-key work —
+    # the measured majority of the whole candidate generation (~4-5 s of
+    # the entity gate at sf0.1). One vectorized numpy pass now computes
+    # every deletion variant's hash WITHOUT materializing any variant
+    # string: with cp[t] the key's code points and prefix sums over
+    # cp[t]·B^t, cp[t]·B^(t-1), cp[t]·B^(t-2) (uint64 wraparound, B odd),
+    # the hash of the variant deleting positions i<j is three O(1)
+    # segment sums — exactly the polynomial hash of the variant string,
+    # so equal variant strings STILL collide by construction and the
+    # candidate set is unchanged (any extra hash collision only adds a
+    # false candidate the exact levenshtein verify removes; same
+    # argument as the r9 xxhash64 switch). Block columns fold in as a
+    # per-row XOR mix so the shuffle key still separates blocks. Output
+    # crosses Arrow once as one array<bigint> row per key (bounded by
+    # the key count, not the variant count) and explodes JVM-side.
+    variants = keys.mapInPandas(
+        _variant_hash_gen(blocks, max_dist),
+        schema=T.StructType(
+            keys.schema.fields
+            + [T.StructField("__hs", T.ArrayType(T.LongType()))]
+        ),
+    ).select("__k", *blocks, F.explode("__hs").alias("__h"))
     # materialize the variant table ONCE: the self-join otherwise
     # recomputes the (O(L^d)-per-key string) variant construction for
     # BOTH sides — measured ~2× the whole candidate-generation cost at

@@ -60,6 +60,36 @@ def test_fuzzy_pairs_matches_bruteforce_d2(spark):
     assert got == brute
 
 
+def test_fuzzy_pairs_vectorized_hash_edge_cases(spark):
+    """r13: variant hashes come from the numpy rolling-hash pass (no
+    variant strings built). Edge cases that stress it: multi-byte
+    unicode (code-point vs byte indexing), 1-char and empty-adjacent
+    strings, embedded NUL, null keys, and block columns — results must
+    equal the brute-force levenshtein join within each block."""
+    rows = [
+        ("héllo", 1), ("hèllo", 1), ("héllo", 2), ("hللo", 1),
+        ("a", 1), ("b", 1), ("ab", 1), ("", 1), ("a\x00", 1),
+        ("世界abc", 1), ("世界abd", 1), ("世界ab", 2), (None, 1),
+    ]
+    df = spark.createDataFrame(rows, "w string, blk int").distinct()
+    got = {
+        (r["key_a"], r["key_b"], r["blk"], r["edit_distance"])
+        for r in fuzzy_pairs(
+            df, "w", max_dist=2, block_cols=["blk"]
+        ).collect()
+    }
+    a = df.select(F.col("w").alias("x"), F.col("blk").alias("ba"))
+    b = df.select(F.col("w").alias("y"), F.col("blk").alias("bb"))
+    want = {
+        (r["x"], r["y"], r["ba"], r["d"])
+        for r in a.join(b, (F.col("x") < F.col("y")) & (F.col("ba") == F.col("bb")))
+        .withColumn("d", F.levenshtein("x", "y"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want
+
+
 def test_fuzzy_pairs_rejects_bad_depth(spark):
     df = spark.createDataFrame([("a",)], ["w"])
     with pytest.raises(ValueError):

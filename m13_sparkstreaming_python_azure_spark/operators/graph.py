@@ -204,6 +204,12 @@ def pagerank(
     A fixed iteration count (vs convergence test) keeps the plan static
     and the result engine-independent; at scale, checkpoint ``ranks``
     every few rounds to truncate lineage.
+
+    Cleanup contract (ADVICE r12): the returned ranks are an eager
+    ``localCheckpoint`` — NOT a CacheManager entry — so caller-side
+    ``.unpersist()`` is a silent no-op; release the blocks early with
+    ``operators.util.release_local_checkpoint(result)`` (otherwise they
+    free at the next JVM GC after the reference drops).
     """
     # The edge relation is often EXPENSIVE lineage (e.g. a self-join that
     # materializes co-occurrence): deg, nodes, and edged each consume it,
@@ -697,8 +703,11 @@ def personalized_pagerank(
     Teleport mass (1−d)/|S| lands only on seeds; nodes keep rank only
     while reachable from the seed frontier.
 
-    ``seeds`` is a one-column (node) DataFrame. Same determinism contract
-    as ``pagerank``: per-edge contributions cast to decimal(27,12) before
+    ``seeds`` is a one-column (node) DataFrame. Same determinism AND
+    cleanup contract as ``pagerank`` (the result is an eager
+    localCheckpoint — free it early via
+    ``operators.util.release_local_checkpoint``, not ``.unpersist()``):
+    per-edge contributions cast to decimal(27,12) before
     the sum (exact, fold-order free), each round snapped to a 1e-9 grid.
     Per round: one join + one keyed aggregate + one outer join with the
     broadcast seed vector."""

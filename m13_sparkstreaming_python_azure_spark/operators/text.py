@@ -366,16 +366,27 @@ def ngram_novelty(
     # both the df aggregate and the doc rollup consume the exploded gram
     # stream — pin it once instead of paying the explode twice
     grams = grams.persist()
-    df_g = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    out = (
-        grams.join(df_g, "gram")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
-                "n_novel"
-            ),
-        )
+    # ONE gram-keyed shuffle instead of two (r13, guide §2.4): the old
+    # shape aggregated df per gram and then JOINED it back onto the gram
+    # stream — a second full shuffle of the gram STRINGS — just to count
+    # df==1 grams per doc. But a df==1 gram has exactly one owner, so
+    # min(doc_id) inside the same aggregate identifies it; the novel
+    # counts then shuffle (gram-distinct, two-long) rows by owner, and
+    # per-doc totals come map-side off the pinned stream. Identical
+    # results — no hashing, no approximation.
+    g1 = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df"), F.min(id_col).alias("__owner")
+    )
+    novel = (
+        g1.filter(F.col("df") == 1)
+        .groupBy(F.col("__owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    out = totals.join(novel, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
     )
     # materialize eagerly so the pinned gram stream can be released now —
     # otherwise repeated invocations in one session accumulate cached blocks

@@ -2,10 +2,13 @@
 
 from __future__ import annotations
 
+import logging
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
@@ -26,7 +29,13 @@ def release_local_checkpoint(df: DataFrame) -> None:
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — hygiene only, never correctness
-        pass
+        # ADVICE r12: make the silent fallback observable — a Spark
+        # upgrade moving the internal handle would otherwise turn every
+        # release into a no-op and quietly re-open the storage-pressure
+        # issue (tests/test_advice_r6.py's canary asserts a release
+        # really drops a block, so CI catches it too)
+        _log.debug("release_local_checkpoint fell back to GC-timed "
+                   "release", exc_info=True)
 
 
 def bind(value: Column, body: Callable[[Column], Column]) -> Column:

@@ -202,6 +202,9 @@ _head = [
     "hybrid_rrf_search",
     "record_linkage",
     "sorted_neighborhood_pairs",
+    # ngram_novelty: one gram-keyed shuffle instead of two (min-owner
+    # fold in the df aggregate):
+    "ngram_novelty",
     # r12 carry-over (still-recent churn, kept leading one more round):
     "entity_clusters",
     "near_dup_clusters",
@@ -223,28 +226,65 @@ _head = [
     "streaming_view_maintenance",
     # snapshot/CDC family representatives (LSM keyed layout, r12):
     "fuzzy_decontamination",
-    "incremental_ingest_daily",
     "snapshot_commit_group",
     "streaming_cdc_upsert",
-    "streaming_dim_refresh",
-    "streaming_gdpr_erasure",
     "hits_scores",
-    # subsystem regression anchors (unchanged this round)
-    "minhash_dedup_pairs",
-    "streaming_transform_with_state",
-    "lsh_recall_eval",
+    # release_local_checkpoint fallback became debug-logged (util.py) —
+    # its closure covers every iterative-graph gate; the two not already
+    # leading:
+    "bfs_shortest_paths",
+    "bellman_ford_paths",
 ]
-_PRIORITY_50 = _head
-assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
-assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
-assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"
-# The prefix is 100% hash-gated. Two oracles are generated LAZILY in
-# __spark_entry__.oracle_sql() (a live scalar reference recomputation over
-# the image corpus — too slow for import time) so they are absent from the
-# static ORACLES dict but still hash-checked by the driver:
+# The last head slots are RANDOM tail gates (r13, VERDICT r12 #3 of
+# "What's wrong": the driver independently re-proves only the prefix-50,
+# and a builder-curated prefix could in principle park a broken gate in
+# the tail for a round). Seeding the picks from a sha256 over every
+# package source file makes them deterministic for a given tree — the
+# driver's gate and the local replica agree — while re-rolling whenever
+# ANY code changes, so tail gates rotate through the driver-checked set
+# without anyone hand-picking them. Picks are restricted to hash-gated
+# tail entries (a rows-only pick would burn an unverifiable slot).
+_N_RANDOM_TAIL = 3
+# Two oracles are generated LAZILY in __spark_entry__.oracle_sql() (live
+# scalar reference recomputations — too slow for import time), so they
+# are absent from the static ORACLES dict but still hash-checked by the
+# driver and eligible for the prefix:
 _LAZY_ORACLE_GATES = {
     "multimodal_features", "multimodal_phash_dedup", "bpe_merges",
 }
+
+
+def _random_tail_gates(n: int, exclude: list[str]) -> list[str]:
+    import hashlib
+    import os
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for root, dirs, files in sorted(os.walk(pkg)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for fname in sorted(f for f in files if f.endswith(".py")):
+            p = os.path.join(root, fname)
+            h.update(os.path.relpath(p, pkg).encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    pool = sorted(
+        ((set(ORACLES) | _LAZY_ORACLE_GATES) - set(exclude))
+        & set(_ALL_QUERIES)
+    )
+    x = int.from_bytes(h.digest(), "big")
+    picks: list[str] = []
+    for _ in range(min(n, len(pool))):
+        i = x % len(pool)
+        x //= max(len(pool), 1)
+        picks.append(pool.pop(i))
+    return picks
+
+
+_PRIORITY_50 = _head + _random_tail_gates(_N_RANDOM_TAIL, _head)
+assert len(_PRIORITY_50) == 50, f"priority head has {len(_PRIORITY_50)} entries"
+assert len(set(_PRIORITY_50)) == len(_PRIORITY_50), "duplicate priority name"
+assert set(_PRIORITY_50) <= set(_ALL_QUERIES), "priority name missing from registry"
+# The prefix is 100% hash-gated (see _LAZY_ORACLE_GATES above):
 assert set(_PRIORITY_50) <= set(ORACLES) | _LAZY_ORACLE_GATES, (
     "rows-only query in the driver-checked prefix: "
     f"{sorted(set(_PRIORITY_50) - set(ORACLES) - _LAZY_ORACLE_GATES)}"

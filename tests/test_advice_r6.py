@@ -23,6 +23,9 @@ from m13_sparkstreaming_python_azure_spark.operators.similarity import (
     binary_quantize_words,
 )
 from m13_sparkstreaming_python_azure_spark.operators.text import ngram_novelty
+from m13_sparkstreaming_python_azure_spark.operators.util import (
+    release_local_checkpoint,
+)
 from m13_sparkstreaming_python_azure_spark.sources.snapshots import (
     append_snapshot,
     read_snapshot_partitions,
@@ -107,4 +110,18 @@ def test_ngram_novelty_and_bm25_release_cached_blocks(spark):
     assert after <= before + 2, (
         f"persisted RDDs grew {before} -> {after} with only 2 live "
         f"checkpointed results: an operator leaked cached blocks"
+    )
+    # ADVICE r12: make the bound EXACT — releasing the two held results
+    # must return the count to the baseline, so a future regression that
+    # leaks up to two blocks per run can no longer hide inside the +2.
+    # This doubles as the canary for release_local_checkpoint itself: if
+    # a Spark upgrade breaks the internal handle, the release silently
+    # degrades to GC-timed and this assertion catches it.
+    release_local_checkpoint(r1)
+    release_local_checkpoint(r2)
+    released = sc._jsc.getPersistentRDDs().size()
+    assert released <= before, (
+        f"release_local_checkpoint did not drop the blocks "
+        f"({before} -> {after} -> {released}): the internal RDD handle "
+        "may have broken (releases now degrade to GC-timed)"
     )
